@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (north-star, SURVEY.md §2.3).
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  The query set broadcasts; candidates stream through a broadcast
+  nested-loop join, so no shuffle of the big side. Per-pair math is
+  ``zip_with``/``aggregate`` Column expressions (JVM codegen, no Python),
+  verified bit-identical to DuckDB's ``list_dot_product`` on DOUBLE[].
+- ``lsh_ann_topk``: the scale path — random-hyperplane LSH buckets
+  (deterministic md5-derived planes) shrink the candidate set to
+  same-bucket vectors; top-k within bucket. Recall is tested against the
+  brute-force baseline (tests/test_similarity.py).
+- ``label_blocked_neardup``: IVF-style blocked near-dup pairs — the
+  coarse partitioner (label) bounds the pair blowup to per-block O(n²),
+  the standard inverted-file decomposition.
+
+Public basis: "Parallel Top-K Similarity Join Algorithms Using
+MapReduce" (ICDE 2012), PAPERS.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_i32
+from ..functions.vector import cosine_similarity
+
+N_PLANES = 12
+
+
+def plane_components(dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) derives
+    from md5-free integer mixing so Spark and tests share them. Values in
+    [-1, 1), exact halves of integers → exactly representable doubles."""
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        x = (p + 1) * 2654435761 % (1 << 32)
+        for d in range(dim):
+            x = (1103515245 * x + 12345) % (1 << 31)
+            row.append((x % 2048) / 1024.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_filter: F.Column,
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    (query_id, vec_id, cos, rank) with rank 1..k, self-match excluded.
+    Ties broken by vec_id so the ordering is a total order.
+    """
+    q = emb.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = emb.select("vec_id", "embedding")
+    scored = (
+        cand.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        .withColumn("cos", cosine_similarity("q_emb", "embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def _bucket_expr(emb_col: str, dim: int) -> F.Column:
+    """LSH bucket id: sign bits of dot(embedding, plane_p) for each plane."""
+    planes = plane_components(dim)
+    bits = []
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in row])
+        d = F.aggregate(
+            F.zip_with(F.col(emb_col), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket.cast("int")
+
+
+def lsh_ann_topk(emb: DataFrame, query_filter: F.Column, k: int = 10, dim: int = 64) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    At 100 TB: bucket the corpus once (write bucketed/partitioned by
+    bucket id), then each query probes one partition — a partition-pruned
+    scan instead of a full pass. Here both sides are bucketed inline.
+    """
+    bucketed = emb.withColumn("bucket", _bucket_expr("embedding", dim))
+    q = bucketed.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket")) & (F.col("query_id") != F.col("vec_id")),
+        )
+        .withColumn("cos", cosine_similarity("q_emb", "embedding"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def label_blocked_neardup(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """(vec_a, vec_b, cos) pairs with cosine ≥ threshold, blocked by label
+    (IVF-style coarse partition: per-block O(n²) instead of global)."""
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,154 @@
+"""Text-analysis operators (north-star extension, SURVEY.md §2.3).
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting. Everything is
+built-in Column expressions — per-row compute with no shuffle, so these
+run at scan speed inside whole-stage codegen at any scale.
+
+Constants are module-level so the DuckDB oracle SQL (queries/
+text_analysis.py) interpolates the SAME stopword lists and regexes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .tokenize import TOKEN_SPLIT_REGEX, clean_word_col
+
+# BPE-ish token regex: letter runs, digit runs, single non-space symbols.
+BPE_TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]"
+
+# Tiny deterministic stopword profiles for language ID. Order matters:
+# ties resolve to the first language in LANG_ORDER with the max hits.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "a", "that", "it", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "la", "de", "que", "los", "es", "una", "con", "por", "para"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def _words(docs: DataFrame) -> DataFrame:
+    """(doc_id, word) cleaned tokens WITH multiplicity (tf semantics)."""
+    return (
+        docs.select("doc_id", F.explode(F.split("text", TOKEN_SPLIT_REGEX)).alias("tok"))
+        .select("doc_id", clean_word_col("tok").alias("word"))
+        .filter(F.length("word") > 0)
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_chars): whitespace tokens
+    (non-empty splits) and BPE-ish regex tokens. Pure projections —
+    column-pruned scan reads only (doc_id, text)."""
+    ws = F.size(F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda x: F.length(x) > 0))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_REGEX)))
+    return docs.select(
+        "doc_id",
+        ws.cast("bigint").alias("n_ws_tokens"),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, alpha_ratio, stopword_ratio, mean_token_len,
+    quality): heuristic quality features + a composite score.
+
+    All ratios are integer-count divisions → bit-identical across engines.
+    """
+    toks = _words(docs)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.array_contains(stop_arr, F.col("word")), 1).otherwise(0)).alias(
+            "n_stop"
+        ),
+        F.sum(F.length("word")).alias("sum_word_len"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
+    )
+    j = base.join(per_doc, "doc_id", "left").na.fill(
+        {"n_tokens": 0, "n_stop": 0, "sum_word_len": 0}
+    )
+    alpha_ratio = F.when(F.col("n_chars") > 0, F.col("n_alpha") / F.col("n_chars")).otherwise(
+        F.lit(0.0)
+    )
+    stop_ratio = F.when(F.col("n_tokens") > 0, F.col("n_stop") / F.col("n_tokens")).otherwise(
+        F.lit(0.0)
+    )
+    mean_len = F.when(
+        F.col("n_tokens") > 0, F.col("sum_word_len") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    quality = alpha_ratio * 0.5 + stop_ratio * 0.3 + F.least(mean_len / 10.0, F.lit(1.0)) * 0.2
+    return j.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        mean_len.alias("mean_token_len"),
+        quality.alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang, lang): stopword-profile language ID. Hit counts
+    per language over token multiset; argmax with LANG_ORDER tie-break;
+    zero hits → 'und' (undetermined — e.g. the zh docs, whose CJK text
+    cleans to nothing under the ASCII contract)."""
+    toks = _words(docs)
+    aggs = []
+    for code in LANG_ORDER:
+        arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS[code]])
+        aggs.append(
+            F.sum(F.when(F.array_contains(arr, F.col("word")), 1).otherwise(0)).alias(
+                f"hits_{code}"
+            )
+        )
+    hits = toks.groupBy("doc_id").agg(*aggs)
+    best = F.greatest(*[F.col(f"hits_{c}") for c in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for code in LANG_ORDER:  # first max in LANG_ORDER wins ties
+        pred = pred.when(F.col(f"hits_{code}") == best, F.lit(code))
+    out = docs.select("doc_id", "lang").join(hits, "doc_id", "left").na.fill(0)
+    return out.select("doc_id", pred.otherwise(F.lit("und")).alias("pred_lang"), "lang")
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint, norm_text_prefix): md5 digest of the
+    normalized token stream (order-preserving), the canonical content
+    fingerprint for exact-after-normalization dedup."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", TOKEN_SPLIT_REGEX)).alias("pos", "tok"),
+        )
+        .select("doc_id", "pos", clean_word_col("tok").alias("word"))
+        .filter(F.length("word") > 0)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    norm = (
+        toks.withColumn("seq", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seq", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("norm_text")
+        )
+    )
+    return norm.select(
+        "doc_id",
+        F.md5("norm_text").alias("fingerprint"),
+        F.substring("norm_text", 1, 40).alias("norm_text_prefix"),
+    )

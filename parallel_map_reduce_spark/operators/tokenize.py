@@ -1,0 +1,73 @@
+"""Tokenize / normalize / filter / distinct — the reference's map phase.
+
+Reference semantics (reference ``src/tema1.cpp``, see SURVEY.md §1.4):
+
+- split documents on space/tab/newline ONLY (``strtok_r(text, " \\n\\t")``,
+  ``src/tema1.cpp:144,149``) — ``well-known`` is one token before cleaning;
+- keep only ASCII letters, lowercased (``remove_special_chars``,
+  ``src/tema1.cpp:88-99``) — ``don't``→``dont``, ``123``→ dropped;
+- drop tokens empty after cleaning (``src/tema1.cpp:148-151``);
+- a ``(word, doc_id)`` pair counts once per document regardless of
+  occurrence count (per-mapper dedup map, ``src/tema1.cpp:153-163``).
+
+All of it is built-in Column expressions: the whole map phase stays inside
+whole-stage codegen — no Python in the hot path. ``dropDuplicates`` compiles
+to a partial+final hash aggregate, which subsumes the reference's
+per-mapper combiner (partial dedup happens map-side before the shuffle,
+shrinking shuffle volume to distinct pairs exactly like the reference's
+``partial_maps``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Split contract: ONLY space / tab / newline (reference src/tema1.cpp:144).
+TOKEN_SPLIT_REGEX = "[ \t\n]+"
+# Normalize contract: strip non-ASCII-letters, lowercase (src/tema1.cpp:88-99).
+NON_ALPHA_REGEX = "[^A-Za-z]"
+
+
+def clean_word_col(tok: Column | str) -> Column:
+    """lower(strip non-alpha) — the reference's ``remove_special_chars``."""
+    tok = F.col(tok) if isinstance(tok, str) else tok
+    return F.lower(F.regexp_replace(tok, NON_ALPHA_REGEX, ""))
+
+
+def tokenize(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """docs → (doc_id, tok): one row per raw whitespace token.
+
+    ``explode(split(...))`` is the UDTF-shaped op (reference map_func
+    tokenizer, ``src/tema1.cpp:142-166``). Generation happens inside
+    codegen; a 1 MB document streams through as rows without
+    materializing a token array per row beyond the split buffer.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), TOKEN_SPLIT_REGEX)).alias("tok"),
+    )
+
+
+def normalize_tokens(tokens: DataFrame, tok_col: str = "tok") -> DataFrame:
+    """(doc_id, tok) → (doc_id, word) cleaned per the reference contract."""
+    return tokens.select("doc_id", clean_word_col(tok_col).alias("word"))
+
+
+def filter_empty(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """Drop tokens empty after cleaning (reference src/tema1.cpp:148-151)."""
+    return words.filter(F.length(F.col(word_col)) > 0)
+
+
+def distinct_pairs(words: DataFrame) -> DataFrame:
+    """Exact distinct (word, doc_id) — the reference's combiner+shuffle
+    (``src/tema1.cpp:153-172``). Spark plans this as partial hash-agg →
+    exchange on (word, doc_id) → final hash-agg: map-side combine is
+    automatic, so shuffle volume is distinct pairs, same as the reference.
+    """
+    return words.dropDuplicates(["word", "doc_id"])
+
+
+def doc_word_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fused pipeline: docs → distinct cleaned (word, doc_id) pairs."""
+    return distinct_pairs(filter_empty(normalize_tokens(tokenize(docs, text_col, id_col))))

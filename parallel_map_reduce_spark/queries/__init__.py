@@ -1,0 +1,13 @@
+"""Query suite — importing this package registers every query.
+
+Modules register into ``parallel_map_reduce_spark.registry`` via the
+``@register`` decorator; ``registry.all_queries()`` triggers this import.
+"""
+
+from . import core  # noqa: F401
+from . import relational  # noqa: F401
+from . import dedup  # noqa: F401
+from . import similarity  # noqa: F401
+from . import text_analysis  # noqa: F401
+from . import streaming_batch  # noqa: F401
+from . import multimodal  # noqa: F401

@@ -1,0 +1,149 @@
+"""Core queries: the reference's own semantics (SURVEY.md §2.1).
+
+Each query has a DuckDB oracle built from the same tokenization contract
+(reference src/tema1.cpp:88-99,142-166; see operators/tokenize.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.inverted_index import format_index_rows, rank_within_letter
+from ..operators.tokenize import doc_word_pairs, filter_empty, normalize_tokens, tokenize
+from ..plans.flagship import flagship_inverted_index
+from ..registry import register
+from ..sources.catalog import load_table
+from ._sql import WORDS_CTE
+
+
+@register(
+    "inverted_index",
+    oracle=f"""
+WITH {WORDS_CTE}
+SELECT word,
+       count(*)::BIGINT AS df,
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings,
+       substr(word, 1, 1) AS letter
+FROM words
+GROUP BY word
+""",
+    doc="Flagship: full inverted index (reference src/tema1.cpp map+reduce).",
+    tags=("flagship", "reference"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = flagship_inverted_index(spark, sf_dir)
+    return idx.select(
+        "word",
+        F.col("df").cast("bigint").alias("df"),
+        F.array_join("postings", " ").alias("postings"),
+        "letter",
+    )
+
+
+@register(
+    "token_pairs_distinct",
+    oracle=f"WITH {WORDS_CTE} SELECT word, doc_id FROM words",
+    doc="Map phase output: distinct cleaned (word, doc_id) pairs "
+    "(reference src/tema1.cpp:142-172).",
+    tags=("reference",),
+)
+def q_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_word_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_stream",
+    oracle=f"""
+WITH {WORDS_CTE.replace("SELECT DISTINCT", "SELECT")}
+SELECT word, count(*)::BIGINT AS n
+FROM words
+GROUP BY word
+""",
+    doc="Tokenize+normalize+filter WITHOUT dedup (term frequencies across "
+    "the corpus) — isolates ops 5-7 from op 8.",
+    tags=("reference",),
+)
+def q_token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = filter_empty(normalize_tokens(tokenize(docs)))
+    return words.groupBy("word").agg(F.count("*").alias("n"))
+
+
+@register(
+    "letter_histogram",
+    oracle=f"""
+WITH {WORDS_CTE}
+SELECT substr(word, 1, 1) AS letter, count(DISTINCT word)::BIGINT AS n_words,
+       count(*)::BIGINT AS n_pairs
+FROM words
+GROUP BY letter
+""",
+    doc="26-way letter partitioning stats (reference src/tema1.cpp:203-209).",
+    tags=("reference",),
+)
+def q_letter_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = doc_word_pairs(load_table(spark, sf_dir, "documents"))
+    return (
+        pairs.withColumn("letter", F.substring("word", 1, 1))
+        .groupBy("letter")
+        .agg(
+            F.countDistinct("word").alias("n_words"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+
+
+@register(
+    "index_text_rows",
+    oracle=f"""
+WITH {WORDS_CTE},
+idx AS (
+    SELECT word, count(*) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings
+    FROM words GROUP BY word
+)
+SELECT substr(word, 1, 1) AS letter,
+       word || ':[' || postings || ']' AS line
+FROM idx
+""",
+    doc="Formatted sink rows `word:[ids]` (reference src/tema1.cpp:236-248); "
+    "ordering contract covered by tests/test_inverted_index.py goldens.",
+    tags=("reference", "sink"),
+)
+def q_index_text_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = flagship_inverted_index(spark, sf_dir)
+    return format_index_rows(rank_within_letter(idx))
+
+
+@register(
+    "doc_stats",
+    oracle=f"""
+WITH {WORDS_CTE}
+SELECT d.doc_id,
+       d.n_chars,
+       coalesce(w.n_distinct, 0)::BIGINT AS n_distinct_words
+FROM documents d
+LEFT JOIN (
+    SELECT doc_id, count(*) AS n_distinct FROM words GROUP BY doc_id
+) w USING (doc_id)
+""",
+    doc="Per-document stats: reference File.size (src/tema1.cpp:354) + "
+    "distinct-word count; left join keeps docs that clean to zero tokens.",
+    tags=("reference",),
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        doc_word_pairs(docs)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_distinct"))
+    )
+    return (
+        docs.join(counts, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("n_distinct"), F.lit(0)).cast("bigint").alias("n_distinct_words"),
+        )
+    )

@@ -1,0 +1,172 @@
+"""Dedup queries with DuckDB oracles generated from the SAME constants as
+the Spark operators (operators/dedup.py) — seeds, prime, band layout, and
+the md5→int hash are interpolated into the SQL, so Spark and oracle agree
+by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..registry import register
+from ..sources.catalog import load_table
+from ._sql import ORDERED_WORDS_CTE
+
+# md5-derived 32-bit int, DuckDB spelling (matches functions/hashing.md5_i32)
+_HV32 = "CAST(concat('0x', substr(md5({col}), 1, 8)) AS BIGINT)"
+
+_SEEDS_VALUES = ",\n        ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(D.MINHASH_SEEDS)
+)
+
+_SHINGLES_CTE = (
+    ORDERED_WORDS_CTE
+    + f""",
+shingle_raw AS (
+    SELECT doc_id,
+           word || ' ' || lead(word, 1) OVER w || ' ' || lead(word, 2) OVER w AS shingle,
+           lead(word, 2) OVER w AS tail
+    FROM ordered_words
+    WINDOW w AS (PARTITION BY doc_id ORDER BY seq)
+),
+shingles AS (
+    SELECT DISTINCT doc_id, shingle FROM shingle_raw WHERE tail IS NOT NULL
+)
+"""
+)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_md5,
+       MIN(doc_id) AS keep_id,
+       COUNT(*)::BIGINT AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+    doc="Exact dedup: hash-groupBy on md5(text); digests shuffle uniformly.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+    SELECT doc_id, {_HV32.format(col='shingle')} AS hv FROM shingles
+),
+seeds(j, a, b) AS (
+    VALUES {_SEEDS_VALUES}
+)
+SELECT h.doc_id, s.j, MIN((s.a * h.hv + s.b) % {D.MINHASH_PRIME}) AS minhash
+FROM hashed h CROSS JOIN seeds s
+GROUP BY h.doc_id, s.j
+""",
+    doc=f"MinHash signatures: {D.N_HASHES} hash families over distinct "
+    f"{D.SHINGLE_K}-token shingles (Broder minhash; LSH input).",
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+    SELECT doc_id, {_HV32.format(col='shingle')} AS hv FROM shingles
+),
+seeds(j, a, b) AS (
+    VALUES {_SEEDS_VALUES}
+),
+mh AS (
+    SELECT h.doc_id, s.j, MIN((s.a * h.hv + s.b) % {D.MINHASH_PRIME}) AS minhash
+    FROM hashed h CROSS JOIN seeds s
+    GROUP BY h.doc_id, s.j
+),
+bands AS (
+    SELECT doc_id, (j // {D.ROWS_PER_BAND}) AS band,
+           md5(string_agg(minhash::VARCHAR, ',' ORDER BY j)) AS sig
+    FROM mh GROUP BY doc_id, (j // {D.ROWS_PER_BAND})
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+""",
+    doc=f"MinHash-LSH candidate pairs: {D.N_BANDS} bands × "
+    f"{D.ROWS_PER_BAND} rows; equi-join on band signature replaces the "
+    "O(n²) cross join (SURVEY.md §2.3).",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH w_raw AS (
+    SELECT DISTINCT doc_id,
+           lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^A-Za-z]', '', 'g')) AS word
+    FROM documents
+),
+words AS (SELECT doc_id, word FROM w_raw WHERE length(word) > 0),
+hashed AS (
+    SELECT doc_id, {_HV32.format(col='word')} AS hv FROM words
+),
+bits AS (
+    SELECT doc_id, r.range AS i,
+           CASE WHEN (hv // CAST(power(2, r.range) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS v
+    FROM hashed CROSS JOIN range({D.SIMHASH_BITS}) r
+),
+votes AS (
+    SELECT doc_id, i, SUM(v) AS vote FROM bits GROUP BY doc_id, i
+)
+SELECT doc_id,
+       SUM(CASE WHEN vote > 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id
+""",
+    doc=f"{D.SIMHASH_BITS}-bit SimHash fingerprint over the distinct word "
+    "set; identical fingerprints bucket near-dups.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+_JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_JACCARD_THRESHOLD}
+""",
+    doc="Exact n-gram Jaccard near-dup pairs via inverted-index self-join "
+    "(similarity-join decomposition; integer-exact division).",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=_JACCARD_THRESHOLD
+    )

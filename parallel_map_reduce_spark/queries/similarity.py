@@ -1,0 +1,81 @@
+"""Similarity-search queries (SURVEY.md §2.3).
+
+Cosine math is bit-identical across Spark (`zip_with`/`aggregate` double
+fold) and DuckDB (`list_cosine_similarity` on DOUBLE[]) — verified
+empirically — so oracles compare full-precision doubles with vec_id tie
+breaks; no rounding slop needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..registry import register
+from ..sources.catalog import load_table
+
+_QUERY_MOD = 50  # query set = vec_id % 50 == 0
+_K = 10
+_NEARDUP_THRESHOLD = 0.35
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle=f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])) AS cos
+    FROM embeddings q
+    JOIN embeddings c ON q.vec_id % {_QUERY_MOD} = 0 AND c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT query_id, vec_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {_K}
+""",
+    doc="Exact cosine top-k (brute force baseline): query set broadcasts, "
+    "candidates stream; JVM-side zip_with/aggregate math, no UDF.",
+    tags=("similarity", "topk"),
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, F.col("vec_id") % _QUERY_MOD == 0, k=_K)
+
+
+@register(
+    "similarity_ann_lsh",
+    oracle=None,  # LSH plane dots aren't reasonably SQL-expressible; the
+    # recall/structural contract is tested against brute force in
+    # tests/test_similarity.py (driver records rows-only).
+    doc="ANN top-k via random-hyperplane LSH buckets — the 100 TB path: "
+    "bucket once, probe one partition per query (partition pruning).",
+    tags=("similarity", "ann", "lsh"),
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_ann_topk(emb, F.col("vec_id") % _QUERY_MOD == 0, k=_K)
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])) AS cos
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {_NEARDUP_THRESHOLD}
+""",
+    doc="Embedding-cosine near-dup pairs, IVF-style blocked by label so "
+    "the pair space is per-block O(n²), not global.",
+    tags=("similarity", "dedup"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.label_blocked_neardup(emb, threshold=_NEARDUP_THRESHOLD)

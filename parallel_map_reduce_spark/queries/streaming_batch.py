@@ -1,0 +1,180 @@
+"""Windowed event analytics — batch-equivalent of the streaming pipelines.
+
+The same logical queries run as Structured Streaming in
+``streaming/events_stream.py`` (readStream + watermark + window;
+tests/test_streaming.py proves batch/stream result equivalence). Here
+they run as batch for the DuckDB oracle. Window starts cross the oracle
+boundary as epoch-micros BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,4)")
+
+
+@register(
+    "events_hourly_tumbling",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Tumbling 1h window aggregation (streaming twin: watermarked "
+    "window() in streaming/events_stream.py). One exchange on "
+    "(window, type); partial agg collapses rows map-side.",
+    tags=("streaming", "window", "aggregate"),
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+WITH slid AS (
+    SELECT e.*,
+           to_timestamp((floor(epoch(ts) / 1800) * 1800 - off.o)::BIGINT) AS w_start
+    FROM events e
+    CROSS JOIN (VALUES (0), (1800)) off(o)
+)
+SELECT epoch_us(w_start) AS window_start_us,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users
+FROM slid
+GROUP BY 1
+""",
+    doc="Sliding windows (1h size, 30m slide): each event lands in exactly "
+    "2 windows; Spark's window() expands them map-side, same as the "
+    "oracle's 2-row unnest.",
+    tags=("streaming", "window"),
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+_SESSION_GAP_MIN = 30
+
+
+@register(
+    "events_sessionized",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev_ts IS NULL
+                     OR epoch(ts) - epoch(prev_ts) > {_SESSION_GAP_MIN * 60}
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+sessions AS (
+    SELECT user_id, ts, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       COUNT(*)::BIGINT AS n_events,
+       epoch_us(MIN(ts)) AS session_start_us,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) AS duration_us
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    doc=f"Gap-based sessionization ({_SESSION_GAP_MIN}m inactivity gap): "
+    "lag + cumulative-sum session ids, one shuffle on user_id. The "
+    "streaming twin is applyInPandasWithState (streaming/sessionize.py).",
+    tags=("streaming", "session", "window", "custom-operator"),
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = _SESSION_GAP_MIN * 60 * 1_000_000
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w_ord).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_ord)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    ).select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "n_events",
+        "session_start_us",
+        "duration_us",
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       COUNT(*)::BIGINT AS n
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY event_type
+""",
+    doc="Semi-structured projection: JSON prop extraction + aggregate "
+    "(get_json_object stays JVM-side; no Python).",
+    tags=("streaming", "json"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("bigint").alias("sum_k"), F.count("*").alias("n"))
+    )

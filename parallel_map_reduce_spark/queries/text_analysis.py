@@ -1,0 +1,155 @@
+"""Text-analysis queries with DuckDB oracles generated from the same
+constants as operators/text_analysis.py (stopword lists, regexes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import text_analysis as T
+from ..registry import register
+from ..sources.catalog import load_table
+
+_WORDS_TF_CTE = """
+w_all AS (
+    SELECT doc_id,
+           lower(regexp_replace(unnest(string_split_regex(text, '[ \t\n]+')), '[^A-Za-z]', '', 'g')) AS word
+    FROM documents
+),
+words AS (SELECT doc_id, word FROM w_all WHERE length(word) > 0)
+"""
+
+
+def _sql_list(items) -> str:
+    return ", ".join(f"'{s}'" for s in items)
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '[ \t\n]+'), x -> length(x) > 0))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{T.BPE_TOKEN_REGEX}'))::BIGINT AS n_bpe_tokens,
+       length(text)::BIGINT AS n_chars
+FROM documents
+""",
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens. "
+    "Projection-only — runs at scan speed, column-pruned to (doc_id, text).",
+    tags=("text",),
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+WITH {_WORDS_TF_CTE},
+per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           SUM(CASE WHEN word IN ({_sql_list(T.EN_STOPWORDS)}) THEN 1 ELSE 0 END) AS n_stop,
+           SUM(length(word)) AS sum_word_len
+    FROM words GROUP BY doc_id
+),
+base AS (
+    SELECT doc_id, length(text) AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+    FROM documents
+),
+j AS (
+    SELECT b.doc_id, b.n_chars, b.n_alpha,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.n_stop, 0) AS n_stop,
+           coalesce(p.sum_word_len, 0) AS sum_word_len
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+),
+r AS (
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS alpha_ratio,
+           CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN n_tokens > 0 THEN sum_word_len / CAST(n_tokens AS DOUBLE) ELSE 0.0 END AS mean_token_len
+    FROM j
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens, alpha_ratio, stopword_ratio, mean_token_len,
+       alpha_ratio * 0.5 + stopword_ratio * 0.3 + least(mean_token_len / 10.0, 1.0) * 0.2 AS quality
+FROM r
+""",
+    doc="Quality scoring: alpha/stopword/length ratios + composite score; "
+    "integer-count divisions are bit-identical across engines.",
+    tags=("text",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_hits_sql() -> str:
+    cols = ",\n           ".join(
+        f"SUM(CASE WHEN word IN ({_sql_list(T.LANG_STOPWORDS[c])}) THEN 1 ELSE 0 END) AS hits_{c}"
+        for c in T.LANG_ORDER
+    )
+    return cols
+
+
+def _lang_pred_sql() -> str:
+    best = "greatest(" + ", ".join(f"hits_{c}" for c in T.LANG_ORDER) + ")"
+    whens = "\n            ".join(
+        f"WHEN hits_{c} = {best} THEN '{c}'" for c in T.LANG_ORDER
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und'\n            {whens}\n            ELSE 'und' END"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH {_WORDS_TF_CTE},
+hits AS (
+    SELECT doc_id,
+           {_lang_hits_sql()}
+    FROM words GROUP BY doc_id
+),
+j AS (
+    SELECT d.doc_id, d.lang,
+           coalesce(h.hits_en, 0) AS hits_en,
+           coalesce(h.hits_de, 0) AS hits_de,
+           coalesce(h.hits_fr, 0) AS hits_fr,
+           coalesce(h.hits_es, 0) AS hits_es
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+)
+SELECT doc_id,
+       {_lang_pred_sql()} AS pred_lang,
+       lang
+FROM j
+""",
+    doc="Language ID: stopword-profile hit counts, argmax with fixed "
+    "tie-break order; CJK text cleans to zero ASCII tokens → 'und'.",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+WITH tokpos AS (
+    SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+    FROM (SELECT doc_id, string_split_regex(text, '[ \t\n]+') AS l FROM documents)
+),
+cleanpos AS (
+    SELECT doc_id, lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word, pos
+    FROM tokpos
+),
+norm AS (
+    SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS norm_text
+    FROM cleanpos WHERE length(word) > 0
+    GROUP BY doc_id
+)
+SELECT doc_id, md5(norm_text) AS fingerprint,
+       substr(norm_text, 1, 40) AS norm_text_prefix
+FROM norm
+""",
+    doc="Document fingerprint: md5 over the order-preserving normalized "
+    "token stream (canonical content hash for normalized-exact dedup).",
+    tags=("text",),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprints(load_table(spark, sf_dir, "documents"))

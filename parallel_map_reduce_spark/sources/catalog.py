@@ -1,0 +1,52 @@
+"""Table catalog over the driver's parquet testdata.
+
+The reference's "catalog" is a manifest text file listing input paths
+(reference ``src/tema1.cpp:324-342``); here the general form is a
+directory of self-describing parquet tables. Parquet gives us columnar
+scans, predicate pushdown, and column pruning for free — the properties
+the 100 TB design depends on.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table. Plain parquet scan → Catalyst sees the
+    files directly, so filters/projections placed on the result push
+    down into the scan."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in parquet, read as BIGINT nanos via
+        # spark.sql.legacy.parquet.nanosAsLong (session.py). The source
+        # data is microsecond-granular (nanos % 1000 == 0), so the
+        # conversion is exact.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}

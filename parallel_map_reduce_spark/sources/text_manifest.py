@@ -1,0 +1,66 @@
+"""Manifest-driven whole-text-file source.
+
+Reproduces the reference's input model (reference ``src/tema1.cpp:324-364``):
+a manifest file whose first line is a count N followed by N file paths;
+each file becomes one document row with a **1-based id in manifest
+order** (id assigned at ``src/tema1.cpp:353``, before any scheduling
+sort, so ids are stable regardless of parallelism).
+
+At 100 TB you would not use whole-file text rows (a single giant file
+skews a partition); you'd land documents in parquet first. This source
+exists for parity with the reference's ingestion path and for small
+corpora; ``sources.catalog`` is the scale path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), nullable=False),
+        StructField("text", StringType(), nullable=True),
+    ]
+)
+
+
+def parse_manifest(manifest_path: str) -> list[str]:
+    """First line = N, then N paths (relative paths resolve against the
+    manifest's directory, matching the reference checker layout)."""
+    base = os.path.dirname(os.path.abspath(manifest_path))
+    with open(manifest_path, encoding="utf-8", errors="replace") as fh:
+        lines = [ln.strip() for ln in fh if ln.strip()]
+    n = int(lines[0])
+    paths = lines[1 : n + 1]
+    if len(paths) != n:
+        raise ValueError(f"manifest declares {n} files but lists {len(paths)}")
+    return [p if os.path.isabs(p) else os.path.join(base, p) for p in paths]
+
+
+def read_manifest_documents(spark: SparkSession, manifest_path: str) -> DataFrame:
+    """documents(doc_id BIGINT, text STRING) with 1-based manifest-order ids.
+
+    Implementation: ``spark.read.text(path, wholetext=True)`` per file
+    keeps reading distributed (each file is one task); ids come from the
+    manifest position, not from ``monotonically_increasing_id`` (which is
+    partition-dependent and would not be stable across parallelism, the
+    exact property the reference checker verifies).
+    """
+    paths = parse_manifest(manifest_path)
+    # Map normalized absolute path -> 1-based manifest id.
+    id_map = [(os.path.abspath(p), i + 1) for i, p in enumerate(paths)]
+    ids_df = spark.createDataFrame(id_map, schema="path STRING, doc_id BIGINT")
+    raw = (
+        spark.read.text(paths, wholetext=True)
+        .withColumn("path", F.regexp_replace(F.input_file_name(), "^file:", ""))
+        .withColumnRenamed("value", "text")
+    )
+    # Small dim (one row per file) — broadcast join, no shuffle of text blobs.
+    return (
+        raw.join(F.broadcast(ids_df), on="path", how="inner")
+        .select("doc_id", "text")
+    )

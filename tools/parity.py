@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle on the same
+parquet tables, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted by
+their stringified tuple). Usage:
+
+    python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from parallel_map_reduce_spark.registry import all_queries
+from parallel_map_reduce_spark.session import get_spark
+from parallel_map_reduce_spark.sources.catalog import TABLES
+
+
+def _normalize(v):
+    if isinstance(v, float):
+        # Engines may render -0.0/0.0 differently; canonicalize.
+        if v == 0:
+            return "0.0"
+        return repr(v)
+    if v is None:
+        return "<NULL>"
+    return str(v)
+
+
+def value_hash(rows: list[tuple], colnames: list[str]) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    canon = sorted("|".join(_normalize(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in canon:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    specs = all_queries()
+    if only:
+        specs = {k: v for k, v in specs.items() if k in only}
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark("parity")
+    failures = []
+    for name, spec in sorted(specs.items()):
+        t0 = time.time()
+        try:
+            sdf = spec.build(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"  {name:35s} SPARK ERROR: {str(e)[:200]}")
+            continue
+        if spec.oracle is None:
+            print(f"  {name:35s} rows-only: {len(srows):7d} rows "
+                  f"({time.time()-t0:5.1f}s)")
+            if not srows:
+                print(f"    WARNING: {name} returned 0 rows")
+            continue
+        try:
+            rel = con.sql(spec.oracle)
+            ocols = rel.columns
+            orows = [tuple(r) for r in rel.fetchall()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"  {name:35s} ORACLE ERROR: {e}")
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+        elif value_hash(srows, scols) != value_hash(orows, ocols):
+            problems.append("value-hash mismatch")
+        if problems:
+            failures.append(name)
+            print(f"  {name:35s} FAIL: {'; '.join(problems)} ({time.time()-t0:5.1f}s)")
+            if "value-hash mismatch" in problems and srows and orows:
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                ss = sorted("|".join(_normalize(r[i]) for i in order_s) for r in srows)
+                oo = sorted("|".join(_normalize(r[i]) for i in order_o) for r in orows)
+                for a, b in zip(ss, oo):
+                    if a != b:
+                        print(f"    spark: {a[:160]}")
+                        print(f"    duck : {b[:160]}")
+                        break
+        else:
+            print(f"  {name:35s} OK: {len(srows):7d} rows ({time.time()-t0:5.1f}s)")
+            if not srows:
+                print(f"    WARNING: {name} returned 0 rows")
+    spark.stop()
+    if failures:
+        print(f"\nFAILED ({len(failures)}): {' '.join(failures)}")
+        return 1
+    print(f"\nALL OK ({len(specs)} queries)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
