@@ -46,7 +46,10 @@ def token_counts(docs: DataFrame) -> DataFrame:
     (non-empty splits) and BPE-ish regex tokens. Pure projections —
     column-pruned scan reads only (doc_id, text)."""
     ws = F.size(F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda x: F.length(x) > 0))
-    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_REGEX)))
+    # regexp_extract_all defaults to group 1; our regex has no capture
+    # group, so wrap it and ask for group 0 (whole-match semantics, same
+    # as the DuckDB oracle's regexp_extract_all).
+    bpe = F.size(F.regexp_extract_all("text", F.lit("(" + BPE_TOKEN_REGEX + ")"), 0))
     return docs.select(
         "doc_id",
         ws.cast("bigint").alias("n_ws_tokens"),

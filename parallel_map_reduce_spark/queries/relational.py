@@ -104,7 +104,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "revenue",
-            F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+            # o_orderdate is TIMESTAMP_NTZ in parquet; unix_micros requires
+            # TIMESTAMP — with session TZ pinned to UTC the cast is exact.
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
             "o_orderpriority",
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))

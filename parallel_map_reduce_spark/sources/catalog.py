@@ -29,12 +29,27 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs the engine depends on, applied idempotently.
+
+    The harness may hand us a SparkSession it built itself (so the
+    builder-time confs in session.py never applied). Both of these are
+    runtime-settable SQL confs:
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which the
+      vectorized reader rejects; read as BIGINT nanos instead.
+    - UTC session TZ: the epoch-us oracle columns assume wall-clock UTC.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table. Plain parquet scan → Catalyst sees the
     files directly, so filters/projections placed on the result push
     down into the scan."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in parquet, read as BIGINT nanos via

@@ -19,8 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from pyspark.sql import SparkSession
+
 from parallel_map_reduce_spark.registry import all_queries
-from parallel_map_reduce_spark.session import get_spark
 from parallel_map_reduce_spark.sources.catalog import TABLES
 
 
@@ -56,7 +57,16 @@ def main() -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    spark = get_spark("parity")
+    # Deliberately a BARE session (like the driver's), so any conf the
+    # engine needs must be applied at runtime by the engine itself.
+    spark = (
+        SparkSession.builder.appName("parity")
+        .master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     failures = []
     for name, spec in sorted(specs.items()):
         t0 = time.time()
