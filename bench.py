@@ -1,0 +1,108 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+Everything else (Spark logs, progress) goes to stderr or is disabled.
+
+Usage: python bench.py [query ...]   (default: the HEADLINE set)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+from parallel_map_reduce_spark.registry import all_queries
+
+# Headline set: one per major operator family (SURVEY.md §2), heaviest
+# representative each — scan-agg, fact join, window, dedup chain, LSH,
+# similarity, text, sessionization, multimodal UDF path.
+HEADLINE = (
+    "inverted_index",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customers_per_segment",
+    "event_type_distinct_users",
+    "events_sessionized",
+    "asof_purchase_last_click",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "similarity_topk_bruteforce",
+    "text_quality_scores",
+    "text_fingerprints",
+    "multimodal_image_features",
+)
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    names = sys.argv[1:] or list(HEADLINE)
+
+    spark = (
+        SparkSession.builder.appName("bench")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = all_queries()
+    timings: dict[str, float] = {}
+    for name in names:
+        if name not in specs:
+            print(f"bench: unknown query {name!r}, skipping", file=sys.stderr)
+            continue
+        t0 = time.perf_counter()
+        try:
+            df = specs[name].build(spark, sf_dir)
+            n = df.count()  # full execution without driver-side row transfer
+            dt = time.perf_counter() - t0
+            timings[name] = round(dt, 3)
+            print(f"bench: {name} {dt:.2f}s ({n} rows)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            dt = time.perf_counter() - t0
+            timings[name] = -1.0
+            print(f"bench: {name} ERROR after {dt:.2f}s: {e}", file=sys.stderr)
+    spark.stop()
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    return 0 if all(t >= 0 for t in timings.values()) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

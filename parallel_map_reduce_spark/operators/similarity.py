@@ -5,10 +5,13 @@
   nested-loop join, so no shuffle of the big side. Per-pair math is
   ``zip_with``/``aggregate`` Column expressions (JVM codegen, no Python),
   verified bit-identical to DuckDB's ``list_dot_product`` on DOUBLE[].
-- ``lsh_ann_topk``: the scale path — random-hyperplane LSH buckets
-  (deterministic md5-derived planes) shrink the candidate set to
-  same-bucket vectors; top-k within bucket. Recall is tested against the
-  brute-force baseline (tests/test_similarity.py).
+- ``lsh_ann_topk``: the scale path — random-hyperplane LSH with
+  OR-amplification: N_PLANES sign bits split into ANN_BANDS bands of
+  ANN_PLANES_PER_BAND bits; two vectors are candidates if they collide
+  in ANY band (same trick as the MinHash banding join). Keeps each
+  band's bucket count small enough that buckets actually collide, while
+  the AND within a band keeps buckets selective. Recall is tested
+  against the brute-force baseline (tests/test_similarity.py).
 - ``label_blocked_neardup``: IVF-style blocked near-dup pairs — the
   coarse partitioner (label) bounds the pair blowup to per-block O(n²),
   the standard inverted-file decomposition.
@@ -26,6 +29,8 @@ from ..functions.hashing import md5_i32
 from ..functions.vector import cosine_similarity
 
 N_PLANES = 12
+ANN_BANDS = 3
+ANN_PLANES_PER_BAND = N_PLANES // ANN_BANDS  # 4 bits → 16 buckets per band
 
 
 def plane_components(dim: int) -> list[list[float]]:
@@ -69,44 +74,60 @@ def brute_force_topk(
     )
 
 
-def _bucket_expr(emb_col: str, dim: int) -> F.Column:
-    """LSH bucket id: sign bits of dot(embedding, plane_p) for each plane."""
+def _band_buckets_expr(emb_col: str, dim: int) -> F.Column:
+    """ARRAY of ANN_BANDS bucket ids: band b packs the sign bits of
+    planes [b*r, (b+1)*r) into an int. Sign bit = dot(embedding, plane) > 0."""
     planes = plane_components(dim)
-    bits = []
-    for p, row in enumerate(planes):
-        plane = F.array(*[F.lit(v) for v in row])
-        d = F.aggregate(
-            F.zip_with(F.col(emb_col), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return bucket.cast("int")
+    buckets = []
+    for band in range(ANN_BANDS):
+        bits = None
+        for i in range(ANN_PLANES_PER_BAND):
+            p = band * ANN_PLANES_PER_BAND + i
+            plane = F.array(*[F.lit(v) for v in planes[p]])
+            d = F.aggregate(
+                F.zip_with(F.col(emb_col), plane, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        buckets.append(bits.cast("int"))
+    return F.array(*buckets)
 
 
 def lsh_ann_topk(emb: DataFrame, query_filter: F.Column, k: int = 10, dim: int = 64) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    """Approximate top-k via banded hyperplane LSH (OR-amplification).
 
-    At 100 TB: bucket the corpus once (write bucketed/partitioned by
-    bucket id), then each query probes one partition — a partition-pruned
-    scan instead of a full pass. Here both sides are bucketed inline.
+    Candidates = vectors sharing ANY band bucket with the query — an
+    equi-join on (band, bucket), never a cross join. At 100 TB: write the
+    corpus partitioned by (band, bucket) once; each query probes
+    ANN_BANDS partitions — a partition-pruned scan instead of a full
+    pass. Here both sides are bucketed inline and the (small) query side
+    broadcasts.
     """
-    bucketed = emb.withColumn("bucket", _bucket_expr("embedding", dim))
-    q = bucketed.filter(query_filter).select(
+    with_buckets = emb.withColumn("bkts", _band_buckets_expr("embedding", dim))
+    # (vec_id, embedding, band, bucket) — ANN_BANDS rows per vector.
+    exploded = with_buckets.select(
+        "vec_id", "embedding", F.posexplode("bkts").alias("band", "bucket")
+    )
+    q = exploded.filter(query_filter).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("band").alias("q_band"),
         F.col("bucket").alias("q_bucket"),
     )
-    scored = (
-        bucketed.join(
+    # Distinct candidate pairs (a pair may collide in several bands).
+    cand = (
+        exploded.join(
             F.broadcast(q),
-            (F.col("bucket") == F.col("q_bucket")) & (F.col("query_id") != F.col("vec_id")),
+            (F.col("band") == F.col("q_band"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
         )
-        .withColumn("cos", cosine_similarity("q_emb", "embedding"))
+        .select("query_id", "q_emb", "vec_id", "embedding")
+        .dropDuplicates(["query_id", "vec_id"])
     )
+    scored = cand.withColumn("cos", cosine_similarity("q_emb", "embedding"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,84 @@
+"""ANN-LSH contract tests: non-vacuous candidates + recall vs brute force.
+
+The round-1 failure mode was an LSH whose buckets never collided (0 rows
+→ unfalsifiable "pass"); these tests pin rows > 0 and a recall floor
+against the exact baseline so that regression can't recur.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from parallel_map_reduce_spark.operators import similarity as S
+from parallel_map_reduce_spark.sources.catalog import load_table
+
+K = 10
+QUERY_FILTER_MOD = 50
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_brute_force_topk_shape(spark, emb):
+    out = S.brute_force_topk(emb, F.col("vec_id") % QUERY_FILTER_MOD == 0, k=K)
+    rows = out.collect()
+    assert rows, "brute force returned nothing"
+    by_q = {}
+    for r in rows:
+        assert r.query_id != r.vec_id, "self-match leaked"
+        assert 1 <= r.rank <= K
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) <= K
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), f"rank gaps for query {q}"
+
+
+def test_ann_lsh_nonvacuous(spark, emb):
+    out = S.lsh_ann_topk(emb, F.col("vec_id") % QUERY_FILTER_MOD == 0, k=K).collect()
+    assert len(out) > 0, "ANN LSH returned 0 rows — buckets never collide (vacuous)"
+    n_queries = emb.filter(F.col("vec_id") % QUERY_FILTER_MOD == 0).count()
+    covered = {r.query_id for r in out}
+    # OR-amplified banding must surface candidates for most queries.
+    assert len(covered) >= 0.8 * n_queries, (
+        f"only {len(covered)}/{n_queries} queries have any ANN candidates"
+    )
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, emb):
+    qf = F.col("vec_id") % QUERY_FILTER_MOD == 0
+    exact = S.brute_force_topk(emb, qf, k=K).collect()
+    approx = S.lsh_ann_topk(emb, qf, k=K).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # Random-hyperplane LSH on near-uniform vectors is a weak signal; the
+    # floor asserts the mechanism works (far above the ~K/N random-pick
+    # rate), not production-grade recall.
+    assert mean_recall >= 0.15, f"mean recall {mean_recall:.3f} below floor"
+
+
+def test_ann_candidates_subset_scored_correctly(spark, emb):
+    """Every ANN hit's cosine must equal the exact cosine for that pair."""
+    qf = F.col("vec_id") % QUERY_FILTER_MOD == 0
+    approx = S.lsh_ann_topk(emb, qf, k=K)
+    e = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    c = emb.select(F.col("vec_id"), F.col("embedding").alias("ce"))
+    joined = (
+        approx.join(e, "query_id")
+        .join(c, "vec_id")
+        .withColumn("cos_exact", S.cosine_similarity("qe", "ce"))
+    )
+    bad = joined.filter(F.abs(F.col("cos") - F.col("cos_exact")) > 1e-12).count()
+    assert bad == 0
