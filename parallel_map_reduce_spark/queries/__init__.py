@@ -10,4 +10,5 @@ from . import dedup  # noqa: F401
 from . import similarity  # noqa: F401
 from . import text_analysis  # noqa: F401
 from . import streaming_batch  # noqa: F401
+from . import streaming_live  # noqa: F401
 from . import multimodal  # noqa: F401

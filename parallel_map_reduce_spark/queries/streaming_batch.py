@@ -1,10 +1,11 @@
 """Windowed event analytics — batch-equivalent of the streaming pipelines.
 
 The same logical queries run as Structured Streaming in
-``streaming/events_stream.py`` (readStream + watermark + window;
-tests/test_streaming.py proves batch/stream result equivalence). Here
-they run as batch for the DuckDB oracle. Window starts cross the oracle
-boundary as epoch-micros BIGINT.
+``streaming/events_stream.py`` / ``streaming/sessionize.py``
+(tests/test_streaming.py proves batch/stream equivalence, and
+``queries/streaming_live.py`` registers live streaming runs in the
+correctness gate). Here they run as batch for the DuckDB oracle. Window
+starts cross the oracle boundary as epoch-micros BIGINT.
 """
 
 from __future__ import annotations

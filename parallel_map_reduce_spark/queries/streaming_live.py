@@ -1,0 +1,90 @@
+"""LIVE Structured Streaming queries wired into the correctness gate.
+
+Each entry actually runs a streaming query (file source → watermarked
+stateful aggregation → memory sink, drained with availableNow) and
+returns the sink contents as a batch DataFrame — so the DuckDB oracle
+checks the STREAMING engine's output, not a batch twin. The batch twins
+in ``queries/streaming_batch.py`` stay as independent checks of the same
+logical semantics.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..streaming import events_stream as ES
+from ..streaming import sessionize as SZ
+
+# Memory-sink query names must be unique per (re)run within a session.
+_seq = itertools.count()
+
+
+def _drain(stream_df: DataFrame, base: str, spark: SparkSession) -> DataFrame:
+    name = f"{base}_{next(_seq)}"
+    ES.run_to_memory(stream_df, name)
+    return spark.table(name)
+
+
+@register(
+    "streaming_hourly_tumbling",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Structured Streaming tumbling-window agg, run live (availableNow "
+    "drain to memory sink) and checked against the batch SQL oracle — "
+    "streaming/events_stream.py:hourly_tumbling_stream.",
+    tags=("streaming", "live", "window"),
+)
+def streaming_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ES.hourly_tumbling_stream(ES.read_events_stream(spark, sf_dir))
+    return _drain(stream, "live_hourly", spark)
+
+
+@register(
+    "streaming_sessionized",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR epoch(ts) - epoch(prev_ts) >= {30 * 60}
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+sessions AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       COUNT(*)::BIGINT AS n_events,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) AS duration_us
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    doc="Structured Streaming session_window sessionization, run live. "
+    "session_window merges events strictly closer than the gap, i.e. a "
+    "new session starts when diff >= gap — the oracle's lag-based "
+    "grouping uses >= to match (the batch twin events_sessionized uses "
+    "strict >, the other boundary convention). "
+    "streaming/sessionize.py:session_window_agg.",
+    tags=("streaming", "live", "session", "custom-operator"),
+)
+def streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = SZ.session_window_agg(ES.read_events_stream(spark, sf_dir), streaming=True)
+    return _drain(stream, "live_sessions", spark)

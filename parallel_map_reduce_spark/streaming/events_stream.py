@@ -1,0 +1,129 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference is strictly batch (two-barrier bulk-synchronous execution,
+reference ``src/tema1.cpp:320-321``); streaming is a north-star
+extension (SURVEY.md §2.2). Each pipeline here is the streaming twin of
+a registered batch query in ``queries/streaming_batch.py``, and
+``tests/test_streaming.py`` proves batch/stream equivalence by running
+the stream with ``trigger(availableNow=True)`` into a memory sink and
+comparing against the batch plan on the same files.
+
+Scale design: the file source is a placeholder for Kafka/queue sources
+in production; everything downstream — watermark, windowed partial
+aggregation, state store — is exactly what runs on a real cluster.
+Watermarks bound state: late rows beyond the watermark are dropped
+instead of growing state without bound at 100 TB/day rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Schema for readStream (the file streaming source requires an explicit
+# schema). ts is TIMESTAMP(NANOS) in parquet, read as BIGINT nanos via
+# spark.sql.legacy.parquet.nanosAsLong (set by sources.catalog).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+WATERMARK = "2 hours"
+
+
+def _staging_dir(sf_dir: str) -> str:
+    """The file streaming source watches a *directory* (files arriving =
+    new data); the testdata ships a single events.parquet file, so stage
+    it into a per-sf_dir temp directory via symlink."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), "pmrs_stream", tag)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events parquet (file source; swap for Kafka
+    in production — the downstream plan is identical). Converts nanos
+    BIGINT to a proper timestamp exactly like the batch catalog."""
+    from ..sources.catalog import _ensure_session_confs
+
+    _ensure_session_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staging_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_tumbling_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``events_hourly_tumbling``: watermarked 1h
+    tumbling window × event_type counts/sums. State per open window is
+    bounded by the watermark."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_windows_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``events_sliding_windows``: 1h windows sliding
+    every 30m. Note count(distinct) is unsupported in streaming agg, so
+    the stream carries approx_count_distinct — documented deviation; the
+    equivalence test compares n_events only."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "n_events",
+            "n_users_approx",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, table_name: str) -> None:
+    """Drain the stream into an in-memory table with availableNow (process
+    everything present, then stop) — the test/CI execution mode."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,93 @@
+"""Batch/stream equivalence for the Structured Streaming pipelines.
+
+Each test drains the stream with trigger(availableNow=True) into a
+memory sink, then runs the SAME logical plan as batch on the same files
+and compares full result sets — the strongest equivalence check the
+file source allows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_spark.sources.catalog import load_table
+from parallel_map_reduce_spark.streaming import events_stream as ES
+from parallel_map_reduce_spark.streaming import sessionize as SZ
+
+
+def _rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def test_hourly_tumbling_stream_matches_batch(spark, sf_dir, batch_events):
+    stream = ES.hourly_tumbling_stream(ES.read_events_stream(spark, sf_dir))
+    ES.run_to_memory(stream, "t_hourly")
+    got = _rows_set(spark.table("t_hourly"))
+    want = _rows_set(
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_sliding_stream_matches_batch_counts(spark, sf_dir, batch_events):
+    stream = ES.sliding_windows_stream(ES.read_events_stream(spark, sf_dir))
+    ES.run_to_memory(stream, "t_sliding")
+    got = _rows_set(spark.table("t_sliding").select("window_start_us", "n_events"))
+    want = _rows_set(
+        batch_events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.unix_micros("w.start").alias("window_start_us"), "n_events")
+    )
+    assert got == want and len(got) > 0
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, batch_events):
+    stream = SZ.session_window_agg(ES.read_events_stream(spark, sf_dir), streaming=True)
+    ES.run_to_memory(stream, "t_sessions")
+    got = _rows_set(spark.table("t_sessions"))
+    want = _rows_set(SZ.session_window_agg(batch_events, streaming=False))
+    assert got == want and len(got) > 0
+
+
+def test_stateful_counts_total(spark, sf_dir, batch_events):
+    """applyInPandasWithState: the per-user max running count must equal
+    the batch per-user count (update-mode emits one row per microbatch;
+    the final/maximum value is the total)."""
+    stream = SZ.stateful_session_counts(ES.read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.user_id: r.max_n
+        for r in spark.table("t_stateful")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("max_n"))
+        .collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in batch_events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and len(got) > 0
