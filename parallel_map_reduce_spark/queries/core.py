@@ -9,11 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.inverted_index import format_index_rows, rank_within_letter
+from ..operators.inverted_index import format_index_rows, inverted_index, rank_within_letter
 from ..operators.tokenize import doc_word_pairs, filter_empty, normalize_tokens, tokenize
 from ..plans.flagship import flagship_inverted_index
 from ..registry import register
 from ..sources.catalog import load_table
+from ..sources.text_manifest import read_manifest_documents
 from ._sql import WORDS_CTE
 
 
@@ -114,6 +115,46 @@ FROM idx
 def q_index_text_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = flagship_inverted_index(spark, sf_dir)
     return format_index_rows(rank_within_letter(idx))
+
+
+_SMALL_MANIFEST = "/root/reference/checker/test_small.txt"
+_SMALL_GLOB = "/root/reference/checker/test_in_small/file*.txt"
+
+
+@register(
+    "manifest_inverted_index",
+    oracle=f"""
+WITH docs AS (
+    SELECT row_number() OVER (ORDER BY filename) AS doc_id, content AS text
+    FROM read_text('{_SMALL_GLOB}')
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '[ \t\n]+')) AS tok FROM docs
+),
+w_raw AS (
+    SELECT DISTINCT lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word, doc_id
+    FROM tok
+)
+SELECT word, count(*)::BIGINT AS df,
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings
+FROM w_raw WHERE length(word) > 0
+GROUP BY word
+""",
+    doc="Manifest scan + whole-file load (SURVEY §2.1 ops 1-2, reference "
+    "src/tema1.cpp:324-364) through the full index pipeline, on the "
+    "reference's own small fixture. Manifest order (file1..file3) equals "
+    "the oracle's filename sort, so doc ids align. Full-corpus byte "
+    "parity is tests/test_golden_reference.py.",
+    tags=("reference", "source"),
+)
+def manifest_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_manifest_documents(spark, _SMALL_MANIFEST)
+    idx = inverted_index(docs)
+    return idx.select(
+        "word",
+        F.col("df").cast("bigint").alias("df"),
+        F.array_join("postings", " ").alias("postings"),
+    )
 
 
 @register(

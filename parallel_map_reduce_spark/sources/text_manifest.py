@@ -56,7 +56,11 @@ def read_manifest_documents(spark: SparkSession, manifest_path: str) -> DataFram
     ids_df = spark.createDataFrame(id_map, schema="path STRING, doc_id BIGINT")
     raw = (
         spark.read.text(paths, wholetext=True)
-        .withColumn("path", F.regexp_replace(F.input_file_name(), "^file:", ""))
+        # input_file_name() yields a URI like file:///root/x.txt — strip
+        # the scheme AND all leading slashes, re-anchor with exactly one.
+        .withColumn(
+            "path", F.concat(F.lit("/"), F.regexp_replace(F.input_file_name(), "^file:/*", ""))
+        )
         .withColumnRenamed("value", "text")
     )
     # Small dim (one row per file) — broadcast join, no shuffle of text blobs.
