@@ -25,7 +25,7 @@ frequency cap (documented on the function).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_i32
@@ -60,30 +60,49 @@ MINHASH_SEEDS = _lcg_seeds(N_HASHES)
 # ---- building blocks ----
 
 
+def clean_words_array(docs: DataFrame) -> DataFrame:
+    """(doc_id, words ARRAY<STRING>): cleaned tokens in document order,
+    empties dropped. Pure array higher-order functions — a per-row
+    projection with ZERO shuffles, where the explode+window formulation
+    would shuffle the whole token stream (at 100 TB that's the difference
+    between scan speed and shuffling the corpus)."""
+    cleaned = F.transform(
+        F.split(F.col("text"), TOKEN_SPLIT_REGEX), lambda t: clean_word_col(t)
+    )
+    return docs.select(
+        "doc_id", F.filter(cleaned, lambda w: F.length(w) > 0).alias("words")
+    )
+
+
 def ordered_words(docs: DataFrame) -> DataFrame:
-    """(doc_id, word, seq): cleaned tokens in document order, empties
-    dropped, 1-based seq. posexplode keeps the split position so order
-    survives the explode; the window re-numbers after the empty filter."""
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), TOKEN_SPLIT_REGEX)).alias("pos", "tok"),
-    ).select("doc_id", "pos", clean_word_col("tok").alias("word"))
-    toks = toks.filter(F.length("word") > 0)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return toks.select("doc_id", "word", F.row_number().over(w).alias("seq"))
+    """(doc_id, word, seq): cleaned tokens in document order, 1-based seq.
+    Row form of ``clean_words_array`` — posexplode of the already-filtered
+    array, so seq comes from the array position (no window shuffle)."""
+    return clean_words_array(docs).select(
+        "doc_id", F.posexplode("words").alias("pos", "word")
+    ).select("doc_id", "word", (F.col("pos") + 1).alias("seq"))
 
 
 def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle) DISTINCT k-token shingles (space-joined)."""
-    ow = ordered_words(docs)
-    w = Window.partitionBy("doc_id").orderBy("seq")
-    cols = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, k)]
-    sh = ow.select(
-        "doc_id",
-        F.concat_ws(" ", *cols).alias("shingle"),
-        cols[-1].alias("_tail"),
-    ).filter(F.col("_tail").isNotNull())
-    return sh.select("doc_id", "shingle").distinct()
+    """(doc_id, shingle) DISTINCT k-token shingles (space-joined).
+
+    Shingling is array-native: slice windows over the cleaned word array
+    via ``transform(sequence(...))``, per-row ``array_distinct`` (shingle
+    distinctness is per-document, so no global shuffle is needed), then a
+    single explode. The whole thing is a projection — no Exchange before
+    the downstream hash."""
+    wa = clean_words_array(docs)
+    n_sh = F.size("words") - F.lit(k - 1)
+    shingles = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice("words", i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return wa.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    )
 
 
 # ---- exact dedup ----
@@ -174,10 +193,49 @@ SIMHASH_BITS = 32
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 32-bit fingerprint over the distinct word set.
 
-    Explodes 32 bit positions per word-hash: bit votes aggregate with
-    map-side combine, so the shuffle carries (doc, bit) partial sums, not
-    (doc, word, bit) rows.
+    Zero-shuffle formulation: the distinct word set is per-document, so
+    ``array_distinct`` over the cleaned word array replaces the global
+    ``.distinct()`` shuffle, and each bit's vote is an ``aggregate`` fold
+    over the per-row hash array — the whole fingerprint is a projection
+    (the previous explode carried 32 rows per word into a shuffle).
     """
+    hvs = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.split("text", TOKEN_SPLIT_REGEX), lambda t: clean_word_col(t)
+                    ),
+                    lambda w: F.length(w) > 0,
+                )
+            ),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
+        ).alias("hvs"),
+    )
+    # vote_i = sum over word hashes of (bit_i ? +1 : -1); simhash bit i set
+    # iff vote_i > 0. 32 codegen'd folds over the array, no Exchange.
+    def _vote(bit: int):
+        # factory closure: F.aggregate's merge lambda must be exactly
+        # 2-ary (PySpark dispatches on lambda arity).
+        return F.aggregate(
+            F.col("hvs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when((h / F.lit(1 << bit)).cast("bigint") % 2 == 1, 1).otherwise(-1),
+        )
+
+    terms = []
+    for i in range(SIMHASH_BITS):
+        terms.append(F.when(_vote(i) > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("bigint"))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return hvs.select("doc_id", total.cast("bigint").alias("simhash"))
+
+
+def _simhash_exploded_reference(docs: DataFrame) -> DataFrame:
+    """Row-explode formulation kept for plan comparison in tests."""
     words = (
         docs.select("doc_id", F.explode(F.split("text", TOKEN_SPLIT_REGEX)).alias("tok"))
         .select("doc_id", clean_word_col("tok").alias("word"))
@@ -210,22 +268,46 @@ def simhash(docs: DataFrame) -> DataFrame:
 # ---- n-gram Jaccard ----
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """(doc_a, doc_b, jaccard): exact Jaccard over 3-token shingle sets,
-    computed via inverted-index self-join (only pairs sharing ≥1 shingle
-    are ever materialized). jaccard = |∩| / (|A| + |B| - |∩|) — pure
-    integer arithmetic, so the double division is bit-identical in any
-    engine.
+# Shingles shared by more documents than this are dropped from the
+# similarity self-join (stop-shingle cap). Set sizes stay exact; the
+# intersection count becomes a lower bound, so reported jaccard is a
+# LOWER bound — a pair is dropped only if its similarity rests entirely
+# on corpus-hot boilerplate shingles, the standard production trade
+# (prefix-filtering family). The DuckDB oracle applies the SAME cap, and
+# tests/test_dedup.py asserts capped == uncapped at test scale.
+JACCARD_SHINGLE_DF_CAP = 100
 
-    100 TB note: hot "stop-shingles" (shared by a large doc fraction)
-    would dominate the self-join; production adds a document-frequency
-    cap on shingles (prefix filtering) before the join. Not applied here
-    to keep oracle semantics exact.
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    df_cap: int | None = JACCARD_SHINGLE_DF_CAP,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): Jaccard over 3-token shingle sets via
+    inverted-index self-join (only pairs sharing ≥1 surviving shingle are
+    ever materialized). jaccard = |∩| / (|A| + |B| - |∩|) — pure integer
+    arithmetic, so the double division is bit-identical in any engine.
+
+    100 TB note: one shingle shared by f documents contributes f² join
+    rows, so corpus-hot shingles would dominate the self-join. The df cap
+    removes them from the JOIN ONLY (set sizes stay exact): the hot set
+    is tiny by construction, so it broadcasts into an anti-join — no
+    extra shuffle of the shingle stream.
     """
     sh = doc_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") > df_cap)
+            .select("shingle")
+        )
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        joinable = sh
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

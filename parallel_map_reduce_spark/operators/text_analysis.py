@@ -11,7 +11,7 @@ text_analysis.py) interpolates the SAME stopword lists and regexes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .tokenize import TOKEN_SPLIT_REGEX, clean_word_col
@@ -127,31 +127,15 @@ def lang_id(docs: DataFrame) -> DataFrame:
 def fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint, norm_text_prefix): md5 digest of the
     normalized token stream (order-preserving), the canonical content
-    fingerprint for exact-after-normalization dedup."""
-    toks = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split("text", TOKEN_SPLIT_REGEX)).alias("pos", "tok"),
-        )
-        .select("doc_id", "pos", clean_word_col("tok").alias("word"))
-        .filter(F.length("word") > 0)
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    norm = (
-        toks.withColumn("seq", F.row_number().over(w))
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("seq", "word"))),
-                    lambda s: s["word"],
-                ),
-                " ",
-            ).alias("norm_text")
-        )
-    )
-    return norm.select(
+    fingerprint for exact-after-normalization dedup.
+
+    Zero-shuffle: the normalized text is an array projection
+    (transform/filter/array_join on the split array) — no explode, no
+    window, no re-aggregation. Runs at scan speed inside codegen."""
+    cleaned = F.transform(F.split("text", TOKEN_SPLIT_REGEX), lambda t: clean_word_col(t))
+    norm_text = F.array_join(F.filter(cleaned, lambda w: F.length(w) > 0), " ")
+    return docs.select(
         "doc_id",
-        F.md5("norm_text").alias("fingerprint"),
-        F.substring("norm_text", 1, 40).alias("norm_text_prefix"),
+        F.md5(norm_text).alias("fingerprint"),
+        F.substring(norm_text, 1, 40).alias("norm_text_prefix"),
     )

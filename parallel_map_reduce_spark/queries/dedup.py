@@ -149,9 +149,16 @@ _JACCARD_THRESHOLD = 0.5
     oracle=f"""
 WITH {_SHINGLES_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+joinable AS (
+    SELECT doc_id, shingle FROM shingles
+    WHERE shingle NOT IN (
+        SELECT shingle FROM shingles
+        GROUP BY shingle HAVING COUNT(*) > {D.JACCARD_SHINGLE_DF_CAP}
+    )
+),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-    FROM shingles a JOIN shingles b
+    FROM joinable a JOIN joinable b
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
@@ -162,8 +169,9 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_JACCARD_THRESHOLD}
 """,
-    doc="Exact n-gram Jaccard near-dup pairs via inverted-index self-join "
-    "(similarity-join decomposition; integer-exact division).",
+    doc="n-gram Jaccard near-dup pairs via inverted-index self-join with a "
+    f"stop-shingle df cap ({D.JACCARD_SHINGLE_DF_CAP}) applied identically "
+    "on both sides (similarity-join decomposition; integer-exact division).",
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,71 @@
+"""Dedup operator contracts: zero-shuffle formulations and the shingle
+df cap.
+
+The round-2 rework replaced explode+window/distinct shuffles with array
+higher-order projections; these tests pin (a) result equivalence against
+the straightforward row formulations, and (b) the physical-plan property
+the rework exists for — no Exchange where none is needed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_map_reduce_spark.operators import dedup as D
+from parallel_map_reduce_spark.operators.text_analysis import fingerprints
+from parallel_map_reduce_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_simhash_matches_exploded_reference(spark, docs):
+    fast = {(r.doc_id, r.simhash) for r in D.simhash(docs).collect()}
+    ref = {(r.doc_id, r.simhash) for r in D._simhash_exploded_reference(docs).collect()}
+    assert fast == ref and len(fast) > 0
+
+
+def test_simhash_plan_has_no_exchange(spark, docs):
+    assert "Exchange" not in _plan(D.simhash(docs))
+
+
+def test_fingerprints_plan_has_no_exchange(spark, docs):
+    assert "Exchange" not in _plan(fingerprints(docs))
+
+
+def test_doc_shingles_plan_has_no_exchange(spark, docs):
+    """Shingling (incl. per-doc distinct) must be a pure projection."""
+    assert "Exchange" not in _plan(D.doc_shingles(docs))
+
+
+def test_minhash_single_exchange(spark, docs):
+    """The only shuffle in minhash signatures is the (doc_id, j) group-by."""
+    assert _plan(D.minhash_signatures(docs)).count("Exchange hashpartitioning") == 1
+
+
+def test_jaccard_cap_is_lossless_at_test_scale(spark, docs):
+    capped = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in D.ngram_jaccard_pairs(docs, df_cap=D.JACCARD_SHINGLE_DF_CAP).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in D.ngram_jaccard_pairs(docs, df_cap=None).collect()
+    }
+    assert capped == uncapped and len(capped) > 0
+
+
+def test_ordered_words_sequence_contract(spark, docs):
+    """seq is 1-based, dense, and in split order per document."""
+    rows = D.ordered_words(docs.limit(20)).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.seq)
+    for doc_id, seqs in by_doc.items():
+        assert sorted(seqs) == list(range(1, len(seqs) + 1)), doc_id
