@@ -25,6 +25,7 @@ from parallel_map_reduce_spark.registry import all_queries
 # representative each — scan-agg, fact join, window, dedup chain, LSH,
 # similarity, text, sessionization, multimodal UDF path.
 HEADLINE = (
+    "reference_corpus_index",
     "inverted_index",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -136,9 +136,52 @@ def lsh_ann_topk(emb: DataFrame, query_filter: F.Column, k: int = 10, dim: int =
     )
 
 
+def label_lsh_neardup(emb: DataFrame, threshold: float = 0.9, dim: int = 64) -> DataFrame:
+    """Scale path for near-dup pairs: block by (label, band, bucket).
+
+    ``label_blocked_neardup`` is exact but per-label O(n²) — label
+    cardinality is fixed, so blocks grow linearly with data and pair work
+    grows quadratically. Sub-blocking each label by the banded hyperplane
+    LSH bounds the join to same-bucket collisions (equi-join on
+    (label, band, bucket)); recall follows the LSH collision probability
+    (1-(1-p^r)^b, p = 1-θ/π) and is measured against the exact operator
+    in tests/test_similarity.py. Output is a SUBSET of the exact pairs —
+    every emitted cosine is exact; only candidate generation is
+    approximate.
+    """
+    with_buckets = emb.withColumn("bkts", _band_buckets_expr("embedding", dim))
+    exploded = with_buckets.select(
+        "vec_id", "label", "embedding", F.posexplode("bkts").alias("band", "bucket")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.withColumn("cos", cosine_similarity("emb_a", "emb_b"))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
 def label_blocked_neardup(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     """(vec_a, vec_b, cos) pairs with cosine ≥ threshold, blocked by label
-    (IVF-style coarse partition: per-block O(n²) instead of global)."""
+    (IVF-style coarse partition: per-block O(n²) instead of global).
+    Exact baseline; ``label_lsh_neardup`` is the 100 TB path."""
     a = emb.alias("a")
     b = emb.alias("b")
     return (

@@ -157,6 +157,31 @@ def manifest_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REF_MANIFEST = "/root/reference/checker/test.txt"
+
+
+@register(
+    "reference_corpus_index",
+    oracle=None,  # the oracle for this corpus is the reference's own 26
+    # golden files, byte-compared in tests/test_golden_reference.py —
+    # stronger than a hash check (driver records rows-only).
+    doc="The reference's ACTUAL workload: its 355-chapter corpus through "
+    "manifest scan → inverted index (reference checker sequential gate: "
+    "200 s, checker/checker.sh:47). Benchmarked in bench.py as the "
+    "apples-to-apples baseline comparison.",
+    tags=("reference", "flagship", "benchmark"),
+)
+def reference_corpus_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_manifest_documents(spark, _REF_MANIFEST)
+    idx = inverted_index(docs)
+    return idx.select(
+        "word",
+        F.col("df").cast("bigint").alias("df"),
+        F.array_join("postings", " ").alias("postings"),
+        "letter",
+    )
+
+
 @register(
     "doc_stats",
     oracle=f"""

@@ -79,3 +79,18 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.label_blocked_neardup(emb, threshold=_NEARDUP_THRESHOLD)
+
+
+@register(
+    "embedding_neardup_lsh",
+    oracle=None,  # approximate candidate generation — subset/recall
+    # contracts are pinned in tests/test_similarity.py (driver records
+    # rows-only).
+    doc="Scale path for embedding near-dup: (label, band, bucket) LSH "
+    "sub-blocking replaces the per-label O(n²) pair join; emitted "
+    "cosines are exact, candidates approximate.",
+    tags=("similarity", "dedup", "lsh"),
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.label_lsh_neardup(emb, threshold=_NEARDUP_THRESHOLD)

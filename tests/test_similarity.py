@@ -69,6 +69,27 @@ def test_ann_lsh_recall_vs_bruteforce(spark, emb):
     assert mean_recall >= 0.15, f"mean recall {mean_recall:.3f} below floor"
 
 
+def test_neardup_lsh_subset_and_recall(spark, emb):
+    """LSH sub-blocked near-dup must emit a subset of the exact pairs
+    (identical cosines) with nonzero recall at the test threshold."""
+    thr = 0.35
+    exact = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in S.label_blocked_neardup(emb, threshold=thr).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b): r.cos for r in S.label_lsh_neardup(emb, threshold=thr).collect()
+    }
+    assert exact, "exact near-dup baseline is empty — test is vacuous"
+    assert set(approx) <= set(exact), "LSH emitted a pair the exact op didn't"
+    for pair, cos in approx.items():
+        assert abs(cos - exact[pair]) < 1e-12
+    recall = len(approx) / len(exact)
+    # Collision probability for cos≈0.35 over 3 bands × 4 planes is ~0.37;
+    # the floor asserts the mechanism works, not production recall.
+    assert recall >= 0.15, f"recall {recall:.3f}"
+
+
 def test_ann_candidates_subset_scored_correctly(spark, emb):
     """Every ANN hit's cosine must equal the exact cosine for that pair."""
     qf = F.col("vec_id") % QUERY_FILTER_MOD == 0
