@@ -296,21 +296,27 @@ def ngram_jaccard_pairs(
     """
     sh = doc_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # Posting-list formulation: ONE shuffle on shingle builds the posting
+    # list; the df cap filters it in place (no separate df group-by, no
+    # anti-join); co-occurring pairs come from a per-row array
+    # self-product (explode), bounded by cap² per shingle — skew is
+    # bounded by construction, not just mitigated.
+    postings = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
     if df_cap is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("sdf"))
-            .filter(F.col("sdf") > df_cap)
-            .select("shingle")
+        postings = postings.filter(F.size("ds") <= df_cap)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    else:
-        joinable = sh
-    a = joinable.alias("a")
-    b = joinable.alias("b")
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))

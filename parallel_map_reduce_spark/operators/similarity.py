@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_i32
-from ..functions.vector import cosine_similarity
+from ..functions.vector import cosine_similarity, dot, l2_norm
 
 N_PLANES = 12
 ANN_BANDS = 3
@@ -58,13 +58,18 @@ def brute_force_topk(
     (query_id, vec_id, cos, rank) with rank 1..k, self-match excluded.
     Ties broken by vec_id so the ordering is a total order.
     """
+    # Norms precomputed per side (n + n_q sqrt-folds instead of 3 folds
+    # per PAIR); cos = dot/(norm_q*norm_c) is the same expression tree per
+    # factor, so values are bit-identical to the inline formulation.
     q = emb.filter(query_filter).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("q_norm"),
     )
-    cand = emb.select("vec_id", "embedding")
+    cand = emb.select("vec_id", "embedding", l2_norm("embedding").alias("c_norm"))
     scored = (
         cand.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
-        .withColumn("cos", cosine_similarity("q_emb", "embedding"))
+        .withColumn("cos", dot("q_emb", "embedding") / (F.col("q_norm") * F.col("c_norm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -105,14 +110,17 @@ def lsh_ann_topk(emb: DataFrame, query_filter: F.Column, k: int = 10, dim: int =
     pass. Here both sides are bucketed inline and the (small) query side
     broadcasts.
     """
-    with_buckets = emb.withColumn("bkts", _band_buckets_expr("embedding", dim))
-    # (vec_id, embedding, band, bucket) — ANN_BANDS rows per vector.
+    with_buckets = emb.withColumn("bkts", _band_buckets_expr("embedding", dim)).withColumn(
+        "nrm", l2_norm("embedding")
+    )
+    # (vec_id, embedding, norm, band, bucket) — ANN_BANDS rows per vector.
     exploded = with_buckets.select(
-        "vec_id", "embedding", F.posexplode("bkts").alias("band", "bucket")
+        "vec_id", "embedding", "nrm", F.posexplode("bkts").alias("band", "bucket")
     )
     q = exploded.filter(query_filter).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
         F.col("band").alias("q_band"),
         F.col("bucket").alias("q_bucket"),
     )
@@ -124,10 +132,12 @@ def lsh_ann_topk(emb: DataFrame, query_filter: F.Column, k: int = 10, dim: int =
             & (F.col("bucket") == F.col("q_bucket"))
             & (F.col("query_id") != F.col("vec_id")),
         )
-        .select("query_id", "q_emb", "vec_id", "embedding")
+        .select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "nrm")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cand.withColumn("cos", cosine_similarity("q_emb", "embedding"))
+    scored = cand.withColumn(
+        "cos", dot("q_emb", "embedding") / (F.col("q_norm") * F.col("nrm"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -149,9 +159,11 @@ def label_lsh_neardup(emb: DataFrame, threshold: float = 0.9, dim: int = 64) -> 
     every emitted cosine is exact; only candidate generation is
     approximate.
     """
-    with_buckets = emb.withColumn("bkts", _band_buckets_expr("embedding", dim))
+    with_buckets = emb.withColumn("bkts", _band_buckets_expr("embedding", dim)).withColumn(
+        "nrm", l2_norm("embedding")
+    )
     exploded = with_buckets.select(
-        "vec_id", "label", "embedding", F.posexplode("bkts").alias("band", "bucket")
+        "vec_id", "label", "embedding", "nrm", F.posexplode("bkts").alias("band", "bucket")
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -168,11 +180,12 @@ def label_lsh_neardup(emb: DataFrame, threshold: float = 0.9, dim: int = 64) -> 
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.embedding").alias("emb_a"),
             F.col("b.embedding").alias("emb_b"),
+            (F.col("a.nrm") * F.col("b.nrm")).alias("nrm_prod"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
     return (
-        cand.withColumn("cos", cosine_similarity("emb_a", "emb_b"))
+        cand.withColumn("cos", dot("emb_a", "emb_b") / F.col("nrm_prod"))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
@@ -182,8 +195,9 @@ def label_blocked_neardup(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
     """(vec_a, vec_b, cos) pairs with cosine ≥ threshold, blocked by label
     (IVF-style coarse partition: per-block O(n²) instead of global).
     Exact baseline; ``label_lsh_neardup`` is the 100 TB path."""
-    a = emb.alias("a")
-    b = emb.alias("b")
+    e = emb.withColumn("nrm", l2_norm("embedding"))
+    a = e.alias("a")
+    b = e.alias("b")
     return (
         a.join(
             b,
@@ -193,7 +207,10 @@ def label_blocked_neardup(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+            (
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
