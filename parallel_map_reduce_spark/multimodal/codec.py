@@ -79,3 +79,57 @@ def audio_features_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             }
         )
         yield out
+
+
+RESIZE_SCHEMA = (
+    "doc_id BIGINT, width BIGINT, height BIGINT, out_width BIGINT, "
+    "out_height BIGINT, out_pixels BIGINT"
+)
+
+RESIZE_TARGET = 256
+
+VIDEO_FRAMES_SCHEMA = "doc_id BIGINT, frame_idx BIGINT, byte_offset BIGINT"
+
+VIDEO_FRAME_BYTES = 64
+VIDEO_SAMPLE_EVERY = 3
+
+
+def resize_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: fake resize-to-fit RESIZE_TARGET on the longest
+    edge, aspect preserved, integer arithmetic (so an external SQL oracle
+    reproduces it). A real implementation swaps the arithmetic for
+    PIL.Image.thumbnail on the decoded payload — the batch shape, schema,
+    and partitioning are identical."""
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        w = n % 640 + 1
+        h = n % 480 + 1
+        long_edge = pd.concat([w, h], axis=1).max(axis=1)
+        out_w = (w * RESIZE_TARGET) // long_edge
+        out_h = (h * RESIZE_TARGET) // long_edge
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "width": w.values,
+                "height": h.values,
+                "out_width": out_w.values,
+                "out_height": out_h.values,
+                "out_pixels": (out_w * out_h * 3).values,
+            }
+        )
+
+
+def video_frames_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body, one→many: sample every VIDEO_SAMPLE_EVERY-th
+    frame of a fake VIDEO_FRAME_BYTES-per-frame payload. Demonstrates the
+    row-expanding UDF shape (frame extraction) with bounded memory — one
+    output batch per input batch, rows proportional to sampled frames."""
+    for pdf in batches:
+        ids, idxs, offs = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"].values):
+            n_frames = len(payload) // VIDEO_FRAME_BYTES + 1
+            for i in range(0, n_frames, VIDEO_SAMPLE_EVERY):
+                ids.append(doc_id)
+                idxs.append(i)
+                offs.append(i * VIDEO_FRAME_BYTES)
+        yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "byte_offset": offs})

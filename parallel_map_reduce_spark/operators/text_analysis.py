@@ -124,6 +124,35 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return out.select("doc_id", pred.otherwise(F.lit("und")).alias("pred_lang"), "lang")
 
 
+def tfidf(docs: DataFrame) -> DataFrame:
+    """(doc_id, word, tf, df, tfidf): classic tf-idf over the corpus.
+
+    tf = one shuffle on (doc_id, word); df derives from tf (already
+    word-keyed, so the second agg re-uses the shuffle output); the corpus
+    size joins in as a broadcast 1-row aggregate. The tf↔df join keys on
+    word — vocabulary-sized, so AQE picks broadcast vs shuffle by size.
+    tfidf is rounded to 4 decimals on both engine sides (ln is not
+    IEEE-correctly-rounded across libms).
+    """
+    toks = _words(docs)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    return (
+        tf.join(dfc, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint, norm_text_prefix): md5 digest of the
     normalized token stream (order-preserving), the canonical content

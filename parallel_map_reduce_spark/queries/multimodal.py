@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..multimodal import codec as MM
 from ..multimodal.codec import (
     AUDIO_FEATURES_SCHEMA,
     IMAGE_FEATURES_SCHEMA,
@@ -64,4 +65,50 @@ FROM b
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_payload(spark, sf_dir).mapInPandas(
         audio_features_map, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+@register(
+    "multimodal_image_resize",
+    oracle=f"""
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+d AS (
+    SELECT doc_id, (n % 640 + 1) AS w, (n % 480 + 1) AS h,
+           greatest(n % 640 + 1, n % 480 + 1) AS long_edge
+    FROM b
+)
+SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
+       ((w * {MM.RESIZE_TARGET}) // long_edge)::BIGINT AS out_width,
+       ((h * {MM.RESIZE_TARGET}) // long_edge)::BIGINT AS out_height,
+       (((w * {MM.RESIZE_TARGET}) // long_edge) * ((h * {MM.RESIZE_TARGET}) // long_edge) * 3)::BIGINT AS out_pixels
+FROM d
+""",
+    doc="Resize-to-fit plumbing: aspect-preserving integer resize of the "
+    "fake-decoded dims via mapInPandas (real decode stubbed; "
+    "multimodal/codec.py:resize_map).",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_payload(spark, sf_dir).mapInPandas(
+        MM.resize_map, schema=MM.RESIZE_SCHEMA
+    )
+
+
+@register(
+    "multimodal_video_frames",
+    oracle=f"""
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+SELECT doc_id,
+       unnest(range(0, n // {MM.VIDEO_FRAME_BYTES} + 1, {MM.VIDEO_SAMPLE_EVERY}))::BIGINT AS frame_idx,
+       (unnest(range(0, n // {MM.VIDEO_FRAME_BYTES} + 1, {MM.VIDEO_SAMPLE_EVERY})) * {MM.VIDEO_FRAME_BYTES})::BIGINT AS byte_offset
+FROM b
+""",
+    doc="Frame-sampling plumbing (one-to-many mapInPandas): every "
+    f"{MM.VIDEO_SAMPLE_EVERY}th frame of a {MM.VIDEO_FRAME_BYTES}-byte-"
+    "frame payload (multimodal/codec.py:video_frames_map).",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_payload(spark, sf_dir).mapInPandas(
+        MM.video_frames_map, schema=MM.VIDEO_FRAMES_SCHEMA
     )

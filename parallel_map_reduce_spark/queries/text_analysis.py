@@ -153,3 +153,27 @@ FROM norm
 )
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_tfidf",
+    oracle=f"""
+WITH {_WORDS_TF_CTE},
+tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+),
+dfc AS (
+    SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT t.doc_id, t.word, t.tf::BIGINT AS tf, d.df::BIGINT AS df,
+       round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 4) AS tfidf
+FROM tf t JOIN dfc d USING (word) CROSS JOIN n
+""",
+    doc="Classic tf-idf (SURVEY.md §2.3): tf from one (doc, word) shuffle, "
+    "df reuses the word keying, corpus size broadcast. Rounded to 4 "
+    "decimals on both sides — ln is not correctly-rounded across libms.",
+    tags=("text", "tfidf"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf(load_table(spark, sf_dir, "documents"))
