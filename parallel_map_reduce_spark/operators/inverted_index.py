@@ -48,13 +48,18 @@ def rank_within_letter(index: DataFrame) -> DataFrame:
     """Order rows df DESC, word ASC within each letter partition
     (reference compare_complete_map, src/tema1.cpp:110-115,234).
 
-    ``repartition(letter).sortWithinPartitions`` reproduces the
-    reference's per-letter-file ordering with a single exchange on the
-    26-value letter key and a partition-local sort — no global sort.
+    Range partitioning on (letter ASC, df DESC, word ASC) instead of
+    hash-partitioning on letter: a 26-value hash key caps parallelism at
+    26 tasks (one hot letter = one straggler at 100 TB). Range
+    partitioning keeps each letter's rows contiguous ACROSS partitions in
+    sorted order, so partition count scales freely; within each partition
+    ``sortWithinPartitions`` completes the total order. Downstream
+    partitionBy(letter) writers then emit part files whose name order IS
+    the reference's row order.
     """
-    return index.repartition("letter").sortWithinPartitions(
-        F.desc("df"), F.asc("word")
-    )
+    return index.repartitionByRange(
+        F.asc("letter"), F.desc("df"), F.asc("word")
+    ).sortWithinPartitions(F.asc("letter"), F.desc("df"), F.asc("word"))
 
 
 def format_index_rows(index: DataFrame) -> DataFrame:
