@@ -44,6 +44,48 @@ def build_postings(pairs: DataFrame) -> DataFrame:
     )
 
 
+POSTINGS_CHUNK_SIZE = 100_000
+
+
+def build_postings_chunked(pairs: DataFrame, chunk_size: int = POSTINGS_CHUNK_SIZE) -> DataFrame:
+    """(word, chunk, chunk_df, postings_chunk): posting lists split by
+    doc-id range so no single row ever holds a whole corpus-scale list.
+
+    ``build_postings`` collects one array per word — bounded by document
+    count, which is the same RAM contract the reference accepts but
+    breaks at billions of documents ("the" = every doc id in one row).
+    Chunking by ``doc_id // chunk_size`` bounds every collected array at
+    chunk_size; chunks are contiguous doc-id ranges, so concatenating a
+    word's chunks in chunk order reproduces the exact ascending posting
+    list (tests/test_inverted_index.py pins this equivalence).
+    """
+    return (
+        pairs.withColumn("chunk", (F.col("doc_id") / F.lit(chunk_size)).cast("bigint"))
+        .groupBy("word", "chunk")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings_chunk"))
+        .withColumn("chunk_df", F.size("postings_chunk"))
+    )
+
+
+def postings_from_chunks(chunked: DataFrame) -> DataFrame:
+    """Reassemble full posting lists from chunks (equivalence testing /
+    small-corpus sinks; at extreme scale the sink streams chunks in
+    (word, chunk) order instead of reassembling)."""
+    return (
+        chunked.groupBy("word")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("chunk", "postings_chunk"))),
+                    lambda s: s["postings_chunk"],
+                )
+            ).alias("postings")
+        )
+        .withColumn("df", F.size("postings"))
+        .withColumn("letter", F.substring("word", 1, 1))
+    )
+
+
 def rank_within_letter(index: DataFrame) -> DataFrame:
     """Order rows df DESC, word ASC within each letter partition
     (reference compare_complete_map, src/tema1.cpp:110-115,234).

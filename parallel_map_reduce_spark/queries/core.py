@@ -213,3 +213,37 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_distinct"), F.lit(0)).cast("bigint").alias("n_distinct_words"),
         )
     )
+
+
+_CHUNK_TEST_SIZE = 100  # small at test scale so chunking actually splits
+
+
+@register(
+    "inverted_index_chunked",
+    oracle=f"""
+WITH {WORDS_CTE}
+SELECT word,
+       (doc_id // {_CHUNK_TEST_SIZE})::BIGINT AS chunk,
+       count(*)::BIGINT AS chunk_df,
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings_chunk
+FROM words
+GROUP BY word, doc_id // {_CHUNK_TEST_SIZE}
+""",
+    doc="Chunked posting lists (operators/inverted_index.py:"
+    "build_postings_chunked): the extreme-scale variant where no row "
+    "holds a whole posting list; chunk concatenation equivalence is "
+    "pinned in tests/test_inverted_index.py.",
+    tags=("reference", "scale"),
+)
+def q_inverted_index_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.inverted_index import build_postings_chunked
+    from ..operators.tokenize import doc_word_pairs
+
+    pairs = doc_word_pairs(load_table(spark, sf_dir, "documents"))
+    ch = build_postings_chunked(pairs, chunk_size=_CHUNK_TEST_SIZE)
+    return ch.select(
+        "word",
+        "chunk",
+        F.col("chunk_df").cast("bigint").alias("chunk_df"),
+        F.array_join("postings_chunk", " ").alias("postings_chunk"),
+    )

@@ -106,3 +106,26 @@ def test_flagship_on_testdata(spark, sf_dir):
     assert n > 0
     row = idx.filter(F.size("postings") > 1).first()
     assert row.postings == sorted(row.postings)
+
+
+def test_chunked_postings_reassemble(spark, sf_dir):
+    """Chunk concatenation must reproduce build_postings exactly."""
+    from parallel_map_reduce_spark.operators.inverted_index import (
+        build_postings,
+        build_postings_chunked,
+        postings_from_chunks,
+    )
+    from parallel_map_reduce_spark.operators.tokenize import doc_word_pairs
+    from parallel_map_reduce_spark.sources.catalog import load_table
+
+    pairs = doc_word_pairs(load_table(spark, sf_dir, "documents")).cache()
+    full = {
+        (r.word, tuple(r.postings), r.df, r.letter)
+        for r in build_postings(pairs).collect()
+    }
+    # chunk_size=7 → many chunks per word at any scale
+    reassembled = {
+        (r.word, tuple(r.postings), r.df, r.letter)
+        for r in postings_from_chunks(build_postings_chunked(pairs, chunk_size=7)).collect()
+    }
+    assert full == reassembled and len(full) > 0
