@@ -70,24 +70,34 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Untimed warmup: absorb executor-thread spin-up, codegen compiler
+    # init, and shuffle machinery into setup instead of the first query.
+    from pyspark.sql import functions as F
+
+    spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
 
     specs = all_queries()
     timings: dict[str, float] = {}
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in names:
         if name not in specs:
             print(f"bench: unknown query {name!r}, skipping", file=sys.stderr)
             continue
-        t0 = time.perf_counter()
+        best = None
         try:
-            df = specs[name].build(spark, sf_dir)
-            n = df.count()  # full execution without driver-side row transfer
-            dt = time.perf_counter() - t0
-            timings[name] = round(dt, 3)
-            print(f"bench: {name} {dt:.2f}s ({n} rows)", file=sys.stderr)
+            # best-of-N: first run pays JIT/codegen warmup; min is the
+            # stable engine cost the gate should compare.
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                df = specs[name].build(spark, sf_dir)
+                n = df.count()  # full execution, no driver-side row transfer
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+            print(f"bench: {name} {best:.2f}s ({n} rows)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
-            dt = time.perf_counter() - t0
             timings[name] = -1.0
-            print(f"bench: {name} ERROR after {dt:.2f}s: {e}", file=sys.stderr)
+            print(f"bench: {name} ERROR: {e}", file=sys.stderr)
     spark.stop()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
