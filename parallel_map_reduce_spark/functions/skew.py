@@ -1,0 +1,74 @@
+"""Skew mitigation: deterministic two-phase (salted) aggregation.
+
+AQE's skew-join splitting handles join-side skew automatically
+(session.py enables it); aggregation-side skew on a hot group key still
+funnels one key's rows through one reducer. Salting splits each group
+into SALT_N sub-groups for the first (heavy) aggregation, then combines
+the partial results in a second, tiny aggregation keyed on the original
+key — the classic two-phase combine.
+
+The salt must be DETERMINISTIC (content-derived, not rand()) so retries
+and stage re-executions agg the same rows into the same sub-group —
+nondeterministic salts break Spark's task-retry semantics for exactly
+this kind of pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_N = 16
+
+
+def with_salt(df: DataFrame, cols: Sequence[str], n: int = SALT_N) -> DataFrame:
+    """Add a deterministic salt column in [0, n) derived from xxhash64 of
+    the given columns (row-content-derived → stable under retries)."""
+    return df.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n)))
+
+
+def salted_sum_count(
+    df: DataFrame,
+    group_key: str | Sequence[str],
+    sum_col: str,
+    n: int = SALT_N,
+) -> DataFrame:
+    """(group_key..., total, n_rows) via two-phase salted aggregation.
+
+    Phase 1 groups on (key, salt): a key with f rows produces ≤ n partial
+    rows regardless of f, so the phase-2 shuffle carries at most n rows
+    per key — a hot key can no longer straggle one reducer. sum/count are
+    associative, so the result is exactly the direct aggregation
+    (tests/test_skew.py pins equality).
+    """
+    keys = [group_key] if isinstance(group_key, str) else list(group_key)
+    salted = with_salt(df, [sum_col], n)
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        F.sum(sum_col).alias("_psum"), F.count("*").alias("_pcnt")
+    )
+    return phase1.groupBy(*keys).agg(
+        F.sum("_psum").alias("total"), F.sum("_pcnt").alias("n_rows")
+    )
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    group_key: str | Sequence[str],
+    distinct_col: str,
+    n: int = SALT_N,
+) -> DataFrame:
+    """(group_key..., n_distinct) exactly, skew-safe.
+
+    Salting by hash(distinct_col) keeps every copy of one distinct value
+    in the same sub-group, so per-sub-group distinct counts add up
+    exactly — no overlap between salts. Phase 1 dedups (key, salt,
+    value) with map-side combine; phase 2 sums ≤ n rows per key.
+    """
+    keys = [group_key] if isinstance(group_key, str) else list(group_key)
+    salted = with_salt(df, [distinct_col], n)
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        F.countDistinct(distinct_col).alias("_pdist")
+    )
+    return phase1.groupBy(*keys).agg(F.sum("_pdist").alias("n_distinct"))

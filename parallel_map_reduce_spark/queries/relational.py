@@ -396,3 +396,23 @@ def quantity_size_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
         )
     )
+
+
+@register(
+    "event_type_distinct_users_salted",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events
+GROUP BY event_type
+""",
+    doc="Skew-safe exact count-distinct via deterministic two-phase "
+    "salting (functions/skew.py) — identical results to the direct "
+    "aggregation, but a hot group key fans across SALT_N reducers.",
+    tags=("relational", "aggregate", "skew", "custom-operator"),
+)
+def event_type_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_count_distinct
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_count_distinct(e, "event_type", "user_id")
+    return out.select("event_type", F.col("n_distinct").cast("bigint").alias("n_distinct"))
