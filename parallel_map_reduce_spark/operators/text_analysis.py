@@ -124,6 +124,54 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return out.select("doc_id", pred.otherwise(F.lit("und")).alias("pred_lang"), "lang")
 
 
+WINNOW_K = 8  # character k-gram length
+WINNOW_W = 4  # winnowing window (hashes per window)
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """(doc_id, n_fingerprints, fingerprints): rolling-hash document
+    fingerprints via winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
+    the MOSS algorithm; public).
+
+    Over the normalized text: hash every k-char gram (rolling window),
+    then keep the minimum hash of each w-hash window; the distinct set of
+    selected hashes is the fingerprint. Guarantees every match of length
+    ≥ k+w-1 shares a fingerprint, at ~2/(w+1) sample rate.
+
+    Entirely array higher-order functions — zero shuffle, scan-speed,
+    same md5-derived 32-bit hash as the dedup family so the DuckDB
+    oracle reproduces it exactly.
+    """
+    cleaned = F.transform(F.split("text", TOKEN_SPLIT_REGEX), lambda t: clean_word_col(t))
+    norm = F.array_join(F.filter(cleaned, lambda x: F.length(x) > 0), " ")
+    with_norm = docs.select("doc_id", norm.alias("norm_text"))
+    n_grams = F.length("norm_text") - F.lit(k - 1)
+    hashes = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring("norm_text", i, k)), 1, 8), 16, 10
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    hashed = with_norm.select("doc_id", hashes.alias("hs"))
+    n_windows = F.size("hs") - F.lit(w - 1)
+    mins = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice("hs", j, w)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    fps = F.array_sort(F.array_distinct(mins))
+    return hashed.select(
+        "doc_id",
+        F.size(fps).cast("bigint").alias("n_fingerprints"),
+        F.array_join(fps, " ").alias("fingerprints"),
+    )
+
+
 def tfidf(docs: DataFrame) -> DataFrame:
     """(doc_id, word, tf, df, tfidf): classic tf-idf over the corpus.
 

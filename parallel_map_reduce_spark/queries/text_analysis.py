@@ -177,3 +177,52 @@ FROM tf t JOIN dfc d USING (word) CROSS JOIN n
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.tfidf(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+WITH tokpos AS (
+    SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+    FROM (SELECT doc_id, string_split_regex(text, '[ \t\n]+') AS l FROM documents)
+),
+cleanpos AS (
+    SELECT doc_id, lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word, pos
+    FROM tokpos
+),
+norm AS (
+    SELECT d.doc_id, coalesce(n.norm_text, '') AS norm_text
+    FROM documents d LEFT JOIN (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS norm_text
+        FROM cleanpos WHERE length(word) > 0 GROUP BY doc_id
+    ) n USING (doc_id)
+),
+hashed AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, greatest(length(norm_text) - {T.WINNOW_K - 1}, 0) + 1),
+               i -> CAST(concat('0x', substr(md5(substr(norm_text, CAST(i AS INT), {T.WINNOW_K})), 1, 8)) AS BIGINT)
+           ) AS hs
+    FROM norm
+),
+mins AS (
+    SELECT doc_id,
+           list_sort(list_distinct(
+               list_transform(
+                   range(1, greatest(len(hs) - {T.WINNOW_W - 1}, 0) + 1),
+                   j -> list_min(hs[CAST(j AS INT):CAST(j + {T.WINNOW_W - 1} AS INT)])
+               )
+           )) AS fps
+    FROM hashed
+)
+SELECT doc_id, len(fps)::BIGINT AS n_fingerprints,
+       array_to_string(fps, ' ') AS fingerprints
+FROM mins
+""",
+    doc="Rolling-hash winnowing fingerprints (Schleimer et al., SIGMOD "
+    f"2003): {T.WINNOW_K}-char gram hashes, min per {T.WINNOW_W}-hash "
+    "window, distinct selection — zero-shuffle array projection.",
+    tags=("text", "fingerprint", "rolling-hash"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))

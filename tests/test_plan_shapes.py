@@ -1,0 +1,67 @@
+"""Physical-plan regression contracts.
+
+Correctness tests can't catch a plan regression (a lost pushdown or a
+broadcast that became a shuffle join produces the same rows, slower).
+These pin the plan properties the 100 TB design depends on.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_map_reduce_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    specs = all_queries()
+
+    def _plan(name: str) -> str:
+        return specs[name].build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+    return _plan
+
+
+def test_q1_filter_pushdown_and_pruning(plans):
+    p = plans("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # projection pruned: the 11-column table reads only the 7 used columns
+    assert "l_orderkey" not in p.split("ReadSchema")[1][:400]
+
+
+def test_q3_broadcasts_dims(plans):
+    p = plans("q3_shipping_priority")
+    assert "EqualTo(c_mktsegment,BUILDING)" in p  # dim filter pushed to scan
+    assert p.count("BroadcastHashJoin") >= 1
+
+
+def test_q5_star_join_broadcasts(plans):
+    assert plans("q5_region_revenue").count("BroadcastHashJoin") >= 3
+
+
+def test_asof_single_exchange(plans):
+    p = plans("asof_purchase_last_click")
+    assert p.count("Exchange hashpartitioning") == 1, "as-of must stay 1 shuffle"
+
+
+def test_sessionize_single_exchange(plans):
+    assert plans("events_sessionized").count("Exchange hashpartitioning") == 1
+
+
+def test_scan_speed_ops_have_no_exchange(plans):
+    for name in (
+        "text_fingerprints",
+        "text_winnowing_fingerprints",
+        "text_token_counts",
+        "dedup_simhash",
+        "multimodal_image_features",
+        "multimodal_video_frames",
+    ):
+        p = plans(name)
+        assert "Exchange" not in p, f"{name} grew a shuffle"
+
+
+def test_events_reads_prune_columns(plans):
+    p = plans("event_type_distinct_users")
+    read = p.split("ReadSchema")[1][:300]
+    assert "props" not in read and "event_id" not in read
