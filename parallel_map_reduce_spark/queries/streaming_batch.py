@@ -179,3 +179,49 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").cast("bigint").alias("sum_k"), F.count("*").alias("n"))
     )
+
+
+@register(
+    "events_json_typed",
+    oracle="""
+SELECT (CAST(json_extract(props, '$.k') AS BIGINT) // 10)::BIGINT AS k_bucket,
+       COUNT(*)::BIGINT AS n,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY 1
+""",
+    doc="Typed semi-structured parse: from_json with an explicit schema "
+    "(vs events_json_props' path extraction) — Catalyst prunes the JSON "
+    "parse to the single referenced field.",
+    tags=("streaming", "json", "semi-structured"),
+)
+def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k BIGINT"))
+    return (
+        parsed.filter(F.col("p.k").isNotNull())
+        .groupBy((F.col("p.k") / 10).cast("bigint").alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "event_type_distinct_users_approx",
+    oracle=None,  # approximate by design — rows-only in the driver gate;
+    # tests/test_skew.py-style tolerance vs exact is in
+    # tests/test_approx.py.
+    doc="approx_count_distinct (HLL++ sketch, rsd=0.05): the bounded-"
+    "memory alternative when exact distinct state would not fit — "
+    "mergeable sketch, one small shuffle regardless of cardinality. "
+    "NOT a parity substitute (reference dedup is exact, SURVEY §2.2).",
+    tags=("relational", "aggregate", "approx", "sketch"),
+)
+def event_type_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("n_users_approx")
+    )
