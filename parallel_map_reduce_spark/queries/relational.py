@@ -416,3 +416,27 @@ def event_type_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFr
     e = load_table(spark, sf_dir, "events")
     out = salted_count_distinct(e, "event_type", "user_id")
     return out.select("event_type", F.col("n_distinct").cast("bigint").alias("n_distinct"))
+
+
+@register(
+    "event_value_quantiles",
+    oracle="""
+SELECT event_type,
+       COUNT(*)::BIGINT AS n,
+       round(quantile_cont(value, 0.25), 6) AS q25,
+       round(quantile_cont(value, 0.50), 6) AS q50,
+       round(quantile_cont(value, 0.75), 6) AS q75,
+       round(quantile_cont(value, 0.95), 6) AS q95
+FROM events
+GROUP BY event_type
+""",
+    doc="Exact per-group quantiles via applyInPandas (grouped-map Pandas "
+    "UDF — the whole group as one Arrow batch; operators/grouped_stats"
+    ".py). numpy linear interpolation == DuckDB quantile_cont, rounded "
+    "6dp both sides.",
+    tags=("relational", "aggregate", "pandas-udf", "custom-operator"),
+)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.grouped_stats import event_value_quantiles as _q
+
+    return _q(load_table(spark, sf_dir, "events"))

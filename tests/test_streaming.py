@@ -91,3 +91,65 @@ def test_stateful_counts_total(spark, sf_dir, batch_events):
         for r in batch_events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_watermark_append_multibatch(spark, tmp_path, batch_events):
+    """Watermark semantics across multiple microbatches: events split into
+    3 time-ordered files → 3 batches (maxFilesPerTrigger=1); append-mode
+    tumbling agg emits ONLY windows finalized by the advancing watermark,
+    and every emitted window's count equals the batch computation."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    e = batch_events.select("ts", "event_type", "value")
+    lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    stage = tmp_path / "staged"
+    stage.mkdir()
+    for i in range(3):
+        a = lo + i * span
+        b = hi if i == 2 else lo + (i + 1) * span
+        part = e.filter((F.col("ts") >= F.lit(a)) & (F.col("ts") <= F.lit(b)) if i == 2
+                        else (F.col("ts") >= F.lit(a)) & (F.col("ts") < F.lit(b)))
+        part.coalesce(1).write.mode("overwrite").parquet(str(stage / f"b{i}"))
+        _time.sleep(1.1)  # file-source orders batches by mod time
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "b*"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), F.col("w.end").alias("we"), "event_type", "n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_append_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("t_append_wm").collect()
+    assert emitted, "append mode emitted nothing — watermark never advanced"
+
+    batch = {
+        (r.ws, r.event_type): r.n
+        for r in e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    }
+    cutoff = hi  # no window past the data can be emitted
+    for r in emitted:
+        assert r.we <= cutoff
+        assert batch[(r.ws, r.event_type)] == r.n, (r.ws, r.event_type)
+    # windows well before the final watermark must all have been emitted
+    from datetime import timedelta
+    final_wm = hi - timedelta(hours=2)
+    emitted_keys = {(r.ws, r.event_type) for r in emitted}
+    for (ws, et), n in batch.items():
+        if ws + timedelta(hours=1) < final_wm - timedelta(hours=1):
+            assert (ws, et) in emitted_keys, f"window {ws}/{et} never finalized"
