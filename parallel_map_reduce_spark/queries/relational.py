@@ -34,8 +34,8 @@ def _dec(col: str | F.Column) -> F.Column:
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_charge,
        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
        CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
@@ -52,15 +52,19 @@ GROUP BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    # Two chained decimal multiplies exceed DECIMAL(38) at scale and Spark
+    # vs DuckDB shed precision differently (observed: last-ulp sum_charge
+    # mismatch at sf0.1). Re-quantize the intermediate to (18,4) on BOTH
+    # sides so the summed decimals are identical by construction.
+    charge = disc_price.cast("decimal(18,4)") * (F.lit(1) + _dec("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(disc_price), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).cast("double").alias("sum_charge"),
             (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
             (F.sum(_dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
             (F.sum(_dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
@@ -73,7 +77,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
 SELECT l.l_orderkey,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
        epoch_us(o.o_orderdate) AS o_orderdate_us,
        o.o_orderpriority
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -100,7 +104,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         # customer filtered on segment is small relative to facts: broadcast.
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(revenue), 4).cast("double").alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -118,7 +122,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle="""
 SELECT n.n_name,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -148,7 +152,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(revenue), 4).cast("double").alias("revenue"))
     )
 
 
@@ -440,3 +444,83 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.grouped_stats import event_value_quantiles as _q
 
     return _q(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "nation_customer_supplier_outer",
+    oracle="""
+WITH cn AS (
+    SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1
+),
+sn AS (
+    SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1
+)
+SELECT n.n_nationkey, n.n_name,
+       coalesce(cn.n_cust, 0)::BIGINT AS n_customers,
+       coalesce(sn.n_supp, 0)::BIGINT AS n_suppliers
+FROM nation n
+FULL OUTER JOIN cn ON cn.nk = n.n_nationkey
+FULL OUTER JOIN sn ON sn.nk = n.n_nationkey
+""",
+    doc="Outer joins with null-safe coalesce: nations with zero customers "
+    "or suppliers survive. Pre-aggregated sides keep the outer join "
+    "row-bounded by nation count — never a fact-sized outer join.",
+    tags=("relational", "join", "outer"),
+)
+def nation_customer_supplier_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        n.join(cn, n.n_nationkey == cn.nk, "full_outer")
+        .join(sn, n.n_nationkey == sn.nk, "full_outer")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.coalesce("n_cust", F.lit(0)).cast("bigint").alias("n_customers"),
+            F.coalesce("n_supp", F.lit(0)).cast("bigint").alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "orders_status_pivot",
+    oracle="""
+SELECT strftime(o_orderdate, '%Y') AS yr,
+       SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_open,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_filled,
+       SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_partial
+FROM orders
+GROUP BY 1
+""",
+    doc="Pivot (long→wide): groupBy().pivot() with an EXPLICIT value list "
+    "— at scale the implicit variant first runs a distinct scan to "
+    "discover values; pinning the list keeps it one pass.",
+    tags=("relational", "pivot", "aggregate"),
+)
+def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.date_format("o_orderdate", "yyyy")
+    )
+    wide = (
+        o.groupBy("yr")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        # count("*") is invalid inside a Pivot aggregate; count(lit(1)) is
+        # the same count without star resolution.
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return wide.select(
+        "yr",
+        F.col("O").cast("bigint").alias("n_open"),
+        F.col("F").cast("bigint").alias("n_filled"),
+        F.col("P").cast("bigint").alias("n_partial"),
+    )
