@@ -226,3 +226,27 @@ FROM mins
 )
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_sentences_udtf",
+    oracle="""
+WITH segs AS (
+    SELECT doc_id,
+           unnest(l) AS seg,
+           unnest(range(len(l))) AS sent_idx
+    FROM (SELECT doc_id, string_split_regex(text, '[.!?]+') AS l FROM documents)
+)
+SELECT doc_id, sent_idx::INT AS sent_idx, trim(seg) AS sentence
+FROM segs WHERE trim(seg) <> ''
+""",
+    doc="Python UDTF surface (functions/udtf_ops.py): sentence splitting "
+    "as an Arrow-optimized table function in LATERAL position. The "
+    "escape hatch for irregular one-to-many logic — built-in "
+    "explode(split()) remains the hot path.",
+    tags=("text", "udtf", "custom-operator"),
+)
+def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtf_ops import split_sentences
+
+    return split_sentences(spark, load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,44 @@
+"""Source/sink breadth: parquet sink roundtrip and JSONL source.
+
+The engine's primary at-rest format is parquet (SURVEY §1.3); these pin
+that (a) the inverted index survives a partitioned parquet write/read
+cycle bit-for-bit, and (b) the same pipelines run unchanged over a JSONL
+documents source (schema inference), the other common landing format for
+document corpora.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from parallel_map_reduce_spark.operators.inverted_index import inverted_index
+from parallel_map_reduce_spark.sources.catalog import load_table
+
+
+def _index_rows(df):
+    return {
+        (r.word, tuple(r.postings), r.df, r.letter)
+        for r in df.select("word", "postings", "df", "letter").collect()
+    }
+
+
+def test_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    idx = inverted_index(load_table(spark, sf_dir, "documents"))
+    out = str(tmp_path / "index_pq")
+    idx.write.mode("overwrite").partitionBy("letter").parquet(out)
+    back = spark.read.parquet(out)
+    assert _index_rows(back) == _index_rows(idx)
+    # partition pruning on the letter directory layout
+    pruned = back.filter(F.col("letter") == "a")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(letter" in plan
+
+
+def test_jsonl_documents_source(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    jl = str(tmp_path / "docs_jsonl")
+    docs.write.mode("overwrite").json(jl)
+    docs_j = spark.read.json(jl)  # schema inference
+    got = _index_rows(inverted_index(docs_j.select("doc_id", "text")))
+    want = _index_rows(inverted_index(docs))
+    assert got == want and len(got) > 0
