@@ -37,9 +37,15 @@ HEADLINE = (
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
     "text_quality_scores",
     "text_fingerprints",
+    "text_winnowing_fingerprints",
+    "text_tfidf",
+    "event_value_quantiles",
+    "streaming_hourly_tumbling",
     "multimodal_image_features",
+    "multimodal_video_frames",
 )
 
 
