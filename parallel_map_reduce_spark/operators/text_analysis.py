@@ -58,28 +58,31 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def _clean_words_arr() -> F.Column:
+    """Cleaned non-empty word array (tf semantics, order preserved)."""
+    cleaned = F.transform(F.split("text", TOKEN_SPLIT_REGEX), lambda t: clean_word_col(t))
+    return F.filter(cleaned, lambda w: F.length(w) > 0)
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, alpha_ratio, stopword_ratio, mean_token_len,
     quality): heuristic quality features + a composite score.
 
-    All ratios are integer-count divisions → bit-identical across engines.
+    Zero-shuffle: every per-document stat is an array fold over the
+    cleaned word array (size / filter+size / aggregate) — the previous
+    explode→groupBy→join formulation paid two shuffles for stats that
+    are pure per-row arithmetic. All ratios are integer-count divisions →
+    bit-identical across engines.
     """
-    toks = _words(docs)
     stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum(F.when(F.array_contains(stop_arr, F.col("word")), 1).otherwise(0)).alias(
-            "n_stop"
-        ),
-        F.sum(F.length("word")).alias("sum_word_len"),
-    )
-    base = docs.select(
+    words = _clean_words_arr()
+    j = docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),
         F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
-    )
-    j = base.join(per_doc, "doc_id", "left").na.fill(
-        {"n_tokens": 0, "n_stop": 0, "sum_word_len": 0}
+        F.size(words).alias("n_tokens"),
+        F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).alias("n_stop"),
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)).alias("sum_word_len"),
     )
     alpha_ratio = F.when(F.col("n_chars") > 0, F.col("n_alpha") / F.col("n_chars")).otherwise(
         F.lit(0.0)
@@ -103,24 +106,28 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
 def lang_id(docs: DataFrame) -> DataFrame:
     """(doc_id, pred_lang, lang): stopword-profile language ID. Hit counts
-    per language over token multiset; argmax with LANG_ORDER tie-break;
-    zero hits → 'und' (undetermined — e.g. the zh docs, whose CJK text
-    cleans to nothing under the ASCII contract)."""
-    toks = _words(docs)
-    aggs = []
-    for code in LANG_ORDER:
+    per language over the token multiset; argmax with LANG_ORDER
+    tie-break; zero hits → 'und' (undetermined — e.g. the zh docs, whose
+    CJK text cleans to nothing under the ASCII contract).
+
+    Zero-shuffle: each language's hit count is filter+size over the word
+    array (was explode → groupBy → join back, two shuffles)."""
+    words = _clean_words_arr()
+
+    def _hits(code: str) -> F.Column:
+        # factory closure: HOF lambdas must stay 1-ary (a 2-ary lambda is
+        # dispatched as the (element, index) form)
         arr = F.array(*[F.lit(s) for s in LANG_STOPWORDS[code]])
-        aggs.append(
-            F.sum(F.when(F.array_contains(arr, F.col("word")), 1).otherwise(0)).alias(
-                f"hits_{code}"
-            )
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w))).alias(
+            f"hits_{code}"
         )
-    hits = toks.groupBy("doc_id").agg(*aggs)
+
+    hit_cols = [_hits(code) for code in LANG_ORDER]
+    out = docs.select("doc_id", "lang", *hit_cols)
     best = F.greatest(*[F.col(f"hits_{c}") for c in LANG_ORDER])
     pred = F.when(best == 0, F.lit("und"))
     for code in LANG_ORDER:  # first max in LANG_ORDER wins ties
         pred = pred.when(F.col(f"hits_{code}") == best, F.lit(code))
-    out = docs.select("doc_id", "lang").join(hits, "doc_id", "left").na.fill(0)
     return out.select("doc_id", pred.otherwise(F.lit("und")).alias("pred_lang"), "lang")
 
 

@@ -69,5 +69,21 @@ def distinct_pairs(words: DataFrame) -> DataFrame:
 
 
 def doc_word_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Fused pipeline: docs → distinct cleaned (word, doc_id) pairs."""
-    return distinct_pairs(filter_empty(normalize_tokens(tokenize(docs, text_col, id_col))))
+    """Fused pipeline: docs → distinct cleaned (word, doc_id) pairs.
+
+    Distinctness of (word, doc_id) is PER-DOCUMENT, so it's a per-row
+    ``array_distinct`` over the cleaned word array — zero shuffle — not a
+    global ``dropDuplicates`` exchange. This is exactly the reference's
+    per-file dedup map (``src/tema1.cpp:153-163``: each file is processed
+    by one mapper, so per-mapper dedup is globally correct), and it
+    removes one of the flagship's two shuffles. The row-level steps
+    (tokenize/normalize/filter/distinct_pairs) remain as the taxonomy
+    surface; this fused form is the plan you want.
+    """
+    cleaned = F.transform(
+        F.split(F.col(text_col), TOKEN_SPLIT_REGEX), lambda t: clean_word_col(t)
+    )
+    words_arr = F.array_distinct(F.filter(cleaned, lambda w: F.length(w) > 0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(words_arr).alias("word")
+    ).select("word", "doc_id")
