@@ -53,12 +53,21 @@ def test_scan_speed_ops_have_no_exchange(plans):
         "text_fingerprints",
         "text_winnowing_fingerprints",
         "text_token_counts",
+        "text_quality_scores",
+        "text_lang_id",
         "dedup_simhash",
         "multimodal_image_features",
         "multimodal_video_frames",
     ):
         p = plans(name)
         assert "Exchange" not in p, f"{name} grew a shuffle"
+
+
+def test_flagship_single_shuffle(plans):
+    """Per-doc array_distinct dedup keeps the flagship at ONE Exchange
+    (the postings group-by) — the global dropDuplicates would add a
+    second full shuffle of the pair stream."""
+    assert plans("inverted_index").count("Exchange hashpartitioning") == 1
 
 
 def test_events_reads_prune_columns(plans):
