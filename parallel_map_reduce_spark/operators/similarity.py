@@ -146,6 +146,107 @@ def lsh_ann_topk(emb: DataFrame, query_filter: F.Column, k: int = 10, dim: int =
     )
 
 
+IVF_K = 16  # coarse centroids
+IVF_NPROBE = 3  # centroid lists probed per query
+
+
+def ivf_assignments(emb: DataFrame, k: int = IVF_K) -> DataFrame:
+    """(vec_id, embedding, nrm, centroid_id): nearest-centroid assignment.
+
+    Centroids are the first k vectors by vec_id — a deterministic seed
+    choice standing in for a k-means pass (the index structure, probe
+    logic, and plan shape are identical; training would only move the
+    centroid values). Assignment is a broadcast cross-join over k rows +
+    per-vector max_by — one pass over the corpus, no shuffle of the big
+    side.
+    """
+    e = emb.select("vec_id", "embedding").withColumn("nrm", l2_norm("embedding"))
+    cents = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "c_cos", dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.first("nrm").alias("nrm"),
+            F.max_by("centroid_id", F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("t"))).alias(
+                "centroid_id"
+            ),
+        )
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_filter: F.Column,
+    k: int = 10,
+    n_centroids: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF ANN: candidates = vectors in the query's nprobe nearest
+    centroid lists (inverted-file decomposition). At 100 TB: write the
+    corpus partitioned by centroid_id once; each query scans nprobe
+    partitions — partition pruning instead of a full pass. Emitted
+    cosines are exact; only candidate generation is approximate.
+    """
+    assigned = ivf_assignments(emb, n_centroids).cache()
+    cents = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+            l2_norm("embedding").alias("c_nrm"),
+        )
+    )
+    q = assigned.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+    )
+    # nprobe best centroids per query (k × |q| rows — small)
+    q_cents = q.crossJoin(F.broadcast(cents)).withColumn(
+        "c_cos", dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    probes = (
+        q_cents.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "centroid_id")
+    )
+    a = assigned.alias("a")
+    p = probes.alias("p")
+    cand = a.join(
+        F.broadcast(p),
+        (F.col("a.centroid_id") == F.col("p.centroid_id"))
+        & (F.col("p.query_id") != F.col("a.vec_id")),
+    ).select(
+        F.col("p.query_id").alias("query_id"),
+        F.col("p.q_emb").alias("q_emb"),
+        F.col("p.q_norm").alias("q_norm"),
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.embedding").alias("embedding"),
+        F.col("a.nrm").alias("nrm"),
+    )
+    scored = cand.withColumn("cos", dot("q_emb", "embedding") / (F.col("q_norm") * F.col("nrm")))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 def label_lsh_neardup(emb: DataFrame, threshold: float = 0.9, dim: int = 64) -> DataFrame:
     """Scale path for near-dup pairs: block by (label, band, bucket).
 

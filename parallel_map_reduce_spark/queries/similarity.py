@@ -94,3 +94,19 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.label_lsh_neardup(emb, threshold=_NEARDUP_THRESHOLD)
+
+
+@register(
+    "similarity_ann_ivf",
+    oracle=None,  # approximate candidate generation; subset/recall
+    # contracts vs brute force are in tests/test_similarity.py (driver
+    # records rows-only).
+    doc="IVF ANN (inverted-file): nearest-centroid lists, nprobe probes "
+    "per query — the partition-pruned scale path alongside the LSH "
+    "variant. Deterministic seed centroids stand in for k-means; "
+    "operators/similarity.py:ivf_ann_topk.",
+    tags=("similarity", "ann", "ivf"),
+)
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_ann_topk(emb, F.col("vec_id") % _QUERY_MOD == 0, k=_K)

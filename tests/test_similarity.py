@@ -103,3 +103,26 @@ def test_ann_candidates_subset_scored_correctly(spark, emb):
     )
     bad = joined.filter(F.abs(F.col("cos") - F.col("cos_exact")) > 1e-12).count()
     assert bad == 0
+
+
+def test_ivf_ann_nonvacuous_and_recall(spark, emb):
+    qf = F.col("vec_id") % QUERY_FILTER_MOD == 0
+    approx = S.ivf_ann_topk(emb, qf, k=K).collect()
+    assert approx, "IVF ANN returned nothing"
+    exact = S.brute_force_topk(emb, qf, k=K).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        assert r.query_id != r.vec_id
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    n_queries = emb.filter(qf).count()
+    assert len(approx_sets) >= 0.8 * n_queries
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # nprobe=3 of 16 seed centroids on near-uniform vectors: the floor
+    # asserts the probe mechanism beats random candidate picking.
+    assert mean_recall >= 0.1, f"mean recall {mean_recall:.3f}"
