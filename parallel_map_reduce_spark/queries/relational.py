@@ -524,3 +524,65 @@ def orders_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F").cast("bigint").alias("n_filled"),
         F.col("P").cast("bigint").alias("n_partial"),
     )
+
+
+@register(
+    "late_shipment_priority",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*)::BIGINT AS n_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o.o_orderpriority
+""",
+    doc="TPC-H Q4-style correlated EXISTS: semi join with a NON-equi "
+    "residual (l_shipdate > o_orderdate + 60d). The equi key carries the "
+    "hash semi-join; the date predicate evaluates at probe time — no "
+    "range-join blowup.",
+    tags=("relational", "join", "semi", "exists"),
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 60).cast("timestamp_ntz")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "customer_order_histogram",
+    oracle="""
+WITH per_cust AS (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+)
+SELECT n_orders::BIGINT AS n_orders, COUNT(*)::BIGINT AS n_customers
+FROM per_cust
+GROUP BY n_orders
+""",
+    doc="TPC-H Q13-style double aggregation: left outer join keeps "
+    "zero-order customers, then a distribution over the per-customer "
+    "counts. Two exchanges, the second over a tiny count domain.",
+    tags=("relational", "join", "outer", "aggregate"),
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .select(F.col("n_orders").cast("bigint").alias("n_orders"), "n_customers")
+    )
