@@ -50,6 +50,32 @@ def streaming_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_counts",
+    oracle="""
+WITH slid AS (
+    SELECT e.*,
+           to_timestamp((floor(epoch(ts) / 1800) * 1800 - off.o)::BIGINT) AS w_start
+    FROM events e
+    CROSS JOIN (VALUES (0), (1800)) off(o)
+)
+SELECT epoch_us(w_start) AS window_start_us,
+       COUNT(*)::BIGINT AS n_events
+FROM slid
+GROUP BY 1
+""",
+    doc="Structured Streaming sliding windows run LIVE (1h/30m), counts "
+    "only — count(distinct) is unsupported in streaming aggs, so the "
+    "users column stays in the batch twin. "
+    "streaming/events_stream.py:sliding_windows_stream.",
+    tags=("streaming", "live", "window"),
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ES.sliding_windows_stream(ES.read_events_stream(spark, sf_dir))
+    out = _drain(stream, "live_sliding", spark)
+    return out.select("window_start_us", "n_events")
+
+
+@register(
     "streaming_sessionized",
     oracle=f"""
 WITH ordered AS (

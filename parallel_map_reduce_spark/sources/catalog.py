@@ -50,7 +50,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     _ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"catalog table {name!r} not found at {path} — is sf_dir "
+            f"({sf_dir!r}) a testdata scale-factor directory?"
+        )
+    df = spark.read.parquet(path)
     if name == "events":
         # ts is TIMESTAMP(NANOS) in parquet, read as BIGINT nanos via
         # spark.sql.legacy.parquet.nanosAsLong (session.py). The source
