@@ -10,5 +10,9 @@ from . import dedup  # noqa: F401
 from . import similarity  # noqa: F401
 from . import text_analysis  # noqa: F401
 from . import streaming_batch  # noqa: F401
-from . import streaming_live  # noqa: F401
 from . import multimodal  # noqa: F401
+
+# Live-streaming drains are the slowest registry entries (seconds each,
+# vs milliseconds for everything else); register them LAST so a
+# wall-clock-budgeted gate run never truncates fast entries behind them.
+from . import streaming_live  # noqa: F401

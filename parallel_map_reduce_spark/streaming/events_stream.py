@@ -56,8 +56,19 @@ def _staging_dir(sf_dir: str) -> str:
     d = os.path.join(tempfile.gettempdir(), "pmrs_stream", tag)
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    target = os.path.join(sf_dir, "events.parquet")
+    # Atomic create-or-refresh: symlink to a temp name then os.replace over
+    # the final name. Immune to two sessions racing past an exists() check,
+    # and self-heals a stale link left by moved/regenerated testdata
+    # (a dangling link would otherwise yield a silent 0-row stream).
+    if os.path.realpath(link) != os.path.realpath(target):
+        tmp = os.path.join(d, f".events.parquet.tmp.{os.getpid()}")
+        try:
+            os.symlink(target, tmp)
+            os.replace(tmp, link)
+        finally:
+            if os.path.islink(tmp) or os.path.exists(tmp):
+                os.unlink(tmp)
     return d
 
 
@@ -68,11 +79,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import _ensure_session_confs
 
     _ensure_session_confs(spark)
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(_staging_dir(sf_dir))
-    )
+    # No maxFilesPerTrigger: an availableNow drain of a static staging dir
+    # should process everything in ONE micro-batch — per-file micro-batching
+    # here only multiplies trigger overhead (and would make the complete-mode
+    # memory sink re-emit full state per file). Production backpressure
+    # belongs to the real source (Kafka maxOffsetsPerTrigger etc.).
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_staging_dir(sf_dir))
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -118,7 +130,16 @@ def sliding_windows_stream(events: DataFrame) -> DataFrame:
 
 def run_to_memory(stream_df: DataFrame, table_name: str) -> None:
     """Drain the stream into an in-memory table with availableNow (process
-    everything present, then stop) — the test/CI execution mode."""
+    everything present, then stop) — the test/CI execution mode.
+
+    ``outputMode("complete")`` is deliberate for this drain: the staging
+    dir holds one file and the source has no per-file trigger cap, so the
+    drain is a SINGLE micro-batch and complete-mode emits the full state
+    exactly once. Append mode would withhold every window still inside
+    the watermark delay (the availableNow drain ends before the watermark
+    passes the tail windows), breaking parity with the batch oracle. At
+    scale the shape is append-with-watermark into a real sink (Kafka /
+    Delta), where the watermark does advance continuously."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
