@@ -23,10 +23,22 @@ from pyspark.sql import functions as F
 SALT_N = 16
 
 
-def with_salt(df: DataFrame, cols: Sequence[str], n: int = SALT_N) -> DataFrame:
+def with_salt(
+    df: DataFrame, cols: Sequence[str] | None = None, n: int = SALT_N
+) -> DataFrame:
     """Add a deterministic salt column in [0, n) derived from xxhash64 of
-    the given columns (row-content-derived → stable under retries)."""
-    return df.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n)))
+    the given columns (row-content-derived → stable under retries).
+
+    ``cols=None`` hashes ALL columns — the right default when the salt
+    only needs to spread rows (sum/count): salting by a single value
+    column degenerates back to one straggler sub-group when a hot key's
+    values are constant. Fully-duplicate rows still collide by
+    construction; any deterministic salt does (dedupe first, or accept
+    it — n identical rows carry no per-row information to hash).
+    Pass explicit cols only when correctness requires co-locating equal
+    values (see salted_count_distinct)."""
+    cs = list(cols) if cols is not None else list(df.columns)
+    return df.withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in cs]), F.lit(n)))
 
 
 def salted_sum_count(
@@ -44,7 +56,10 @@ def salted_sum_count(
     (tests/test_skew.py pins equality).
     """
     keys = [group_key] if isinstance(group_key, str) else list(group_key)
-    salted = with_salt(df, [sum_col], n)
+    # Salt over ALL columns: sum/count don't care which sub-group a row
+    # lands in, and hashing just sum_col would collapse to one sub-group
+    # whenever a hot key's values are constant.
+    salted = with_salt(df, None, n)
     phase1 = salted.groupBy(*keys, "_salt").agg(
         F.sum(sum_col).alias("_psum"), F.count("*").alias("_pcnt")
     )
@@ -65,6 +80,12 @@ def salted_count_distinct(
     in the same sub-group, so per-sub-group distinct counts add up
     exactly — no overlap between salts. Phase 1 dedups (key, salt,
     value) with map-side combine; phase 2 sums ≤ n rows per key.
+
+    Here the salt MUST stay value-derived (unlike salted_sum_count):
+    spreading equal values across salts would double-count them. The
+    degenerate case — a hot key with ONE distinct value — is harmless:
+    map-side combine collapses it to one row per map task before the
+    shuffle, so no straggler forms.
     """
     keys = [group_key] if isinstance(group_key, str) else list(group_key)
     salted = with_salt(df, [distinct_col], n)

@@ -293,6 +293,12 @@ def ngram_jaccard_pairs(
     removes them from the JOIN ONLY (set sizes stay exact): the hot set
     is tiny by construction, so it broadcasts into an anti-join — no
     extra shuffle of the shingle stream.
+
+    Capped (default): per-shingle posting list + in-row pair array,
+    bounded at cap² per shingle. Uncapped (df_cap=None): distributed
+    equi-self-join — no per-row f² array, so a hot shingle spreads over
+    many tasks instead of OOMing one (used by the capped==uncapped
+    equivalence test; at corpus scale always pass a cap).
     """
     sh = doc_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -301,24 +307,34 @@ def ngram_jaccard_pairs(
     # anti-join); co-occurring pairs come from a per-row array
     # self-product (explode), bounded by cap² per shingle — skew is
     # bounded by construction, not just mitigated.
-    postings = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
     if df_cap is not None:
-        postings = postings.filter(F.size("ds") <= df_cap)
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
+        postings = sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ds")
         )
-    )
-    inter = (
-        postings.select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
+        postings = postings.filter(F.size("ds") <= df_cap)
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        )
+        pairs = (
+            postings.select(F.explode(pair_arr).alias("p"))
+            .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        )
+    else:
+        # Uncapped: a corpus-hot shingle shared by f docs would build an
+        # f²/2-struct array inside ONE row in the posting-list form —
+        # a per-task OOM cliff. The equi-self-join spreads that f² work
+        # across the cluster instead (AQE skew-split applies). Slower on
+        # the average shingle, but it degrades instead of dying.
+        a = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_a"))
+        b = sh.select(F.col("shingle"), F.col("doc_id").alias("doc_b"))
+        pairs = a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))

@@ -97,7 +97,9 @@ def rank_within_letter(index: DataFrame) -> DataFrame:
     sorted order, so partition count scales freely; within each partition
     ``sortWithinPartitions`` completes the total order. Downstream
     partitionBy(letter) writers then emit part files whose name order IS
-    the reference's row order.
+    the reference's row order (pinned by tests/test_sink_order.py on the
+    partitioned layout; the single-file parity sink independently
+    re-sorts and does not rely on it).
     """
     return index.repartitionByRange(
         F.asc("letter"), F.desc("df"), F.asc("word")

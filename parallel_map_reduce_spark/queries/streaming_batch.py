@@ -201,7 +201,9 @@ def events_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = e.withColumn("p", F.from_json("props", "k BIGINT"))
     return (
         parsed.filter(F.col("p.k").isNotNull())
-        .groupBy((F.col("p.k") / 10).cast("bigint").alias("k_bucket"))
+        # floor(), not a bare bigint cast: double division truncates toward
+        # zero while DuckDB's `// 10` floors — they diverge for negative k.
+        .groupBy(F.floor(F.col("p.k") / 10).cast("bigint").alias("k_bucket"))
         .agg(
             F.count("*").alias("n"),
             F.countDistinct("user_id").alias("n_users"),

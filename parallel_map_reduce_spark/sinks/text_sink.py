@@ -48,7 +48,11 @@ def write_letter_files(index: DataFrame, out_dir: str, single_file: bool = True)
             for f in sorted(glob.glob(os.path.join(part_dir, "part-*"))):
                 with open(f, encoding="utf-8") as fh:
                     lines.extend(fh.read().splitlines())
-        # Re-assert the total order (df desc, word asc) at file-write time:
+        # Re-assert the total order (df desc, word asc) at file-write time.
+        # This makes the parity files independent of part-file enumeration,
+        # which means golden parity does NOT exercise rank_within_letter's
+        # part-name-order contract — tests/test_sink_order.py pins that
+        # contract directly on the single_file=False layout instead.
         # df = count of ids inside brackets; word = prefix before ':['.
         def sort_key(line: str) -> tuple[int, str]:
             word, _, rest = line.partition(":[")

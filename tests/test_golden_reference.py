@@ -38,8 +38,11 @@ def _read_lines(path: str) -> list[str]:
     if not os.path.exists(path):
         return []
     with open(path, encoding="utf-8", errors="replace") as fh:
-        # diff -w semantics: whitespace-insensitive compare.
-        return [" ".join(ln.split()) for ln in fh.read().splitlines() if ln.strip()]
+        # diff -w semantics: whitespace-insensitive WITHIN a line, but
+        # keep blank lines in place — diff -w still flags a spurious or
+        # missing line, so dropping empties here would be laxer than the
+        # reference checker.
+        return [" ".join(ln.split()) for ln in fh.read().splitlines()]
 
 
 def _diff_letter_files(out_dir: str, golden_dir: str) -> list[str]:
