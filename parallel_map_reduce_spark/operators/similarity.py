@@ -148,41 +148,91 @@ def lsh_ann_topk(emb: DataFrame, query_filter: F.Column, k: int = 10, dim: int =
 
 IVF_K = 16  # coarse centroids
 IVF_NPROBE = 3  # centroid lists probed per query
+IVF_TRAIN_ITERS = 2  # Lloyd iterations over the seed centroids
 
 
-def ivf_assignments(emb: DataFrame, k: int = IVF_K) -> DataFrame:
-    """(vec_id, embedding, nrm, centroid_id): nearest-centroid assignment.
+def _centroid_df(spark, cents: dict[int, list[float]]) -> DataFrame:
+    rows = [(cid, vec) for cid, vec in sorted(cents.items())]
+    return spark.createDataFrame(
+        rows, "centroid_id INT, c_emb ARRAY<DOUBLE>"
+    ).withColumn("c_nrm", l2_norm("c_emb"))
 
-    Centroids are the first k vectors by vec_id — a deterministic seed
-    choice standing in for a k-means pass (the index structure, probe
-    logic, and plan shape are identical; training would only move the
-    centroid values). Assignment is a broadcast cross-join over k rows +
-    per-vector max_by — one pass over the corpus, no shuffle of the big
-    side.
+
+def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding, nrm, centroid_id): nearest centroid by cosine.
+
+    Broadcast cross-join over k centroid rows + per-vector max_by — one
+    pass over the corpus, no shuffle of the big side. Ties break to the
+    lowest centroid_id so assignment is a deterministic function of the
+    inputs.
     """
-    e = emb.select("vec_id", "embedding").withColumn("nrm", l2_norm("embedding"))
-    cents = (
-        e.orderBy("vec_id")
-        .limit(k)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("c_emb"),
-            F.col("nrm").alias("c_nrm"),
-        )
-    )
     scored = e.crossJoin(F.broadcast(cents)).withColumn(
         "c_cos", dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
     )
-    return (
-        scored.groupBy("vec_id")
-        .agg(
-            F.first("embedding").alias("embedding"),
-            F.first("nrm").alias("nrm"),
-            F.max_by("centroid_id", F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("t"))).alias(
-                "centroid_id"
-            ),
-        )
+    return scored.groupBy("vec_id").agg(
+        F.first("embedding").alias("embedding"),
+        F.first("nrm").alias("nrm"),
+        F.max_by(
+            "centroid_id", F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("t"))
+        ).alias("centroid_id"),
     )
+
+
+def train_ivf_centroids(
+    emb: DataFrame, k: int = IVF_K, iters: int = IVF_TRAIN_ITERS
+) -> DataFrame:
+    """(centroid_id, c_emb, c_nrm): k-means coarse centroids for the IVF
+    index, trained with Lloyd iterations expressed as DataFrame ops.
+
+    Seeds are the first k vectors by vec_id (deterministic). Each
+    iteration: assign every vector to its nearest centroid by cosine
+    (broadcast over k rows), then recompute per-cluster means via
+    ``posexplode(embedding) → avg per (centroid, dim) → array re-assembly``.
+    The k × dim centroid values are materialized on the driver between
+    iterations — the same driver-side update loop Spark MLlib's KMeans
+    uses: centroids are small BY DEFINITION, and collecting them
+    truncates lineage so training costs exactly ``iters + 1`` corpus
+    passes instead of re-running the whole chain once per downstream
+    consumer. Means are rounded to 6 dp so float-reduction order can't
+    jitter assignments between runs; an empty cluster keeps its previous
+    centroid (standard Lloyd fallback).
+    """
+    spark = emb.sparkSession
+    e = emb.select("vec_id", "embedding").withColumn("nrm", l2_norm("embedding"))
+    seed = e.orderBy("vec_id").limit(k).collect()
+    cents = {i: [float(x) for x in r.embedding] for i, r in enumerate(seed)}
+    for _ in range(iters):
+        assigned = _assign_to_centroids(e, _centroid_df(spark, cents))
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c_emb")
+            )
+            .collect()
+        )
+        for r in means:
+            cents[r.centroid_id] = [float(x) for x in r.c_emb]
+    return _centroid_df(spark, cents)
+
+
+def ivf_assignments(
+    emb: DataFrame, k: int = IVF_K, cents: DataFrame | None = None
+) -> DataFrame:
+    """(vec_id, embedding, nrm, centroid_id): nearest-centroid assignment
+    against trained k-means centroids (``train_ivf_centroids``); pass
+    ``cents`` to reuse already-trained centroids."""
+    e = emb.select("vec_id", "embedding").withColumn("nrm", l2_norm("embedding"))
+    if cents is None:
+        cents = train_ivf_centroids(emb, k)
+    return _assign_to_centroids(e, cents)
 
 
 def ivf_ann_topk(
@@ -191,25 +241,25 @@ def ivf_ann_topk(
     k: int = 10,
     n_centroids: int = IVF_K,
     nprobe: int = IVF_NPROBE,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: candidates = vectors in the query's nprobe nearest
-    centroid lists (inverted-file decomposition). At 100 TB: write the
-    corpus partitioned by centroid_id once; each query scans nprobe
+    centroid lists (inverted-file decomposition), probed against k-means
+    centroids from ``train_ivf_centroids``. At 100 TB: train once, write
+    the corpus partitioned by centroid_id once; each query scans nprobe
     partitions — partition pruning instead of a full pass. Emitted
     cosines are exact; only candidate generation is approximate.
+
+    No ``.cache()`` anywhere: the query side reads raw embeddings (it
+    never needs a centroid id), so the assignment table is consumed by
+    exactly one plan subtree and caching it would only pin corpus-sized
+    blocks for the session (the round-2 leak).
     """
-    assigned = ivf_assignments(emb, n_centroids).cache()
-    cents = (
-        emb.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .limit(n_centroids)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("c_emb"),
-            l2_norm("embedding").alias("c_nrm"),
-        )
-    )
-    q = assigned.filter(query_filter).select(
+    if cents is None:
+        cents = train_ivf_centroids(emb, n_centroids)
+    e = emb.select("vec_id", "embedding").withColumn("nrm", l2_norm("embedding"))
+    assigned = _assign_to_centroids(e, cents)
+    q = e.filter(query_filter).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_norm"),

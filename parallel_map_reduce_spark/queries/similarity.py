@@ -101,10 +101,10 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # approximate candidate generation; subset/recall
     # contracts vs brute force are in tests/test_similarity.py (driver
     # records rows-only).
-    doc="IVF ANN (inverted-file): nearest-centroid lists, nprobe probes "
-    "per query — the partition-pruned scale path alongside the LSH "
-    "variant. Deterministic seed centroids stand in for k-means; "
-    "operators/similarity.py:ivf_ann_topk.",
+    doc="IVF ANN (inverted-file): k-means-trained centroid lists (Lloyd "
+    "iterations as DataFrame ops), nprobe probes per query — the "
+    "partition-pruned scale path alongside the LSH variant. "
+    "operators/similarity.py:ivf_ann_topk,train_ivf_centroids.",
     tags=("similarity", "ann", "ivf"),
 )
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

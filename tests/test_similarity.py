@@ -105,24 +105,50 @@ def test_ann_candidates_subset_scored_correctly(spark, emb):
     assert bad == 0
 
 
+def _mean_recall(exact_rows, approx_rows):
+    exact_sets, approx_sets = {}, {}
+    for r in exact_rows:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx_rows:
+        assert r.query_id != r.vec_id
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    return sum(recalls) / len(recalls), approx_sets
+
+
 def test_ivf_ann_nonvacuous_and_recall(spark, emb):
     qf = F.col("vec_id") % QUERY_FILTER_MOD == 0
     approx = S.ivf_ann_topk(emb, qf, k=K).collect()
     assert approx, "IVF ANN returned nothing"
     exact = S.brute_force_topk(emb, qf, k=K).collect()
-    exact_sets, approx_sets = {}, {}
-    for r in exact:
-        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
-    for r in approx:
-        assert r.query_id != r.vec_id
-        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    mean_recall, approx_sets = _mean_recall(exact, approx)
     n_queries = emb.filter(qf).count()
     assert len(approx_sets) >= 0.8 * n_queries
-    recalls = [
-        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
-        for q in exact_sets
-    ]
-    mean_recall = sum(recalls) / len(recalls)
-    # nprobe=3 of 16 seed centroids on near-uniform vectors: the floor
-    # asserts the probe mechanism beats random candidate picking.
-    assert mean_recall >= 0.1, f"mean recall {mean_recall:.3f}"
+    # nprobe=3 of 16 TRAINED centroids; measured 0.52 at sf0.001 (seed
+    # centroids gave 0.45). The floor asserts the probe mechanism beats
+    # random candidate picking with real margin.
+    assert mean_recall >= 0.3, f"mean recall {mean_recall:.3f}"
+
+
+def test_ivf_training_improves_recall(spark, emb):
+    """Lloyd-trained centroids must not lose to the raw seed vectors —
+    the round-2 stand-in this training replaced. Deterministic data +
+    deterministic training ⇒ a stable comparison, not a flaky one."""
+    qf = F.col("vec_id") % QUERY_FILTER_MOD == 0
+    exact = S.brute_force_topk(emb, qf, k=K).collect()
+    seed_cents = S.train_ivf_centroids(emb, S.IVF_K, iters=0)
+    trained_cents = S.train_ivf_centroids(emb, S.IVF_K)
+    seed_recall, _ = _mean_recall(
+        exact, S.ivf_ann_topk(emb, qf, k=K, cents=seed_cents).collect()
+    )
+    trained_recall, _ = _mean_recall(
+        exact, S.ivf_ann_topk(emb, qf, k=K, cents=trained_cents).collect()
+    )
+    assert trained_recall >= seed_recall, (
+        f"training regressed recall: {trained_recall:.3f} < {seed_recall:.3f}"
+    )
+    # At the default test SF the improvement is strict (0.52 vs 0.45).
+    assert trained_recall >= 0.3
