@@ -84,29 +84,37 @@ def main() -> int:
 
     specs = all_queries()
     timings: dict[str, float] = {}
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    medians: dict[str, float] = {}
+    # n=3 by default: this box has 2-3x run-to-run variance, so alongside
+    # best (the stable engine cost) we record the median — a regression
+    # moves both, noise moves only one.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in names:
         if name not in specs:
             print(f"bench: unknown query {name!r}, skipping", file=sys.stderr)
             continue
-        best = None
+        runs: list[float] = []
         try:
-            # best-of-N: first run pays JIT/codegen warmup; min is the
-            # stable engine cost the gate should compare.
+            # first run pays JIT/codegen warmup; min is the stable engine
+            # cost the gate compares, median the noise-aware companion.
             for _ in range(n_runs):
                 t0 = time.perf_counter()
                 df = specs[name].build(spark, sf_dir)
                 n = df.count()  # full execution, no driver-side row transfer
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+                runs.append(time.perf_counter() - t0)
+            best = min(runs)
+            med = sorted(runs)[len(runs) // 2]
             timings[name] = round(best, 3)
-            print(f"bench: {name} {best:.2f}s ({n} rows)", file=sys.stderr)
+            medians[name] = round(med, 3)
+            print(f"bench: {name} {best:.2f}s median {med:.2f}s ({n} rows)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
+            medians[name] = -1.0
             print(f"bench: {name} ERROR: {e}", file=sys.stderr)
     spark.stop()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total_median = round(sum(t for t in medians.values() if t >= 0), 3)
     print(
         json.dumps(
             {
@@ -114,6 +122,9 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "value_median": total_median,
+                "n_runs": n_runs,
                 "sf": _sf_from_dir(sf_dir),
             }
         )

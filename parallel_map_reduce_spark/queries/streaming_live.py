@@ -76,6 +76,24 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_users_approx",
+    oracle=None,  # approx_count_distinct is approximate by design — the
+    # driver records rows-only; tests/test_approx.py pins the per-window
+    # tolerance against the batch exact count(distinct).
+    doc="The sliding-window users column that count(distinct) can't "
+    "provide in a streaming agg, carried as approx_count_distinct — a "
+    "measured approximation instead of an omission. LIVE drain of "
+    "streaming/events_stream.py:sliding_windows_stream keeping "
+    "n_users_approx.",
+    tags=("streaming", "live", "window", "approx"),
+)
+def streaming_sliding_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ES.sliding_windows_stream(ES.read_events_stream(spark, sf_dir))
+    out = _drain(stream, "live_sliding_users", spark)
+    return out.select("window_start_us", "n_events", "n_users_approx")
+
+
+@register(
     "streaming_sessionized",
     oracle=f"""
 WITH ordered AS (

@@ -22,3 +22,35 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(3, 0.15 * n), (k, n, approx[k])
+
+
+def test_streaming_sliding_users_approx_tolerance(spark, sf_dir):
+    """The LIVE streaming entry's n_users_approx must track the batch
+    exact per-window distinct-user count within HLL++ tolerance — this
+    is the contract that makes streaming_sliding_users_approx a measured
+    approximation rather than an unchecked column."""
+    from parallel_map_reduce_spark.registry import all_queries
+
+    live = all_queries()["streaming_sliding_users_approx"].build(spark, sf_dir)
+    got = {r.window_start_us: (r.n_events, r.n_users_approx) for r in live.collect()}
+
+    e = load_table(spark, sf_dir, "events")
+    exact_rows = (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.unix_micros("w.start").alias("ws"), "n_events", "n_users")
+        .collect()
+    )
+    exact = {r.ws: (r.n_events, r.n_users) for r in exact_rows}
+    assert set(got) == set(exact)
+    for ws, (n_ev, n_exact) in exact.items():
+        got_ev, got_approx = got[ws]
+        assert got_ev == n_ev, f"window {ws}: event counts diverge"
+        assert abs(got_approx - n_exact) <= max(3, 0.15 * n_exact), (
+            ws,
+            n_exact,
+            got_approx,
+        )

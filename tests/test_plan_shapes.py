@@ -74,3 +74,38 @@ def test_events_reads_prune_columns(plans):
     p = plans("event_type_distinct_users")
     read = p.split("ReadSchema")[1][:300]
     assert "props" not in read and "event_id" not in read
+
+
+def test_ngram_jaccard_bounded_shuffles(plans):
+    """Posting-list formulation: shingle group-by, pair count, and the
+    doc-size aggregation are the only shuffles; the size lookups join as
+    broadcasts and no pair stream is ever cross-joined."""
+    p = plans("dedup_ngram_jaccard")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2, "size lookups must broadcast"
+    assert p.count("Exchange hashpartitioning") <= 4
+
+
+def test_ann_lsh_no_cartesian(plans):
+    p = plans("similarity_ann_lsh")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 1, "query side must broadcast"
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_ann_ivf_no_cartesian(plans):
+    """The only nested-loop joins are broadcasts over the k-row centroid
+    table (deliberate); the corpus side must never cartesian-join."""
+    p = plans("similarity_ann_ivf")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 1, "probe join must broadcast"
+
+
+def test_q3_topk_no_exchange_after_agg(plans):
+    """Top-k after the revenue agg must be TakeOrderedAndProject (partial
+    per-partition top-k + single-driver merge), not a global sort: the
+    agg's hashpartitioning Exchange is the plan's only shuffle."""
+    p = plans("q3_shipping_priority")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Sort [" not in p.split("TakeOrdered")[0], "global sort crept in above top-k"
