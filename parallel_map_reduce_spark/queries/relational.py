@@ -586,3 +586,241 @@ def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .select(F.col("n_orders").cast("bigint").alias("n_orders"), "n_customers")
     )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       epoch_us(o.o_orderdate) AS o_orderdate_us,
+       o.o_totalprice,
+       CAST(b.sum_qty AS DOUBLE) AS sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    doc="TPC-H Q18-style large-volume orders: HAVING over a fact agg, "
+    "then join back to orders + customer. The agg output (~1% of "
+    "orders) is small enough that AQE converts both join-backs to "
+    "broadcasts — one shuffle on l_orderkey total. Quantities sum in "
+    "DECIMAL so the >250 threshold can't flip between engines.",
+    tags=("relational", "aggregate", "having", "join"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 250)
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q11_top_spenders",
+    oracle="""
+WITH s AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT SUM(spend) AS total, COUNT(*) AS n FROM s)
+SELECT s.o_custkey, CAST(s.spend AS DOUBLE) AS spend,
+       s.n_orders::BIGINT AS n_orders
+FROM s, tot
+WHERE s.spend * 2 * tot.n > 3 * tot.total
+""",
+    doc="TPC-H Q11-style scalar-subquery threshold: customers whose spend "
+    "exceeds 1.5x the mean per-customer spend. The global aggregate is "
+    "ONE row, broadcast into the filter (no second pass over orders). "
+    "The comparison is cross-multiplied into exact DECIMAL arithmetic "
+    "(spend*2*n > 3*total) so no engine pair can disagree about a "
+    "boundary row the way an avg() division could.",
+    tags=("relational", "aggregate", "scalar-subquery"),
+)
+def q11_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("spend_dec"),
+        F.count("*").alias("n_orders"),
+    )
+    tot = s.agg(F.sum("spend_dec").alias("total"), F.count("*").alias("n"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .filter(F.col("spend_dec") * 2 * F.col("n") > F.col("total") * 3)
+        .select(
+            "o_custkey",
+            F.col("spend_dec").cast("double").alias("spend"),
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "q2_cheapest_part_per_type",
+    oracle="""
+SELECT p.p_type, p.p_partkey, p.p_name, p.p_retailprice
+FROM part p
+JOIN (
+    SELECT p_type, MIN(p_retailprice) AS min_price
+    FROM part GROUP BY p_type
+) m ON m.p_type = p.p_type AND p.p_retailprice = m.min_price
+""",
+    doc="TPC-H Q2-style join-back-on-min (the correlated-subquery "
+    "pattern): all parts achieving their type's minimum price, ties "
+    "kept. Implemented as a window MIN over p_type — one shuffle, no "
+    "join back; the oracle uses the equivalent min-subquery join. "
+    "Equality on an unaggregated stored value (no arithmetic), so the "
+    "float compare is exact in both engines.",
+    tags=("relational", "window", "correlated-subquery"),
+)
+def q2_cheapest_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        p.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_type", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@register(
+    "q7_nation_trade_matrix",
+    oracle="""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY cn.n_name, sn.n_name
+""",
+    doc="TPC-H Q7-style cross-nation trade volume: the fact shuffles once "
+    "on orderkey for the orders join; customer, supplier, and both "
+    "nation dims broadcast (supplier and nation are orders-of-magnitude "
+    "smaller than lineitem at every SF). The <> predicate filters "
+    "after the broadcasts — no theta-join blowup.",
+    tags=("relational", "join", "star", "aggregate"),
+)
+def q7_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
+        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.round(F.sum(revenue), 4).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "customer_running_spend",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+FROM orders
+""",
+    doc="Cumulative window frame (ROWS UNBOUNDED PRECEDING): per-customer "
+    "running spend in order-date order, tie-broken by orderkey so the "
+    "frame is a total order. Complements the rank-based window query "
+    "(top_customers_per_segment) with an explicit frame spec. One "
+    "shuffle on o_custkey; DECIMAL accumulation keeps every prefix sum "
+    "engine-exact.",
+    tags=("relational", "window", "frame"),
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+WITH pos AS (
+    SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS tot, COUNT(*) AS n
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_custkey, c.c_acctbal, c.c_nationkey
+FROM customer c, pos
+WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) * pos.n > pos.tot
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+  )
+""",
+    doc="TPC-H Q22-style: above-average balance (avg over positive "
+    "balances, cross-multiplied to exact DECIMAL so the boundary is "
+    "engine-stable) AND no recent orders — a scalar subquery plus an "
+    "anti join against the filtered fact. The recent-orders side is "
+    "date-pruned at the scan before the anti join.",
+    tags=("relational", "anti", "scalar-subquery"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("tot"), F.count("*").alias("n")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(_dec("c_acctbal") * F.col("n") > F.col("tot"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_acctbal", "c_nationkey")
+    )

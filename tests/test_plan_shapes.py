@@ -109,3 +109,23 @@ def test_q3_topk_no_exchange_after_agg(plans):
     assert "TakeOrderedAndProject" in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "Sort [" not in p.split("TakeOrdered")[0], "global sort crept in above top-k"
+
+
+def test_q7_single_fact_shuffle(plans):
+    """Five dims broadcast; the orderkey join is the plan's only
+    hashpartitioning Exchange (plus the final agg reuses it via AQE)."""
+    p = plans("q7_nation_trade_matrix")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_q18_having_joinback_broadcasts(plans):
+    """The HAVING-filtered agg output is small; both join-backs must be
+    broadcasts on top of the single l_orderkey shuffle."""
+    p = plans("q18_large_orders")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_running_spend_single_shuffle(plans):
+    assert plans("customer_running_spend").count("Exchange hashpartitioning") == 1
