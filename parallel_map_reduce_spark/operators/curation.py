@@ -1,0 +1,117 @@
+"""Corpus curation for training-data pipelines (SURVEY.md §2.3).
+
+The ops a pretraining data pipeline runs between "raw crawl" and
+"tokenizer input", composed from the engine's own primitives:
+
+- ``curate_documents``: the filter chain — length floor, alphabetic-
+  ratio floor, exact-dedup keep-first — as ONE declarative plan, so
+  Catalyst fuses the per-row predicates into the scan and the only
+  shuffle is the dedup group-by.
+- ``train_val_split``: deterministic hash-based split assignment
+  (md5-derived, portable across engines — no rand(), so re-runs and
+  retries assign identically).
+- ``pack_document_bins``: contiguous token-budget packing — documents
+  stream into fixed-budget bins per source shard, the shard/bin layout
+  a sequence-packing pretraining loader consumes.
+
+Threshold hygiene: every filter compares INTEGER quantities
+(cross-multiplied ratios, token counts) — never a derived float against
+a constant — so no engine pair can disagree about a boundary document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_i32
+from .tokenize import TOKEN_SPLIT_REGEX
+
+MIN_TOKENS = 20  # drop docs shorter than this many whitespace tokens
+# alpha_ratio >= 0.5, compared as 2*n_alpha >= n_chars (integer-exact)
+ALPHA_NUM = 2
+PACK_BUDGET = 512  # tokens per packed bin
+SPLIT_SALT = "split:"  # salt so the split hash is independent of other
+# doc_id-derived hashes in the pipeline
+TRAIN_PCT = 90  # md5(doc_id) % 100 < 90 -> train, else val
+
+
+def _n_ws_tokens() -> F.Column:
+    return F.size(
+        F.filter(F.split("text", TOKEN_SPLIT_REGEX), lambda x: F.length(x) > 0)
+    )
+
+
+def curate_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, n_tokens, n_chars) for documents surviving
+    the curation chain: ≥ MIN_TOKENS whitespace tokens, alphabetic ratio
+    ≥ 1/ALPHA_NUM of characters, and first-doc-id-wins exact dedup on
+    md5(text).
+
+    Plan shape: the length/ratio predicates are per-row projections
+    fused into the scan; the dedup is the single shuffle (window min
+    over the digest — at 100 TB the digest distributes uniformly by
+    construction, so no skew mitigation is needed).
+    """
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        _n_ws_tokens().cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
+        F.md5("text").alias("digest"),
+    ).filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_alpha") * ALPHA_NUM >= F.col("n_chars"))
+    )
+    keeper = Window.partitionBy("digest")
+    return (
+        scored.withColumn("min_id", F.min("doc_id").over(keeper))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select("doc_id", "lang", "source", "n_tokens", "n_chars")
+    )
+
+
+def train_val_split(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, split): deterministic hash split — md5-derived so
+    any engine (and any re-run) assigns the same document to the same
+    side; never rand(), which would break retry determinism and make
+    the split irreproducible."""
+    bucket = F.pmod(
+        md5_i32(F.concat(F.lit(SPLIT_SALT), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < TRAIN_PCT, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+
+
+def pack_document_bins(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """(source, bin, n_docs, sum_tokens): contiguous token-budget packing.
+
+    Documents stream through each source shard in doc_id order; a
+    document lands in the bin its STARTING token offset falls in
+    (floor((running_sum - n_tokens) / budget)) — the contiguous-fill
+    approximation of sequence packing that stays a pure window + integer
+    arithmetic plan: one shuffle on source, no Python, engine-exact.
+    A bin can overflow by at most one document — the standard trade for
+    streaming packers; an exact bin-capacity packer is inherently
+    sequential per shard.
+    """
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select("doc_id", "source", _n_ws_tokens().cast("bigint").alias("n_tokens"))
+    binned = toks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget).cast("bigint"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )

@@ -1,0 +1,88 @@
+"""Registered corpus-curation queries (operators/curation.py) with
+DuckDB oracles. All thresholds are integer-exact (cross-multiplied
+ratios), so the oracle row sets match bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import curation as C
+from ..registry import register
+from ..sources.catalog import load_table
+
+# DuckDB spelling of the whitespace-token count (non-empty splits),
+# matching operators/curation._n_ws_tokens.
+_NTOK = "len(list_filter(string_split_regex(text, '[ \t\n]+'), x -> len(x) > 0))"
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang, source,
+           {_NTOK}::BIGINT AS n_tokens,
+           length(text)::BIGINT AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+           md5(text) AS digest
+    FROM documents
+),
+kept AS (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY digest) AS min_id
+    FROM scored
+    WHERE n_tokens >= {C.MIN_TOKENS} AND n_alpha * {C.ALPHA_NUM} >= n_chars
+)
+SELECT doc_id, lang, source, n_tokens, n_chars
+FROM kept WHERE doc_id = min_id
+""",
+    doc="End-to-end curation chain: length floor + alpha-ratio floor + "
+    "exact-dedup keep-first in one declarative plan (predicates fused "
+    "into the scan, dedup is the only shuffle). "
+    "operators/curation.py:curate_documents.",
+    tags=("curation", "dedup", "pipeline"),
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.curate_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_train_val_split",
+    oracle=f"""
+SELECT doc_id, lang,
+       CASE WHEN CAST(concat('0x', substr(md5(concat('{C.SPLIT_SALT}', doc_id::VARCHAR)), 1, 8)) AS BIGINT) % 100 < {C.TRAIN_PCT}
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+""",
+    doc="Deterministic hash-based train/val assignment (md5-derived, "
+    "portable, retry-stable — never rand()). "
+    "operators/curation.py:train_val_split.",
+    tags=("curation", "sampling"),
+)
+def curation_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.train_val_split(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_pack_bins",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source, {_NTOK}::BIGINT AS n_tokens FROM documents
+),
+binned AS (
+    SELECT source,
+           CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) - n_tokens)
+                      / {C.PACK_BUDGET}) AS BIGINT) AS bin,
+           n_tokens
+    FROM toks
+)
+SELECT source, bin, COUNT(*)::BIGINT AS n_docs, SUM(n_tokens)::BIGINT AS sum_tokens
+FROM binned GROUP BY source, bin
+""",
+    doc="Token-budget sequence packing: contiguous fill of fixed-budget "
+    "bins per source shard via a running-sum window — the shard/bin "
+    "layout a packing pretraining loader consumes. "
+    "operators/curation.py:pack_document_bins.",
+    tags=("curation", "window", "packing"),
+)
+def curation_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.pack_document_bins(load_table(spark, sf_dir, "documents"))

@@ -129,3 +129,11 @@ def test_q18_having_joinback_broadcasts(plans):
 
 def test_running_spend_single_shuffle(plans):
     assert plans("customer_running_spend").count("Exchange hashpartitioning") == 1
+
+
+def test_curation_plan_shapes(plans):
+    """Filter chain fuses into the scan: dedup's digest window is the
+    pipeline's only shuffle; the split assignment is a pure projection."""
+    assert plans("curation_pipeline").count("Exchange hashpartitioning") == 1
+    assert "Exchange" not in plans("curation_train_val_split")
+    assert plans("curation_pack_bins").count("Exchange hashpartitioning") <= 2
