@@ -344,3 +344,63 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---- duplicate-cluster resolution (connected components) ----
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """(doc_id, cluster_id) for every node in ``pairs``: connected
+    components by iterative min-label propagation; cluster_id = the
+    smallest doc_id in the component (the canonical "keeper" a dedup
+    pipeline retains).
+
+    Each round: every node takes the min of its own label and its
+    neighbors' labels — one equi-join + one group-by; labels are
+    ``localCheckpoint``-ed per round so the plan stays flat instead of
+    growing exponentially with iterations. Converges in diameter rounds;
+    near-dup clusters are shallow (a dup cluster's diameter is the chain
+    length of pairwise matches, almost always ≤ 3), so the fixpoint
+    check (one count per round) exits after 2-4 rounds. For adversarial
+    diameters at 100 TB the alternating large-star/small-star scheme
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014 — PAPERS.md) converges in O(log d) rounds with the same
+    per-round plan shape; plain propagation is the right default for
+    dedup graphs.
+    """
+    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

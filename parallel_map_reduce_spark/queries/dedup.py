@@ -178,3 +178,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=_JACCARD_THRESHOLD
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+hashed AS (
+    SELECT doc_id, {_HV32.format(col='shingle')} AS hv FROM shingles
+),
+seeds(j, a, b) AS (
+    VALUES {_SEEDS_VALUES}
+),
+mh AS (
+    SELECT h.doc_id, s.j, MIN((s.a * h.hv + s.b) % {D.MINHASH_PRIME}) AS minhash
+    FROM hashed h CROSS JOIN seeds s
+    GROUP BY h.doc_id, s.j
+),
+bands AS (
+    SELECT doc_id, (j // {D.ROWS_PER_BAND}) AS band,
+           md5(string_agg(minhash::VARCHAR, ',' ORDER BY j)) AS sig
+    FROM mh GROUP BY doc_id, (j // {D.ROWS_PER_BAND})
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst))::BIGINT AS cluster_id
+FROM reach GROUP BY src
+""",
+    doc="Duplicate-cluster resolution: connected components over the "
+    "MinHash-LSH candidate pairs (min-label propagation, localCheckpoint "
+    "per round), cluster_id = min doc_id = the canonical keeper. The "
+    "oracle computes the transitive closure with a recursive CTE over "
+    "the SAME pair SQL. operators/dedup.py:connected_components.",
+    tags=("dedup", "graph", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+    return D.connected_components(pairs)

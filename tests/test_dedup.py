@@ -69,3 +69,21 @@ def test_ordered_words_sequence_contract(spark, docs):
         by_doc.setdefault(r.doc_id, []).append(r.seq)
     for doc_id, seqs in by_doc.items():
         assert sorted(seqs) == list(range(1, len(seqs) + 1)), doc_id
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Multi-hop chain (needs >1 propagation round), two islands, and
+    min-id canonicalization — the semantics the recursive-CTE oracle
+    checks on real pairs, pinned here on a constructed graph."""
+    from parallel_map_reduce_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
