@@ -46,6 +46,10 @@ HEADLINE = (
     "streaming_hourly_tumbling",
     "multimodal_image_features",
     "multimodal_video_frames",
+    "q7_nation_trade_matrix",
+    "q18_large_orders",
+    "similarity_ann_ivf",
+    "curation_pipeline",
 )
 
 
