@@ -384,6 +384,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # Carry a per-row changed flag instead of re-joining old vs new
+        # labels afterwards: one checkpointed frame, one tiny agg action
+        # per round instead of a join + count.
         new_labels = (
             labels.join(nbr, labels.doc_id == nbr.src, "left")
             .select(
@@ -391,16 +394,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label"))
+                .cast("int")
+                .alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum("chg")).first()[0]
+        labels = new_labels.drop("chg")
+        if not changed:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
