@@ -365,3 +365,22 @@ def label_blocked_neardup(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """(label, pos, mean_val, n_vectors): per-label mean embedding in
+    long format (one row per dimension).
+
+    posexplode → groupBy(label, pos) is ONE shuffle whose key count is
+    |labels| × dim — thousands of groups regardless of corpus size, so
+    partial aggregation collapses the exploded stream map-side and the
+    exchange carries only the group table. The long format is the
+    join-ready shape for per-dimension analytics (variance, whitening,
+    per-class probes); reassembly to arrays is a collect_list away
+    (see train_ivf_centroids for that pattern).
+    """
+    dims = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return dims.groupBy("label", "pos").agg(
+        F.round(F.avg("val"), 4).alias("mean_val"),
+        F.count("*").alias("n_vectors"),
+    ).select("label", F.col("pos").cast("bigint").alias("pos"), "mean_val", "n_vectors")

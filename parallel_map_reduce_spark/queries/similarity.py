@@ -110,3 +110,27 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_ann_topk(emb, F.col("vec_id") % _QUERY_MOD == 0, k=_K)
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+WITH dims AS (
+    SELECT label,
+           unnest(range(len(embedding))) AS pos,
+           unnest(embedding) AS val
+    FROM embeddings
+)
+SELECT label, pos::BIGINT AS pos,
+       round(avg(val), 4) AS mean_val,
+       COUNT(*)::BIGINT AS n_vectors
+FROM dims GROUP BY label, pos
+""",
+    doc="Per-label mean embedding (class centroids) in long format — "
+    "posexplode + per-dimension partial agg; group count is "
+    "|labels|*dim, so the exchange stays tiny at any corpus size. "
+    "operators/similarity.py:label_centroids.",
+    tags=("similarity", "embedding", "aggregate"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.label_centroids(load_table(spark, sf_dir, "embeddings"))
