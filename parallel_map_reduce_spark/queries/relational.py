@@ -824,3 +824,40 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
         .select("c_custkey", "c_acctbal", "c_nationkey")
     )
+
+
+@register(
+    "orders_trailing_7d_spend",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY epoch_us(o_orderdate)
+                      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS trailing_7d_spend
+FROM orders
+""",
+    doc="Time-based RANGE window frame: per-customer trailing-7-day "
+    "spend, inclusive of the current order and all same-instant peers "
+    "(RANGE, not ROWS — peer rows always aggregate together, so the "
+    "result is well-defined under timestamp ties). Ordered by integer "
+    "epoch-micros with an integer bound on both engines; DECIMAL "
+    "accumulation keeps every frame sum exact. One shuffle on "
+    "o_custkey, same as the cumulative-frame query.",
+    tags=("relational", "window", "frame", "range"),
+)
+def orders_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(us)
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        us.alias("o_orderdate_us"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("trailing_7d_spend"),
+    )

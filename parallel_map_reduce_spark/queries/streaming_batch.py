@@ -227,3 +227,66 @@ def event_type_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFr
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.05).alias("n_users_approx")
     )
+
+
+@register(
+    "events_latest_per_user",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, ts, event_type, value, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events
+)
+SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
+FROM ranked WHERE rk = 1
+""",
+    doc="CDC-style compaction: latest event per user (max ts, event_id "
+    "tie-break) — the 'current state' materialization every changelog "
+    "consumer needs. Window row_number + filter; at scale this is the "
+    "same single shuffle as any per-key top-1, and with a sorted/"
+    "bucketed layout the window degrades to a scan.",
+    tags=("streaming", "compaction", "window"),
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_type",
+            "value",
+        )
+    )
+
+
+_APPROX_PCTS = [0.5, 0.9, 0.99]
+
+
+@register(
+    "event_value_quantiles_approx",
+    oracle=None,  # approximate by design (Greenwald-Khanna sketch) — the
+    # driver records rows-only; tests/test_approx.py pins the tolerance
+    # against the exact grouped quantiles.
+    doc="Sketch-based grouped quantiles: percentile_approx (Greenwald-"
+    "Khanna, mergeable partials — the 100 TB default the exact "
+    "applyInPandas operator documents as its scale fallback), exploded "
+    "to (event_type, p, value_approx) long format.",
+    tags=("streaming", "approx", "quantile"),
+)
+def event_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pcts = F.array(*[F.lit(p) for p in _APPROX_PCTS])
+    agg = e.groupBy("event_type").agg(
+        F.percentile_approx("value", pcts, 10000).alias("vals")
+    )
+    pct_arr = F.array(*[F.lit(p) for p in _APPROX_PCTS])
+    return agg.select(
+        "event_type",
+        F.explode(F.arrays_zip(pct_arr.alias("p"), F.col("vals").alias("v"))).alias("z"),
+    ).select("event_type", F.col("z.p").alias("p"), F.col("z.v").alias("value_approx"))

@@ -54,3 +54,29 @@ def test_streaming_sliding_users_approx_tolerance(spark, sf_dir):
             n_exact,
             got_approx,
         )
+
+
+def test_percentile_approx_within_tolerance(spark, sf_dir):
+    """event_value_quantiles_approx must honor the Greenwald-Khanna
+    guarantee, which is a RANK bound, not a value bound (in a sparse
+    tail, adjacent order statistics can be far apart in value while
+    being adjacent in rank): the returned value's true rank must sit
+    within ~1/accuracy of the requested percentile."""
+    from parallel_map_reduce_spark.registry import all_queries
+
+    approx_rows = (
+        all_queries()["event_value_quantiles_approx"].build(spark, sf_dir).collect()
+    )
+    approx = {(r.event_type, r.p): r.value_approx for r in approx_rows}
+    assert approx, "approx quantiles returned nothing"
+
+    e = load_table(spark, sf_dir, "events")
+    counts = {r.event_type: r["count"] for r in e.groupBy("event_type").count().collect()}
+    for (etype, p), got in approx.items():
+        grp = e.filter(F.col("event_type") == etype)
+        n = counts[etype]
+        n_le = grp.filter(F.col("value") <= got).count()
+        rank = n_le / n
+        # accuracy=10000 → rank error 1/10000; allow slack for the
+        # <=-vs-< boundary on small groups.
+        assert abs(rank - p) <= max(0.001, 2.0 / n), (etype, p, got, rank, n)
