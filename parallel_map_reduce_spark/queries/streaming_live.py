@@ -132,3 +132,30 @@ GROUP BY user_id, session_id
 def streaming_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = SZ.session_window_agg(ES.read_events_stream(spark, sf_dir), streaming=True)
     return _drain(stream, "live_sessions", spark)
+
+
+@register(
+    "streaming_segment_enrichment",
+    oracle="""
+SELECT epoch_us(date_trunc('hour', e.ts)) AS window_start_us,
+       COALESCE(c.c_mktsegment, 'unknown') AS segment,
+       COUNT(*)::BIGINT AS n_events
+FROM events e
+LEFT JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+""",
+    doc="LIVE stream-static join: the event stream left-joins the "
+    "customer dim per micro-batch (broadcast against each batch), then "
+    "a watermarked tumbling count per (window, segment) — the canonical "
+    "streaming-enrichment shape, oracled against the equivalent batch "
+    "join. streaming/events_stream.py:segment_enriched_stream.",
+    tags=("streaming", "live", "join", "enrichment"),
+)
+def streaming_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    stream = ES.segment_enriched_stream(
+        ES.read_events_stream(spark, sf_dir), customer
+    )
+    return _drain(stream, "live_segment", spark)

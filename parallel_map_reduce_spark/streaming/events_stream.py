@@ -148,3 +148,28 @@ def run_to_memory(stream_df: DataFrame, table_name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def segment_enriched_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: the event stream enriched with the customer
+    dimension (user_id → mktsegment), then a watermarked windowed count
+    per (window, segment). The static side is re-read per micro-batch by
+    the engine (picking up dim updates); with a small dim it plans as a
+    broadcast join against each batch — the canonical streaming
+    enrichment shape. Events without a matching customer fall into the
+    'unknown' segment via a left join + coalesce."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        events.join(dim, "user_id", "left")
+        .withColumn("segment", F.coalesce("segment", F.lit("unknown")))
+        .withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros("w.start").alias("window_start_us"),
+            "segment",
+            "n_events",
+        )
+    )

@@ -42,3 +42,30 @@ def test_jsonl_documents_source(spark, sf_dir, tmp_path):
     got = _index_rows(inverted_index(docs_j.select("doc_id", "text")))
     want = _index_rows(inverted_index(docs))
     assert got == want and len(got) > 0
+
+
+def test_orc_sink_roundtrip(spark, sf_dir, tmp_path):
+    """Same pipeline over an ORC landing — the other common columnar
+    at-rest format; partition pruning works identically."""
+    idx = inverted_index(load_table(spark, sf_dir, "documents"))
+    out = str(tmp_path / "index_orc")
+    idx.write.mode("overwrite").partitionBy("letter").orc(out)
+    back = spark.read.orc(out)
+    assert _index_rows(back) == _index_rows(idx)
+
+
+def test_csv_documents_source(spark, sf_dir, tmp_path):
+    """CSV landing with an explicit schema (quote/escape round-trip for
+    free-text columns) feeds the same pipeline unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cv = str(tmp_path / "docs_csv")
+    docs.write.mode("overwrite").option("header", True).option("escape", '"').csv(cv)
+    docs_c = (
+        spark.read.schema("doc_id BIGINT, text STRING")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(cv)
+    )
+    got = _index_rows(inverted_index(docs_c))
+    want = _index_rows(inverted_index(docs))
+    assert got == want and len(got) > 0
