@@ -159,3 +159,44 @@ def streaming_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ES.read_events_stream(spark, sf_dir), customer
     )
     return _drain(stream, "live_segment", spark)
+
+
+def _drain_append(stream_df: DataFrame, base: str, spark: SparkSession) -> DataFrame:
+    name = f"{base}_{next(_seq)}"
+    ES.run_to_memory_append(stream_df, name)
+    return spark.table(name)
+
+
+@register(
+    "streaming_purchase_click_join",
+    oracle="""
+SELECT p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_ts_us,
+       epoch_us(c.ts) AS click_ts_us
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+""",
+    doc="LIVE stream-stream interval join: purchases x clicks by the "
+    "same user within the preceding hour, watermarks on both sides "
+    "bounding join state (state = rate x window, evicted at watermark). "
+    "Inner joins emit on match, so the append-mode drain returns the "
+    "complete result for a finite source. "
+    "streaming/events_stream.py:purchase_click_interval_join.",
+    tags=("streaming", "live", "join", "interval"),
+)
+def streaming_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = ES.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = ES.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    stream = ES.purchase_click_interval_join(purchases, clicks)
+    return _drain_append(stream, "live_pclick", spark)

@@ -173,3 +173,58 @@ def segment_enriched_stream(events: DataFrame, customer: DataFrame) -> DataFrame
             "n_events",
         )
     )
+
+
+def run_to_memory_append(stream_df: DataFrame, table_name: str) -> None:
+    """Append-mode drain for queries whose results emit as they are
+    produced (stream-stream INNER joins emit on match; nothing is
+    withheld for watermark closure, which only governs state eviction).
+    Complete mode is invalid for joins — hence the second drain mode."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def purchase_click_interval_join(
+    purchases: DataFrame, clicks: DataFrame
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to every click
+    by the same user in the preceding hour. Both sides carry watermarks
+    and the join condition carries the time interval — that pair is what
+    lets the engine BOUND the join state: a click older than
+    (watermark - 1h) can never match a future purchase and its state is
+    evicted, so state size is rate × window, not the whole history.
+    This is the streaming twin of the batch as-of family; the inner
+    interval join emits matches immediately (append mode)."""
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", WATERMARK)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    ).withWatermark("c_ts", WATERMARK)
+    joined = p.join(
+        c,
+        F.expr(
+            """
+            p_user = c_user AND
+            c_ts >= p_ts - INTERVAL 1 HOUR AND
+            c_ts <= p_ts
+            """
+        ),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        F.unix_micros("c_ts").alias("click_ts_us"),
+    )
