@@ -26,6 +26,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 QUANTILES = (0.25, 0.5, 0.75, 0.95)
 
@@ -58,7 +59,12 @@ def event_value_quantiles(events: DataFrame) -> DataFrame:
     )
 
 
-@pandas_udf("double")
+# NB: the return type must be a DataType instance, not a DDL string —
+# a DDL string is parsed lazily via the active SparkSession, and this
+# module is also imported by Python WORKERS (to unpickle the grouped-map
+# fn above), where no session exists; a string here crashes the import
+# and every UDF in the module with SESSION_OR_CONTEXT_NOT_EXISTS.
+@pandas_udf(DoubleType())
 def mean_abs_dev(v: pd.Series) -> float:
     """Grouped-AGG pandas UDF (Series → scalar): mean absolute deviation
     around the group mean. The fifth UDF surface (alongside grouped-map,
