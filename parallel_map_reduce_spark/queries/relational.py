@@ -884,3 +884,74 @@ def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
     )
+
+
+@register(
+    "orders_value_deciles",
+    oracle="""
+WITH ranked AS (
+    SELECT o_totalprice,
+           NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+    FROM orders
+)
+SELECT decile::BIGINT AS decile,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM ranked
+GROUP BY decile
+""",
+    doc="Exact NTILE(10) value deciles over all orders — computed by "
+    "operators/ranking.py:global_ntile (range-bucketed local sort + "
+    "prefix offsets), NOT Window.orderBy, whose empty partitionBy "
+    "would drag every row through one task. The oracle runs the real "
+    "single-node NTILE; matching it bit-for-bit is the proof the "
+    "distributed decomposition is exact, remainder rule included.",
+    tags=("relational", "window", "ranking", "scale"),
+)
+def orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_ntile
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tiled = global_ntile(o, ["o_totalprice", "o_orderkey"], 10, out_col="decile")
+    return tiled.groupBy(F.col("decile")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "customer_priority_multiset",
+    oracle="""
+SELECT 'urgent_and_high' AS op, c FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+)
+UNION ALL
+SELECT 'urgent_minus_high' AS op, c FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+)
+""",
+    doc="Multiset (bag) set ops: INTERSECT ALL keeps min(m1,m2) copies "
+    "per key, EXCEPT ALL keeps m1-m2 — multiplicity semantics the "
+    "DISTINCT-based nation_set_ops can't exercise. Spark plans both as "
+    "a count-compare aggregate + generate: one shuffle per op, no "
+    "row-by-row anti join.",
+    tags=("relational", "setops", "multiset"),
+)
+def customer_priority_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pick = lambda p: o.filter(F.col("o_orderpriority") == p).select(  # noqa: E731
+        F.col("o_custkey").alias("c")
+    )
+    urgent, high = pick("1-URGENT"), pick("2-HIGH")
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "c")  # noqa: E731
+    return tag(urgent.intersectAll(high), "urgent_and_high").unionByName(
+        tag(urgent.exceptAll(high), "urgent_minus_high")
+    )

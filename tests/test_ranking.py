@@ -1,0 +1,55 @@
+"""Distributed global ranking (operators/ranking.py).
+
+Exactness is proven two ways: (a) differential vs the single-partition
+``Window.orderBy`` reference on real data at test scale, (b) the DuckDB
+NTILE oracle for ``orders_value_deciles`` in the driver gate. The plan
+contract pins the 100 TB property: no single-partition exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_spark.operators.ranking import (
+    global_ntile,
+    global_row_number,
+)
+from parallel_map_reduce_spark.registry import all_queries
+from parallel_map_reduce_spark.sources.catalog import load_table
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+
+
+def test_global_row_number_matches_window(spark, sf_dir):
+    o = _orders(spark, sf_dir)
+    got = global_row_number(o, ["o_totalprice", "o_orderkey"], rn_col="rn")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    ref = o.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    assert got.exceptAll(ref).isEmpty() and ref.exceptAll(got).isEmpty()
+
+
+def test_global_ntile_matches_window(spark, sf_dir):
+    o = _orders(spark, sf_dir)
+    for k in (3, 10):
+        got = global_ntile(o, ["o_totalprice", "o_orderkey"], k, out_col="t")
+        w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+        ref = o.withColumn("t", F.ntile(k).over(w).cast("bigint"))
+        assert got.exceptAll(ref).isEmpty() and ref.exceptAll(got).isEmpty()
+
+
+def test_global_ntile_n_smaller_than_k(spark, sf_dir):
+    # N < k: NTILE gives each row its own tile 1..N (ANSI div-by-zero guard)
+    tiny = _orders(spark, sf_dir).orderBy("o_orderkey").limit(4)
+    got = global_ntile(tiny, ["o_totalprice", "o_orderkey"], 10, out_col="t")
+    tiles = sorted(r["t"] for r in got.select("t").collect())
+    assert tiles == [1, 2, 3, 4]
+
+
+def test_deciles_plan_has_no_single_partition_exchange(spark, sf_dir):
+    q = all_queries()["orders_value_deciles"]
+    plan = q.build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan.lower()
