@@ -115,3 +115,31 @@ def pack_document_bins(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
     )
+
+
+# Per-language keep-rate (percent) for stratified downsampling; languages
+# absent from the map keep DEFAULT_RATE. 'en' dominates the corpus ~2:1,
+# so the sample rebalances by keeping 40% of it.
+STRATA_RATES: dict[str, int] = {"en": 40}
+DEFAULT_RATE = 100
+STRATA_SALT = "strat:"
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source): deterministic stratified sample — each
+    language keeps STRATA_RATES[lang]% of its documents (DEFAULT_RATE
+    for unlisted languages), selected by a salted md5 bucket of doc_id.
+
+    Scale shape: a pure per-row predicate — no sampleBy (whose
+    Bernoulli draw is seed- and partitioning-dependent), no shuffle, no
+    per-stratum pass. The same document is kept by every engine, every
+    retry, every partitioning; the rate map rides along as a CASE
+    expression, so adding strata never adds a scan."""
+    bucket = F.pmod(
+        md5_i32(F.concat(F.lit(STRATA_SALT), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    rate = F.lit(DEFAULT_RATE)
+    for lang, pct in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")

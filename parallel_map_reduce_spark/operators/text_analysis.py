@@ -223,3 +223,84 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(norm_text).alias("fingerprint"),
         F.substring(norm_text, 1, 40).alias("norm_text_prefix"),
     )
+
+
+def _ngrams(words: F.Column, k: int) -> F.Column:
+    """Order-preserving k-gram strings ('w1 w2 ... wk') from a word
+    array, as a pure array projection. Empty array when the doc has
+    fewer than k words (the sequence() guard matters: Spark's
+    sequence(a, b) with b < a yields a DESCENDING range, not empty)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (k - 1)),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+    return F.when(F.size(words) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, top_word_frac, top_bigram_frac,
+    dup_bigram_frac, dup_trigram_frac): Gopher-style repetition quality
+    signals (Rae et al. 2021 §A1.1: top-n-gram fraction, duplicate
+    n-gram fraction) over the cleaned token stream.
+
+    Zero-shuffle: every signal is an array fold over the per-doc word
+    array — distinct counts via array_distinct, top-frequency via a
+    distinct×filter product that is O(u·n) in the DOC's own length,
+    bounded per row regardless of corpus size. All fractions are
+    integer-count divisions → bit-identical across engines. (The
+    reference's per-doc word loop, src/tema1.cpp:142-166, is the same
+    per-document locality this projection preserves.)
+
+    Line-level duplicate signals (Gopher's other half) are intentionally
+    not computed: the corpus stores documents as single-line normalized
+    text, so they would be vacuously zero for every row.
+    """
+
+    def top_freq(arr: F.Column) -> F.Column:
+        counts = F.transform(
+            F.array_distinct(arr),
+            lambda g: F.size(F.filter(arr, lambda x: x == g)),
+        )
+        return F.coalesce(F.array_max(counts), F.lit(0))
+
+    def frac(num: F.Column, den: F.Column) -> F.Column:
+        return F.when(den > 0, num / den.cast("double")).otherwise(F.lit(0.0))
+
+    staged = docs.select("doc_id", _clean_words_arr().alias("words")).select(
+        "doc_id",
+        "words",
+        _ngrams(F.col("words"), 2).alias("big"),
+        _ngrams(F.col("words"), 3).alias("tri"),
+    )
+    n_words = F.size("words")
+    n_big, n_tri = F.size("big"), F.size("tri")
+    return staged.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_tokens"),
+        frac(top_freq(F.col("words")), n_words).alias("top_word_frac"),
+        frac(top_freq(F.col("big")), n_big).alias("top_bigram_frac"),
+        frac(n_big - F.size(F.array_distinct("big")), n_big).alias("dup_bigram_frac"),
+        frac(n_tri - F.size(F.array_distinct("tri")), n_tri).alias("dup_trigram_frac"),
+    )
+
+
+def bigram_counts(docs: DataFrame) -> DataFrame:
+    """(bigram, tf, df): corpus-wide LM bigram count table — total
+    occurrences (tf) and containing-document count (df) per bigram.
+
+    Plan: the per-doc bigram array is a zero-shuffle projection
+    (_ngrams), then ONE shuffle keyed by the bigram does both counts —
+    df via two-phase distinct-doc counting inside the same aggregation.
+    Bigram keys distribute like text n-grams (Zipfian); at 100 TB the
+    partial (map-side) count absorbs the head tokens' skew before the
+    exchange, which is why tf uses count(*) + partial agg rather than
+    collecting postings."""
+    pairs = docs.select(
+        "doc_id", F.explode(_ngrams(_clean_words_arr(), 2)).alias("bigram")
+    )
+    return pairs.groupBy("bigram").agg(
+        F.count("*").cast("bigint").alias("tf"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )

@@ -86,3 +86,29 @@ FROM binned GROUP BY source, bin
 )
 def curation_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pack_document_bins(load_table(spark, sf_dir, "documents"))
+
+
+def _strata_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lg}' THEN {pct}" for lg, pct in C.STRATA_RATES.items()
+    )
+    return f"CASE {whens} ELSE {C.DEFAULT_RATE} END"
+
+
+@register(
+    "curation_stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(concat('0x', substr(md5(concat('{C.STRATA_SALT}', doc_id::VARCHAR)), 1, 8)) AS BIGINT) % 100
+      < {_strata_rate_sql()}
+""",
+    doc="Deterministic stratified sampling: per-language keep rates via "
+    "a salted md5 bucket — a pure per-row predicate (no sampleBy "
+    "Bernoulli draw, no shuffle), so every engine/retry/partitioning "
+    "keeps the identical document set. "
+    "operators/curation.py:stratified_sample.",
+    tags=("curation", "sampling"),
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.stratified_sample(load_table(spark, sf_dir, "documents"))

@@ -250,3 +250,91 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.udtf_ops import split_sentences
 
     return split_sentences(spark, load_table(spark, sf_dir, "documents"))
+
+
+# DuckDB mirror of operators/text_analysis._clean_words_arr: cleaned
+# non-empty word array, order preserved, tf semantics.
+_WORDS_ARR = (
+    "list_filter(list_transform(string_split_regex(text, '[ \\t\\n]+'), "
+    "t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))), w -> length(w) > 0)"
+)
+
+
+def _ngrams_sql(k: int) -> str:
+    """DuckDB mirror of operators/text_analysis._ngrams for small k."""
+    parts = " || ' ' || ".join(f"words[CAST(i + {j} AS INT)]" for j in range(k))
+    return (
+        f"CASE WHEN len(words) >= {k} "
+        f"THEN list_transform(range(1, len(words) - {k - 2}), i -> {parts}) "
+        "ELSE [] END"
+    )
+
+
+_TOP_FREQ = (
+    "CASE WHEN len({a}) > 0 THEN list_max(list_transform(list_distinct({a}), "
+    "g -> len(list_filter({a}, x -> x = g)))) ELSE 0 END"
+)
+_FRAC = "CASE WHEN {d} > 0 THEN {n} / CAST({d} AS DOUBLE) ELSE 0.0 END"
+
+
+@register(
+    "text_repetition_signals",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, {_WORDS_ARR} AS words FROM documents
+),
+grams AS (
+    SELECT doc_id, words,
+           {_ngrams_sql(2)} AS big,
+           {_ngrams_sql(3)} AS tri
+    FROM base
+),
+stats AS (
+    SELECT doc_id,
+           len(words) AS n_words,
+           {_TOP_FREQ.format(a='words')} AS top_word_n,
+           len(big) AS n_big,
+           {_TOP_FREQ.format(a='big')} AS top_big_n,
+           len(list_distinct(big)) AS d_big,
+           len(tri) AS n_tri,
+           len(list_distinct(tri)) AS d_tri
+    FROM grams
+)
+SELECT doc_id,
+       n_words::BIGINT AS n_tokens,
+       {_FRAC.format(n='top_word_n', d='n_words')} AS top_word_frac,
+       {_FRAC.format(n='top_big_n', d='n_big')} AS top_bigram_frac,
+       {_FRAC.format(n='(n_big - d_big)', d='n_big')} AS dup_bigram_frac,
+       {_FRAC.format(n='(n_tri - d_tri)', d='n_tri')} AS dup_trigram_frac
+FROM stats
+""",
+    doc="Gopher-style repetition quality signals (top-n-gram fraction, "
+    "duplicate-n-gram fraction; Rae et al. 2021 A1.1) as zero-shuffle "
+    "array folds — integer-count divisions, bit-identical across "
+    "engines. operators/text_analysis.py:repetition_signals.",
+    tags=("text", "quality", "curation"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_bigram_counts",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, {_WORDS_ARR} AS words FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest({_ngrams_sql(2)}) AS bigram FROM base
+)
+SELECT bigram, COUNT(*)::BIGINT AS tf, COUNT(DISTINCT doc_id)::BIGINT AS df
+FROM grams GROUP BY bigram
+""",
+    doc="Corpus-wide LM bigram count table (tf + containing-doc df) — "
+    "zero-shuffle gram projection, ONE bigram-keyed shuffle with "
+    "map-side partials absorbing Zipfian head skew. "
+    "operators/text_analysis.py:bigram_counts.",
+    tags=("text", "ngram", "aggregation"),
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bigram_counts(load_table(spark, sf_dir, "documents"))

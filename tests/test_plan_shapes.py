@@ -55,6 +55,8 @@ def test_scan_speed_ops_have_no_exchange(plans):
         "text_token_counts",
         "text_quality_scores",
         "text_lang_id",
+        "text_repetition_signals",
+        "curation_stratified_sample",
         "dedup_simhash",
         "multimodal_image_features",
         "multimodal_video_frames",
