@@ -200,3 +200,22 @@ def streaming_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     stream = ES.purchase_click_interval_join(purchases, clicks)
     return _drain_append(stream, "live_pclick", spark)
+
+
+@register(
+    "streaming_dedup_keys",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    doc="LIVE streaming deduplication: dropDuplicatesWithinWatermark "
+    "suppresses repeat (user_id, event_type) arrivals with state "
+    "bounded by the watermark delay (evicted on watermark advance — "
+    "plain streaming dropDuplicates can never evict). Drained keys-only "
+    "so the availableNow single-batch output equals the exact distinct "
+    "key set the oracle computes. "
+    "streaming/events_stream.py:dedup_keys_stream.",
+    tags=("streaming", "live", "dedup"),
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = ES.dedup_keys_stream(ES.read_events_stream(spark, sf_dir))
+    return _drain_append(stream, "live_dedup", spark)

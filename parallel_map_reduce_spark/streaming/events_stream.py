@@ -228,3 +228,22 @@ def purchase_click_interval_join(
         F.unix_micros("p_ts").alias("purchase_ts_us"),
         F.unix_micros("c_ts").alias("click_ts_us"),
     )
+
+
+def dedup_keys_stream(events: DataFrame) -> DataFrame:
+    """Streaming deduplication: first-seen suppression per
+    (user_id, event_type) via ``dropDuplicatesWithinWatermark``.
+
+    Within-watermark dedup is the SCALE form of streaming distinct:
+    state holds only keys younger than the watermark delay (evicted as
+    the watermark passes), so state size is rate x delay — plain
+    ``dropDuplicates`` on a stream can never evict and grows state
+    forever. The trade: a key recurring farther apart than the delay is
+    re-emitted. The projection keeps only the key columns, so the drain
+    output is the distinct key set — deterministic regardless of which
+    physical row per key arrived first."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
