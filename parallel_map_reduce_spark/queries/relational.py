@@ -955,3 +955,125 @@ def customer_priority_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tag(urgent.intersectAll(high), "urgent_and_high").unionByName(
         tag(urgent.exceptAll(high), "urgent_minus_high")
     )
+
+
+@register(
+    "q14_promo_revenue_ratio",
+    oracle="""
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       ROUND(CAST(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                             ELSE 0 END)
+            / SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS promo_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY 1
+""",
+    doc="TPC-H Q14 pattern: promo revenue share per ship year — "
+    "conditional aggregation over a fact-dim join. The part dim "
+    "broadcasts (hash join with no fact shuffle); decimal-exact "
+    "numerator/denominator with ONE double cast at the end, so both "
+    "engines agree bit-for-bit.",
+    tags=("relational", "join", "aggregation", "conditional"),
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        rev.alias("rev"),
+        (F.col("p_type") == "PROMO").alias("is_promo"),
+    )
+    return j.groupBy("ship_year").agg(
+        # round(…, 4): the decimal-quotient → double conversion is the one
+        # step the engines' libms may disagree on in the last bit
+        F.round(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("is_promo"), F.col("rev")).otherwise(F.lit(0)))
+                / F.sum("rev")
+            ).cast("double"),
+            4,
+        ).alias("promo_pct")
+    )
+
+
+@register(
+    "q19_brand_size_disjunction",
+    oracle="""
+SELECT p_brand,
+       COUNT(*)::BIGINT AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#18' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+GROUP BY p_brand
+""",
+    doc="TPC-H Q19 pattern: disjunctive OR-of-ANDs predicate across a "
+    "join. Catalyst extracts the common-column residues so the "
+    "part-side conjuncts (brand IN, size bounds) prune the dim scan and "
+    "the lineitem quantity bounds push to the fact scan BEFORE the "
+    "join — the difference between joining 3 brands' lines and joining "
+    "everything at 100 TB.",
+    tags=("relational", "join", "predicate-pushdown"),
+)
+def q19_brand_size_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 20))
+        | ((b == "Brand#15") & s.between(10, 30) & q.between(10, 30))
+        | ((b == "Brand#18") & s.between(20, 50) & q.between(20, 40))
+    )
+    rev = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        j.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id,
+       epoch_us(v.t) AS view_ts_us,
+       epoch_us(c.t) AS click_ts_us,
+       epoch_us(p.t) AS purchase_ts_us
+FROM v JOIN c ON v.user_id = c.user_id JOIN p ON v.user_id = p.user_id
+""",
+    doc="Ordered funnel (view -> click -> purchase, >= time matching): "
+    "ONE shuffle — per-user time-sorted array fold advances the step "
+    "state machine in codegen, vs the oracle's independent 3-join "
+    "cascade formulation (3 shuffles, 3 fact reads). Agreement between "
+    "the two formulations is the semantic proof. "
+    "operators/funnel.py:funnel_first_completion.",
+    tags=("relational", "funnel", "sessionization", "custom-operator"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_first_completion
+
+    return funnel_first_completion(load_table(spark, sf_dir, "events"))

@@ -65,6 +65,21 @@ def test_scan_speed_ops_have_no_exchange(plans):
         assert "Exchange" not in p, f"{name} grew a shuffle"
 
 
+def test_funnel_single_shuffle(plans):
+    """The funnel fold must keep its one-shuffle shape — regressing to
+    the join-cascade formulation would triple the shuffles."""
+    assert plans("funnel_view_click_purchase").count("Exchange hashpartitioning") == 1
+
+
+def test_q19_disjunction_pushed_and_broadcast(plans):
+    p = plans("q19_brand_size_disjunction")
+    # the OR-of-quantity-bounds residue reaches the lineitem scan
+    assert "Or(And(GreaterThanOrEqual(l_quantity" in p.replace(
+        "Or(Or(And(GreaterThanOrEqual(l_quantity", "Or(And(GreaterThanOrEqual(l_quantity"
+    )
+    assert p.count("BroadcastHashJoin") >= 1
+
+
 def test_flagship_single_shuffle(plans):
     """Per-doc array_distinct dedup keeps the flagship at ONE Exchange
     (the postings group-by) — the global dropDuplicates would add a
