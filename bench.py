@@ -50,6 +50,10 @@ HEADLINE = (
     "q18_large_orders",
     "similarity_ann_ivf",
     "curation_pipeline",
+    "orders_value_deciles",
+    "funnel_view_click_purchase",
+    "text_repetition_signals",
+    "text_bigram_counts",
 )
 
 

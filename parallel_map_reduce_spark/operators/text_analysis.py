@@ -296,9 +296,16 @@ def bigram_counts(docs: DataFrame) -> DataFrame:
     Bigram keys distribute like text n-grams (Zipfian); at 100 TB the
     partial (map-side) count absorbs the head tokens' skew before the
     exchange, which is why tf uses count(*) + partial agg rather than
-    collecting postings."""
-    pairs = docs.select(
-        "doc_id", F.explode(_ngrams(_clean_words_arr(), 2)).alias("bigram")
+    collecting postings.
+
+    The word array is STAGED through a select before _ngrams sees it:
+    _ngrams references its input 3x, and handing it the raw clean-words
+    expression subtree makes Catalyst duplicate the per-token regexp
+    cleaning per reference — measured 10x slower at sf0.1 than
+    referencing the bound column."""
+    staged = docs.select("doc_id", _clean_words_arr().alias("words"))
+    pairs = staged.select(
+        "doc_id", F.explode(_ngrams(F.col("words"), 2)).alias("bigram")
     )
     return pairs.groupBy("bigram").agg(
         F.count("*").cast("bigint").alias("tf"),

@@ -134,3 +134,30 @@ FROM dims GROUP BY label, pos
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_l2_norms_arrow",
+    oracle="""
+WITH sq AS (
+    SELECT vec_id,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+           CAST(embedding[1] AS DOUBLE) AS head
+    FROM embeddings
+)
+SELECT vec_id,
+       ROUND(nrm, 4) AS l2_norm,
+       ROUND(head / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END, 6) AS unit_head
+FROM sq
+""",
+    doc="mapInArrow surface: per-vector L2 norm + unit-vector head, "
+    "computed as one numpy BLAS pass per Arrow RecordBatch (no pandas "
+    "materialization). Rounded to 4/6 dp on BOTH sides — numpy's "
+    "pairwise summation and DuckDB's sequential list_sum differ in the "
+    "last float bit. functions/arrow_ops.py:l2_norms_arrow.",
+    tags=("similarity", "embedding", "udf-surface", "arrow"),
+)
+def embedding_l2_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.arrow_ops import l2_norms_arrow
+
+    return l2_norms_arrow(load_table(spark, sf_dir, "embeddings"))

@@ -317,3 +317,28 @@ def event_value_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         mean_abs_dev("value").alias("mean_abs_dev"),
     )
+
+
+@register(
+    "event_users_hll_rollup",
+    oracle=None,  # sketch estimates are approximate by design — rows-only
+    # in the driver gate; tests/test_approx.py pins the per-type relative
+    # error vs exact count(distinct) AND re-aggregation consistency.
+    doc="Mergeable-sketch rollup (Apache DataSketches HLL): per-(type, "
+    "day) user sketches built once, then UNIONED to per-type estimates "
+    "with hll_union_agg — the pre-aggregated cube pattern where a 100 TB "
+    "fact is sketched ONCE at fine grain and every coarser rollup is a "
+    "cheap sketch merge instead of a fact re-scan. approx_count_distinct "
+    "can't do this: its HLL++ sketch is consumed inside the single "
+    "aggregation that built it, never stored or re-merged.",
+    tags=("relational", "aggregate", "approx", "sketch", "rollup"),
+)
+def event_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_day = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return per_day.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_est"),
+        F.count("*").cast("bigint").alias("n_day_sketches"),
+    )

@@ -80,3 +80,35 @@ def test_percentile_approx_within_tolerance(spark, sf_dir):
         # accuracy=10000 → rank error 1/10000; allow slack for the
         # <=-vs-< boundary on small groups.
         assert abs(rank - p) <= max(0.001, 2.0 / n), (etype, p, got, rank, n)
+
+
+def test_hll_rollup_tolerance_and_merge_consistency(spark, sf_dir):
+    """event_users_hll_rollup: (a) per-type estimate within DataSketches
+    HLL tolerance of the exact distinct count, (b) the union of per-day
+    sketches estimates the same as a single direct sketch — the
+    re-aggregation property that makes the sketch cube valid."""
+    from parallel_map_reduce_spark.registry import all_queries
+
+    rolled = {
+        r.event_type: r.n_users_est
+        for r in all_queries()["event_users_hll_rollup"].build(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(rolled) == set(exact)
+    for k, n in exact.items():
+        assert abs(rolled[k] - n) <= max(3, 0.1 * n), (k, n, rolled[k])
+
+    direct = {
+        r.event_type: r.est
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    for k in exact:
+        assert rolled[k] == direct[k], (
+            f"{k}: merged-sketch estimate {rolled[k]} != direct {direct[k]}"
+        )
