@@ -270,3 +270,30 @@ def q_inverted_index_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_df").cast("bigint").alias("chunk_df"),
         F.array_join("postings_chunk", " ").alias("postings_chunk"),
     )
+
+
+@register(
+    "documents_provenance",
+    oracle="""
+SELECT doc_id,
+       'documents.parquet' AS src_file,
+       doc_id AS row_index
+FROM documents
+""",
+    doc="Training-data lineage via the scan's hidden _metadata struct: "
+    "source file basename + within-file row index ride along with every "
+    "row at zero cost (no shuffle, no extra scan) — the provenance a "
+    "100 TB curation pipeline must carry to trace a training example "
+    "back to its shard. The oracle pins _metadata.row_index == doc_id "
+    "(the fixture writes rows in doc_id order) and the basename; the "
+    "multi-file general case is pinned by "
+    "tests/test_sources_sinks.py:test_metadata_provenance_multi_file.",
+    tags=("source", "provenance", "metadata"),
+)
+def documents_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("src_file"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )

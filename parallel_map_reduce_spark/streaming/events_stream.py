@@ -247,3 +247,26 @@ def dedup_keys_stream(events: DataFrame) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+def run_foreach_batch_parquet(stream_df: DataFrame, path: str) -> None:
+    """Production-shaped sink: drain via ``foreachBatch`` into parquet.
+
+    ``foreachBatch`` hands each micro-batch to arbitrary BATCH writer
+    code — the pattern that covers every sink Spark lacks a native
+    streaming writer for (JDBC, upserts, multi-table fan-out). Batch
+    writes are idempotent per epoch only if the writer makes them so;
+    plain parquet append shown here relies on the availableNow drain
+    running each epoch once (exactly-once needs a transactional target
+    or epoch-keyed paths)."""
+
+    def _write(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("append").parquet(path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_write)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -69,3 +69,31 @@ def test_csv_documents_source(spark, sf_dir, tmp_path):
     got = _index_rows(inverted_index(docs_c))
     want = _index_rows(inverted_index(docs))
     assert got == want and len(got) > 0
+
+
+def test_metadata_provenance_multi_file(spark, sf_dir, tmp_path):
+    """The general multi-file provenance contract behind
+    documents_provenance: _metadata.file_path distinguishes shards and
+    _metadata.row_index restarts per file."""
+    import pyspark.sql.functions as F
+
+    from parallel_map_reduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "sharded")
+    docs.repartition(4).write.parquet(out)
+
+    back = spark.read.parquet(out).select(
+        "doc_id",
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    assert back.count() == docs.count()
+    n_files = back.select("fp").distinct().count()
+    assert n_files == 4
+    # row_index restarts at 0 per file and is dense within each file
+    per_file = back.groupBy("fp").agg(
+        F.min("ri").alias("lo"), F.max("ri").alias("hi"), F.count("*").alias("n")
+    )
+    for r in per_file.collect():
+        assert r.lo == 0 and r.hi == r.n - 1, r

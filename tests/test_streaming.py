@@ -153,3 +153,22 @@ def test_watermark_append_multibatch(spark, tmp_path, batch_events):
     for (ws, et), n in batch.items():
         if ws + timedelta(hours=1) < final_wm - timedelta(hours=1):
             assert (ws, et) in emitted_keys, f"window {ws}/{et} never finalized"
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch drain into parquet must round-trip the same rows the
+    memory-sink drain produces (the production sink shape vs the test
+    sink shape)."""
+    from parallel_map_reduce_spark.streaming import events_stream as ES
+
+    out = str(tmp_path / "stream_parquet")
+    stream = ES.hourly_tumbling_stream(ES.read_events_stream(spark, sf_dir))
+    ES.run_foreach_batch_parquet(stream, out)
+
+    back = spark.read.parquet(out)
+    # compare against the registered live query (memory drain)
+    from parallel_map_reduce_spark.registry import all_queries
+
+    mem = all_queries()["streaming_hourly_tumbling"].build(spark, sf_dir)
+    assert back.count() == mem.count()
+    assert back.exceptAll(mem).isEmpty() and mem.exceptAll(back).isEmpty()
