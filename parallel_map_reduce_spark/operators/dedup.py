@@ -405,3 +405,35 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         if not changed:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def incremental_lsh_matches(
+    new_docs: DataFrame, corpus_docs: DataFrame
+) -> DataFrame:
+    """(new_doc, corpus_doc): near-dup candidates between an INCREMENT
+    and an existing corpus — the production dedup flow (dedupe today's
+    crawl against everything already ingested) as opposed to the
+    all-pairs self-join.
+
+    Scale shape: minhash band signatures are per-document (independent
+    of every other document), so the corpus side's signatures are a
+    one-time artifact — at 100 TB they live pre-computed, partitioned by
+    (band, sig), and the increment's signatures equi-join into them
+    touching only colliding buckets. Per-run cost is O(|increment|)
+    signature compute + a bucket-pruned join; the corpus is never
+    re-shingled. Here both sides derive from one table split by source;
+    the join is the same either way."""
+    nb = lsh_band_signatures(new_docs)
+    cb = lsh_band_signatures(corpus_docs)
+    return (
+        nb.alias("n")
+        .join(
+            cb.alias("c"),
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.sig") == F.col("c.sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )

@@ -112,3 +112,36 @@ WHERE CAST(concat('0x', substr(md5(concat('{C.STRATA_SALT}', doc_id::VARCHAR)), 
 )
 def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "orders_quality_report",
+    oracle="""
+WITH agg AS (
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS v1,
+           SUM(CASE WHEN o_totalprice IS NULL OR NOT (o_totalprice > 0) THEN 1 ELSE 0 END)::BIGINT AS v2,
+           SUM(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)::BIGINT AS v3,
+           SUM(CASE WHEN o_orderdate IS NULL
+                      OR NOT (o_orderdate >= TIMESTAMP '1992-01-01'
+                              AND o_orderdate < TIMESTAMP '2002-01-01') THEN 1 ELSE 0 END)::BIGINT AS v4,
+           SUM(CASE WHEN o_orderkey IS NULL OR NOT (o_orderkey >= 0) THEN 1 ELSE 0 END)::BIGINT AS v5
+    FROM orders
+)
+SELECT 'custkey_not_null' AS "check", n_rows, v1 AS n_violations FROM agg
+UNION ALL SELECT 'totalprice_positive', n_rows, v2 FROM agg
+UNION ALL SELECT 'status_in_domain', n_rows, v3 FROM agg
+UNION ALL SELECT 'orderdate_in_range', n_rows, v4 FROM agg
+UNION ALL SELECT 'orderkey_unique_nonneg', n_rows, v5 FROM agg
+""",
+    doc="Deequ-style declarative data-quality suite: every rule is a "
+    "sum(case) in ONE scan-speed aggregation (the exchange carries "
+    "|rules| rows, never data), then unpivoted to a (check, n_rows, "
+    "n_violations) report. Null predicate results count as violations. "
+    "operators/quality_checks.py:validate.",
+    tags=("curation", "quality", "validation"),
+)
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_checks import orders_quality_report as _r
+
+    return _r(load_table(spark, sf_dir, "orders"))

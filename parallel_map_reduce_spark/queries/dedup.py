@@ -229,3 +229,53 @@ FROM reach GROUP BY src
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
     return D.connected_components(pairs)
+
+
+INCR_SOURCE = "src0"  # the "today's crawl" increment in the fixture
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+    SELECT doc_id, {_HV32.format(col='shingle')} AS hv FROM shingles
+),
+seeds(j, a, b) AS (
+    VALUES {_SEEDS_VALUES}
+),
+mh AS (
+    SELECT h.doc_id, s.j, MIN((s.a * h.hv + s.b) % {D.MINHASH_PRIME}) AS minhash
+    FROM hashed h CROSS JOIN seeds s
+    GROUP BY h.doc_id, s.j
+),
+bands AS (
+    SELECT doc_id, (j // {D.ROWS_PER_BAND}) AS band,
+           md5(string_agg(minhash::VARCHAR, ',' ORDER BY j)) AS sig
+    FROM mh GROUP BY doc_id, (j // {D.ROWS_PER_BAND})
+),
+new_bands AS (
+    SELECT b.* FROM bands b JOIN documents d ON d.doc_id = b.doc_id
+    WHERE d.source = '{INCR_SOURCE}'
+),
+corpus_bands AS (
+    SELECT b.* FROM bands b JOIN documents d ON d.doc_id = b.doc_id
+    WHERE d.source <> '{INCR_SOURCE}'
+)
+SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+FROM new_bands n JOIN corpus_bands c
+  ON n.band = c.band AND n.sig = c.sig
+""",
+    doc="Incremental near-dup dedup: the increment (source='src0') LSH-"
+    "matched against the standing corpus — signatures are per-document, "
+    "so the corpus side is a reusable pre-computed artifact and each "
+    "run costs O(|increment|) plus a bucket-pruned join, never an "
+    "all-pairs or corpus re-shingle. "
+    "operators/dedup.py:incremental_lsh_matches.",
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("source") == INCR_SOURCE)
+    corpus = docs.filter(F.col("source") != INCR_SOURCE)
+    return D.incremental_lsh_matches(new, corpus)
