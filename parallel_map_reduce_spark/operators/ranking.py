@@ -38,16 +38,32 @@ _APPROX_ACC = 10_000  # percentile_approx accuracy: boundary error shifts
 # bucket SIZES, never the reconstructed global order
 
 
-def _ranked(df: DataFrame, order_cols: list[str], n_buckets: int, rn_col: str):
-    """(df + rn_col, total_rows): shared core for row_number / ntile."""
-    first = order_cols[0]
+def range_bucket(df: DataFrame, expr, n_buckets: int):
+    """A pure per-row Column assigning each row the quantile range bucket
+    [0, n_buckets) of ``expr``'s value — boundaries sampled ONCE via
+    percentile_approx, then frozen as literals, so (unlike
+    repartitionByRange's per-job re-sampling) every job using the
+    returned Column agrees about row placement. Skew-proof by
+    construction: quantile boundaries equalize bucket sizes whatever the
+    value distribution. Shared by global ranking (below) and Z-order
+    layout (operators/layout.py)."""
+    e = F.col(expr) if isinstance(expr, str) else expr
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = df.select(
-        F.percentile_approx(F.col(first).cast("double"), qs, _APPROX_ACC).alias("b")
+        F.percentile_approx(e.cast("double"), qs, _APPROX_ACC).alias("b")
     ).first()["b"] or []
-    barr = F.array(*[F.lit(float(b)) for b in bounds]) if bounds else F.array()
-    bucket = F.size(F.filter(barr, lambda b: b < F.col(first).cast("double")))
-    bucketed = df.withColumn("_rb", bucket)
+    # dedup: repeated boundaries (low-cardinality values) would send the
+    # same value to an arbitrary bucket among equals — harmless for
+    # ranking, but keep buckets canonical
+    barr = (
+        F.array(*[F.lit(float(b)) for b in bounds]) if bounds else F.array()
+    )
+    return F.size(F.filter(barr, lambda b: b < e.cast("double")))
+
+
+def _ranked(df: DataFrame, order_cols: list[str], n_buckets: int, rn_col: str):
+    """(df + rn_col, total_rows): shared core for row_number / ntile."""
+    bucketed = df.withColumn("_rb", range_bucket(df, order_cols[0], n_buckets))
     counts = {
         r["_rb"]: r["cnt"]
         for r in bucketed.groupBy("_rb").agg(F.count("*").alias("cnt")).collect()

@@ -342,3 +342,39 @@ def event_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_est"),
         F.count("*").cast("bigint").alias("n_day_sketches"),
     )
+
+
+def _morton_sql(a: str, b: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({b} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "events_zorder_code",
+    oracle=f"""
+WITH base AS (
+    SELECT event_id,
+           (user_id % 65536)::BIGINT AS user_bits,
+           ((epoch_us(ts) // 60000000) % 65536)::BIGINT AS minute_bits
+    FROM events
+)
+SELECT event_id, user_bits, minute_bits,
+       ({_morton_sql('user_bits', 'minute_bits')})::BIGINT AS zvalue
+FROM base
+""",
+    doc="Z-order (Morton) clustering key over (user_id, event-minute) — "
+    "the multi-dimensional layout key behind ZORDER table rewrites: "
+    "files sorted by it carry tight min/max on BOTH dimensions, so "
+    "user point-lookups and time-range scans each skip most files. "
+    "Pure bit arithmetic in codegen, zero shuffle; the span-shrink "
+    "property is measured in tests/test_layout.py. "
+    "operators/layout.py:morton_code.",
+    tags=("layout", "scale", "pruning"),
+)
+def events_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.layout import events_zvalues
+
+    return events_zvalues(load_table(spark, sf_dir, "events"))
