@@ -93,3 +93,36 @@ def salted_count_distinct(
         F.countDistinct(distinct_col).alias("_pdist")
     )
     return phase1.groupBy(*keys).agg(F.sum("_pdist").alias("n_distinct"))
+
+
+def salted_broadcast_replicate_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n: int = SALT_N,
+) -> DataFrame:
+    """fact ⋈ dim on ``key``, skew-proofed by salt-and-replicate: fact
+    rows get a deterministic salt in [0, n); the dim side is replicated
+    n times (one copy per salt) so the join key becomes (key, salt) and
+    a hot fact key spreads over n reducers instead of straggling one.
+
+    This is the SHUFFLE-join fallback for when the dim is too big to
+    broadcast but a fact key is hot — with a broadcastable dim, plain
+    broadcast join already avoids the problem (no shuffle at all), and
+    AQE's skew-join splitting covers moderate skew; salt-and-replicate
+    is the deterministic, planner-independent form that also works
+    pre-AQE or under disabled AQE. Result is EXACTLY the plain join —
+    the salt is an internal partitioning detail (equality pinned in
+    tests/test_skew.py; the driver oracle compares against the plain
+    SQL join).
+
+    Cost model at 100 TB: dim shuffle volume multiplies by n — size n
+    to the actual hot-key factor, not higher."""
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n))
+    )
+    replicated_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n)]))
+    )
+    out = salted_fact.join(replicated_dim, on=[key, "_salt"]).drop("_salt")
+    return out

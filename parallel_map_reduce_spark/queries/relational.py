@@ -1077,3 +1077,37 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.funnel import funnel_first_completion
 
     return funnel_first_completion(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "segment_event_value_salted",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1
+""",
+    doc="Skew-proof fact-dim join via salt-and-replicate "
+    "(functions/skew.py:salted_broadcast_replicate_join): fact rows "
+    "salted deterministically, dim replicated per salt, join key "
+    "becomes (key, salt) so a hot user spreads across reducers. The "
+    "oracle is the PLAIN join+agg — passing proves the salt is "
+    "result-invisible. Use when the dim outgrows broadcast and AQE is "
+    "unavailable/insufficient; broadcast remains the first choice.",
+    tags=("relational", "join", "skew", "salted"),
+)
+def segment_event_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_broadcast_replicate_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), F.col("value")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = salted_broadcast_replicate_join(ev, cust, "c_custkey")
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum(_dec("value")).cast("double"), 4).alias("total_value"),
+    )

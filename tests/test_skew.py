@@ -59,3 +59,28 @@ def test_salted_on_real_table(spark, sf_dir):
         for r in salted_count_distinct(e, "event_type", "user_id").collect()
     }
     assert salted == direct and len(direct) > 0
+
+
+def test_salted_replicate_join_equals_plain_join(spark, sf_dir):
+    """salt-and-replicate must be invisible in the result: exactly the
+    rows of the plain equi-join, under any salt width."""
+    import pyspark.sql.functions as F
+
+    from parallel_map_reduce_spark.functions.skew import (
+        salted_broadcast_replicate_join,
+    )
+    from parallel_map_reduce_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "event_type", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    plain = ev.join(cust, "c_custkey")
+    for n in (1, 4, 16):
+        salted = salted_broadcast_replicate_join(ev, cust, "c_custkey", n)
+        assert sorted(salted.columns) == sorted(plain.columns)
+        assert salted.count() == plain.count()
+        assert salted.exceptAll(plain).isEmpty()
+        assert plain.exceptAll(salted).isEmpty()
