@@ -54,6 +54,8 @@ HEADLINE = (
     "funnel_view_click_purchase",
     "text_repetition_signals",
     "text_bigram_counts",
+    "trade_graph_pagerank",
+    "dedup_incremental_lsh",
 )
 
 
