@@ -1111,3 +1111,30 @@ def segment_event_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.round(F.sum(_dec("value")).cast("double"), 4).alias("total_value"),
     )
+
+
+@register(
+    "orders_price_percent_rank",
+    oracle="""
+SELECT o_orderkey,
+       percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS prank
+FROM orders
+""",
+    doc="Exact global percent_rank for every order without the single-"
+    "task sort: (global_row_number - 1) / (N - 1) over the range-"
+    "bucketed decomposition (operators/ranking.py). IEEE division of "
+    "identical integers is exactly rounded, so no float tolerance is "
+    "needed — the hash must match bit-for-bit against the window "
+    "function.",
+    tags=("relational", "window", "ranking", "scale"),
+)
+def orders_price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_row_number(o, ["o_totalprice", "o_orderkey"], rn_col="rn")
+    n = o.count()  # scalar metadata for the (N-1) divisor
+    return ranked.select(
+        "o_orderkey",
+        ((F.col("rn") - 1) / F.lit(float(n - 1))).alias("prank"),
+    )

@@ -378,3 +378,57 @@ def events_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.layout import events_zvalues
 
     return events_zvalues(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_hourly_dense",
+    oracle="""
+WITH b AS (
+    SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+    FROM events
+),
+hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+types AS (SELECT DISTINCT event_type FROM events),
+cnt AS (
+    SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT epoch_us(hours.h) AS hour_us,
+       t.event_type,
+       COALESCE(cnt.n, 0)::BIGINT AS n_events
+FROM hours CROSS JOIN types t
+LEFT JOIN cnt ON cnt.h = hours.h AND cnt.event_type = t.event_type
+""",
+    doc="Time-series gap filling: a dense (hour x event_type) spine "
+    "generated with sequence+explode (the ONE place a cross join is "
+    "right — both sides are metadata-sized), left-joined onto the "
+    "hourly counts with zero-fill. Downstream window/trend math needs "
+    "the dense grid; 215 of 3600 cells are empty at sf0.01, so the "
+    "fill is exercised, not vacuous. The spine broadcasts; the only "
+    "data shuffle is the hourly aggregation itself.",
+    tags=("relational", "timeseries", "gap-fill"),
+)
+def events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    spine = hours.crossJoin(types)
+    return (
+        spine.join(hourly, ["h", "event_type"], "left")
+        .select(
+            F.unix_micros("h").alias("hour_us"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )
