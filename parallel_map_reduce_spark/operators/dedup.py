@@ -437,3 +437,37 @@ def incremental_lsh_matches(
         )
         .distinct()
     )
+
+
+def fuzzy_value_pairs(
+    df: DataFrame, col: str, max_dist: int = 2
+) -> DataFrame:
+    """(val_a, val_b, dist): pairs of DISTINCT values of ``col`` within
+    ``max_dist`` edit distance — entity-resolution canonicalization
+    (typo variants of the same entity name).
+
+    Scale shape: matching runs on the distinct VALUE DOMAIN, never the
+    row count — |V|² comparisons where |V| is vocabulary size, after a
+    length-band prefilter (|len(a)-len(b)| <= max_dist is a necessary
+    condition for edit distance <= max_dist, and it reaches the join as
+    a range condition). For vocabularies too big for banded |V|²,
+    compose with the MinHash-LSH machinery above on character shingles;
+    for row-level application, broadcast-join the resolved pairs back
+    (the pair table is vocabulary-sized, hence broadcastable)."""
+    vals = df.select(F.col(col).alias("v")).distinct()
+    a, b = vals.alias("a"), vals.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.v") < F.col("b.v"))
+            & (
+                F.abs(F.length("a.v") - F.length("b.v")) <= max_dist
+            ),
+        )
+        .select(
+            F.col("a.v").alias("val_a"),
+            F.col("b.v").alias("val_b"),
+            F.levenshtein("a.v", "b.v").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -279,3 +279,24 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("source") == INCR_SOURCE)
     corpus = docs.filter(F.col("source") != INCR_SOURCE)
     return D.incremental_lsh_matches(new, corpus)
+
+
+@register(
+    "part_name_fuzzy_pairs",
+    oracle="""
+WITH vals AS (SELECT DISTINCT p_name AS v FROM part)
+SELECT a.v AS val_a, b.v AS val_b, levenshtein(a.v, b.v)::INT AS dist
+FROM vals a JOIN vals b
+  ON a.v < b.v AND abs(length(a.v) - length(b.v)) <= 2
+WHERE levenshtein(a.v, b.v) <= 2
+""",
+    doc="Fuzzy entity resolution on the part-name VALUE DOMAIN: "
+    "edit-distance <= 2 pairs among distinct names, length-band "
+    "prefiltered — |V|^2 on the vocabulary, never |rows|^2 on the "
+    "table; the resolved pair table is vocabulary-sized and broadcasts "
+    "back for row-level canonicalization. "
+    "operators/dedup.py:fuzzy_value_pairs.",
+    tags=("dedup", "fuzzy", "entity-resolution"),
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.fuzzy_value_pairs(load_table(spark, sf_dir, "part"), "p_name")
