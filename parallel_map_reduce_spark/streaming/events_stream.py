@@ -270,3 +270,21 @@ def run_foreach_batch_parquet(stream_df: DataFrame, path: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def run_to_memory_update(stream_df: DataFrame, table_name: str) -> None:
+    """Update-mode drain: emits only the groups CHANGED in each
+    micro-batch — the mode a keyed upsert sink (JDBC merge, KV store)
+    consumes. For a single-batch availableNow drain every group changes
+    exactly once, so update == complete there (pinned in
+    tests/test_streaming.py); with multiple batches, update emits
+    deltas where complete re-emits the world — the difference that
+    matters to a real sink."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

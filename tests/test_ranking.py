@@ -49,7 +49,8 @@ def test_global_ntile_n_smaller_than_k(spark, sf_dir):
 
 
 def test_deciles_plan_has_no_single_partition_exchange(spark, sf_dir):
-    q = all_queries()["orders_value_deciles"]
-    plan = q.build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange SinglePartition" not in plan
-    assert "rangepartitioning" not in plan.lower()
+    for name in ("orders_value_deciles", "orders_price_percent_rank"):
+        q = all_queries()[name]
+        plan = q.build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan, name
+        assert "rangepartitioning" not in plan.lower(), name

@@ -172,3 +172,19 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     mem = all_queries()["streaming_hourly_tumbling"].build(spark, sf_dir)
     assert back.count() == mem.count()
     assert back.exceptAll(mem).isEmpty() and mem.exceptAll(back).isEmpty()
+
+
+def test_update_mode_single_batch_equals_complete(spark, sf_dir):
+    """Single-batch availableNow drain: update mode must emit exactly
+    the complete-mode state (every group updated once)."""
+    from parallel_map_reduce_spark.streaming import events_stream as ES
+
+    upd = ES.hourly_tumbling_stream(ES.read_events_stream(spark, sf_dir))
+    ES.run_to_memory_update(upd, "upd_mode_check")
+    got = spark.table("upd_mode_check")
+
+    from parallel_map_reduce_spark.registry import all_queries
+
+    complete = all_queries()["streaming_hourly_tumbling"].build(spark, sf_dir)
+    assert got.count() == complete.count()
+    assert got.exceptAll(complete).isEmpty() and complete.exceptAll(got).isEmpty()
