@@ -5,6 +5,7 @@ ratios), so the oracle row sets match bit-for-bit."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import curation as C
 from ..registry import register
@@ -145,3 +146,53 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality_checks import orders_quality_report as _r
 
     return _r(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "referential_integrity_report",
+    oracle="""
+SELECT 'orders_custkey_orphans' AS "check",
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT AS n_orphans
+UNION ALL
+SELECT 'lineitem_orderkey_orphans',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+UNION ALL
+SELECT 'events_user_orphans',
+       (SELECT COUNT(*) FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))::BIGINT
+""",
+    doc="Cross-table referential-integrity audit: orphan counts per FK "
+    "edge via LEFT ANTI joins (key-only projections, dims broadcast), "
+    "unioned into one report — the quality_checks companion for "
+    "constraints that span tables.",
+    tags=("curation", "quality", "integrity", "join"),
+)
+def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+
+    def orphans(name, fact, key, dim, dim_key):
+        cnt = (
+            fact.select(F.col(key).alias(dim_key))
+            .join(F.broadcast(dim), dim_key, "left_anti")
+            .agg(F.count("*").cast("bigint").alias("n_orphans"))
+        )
+        return cnt.select(F.lit(name).alias("check"), "n_orphans")
+
+    return (
+        orphans("orders_custkey_orphans", o, "o_custkey", c, "c_custkey")
+        .unionByName(
+            orphans(
+                "lineitem_orderkey_orphans",
+                li,
+                "l_orderkey",
+                o.select("o_orderkey"),
+                "o_orderkey",
+            )
+        )
+        .unionByName(orphans("events_user_orphans", e, "user_id", c, "c_custkey"))
+    )

@@ -432,3 +432,36 @@ def events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         )
     )
+
+
+@register(
+    "events_per_user_sample",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY md5(event_id::VARCHAR), event_id) AS rk
+    FROM events
+)
+SELECT user_id, event_id FROM ranked WHERE rk <= 5
+""",
+    doc="Deterministic per-key downsampling: keep exactly 5 events per "
+    "user, chosen by md5-rank — a uniform-without-replacement sample "
+    "that is identical across engines, retries, and partitionings "
+    "(rand()-based sampling is none of those). The per-key cap is also "
+    "the skew guard: a bot user contributes 5 rows downstream, not "
+    "millions. One shuffle (the per-user window).",
+    tags=("relational", "sampling", "skew", "window"),
+)
+def events_per_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("user_id", "event_id")
+    )
