@@ -1,0 +1,74 @@
+"""Global plan lint: no registered batch query may contain a
+scale-killer operator unless it is on the explicit allowlist with a
+reason. This is the fleet-wide net under the targeted contracts in
+test_plan_shapes.py — a new query with an accidental cartesian or a
+single-partition sort fails HERE even if nobody wrote it a dedicated
+plan test.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_map_reduce_spark.registry import all_queries
+
+# name -> reason the pattern is intentional there
+CARTESIAN_OK = {
+    # spine build: hours x event_types, both metadata-sized
+    "events_hourly_dense": "dense-grid spine; both sides tiny",
+    # brute-force baselines / blocked pair generation over broadcast sides:
+    # BroadcastNestedLoopJoin is the intended physical form
+    "similarity_topk_bruteforce": "documented exact baseline, broadcast query side",
+    "embedding_neardup_pairs": "label-blocked exact baseline",
+    "part_name_fuzzy_pairs": "value-domain |V|^2 with length-band filter",
+    # 1-row broadcast sides: a scalar subquery / corpus constant NLJ-joins
+    # one row against the stream — no pair blowup is possible
+    "q11_top_spenders": "scalar-subquery threshold (1-row broadcast)",
+    "q22_idle_rich_customers": "scalar-subquery avg (1-row broadcast)",
+    "text_tfidf": "1-row corpus doc-count broadcast",
+    # centroid assignment: |centroids| x n with k<=8 broadcast centroids
+    "similarity_ann_ivf": "broadcast centroid table (k rows)",
+}
+
+# Single-partition exchanges are only acceptable when they carry
+# METADATA-sized frames (1-row scalars, |rules|-row reports) — never data.
+SINGLE_PARTITION_OK = {
+    "q11_top_spenders": "1-row scalar aggregate (corpus spend threshold)",
+    "q22_idle_rich_customers": "1-row scalar aggregate (avg acctbal)",
+    "text_tfidf": "1-row corpus doc-count aggregate",
+    "events_hourly_dense": "1-row min/max bounds for the spine",
+    "orders_quality_report": "the report IS a global |rules|-row aggregate",
+    "referential_integrity_report": "three 1-row orphan counts unioned",
+}
+
+SKIP_PREFIX = "streaming_"  # live drains execute on build; covered elsewhere
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, spec in all_queries().items():
+        if name.startswith(SKIP_PREFIX):
+            continue
+        out[name] = (
+            spec.build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+    return out
+
+
+def test_no_unexpected_cartesian_or_nlj(plans):
+    bad = []
+    for name, p in plans.items():
+        if ("CartesianProduct" in p or "BroadcastNestedLoopJoin" in p) and (
+            name not in CARTESIAN_OK
+        ):
+            bad.append(name)
+    assert not bad, f"unallowlisted cartesian/NLJ in: {bad}"
+
+
+def test_no_unexpected_single_partition_exchange(plans):
+    bad = []
+    for name, p in plans.items():
+        if "Exchange SinglePartition" in p and name not in SINGLE_PARTITION_OK:
+            bad.append(name)
+    assert not bad, f"unallowlisted single-partition exchange in: {bad}"
