@@ -97,3 +97,32 @@ def test_metadata_provenance_multi_file(spark, sf_dir, tmp_path):
     )
     for r in per_file.collect():
         assert r.lo == 0 and r.hi == r.n - 1, r
+
+
+def test_jsonl_corrupt_record_capture(spark, tmp_path):
+    """Ingest robustness: PERMISSIVE mode must land malformed JSONL lines
+    in the corrupt-record column instead of failing the job — at 100 TB
+    a crawl shard WILL contain garbage and one bad line must never kill
+    the pipeline."""
+    import pyspark.sql.functions as F
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good row"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "another good row"}\n'
+        '{"doc_id": "3"}\n'  # schema-mismatched doc_id (string, lossy)
+    )
+    df = (
+        spark.read.schema("doc_id LONG, text STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.cache()
+    good = rows.filter(F.col("_corrupt_record").isNull() & F.col("doc_id").isNotNull())
+    bad = rows.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2
+    assert bad.count() >= 1  # the non-JSON line is always captured
+    assert rows.count() == 4  # nothing dropped silently
+    rows.unpersist()
