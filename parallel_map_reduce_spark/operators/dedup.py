@@ -471,3 +471,26 @@ def fuzzy_value_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def resolve_clusters_keep_longest(
+    clusters: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """(cluster_id, keeper_doc, n_members): pick the surviving copy per
+    near-dup cluster — longest text wins, ties to the smallest doc_id
+    ("most complete copy" heuristic; swap the ordering struct for a
+    quality score without touching the plan shape).
+
+    One small shuffle over CLUSTER MEMBERS only (docs in no pair never
+    enter); ``max_by`` with a (n_chars, -doc_id) ordering struct does
+    the argmax inside the same aggregation as the member count — no
+    window, no second pass."""
+    scored = clusters.join(
+        docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    return scored.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
+        ).alias("keeper_doc"),
+        F.count("*").cast("bigint").alias("n_members"),
+    )

@@ -300,3 +300,74 @@ WHERE levenshtein(a.v, b.v) <= 2
 )
 def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fuzzy_value_pairs(load_table(spark, sf_dir, "part"), "p_name")
+
+
+@register(
+    "dedup_cluster_keepers",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+hashed AS (
+    SELECT doc_id, {_HV32.format(col='shingle')} AS hv FROM shingles
+),
+seeds(j, a, b) AS (
+    VALUES {_SEEDS_VALUES}
+),
+mh AS (
+    SELECT h.doc_id, s.j, MIN((s.a * h.hv + s.b) % {D.MINHASH_PRIME}) AS minhash
+    FROM hashed h CROSS JOIN seeds s
+    GROUP BY h.doc_id, s.j
+),
+bands AS (
+    SELECT doc_id, (j // {D.ROWS_PER_BAND}) AS band,
+           md5(string_agg(minhash::VARCHAR, ',' ORDER BY j)) AS sig
+    FROM mh GROUP BY doc_id, (j // {D.ROWS_PER_BAND})
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM cand
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+clusters AS (
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+),
+scored AS (
+    SELECT c.cluster_id, c.doc_id, length(d.text) AS n_chars
+    FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+),
+ranked AS (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, doc_id) AS rk
+    FROM scored
+)
+SELECT r.cluster_id::BIGINT AS cluster_id,
+       r.doc_id::BIGINT AS keeper_doc,
+       m.n_members
+FROM ranked r
+JOIN (SELECT cluster_id, COUNT(*)::BIGINT AS n_members FROM scored GROUP BY cluster_id) m
+  ON m.cluster_id = r.cluster_id
+WHERE r.rk = 1
+""",
+    doc="Dedup resolution end-to-end: LSH candidates -> connected "
+    "components -> keep the longest copy per cluster (max_by over a "
+    "(n_chars, -doc_id) struct inside the member-count aggregation). "
+    "The oracle recomputes the full chain independently: recursive-CTE "
+    "closure + window argmax. "
+    "operators/dedup.py:resolve_clusters_keep_longest.",
+    tags=("dedup", "graph", "resolution", "pipeline"),
+)
+def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = D.connected_components(D.minhash_lsh_candidates(docs))
+    return D.resolve_clusters_keep_longest(clusters, docs)
