@@ -161,3 +161,38 @@ def embedding_l2_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.arrow_ops import l2_norms_arrow
 
     return l2_norms_arrow(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH x AS (
+    SELECT vec_id,
+           list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+    FROM embeddings
+),
+m AS (
+    SELECT vec_id, xs,
+           list_max(list_transform(xs, v -> abs(v))) AS max_abs
+    FROM x
+),
+s AS (
+    SELECT vec_id, xs,
+           CASE WHEN max_abs > 0 THEN max_abs ELSE 1.0 END AS safe
+    FROM m
+)
+SELECT vec_id,
+       ROUND(safe / 127.0, 10) AS scale,
+       array_to_string(list_transform(xs, v -> CAST(CAST(ROUND(v * 127.0 / safe) AS INT) AS VARCHAR)), ',') AS q_codes
+FROM s
+""",
+    doc="Symmetric per-vector int8 quantization of the embedding store "
+    "(4x smaller at 100 TB): q = round(x*127/max_abs), scale preserved "
+    "for dequant. Pure double-IEEE array projection, so DuckDB "
+    "reproduces every code bit-for-bit; dequantized-recall contract in "
+    "tests/test_similarity.py. "
+    "operators/similarity.py:quantize_embeddings_int8.",
+    tags=("similarity", "embedding", "compression"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.quantize_embeddings_int8(load_table(spark, sf_dir, "embeddings"))

@@ -152,3 +152,33 @@ def test_ivf_training_improves_recall(spark, emb):
     )
     # At the default test SF the improvement is strict (0.52 vs 0.45).
     assert trained_recall >= 0.3
+
+
+def test_int8_quantization_preserves_geometry(spark, sf_dir):
+    """Dequantized vectors must stay geometrically faithful: cosine
+    similarity between original and dequantized > 0.995 for every
+    vector (int8 symmetric quantization bounds per-dim error at
+    max_abs/254)."""
+    import pyspark.sql.functions as F
+
+    from parallel_map_reduce_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+    from parallel_map_reduce_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings_int8(emb)
+    joined = emb.join(q, "vec_id").select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+        F.transform(F.split("q_codes", ","), lambda c: c.cast("double") * F.col("scale")).alias("y"),
+    )
+    dot = F.aggregate(
+        F.zip_with("x", "y", lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda v: v * v), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    cos = (dot / (norm(F.col("x")) * norm(F.col("y")))).alias("cos")
+    worst = joined.select(cos).agg(F.min("cos").alias("m")).first()["m"]
+    assert worst > 0.995, worst
