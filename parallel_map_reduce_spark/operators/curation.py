@@ -143,3 +143,43 @@ def stratified_sample(docs: DataFrame) -> DataFrame:
     for lang, pct in STRATA_RATES.items():
         rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
     return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+# Training-mix epoch factors: copies of each document per language.
+# Fractional factors (e.g. 1.5) take the integer part plus a
+# deterministic md5-bucket draw for the remainder.
+MIX_FACTORS: dict[str, float] = {"fr": 2.0, "de": 1.5, "zh": 0.5}
+MIX_DEFAULT = 1.0
+MIX_SALT = "mix:"
+
+
+def mix_oversample(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, copy): the training-data mix — each document
+    repeated floor(f) times plus one more with probability frac(f),
+    where f is its language's epoch factor (LLaMA-style source
+    weighting; f<1 downsamples).
+
+    Deterministic end to end: the fractional draw is the salted
+    md5 bucket of doc_id (stable across engines/retries), and copies
+    materialize via explode(sequence(1, n_copies)) — a generator, not a
+    shuffle; the mix is a scan-speed projection whatever the factors."""
+    bucket = F.pmod(
+        md5_i32(F.concat(F.lit(MIX_SALT), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    whole_default, frac_default = int(MIX_DEFAULT), int(round((MIX_DEFAULT % 1) * 100))
+    n_copies = F.lit(whole_default) + (bucket < frac_default).cast("int")
+    for lang, f in MIX_FACTORS.items():
+        whole, frac = int(f), int(round((f % 1) * 100))
+        n_copies = F.when(
+            F.col("lang") == lang, F.lit(whole) + (bucket < frac).cast("int")
+        ).otherwise(n_copies)
+    return (
+        docs.select("doc_id", "lang", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy"),
+        )
+    )

@@ -196,3 +196,41 @@ def referential_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(orphans("events_user_orphans", e, "user_id", c, "c_custkey"))
     )
+
+
+def _mix_copies_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lg}' THEN {int(f)} + CASE WHEN bucket < {int(round((f % 1) * 100))} THEN 1 ELSE 0 END"
+        for lg, f in C.MIX_FACTORS.items()
+    )
+    d = C.MIX_DEFAULT
+    return (
+        f"CASE {whens} ELSE {int(d)} + CASE WHEN bucket < {int(round((d % 1) * 100))} "
+        "THEN 1 ELSE 0 END END"
+    )
+
+
+@register(
+    "curation_mix_oversample",
+    oracle=f"""
+WITH b AS (
+    SELECT doc_id, lang,
+           CAST(concat('0x', substr(md5(concat('{C.MIX_SALT}', doc_id::VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+    FROM documents
+),
+n AS (
+    SELECT doc_id, lang, {_mix_copies_sql()} AS n_copies FROM b
+)
+SELECT doc_id, lang, unnest(range(1, n_copies + 1))::BIGINT AS copy
+FROM n WHERE n_copies > 0
+""",
+    doc="Training-mix oversampling: per-language epoch factors "
+    "(fr x2, de x1.5, zh x0.5) — floor(f) copies plus a deterministic "
+    "md5-bucket draw for the fraction; copies materialize via "
+    "explode(sequence) at scan speed, no shuffle. The mix table a "
+    "pretraining loader consumes for source weighting. "
+    "operators/curation.py:mix_oversample.",
+    tags=("curation", "sampling", "mixing"),
+)
+def curation_mix_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.mix_oversample(load_table(spark, sf_dir, "documents"))
