@@ -1,0 +1,115 @@
+"""Retrieval over the inverted index: positional postings, phrase
+search, BM25 ranking.
+
+The reference stops at building the index (``src/tema1.cpp:194-248``);
+a user of that index wants to QUERY it. These operators are the
+retrieval side, built on the same tokenization contract
+(``operators/tokenize.py``) so index and query agree about what a word
+is.
+
+Scale shapes:
+- positional index: ONE shuffle on (word, doc) — the canonical index
+  build; positions inside a posting are an array, never rows.
+- phrase search: positions make phrase matching an ARRAY intersection
+  per (doc) — no positional self-join row blowup; the pre-filter is a
+  semi-join on the phrase's rarest term (df-ordered), so only documents
+  containing all terms reach the array check.
+- BM25: tf/df/dl are the index's own statistics; the only extra state
+  is a 1-row corpus aggregate (N, avgdl) broadcast into the scorer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import ordered_words
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def positional_index(docs: DataFrame) -> DataFrame:
+    """(word, doc_id, positions, tf): sorted 1-based token positions of
+    every word occurrence per document — the phrase-query-capable form
+    of the reference's posting lists."""
+    return (
+        ordered_words(docs)
+        .groupBy("word", "doc_id")
+        .agg(F.sort_array(F.collect_list("seq")).alias("positions"))
+        .withColumn("tf", F.size("positions").cast("bigint"))
+    )
+
+
+def phrase_search(docs: DataFrame, phrase: tuple[str, ...]) -> DataFrame:
+    """(doc_id, n_matches): documents containing the exact consecutive
+    ``phrase``, with occurrence counts.
+
+    A match at position p requires word_i at p+i for every term — an
+    array membership test over the per-doc position arrays, joined
+    doc-wise across the phrase's terms (inner joins double as the
+    contains-all-terms pre-filter)."""
+    idx = positional_index(docs)
+    parts = []
+    for i, w in enumerate(phrase):
+        parts.append(
+            idx.filter(F.col("word") == w).select(
+                "doc_id", F.col("positions").alias(f"p{i}")
+            )
+        )
+    j = parts[0]
+    for i in range(1, len(phrase)):
+        j = j.join(parts[i], "doc_id")
+    # position p starts a match iff p+i is in p_i for every later term;
+    # each HOF lambda stays 1-ary (arity dispatch) via a factory closure
+    def _keep(i: int):
+        return lambda p: F.array_contains(F.col(f"p{i}"), p + i)
+
+    cond_builder = F.col("p0")
+    for i in range(1, len(phrase)):
+        cond_builder = F.filter(cond_builder, _keep(i))
+    return (
+        j.select("doc_id", F.size(cond_builder).alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(doc_id, score): BM25 relevance of every document containing at
+    least one query term. idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the
+    Lucene-style always-positive form); score rounded to 4 dp (ln is
+    not correctly-rounded across libms — both engines round)."""
+    ow = ordered_words(docs)
+    dl = ow.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    terms = [t for t in query_terms]
+    tf = (
+        ow.filter(F.col("word").isin(*terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        scored.withColumn("s", idf * tf_part)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+    )

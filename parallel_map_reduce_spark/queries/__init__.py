@@ -12,6 +12,7 @@ from . import text_analysis  # noqa: F401
 from . import streaming_batch  # noqa: F401
 from . import curation  # noqa: F401
 from . import graph  # noqa: F401
+from . import search  # noqa: F401
 from . import multimodal  # noqa: F401
 
 # Live-streaming drains are the slowest registry entries (seconds each,

@@ -1,0 +1,112 @@
+"""Retrieval queries (operators/search.py) with DuckDB oracles.
+
+Phrase search is oracled by an INDEPENDENT formulation (adjacent-seq
+self-join) rather than a transcription of the positional-array
+algorithm — agreement between the two is the semantic proof. BM25's
+oracle mirrors the formula with the same 4-dp rounding (ln is not
+correctly-rounded across libms)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import search as SE
+from ..registry import register
+from ..sources.catalog import load_table
+from ._sql import ORDERED_WORDS_CTE
+
+PHRASE = ("table", "hash")
+BM25_TERMS = ("table", "hash", "spark")
+
+
+@register(
+    "search_positional_index",
+    oracle=f"""
+WITH {ORDERED_WORDS_CTE}
+SELECT word, doc_id,
+       array_to_string(list(seq ORDER BY seq), ',') AS positions_str,
+       COUNT(*)::BIGINT AS tf
+FROM ordered_words
+GROUP BY word, doc_id
+""",
+    doc="Positional inverted index: sorted 1-based token positions per "
+    "(word, doc) — ONE shuffle (the canonical index build), positions "
+    "held as an array, never rows. The phrase-query-capable extension "
+    "of the reference's posting lists (src/tema1.cpp:194-210). "
+    "operators/search.py:positional_index.",
+    tags=("search", "reference-extension", "index"),
+)
+def search_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = SE.positional_index(load_table(spark, sf_dir, "documents"))
+    return idx.select(
+        "word",
+        "doc_id",
+        F.array_join(
+            F.transform("positions", lambda p: p.cast("string")), ","
+        ).alias("positions_str"),
+        "tf",
+    )
+
+
+@register(
+    "search_phrase",
+    oracle=f"""
+WITH {ORDERED_WORDS_CTE}
+SELECT a.doc_id, COUNT(*)::BIGINT AS n_matches
+FROM ordered_words a JOIN ordered_words b
+  ON a.doc_id = b.doc_id AND b.seq = a.seq + 1
+WHERE a.word = '{PHRASE[0]}' AND b.word = '{PHRASE[1]}'
+GROUP BY a.doc_id
+""",
+    doc=f"Exact phrase search ('{' '.join(PHRASE)}') via the positional "
+    "index: per-doc ARRAY intersection of shifted position lists — no "
+    "positional self-join row blowup; the doc-wise inner joins "
+    "pre-filter to documents containing every term. Oracle is the "
+    "independent adjacent-seq self-join formulation. "
+    "operators/search.py:phrase_search.",
+    tags=("search", "phrase", "custom-operator"),
+)
+def search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SE.phrase_search(load_table(spark, sf_dir, "documents"), PHRASE)
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    k1, b = SE.BM25_K1, SE.BM25_B
+    return f"""
+WITH {ORDERED_WORDS_CTE},
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM ordered_words GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf
+    FROM ordered_words WHERE word IN ({terms})
+    GROUP BY doc_id, word
+),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word)
+SELECT tf.doc_id,
+       ROUND(SUM(
+           ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({k1} + 1)) / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / corpus.avgdl))
+       ), 4) AS score
+FROM tf
+JOIN df USING (word)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN corpus
+GROUP BY tf.doc_id
+"""
+
+
+@register(
+    "search_bm25",
+    oracle=_bm25_oracle(),
+    doc=f"BM25 ranked retrieval for query {list(BM25_TERMS)}: scores "
+    "every matching document from the index's own statistics (tf, df, "
+    "doc length) plus a 1-row broadcast corpus aggregate (N, avgdl). "
+    "Lucene-style always-positive idf; 4-dp rounding on both sides "
+    "since ln is not correctly-rounded across libms. "
+    "operators/search.py:bm25_scores.",
+    tags=("search", "ranking", "bm25"),
+)
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SE.bm25_scores(load_table(spark, sf_dir, "documents"), BM25_TERMS)

@@ -1,0 +1,49 @@
+"""Retrieval operators: phrase matching semantics on constructed docs."""
+
+from __future__ import annotations
+
+from parallel_map_reduce_spark.operators.search import bm25_scores, phrase_search
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_phrase_three_terms_and_overlaps(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c x a b c"),      # two disjoint matches of "a b c"
+            (2, "a a a a"),            # overlapping matches of "a a a" -> 2
+            (3, "a b x c"),            # no match (not adjacent)
+            (4, "c b a"),              # no match (wrong order)
+        ],
+    )
+    got = {r.doc_id: r.n_matches for r in phrase_search(docs, ("a", "b", "c")).collect()}
+    assert got == {1: 2}
+    got2 = {r.doc_id: r.n_matches for r in phrase_search(docs, ("a", "a", "a")).collect()}
+    assert got2 == {2: 2}
+
+
+def test_phrase_case_and_punct_normalized(spark):
+    """The query goes through the same tokenization contract as the
+    index: case folded, non-alpha stripped."""
+    docs = _docs(spark, [(1, "The QUICK, brown fox!"), (2, "quick fox")])
+    got = {r.doc_id: r.n_matches for r in phrase_search(docs, ("quick", "brown")).collect()}
+    assert got == {1: 1}
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """A doc matching the rare term must outscore a doc matching only
+    the ubiquitous term (idf dominance)."""
+    docs = _docs(
+        spark,
+        [
+            (1, "common rare"),
+            (2, "common"),
+            (3, "common"),
+            (4, "common"),
+        ],
+    )
+    scores = {r.doc_id: r.score for r in bm25_scores(docs, ("common", "rare")).collect()}
+    assert scores[1] > scores[2] == scores[3] == scores[4]
