@@ -28,6 +28,7 @@ CARTESIAN_OK = {
     "text_tfidf": "1-row corpus doc-count broadcast",
     # centroid assignment: |centroids| x n with k<=8 broadcast centroids
     "similarity_ann_ivf": "broadcast centroid table (k rows)",
+    "search_bm25": "1-row corpus (N, avgdl) aggregate broadcast",
 }
 
 # Single-partition exchanges are only acceptable when they carry
@@ -39,6 +40,7 @@ SINGLE_PARTITION_OK = {
     "events_hourly_dense": "1-row min/max bounds for the spine",
     "orders_quality_report": "the report IS a global |rules|-row aggregate",
     "referential_integrity_report": "three 1-row orphan counts unioned",
+    "search_bm25": "1-row corpus (N, avgdl) aggregate",
 }
 
 SKIP_PREFIX = "streaming_"  # live drains execute on build; covered elsewhere
