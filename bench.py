@@ -56,6 +56,7 @@ HEADLINE = (
     "text_bigram_counts",
     "trade_graph_pagerank",
     "dedup_incremental_lsh",
+    "search_bm25",
 )
 
 

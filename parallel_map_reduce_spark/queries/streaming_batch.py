@@ -465,3 +465,55 @@ def events_per_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("user_id", "event_id")
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+WITH med AS (
+    SELECT event_type, median(value) AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d
+    FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+    SELECT event_type, median(d) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       ANY_VALUE(d.med) AS med,
+       ANY_VALUE(m.mad) AS mad,
+       COUNT(*) FILTER (d.d > 3 * 1.4826 * m.mad)::BIGINT AS n_outliers,
+       COUNT(*)::BIGINT AS n_events
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type
+""",
+    doc="Robust anomaly detection: per-type exact median + median "
+    "absolute deviation, outlier = |x - med| > 3 * 1.4826 * MAD (the "
+    "Gaussian-consistent robust z-score). Medians interpolate "
+    "identically across engines (midpoint of the same two doubles), so "
+    "no rounding is needed anywhere. Two grouped exact percentiles + "
+    "a broadcast join of the 5-row stats table back onto the stream.",
+    tags=("relational", "aggregate", "robust-stats", "anomaly"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    j = dev.join(F.broadcast(mad), "event_type")
+    return j.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.first("mad").alias("mad"),
+        F.sum(
+            (F.col("d") > 3 * 1.4826 * F.col("mad")).cast("int")
+        ).cast("bigint").alias("n_outliers"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
