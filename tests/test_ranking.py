@@ -54,3 +54,21 @@ def test_deciles_plan_has_no_single_partition_exchange(spark, sf_dir):
         plan = q.build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange SinglePartition" not in plan, name
         assert "rangepartitioning" not in plan.lower(), name
+
+
+def test_ranking_stable_across_shuffle_partitions(spark, sf_dir):
+    """The decomposition must give the identical total order under any
+    parallelism: percentile_approx boundaries may shift bucket SIZES
+    with partitioning, but the reconstructed global ranks may not
+    change."""
+    o = _orders(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for n in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            got = global_row_number(o, ["o_totalprice", "o_orderkey"], rn_col="rn")
+            results.append({(r.o_orderkey, r.rn) for r in got.collect()})
+        assert results[0] == results[1]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
