@@ -219,3 +219,30 @@ SELECT DISTINCT user_id, event_type FROM events
 def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = ES.dedup_keys_stream(ES.read_events_stream(spark, sf_dir))
     return _drain_append(stream, "live_dedup", spark)
+
+
+from ..operators import curation as _C  # noqa: E402  (oracle constants)
+
+@register(
+    "streaming_curation_dedup",
+    oracle=f"""
+SELECT DISTINCT md5(text) AS digest
+FROM documents
+WHERE len(list_filter(string_split_regex(text, '[ \\t\\n]+'), x -> len(x) > 0)) >= {_C.MIN_TOKENS}
+  AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * {_C.ALPHA_NUM} >= length(text)
+""",
+    doc="LIVE streaming curation: documents quality-filtered per "
+    "micro-batch (same integer-exact predicates as the batch chain) "
+    "then content-digest deduplicated in streaming state — the "
+    "ingest-side of the training-data pipeline. Digest-only output "
+    "keeps the drain deterministic; state is one key per unique "
+    "surviving document (no event-time -> no watermark bound; the "
+    "production contract is a TTL'd store or periodic compaction, "
+    "documented in streaming/curation_stream.py).",
+    tags=("streaming", "live", "curation", "dedup"),
+)
+def streaming_curation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import curation_stream as CS
+
+    stream = CS.curation_stream(CS.read_documents_stream(spark, sf_dir))
+    return _drain_append(stream, "live_curation", spark)

@@ -44,19 +44,19 @@ EVENTS_RAW_SCHEMA = StructType(
 WATERMARK = "2 hours"
 
 
-def _staging_dir(sf_dir: str) -> str:
+def _staging_dir(sf_dir: str, table: str = "events") -> str:
     """The file streaming source watches a *directory* (files arriving =
-    new data); the testdata ships a single events.parquet file, so stage
-    it into a per-sf_dir temp directory via symlink."""
+    new data); the testdata ships one parquet file per table, so stage
+    it into a per-(sf_dir, table) temp directory via symlink."""
     import hashlib
     import os
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tag = hashlib.md5(f"{sf_dir}:{table}".encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), "pmrs_stream", tag)
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    target = os.path.join(sf_dir, "events.parquet")
+    link = os.path.join(d, f"{table}.parquet")
+    target = os.path.join(sf_dir, f"{table}.parquet")
     # Atomic create-or-refresh: symlink to a temp name then os.replace over
     # the final name. Immune to two sessions racing past an exists() check,
     # and self-heals a stale link left by moved/regenerated testdata
