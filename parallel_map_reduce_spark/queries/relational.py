@@ -1138,3 +1138,47 @@ def orders_price_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         ((F.col("rn") - 1) / F.lit(float(n - 1))).alias("prank"),
     )
+
+
+@register(
+    "q16_part_supplier_variety",
+    oracle="""
+SELECT p.p_brand, p.p_type,
+       COUNT(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size BETWEEN 10 AND 30
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type
+""",
+    doc="TPC-H Q16 pattern: supplier variety per (brand, type) "
+    "EXCLUDING a blacklist via NOT IN subquery — which Spark must plan "
+    "null-aware (a NULL in the subquery empties a plain anti join's "
+    "result; NOT IN is not LEFT ANTI). The blacklist broadcasts; the "
+    "distinct-supplier count is the standard two-phase expansion.",
+    tags=("relational", "join", "anti", "null-aware", "distinct"),
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 30)
+    ).select("p_partkey", "p_brand", "p_type")
+    s = load_table(spark, sf_dir, "supplier")
+    li.createOrReplaceTempView("_q16_li")
+    p.createOrReplaceTempView("_q16_p")
+    s.createOrReplaceTempView("_q16_s")
+    # SQL NOT IN gets the null-aware anti-join semantics; the DataFrame
+    # left_anti operator would silently differ if the blacklist could
+    # contain NULLs.
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM _q16_li l JOIN _q16_p p ON p.p_partkey = l.l_partkey
+        WHERE l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM _q16_s WHERE s_acctbal < 0
+        )
+        GROUP BY p.p_brand, p.p_type
+        """
+    ).withColumn("supplier_cnt", F.col("supplier_cnt").cast("bigint"))
