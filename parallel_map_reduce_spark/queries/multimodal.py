@@ -112,3 +112,45 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_payload(spark, sf_dir).mapInPandas(
         MM.video_frames_map, schema=MM.VIDEO_FRAMES_SCHEMA
     )
+
+
+@register(
+    "multimodal_curation_filter",
+    oracle="""
+WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+img AS (
+    SELECT doc_id,
+           CAST(n % 640 + 1 AS DOUBLE) / (n % 480 + 1) AS aspect
+    FROM b
+),
+txt AS (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '[ \t\n]+'), x -> len(x) > 0))::BIGINT AS n_tokens
+    FROM b
+)
+SELECT i.doc_id, t.n_tokens, i.aspect
+FROM img i JOIN txt t ON t.doc_id = i.doc_id
+WHERE t.n_tokens >= 20 AND i.aspect BETWEEN 1.0 AND 1.4
+""",
+    doc="Cross-modal curation: keep documents passing BOTH the text "
+    "floor (>= 20 tokens) and an image-geometry gate (aspect in "
+    "[1.0, 1.4]) — the text side runs JVM-side at scan speed, the "
+    "image side through the Arrow mapInPandas decode path, joined on "
+    "doc_id. The shape of every multimodal training-data filter: "
+    "modality features computed in their own pipelines, combined "
+    "declaratively.",
+    tags=("multimodal", "curation", "join"),
+)
+def multimodal_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import token_counts
+
+    img = multimodal_image_features(spark, sf_dir)  # register() returns fn as-is
+    toks = token_counts(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("n_ws_tokens").alias("n_tokens")
+    )
+    return (
+        img.select("doc_id", "aspect")
+        .join(toks, "doc_id")
+        .filter((F.col("n_tokens") >= 20) & F.col("aspect").between(1.0, 1.4))
+        .select("doc_id", "n_tokens", "aspect")
+    )
