@@ -234,3 +234,77 @@ def test_checkpoint_restart_processes_only_delta(spark, sf_dir, tmp_path):
     assert out.count() == n_a + b.count()  # delta only, nothing twice
     # every event exactly once
     assert out.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_stream_outer_interval_join_semantics(spark, sf_dir, batch_events):
+    """LEFT OUTER stream-stream interval join: matched rows emit on
+    match and must equal the batch inner join exactly; null-padded rows
+    emit only as the watermark evicts state, so they are a SUBSET of the
+    batch-unmatched purchases — with the remainder withheld near the
+    stream's end, never fabricated, never duplicated. (The exact
+    eviction boundary depends on when the engine applies the final
+    watermark update, which is why this is a pytest contract and not a
+    value oracle.)"""
+    from parallel_map_reduce_spark.streaming import events_stream as ES
+
+    p = (
+        ES.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", ES.WATERMARK)
+    )
+    c = (
+        ES.read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", ES.WATERMARK)
+    )
+    cond = F.expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts")
+    q = (
+        p.join(c, cond, "left_outer")
+        .writeStream.format("memory")
+        .queryName("t_outer_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("t_outer_join")
+
+    ep = batch_events.filter(F.col("event_type") == "purchase")
+    ec = batch_events.filter(F.col("event_type") == "click")
+    batch_matched = ep.alias("p").join(
+        ec.alias("c"),
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c.ts") <= F.col("p.ts")),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.event_id").alias("click_id"),
+    )
+
+    got_matched = out.filter(F.col("click_id").isNotNull()).select(
+        "purchase_id", "click_id"
+    )
+    assert got_matched.exceptAll(batch_matched).isEmpty()
+    assert batch_matched.exceptAll(got_matched).isEmpty()
+
+    n_purchases = ep.count()
+    batch_unmatched = ep.select(F.col("event_id").alias("purchase_id")).join(
+        batch_matched.select("purchase_id").distinct(), "purchase_id", "left_anti"
+    )
+    got_nulls = out.filter(F.col("click_id").isNull()).select("purchase_id")
+    assert got_nulls.count() == got_nulls.distinct().count(), "duplicate null rows"
+    assert got_nulls.join(batch_unmatched, "purchase_id", "left_anti").isEmpty(), (
+        "null row fabricated for a matched purchase"
+    )
+    withheld = batch_unmatched.count() - got_nulls.count()
+    assert 0 <= withheld <= max(10, 0.01 * n_purchases), withheld
