@@ -126,3 +126,26 @@ def test_jsonl_corrupt_record_capture(spark, tmp_path):
     assert bad.count() >= 1  # the non-JSON line is always captured
     assert rows.count() == 4  # nothing dropped silently
     rows.unpersist()
+
+
+def test_xml_documents_source(spark, sf_dir, tmp_path):
+    """Native XML source (Spark 4): documents round-trip through an XML
+    representation with rowTag extraction — the remaining common
+    semi-structured ingest format next to CSV/JSONL/ORC."""
+    import pyspark.sql.functions as F
+
+    from parallel_map_reduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang").limit(50)
+    p = tmp_path / "docs.xml"
+    rows = docs.collect()
+    body = "".join(
+        f"<doc><doc_id>{r.doc_id}</doc_id><lang>{r.lang}</lang></doc>" for r in rows
+    )
+    p.write_text(f"<docs>{body}</docs>")
+
+    back = spark.read.option("rowTag", "doc").xml(str(p)).select(
+        F.col("doc_id").cast("long"), F.col("lang").cast("string")
+    )
+    assert back.count() == len(rows)
+    assert back.exceptAll(docs).isEmpty() and docs.exceptAll(back).isEmpty()
