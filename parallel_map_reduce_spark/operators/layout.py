@@ -84,3 +84,35 @@ def zorder_layout(events: DataFrame, n_files: int = 32) -> DataFrame:
     return with_z.repartitionByRange(n_files, "zvalue").sortWithinPartitions(
         "zvalue"
     )
+
+
+def compact_parquet(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files; returns the
+    output file count. The small-files problem is the quiet killer of
+    100 TB scans (per-file open/footer overhead, starved vectorized
+    reads, NameNode/listing pressure) — periodic compaction to
+    HDFS-block-sized files is standard table maintenance (what
+    OPTIMIZE does in lakehouse formats).
+
+    File count derives from the INPUT's actual bytes (driver-side file
+    listing — metadata, not data); the rewrite is one repartition whose
+    shuffle is the price of the layout. Combine with zorder_layout when
+    the table also wants multi-dim clustering."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(in_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(in_dir)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return n_files

@@ -59,3 +59,25 @@ def test_zvalue_bit_roundtrip(spark, sf_dir):
         | (odd.cast("bigint") != F.col("minute_bits"))
     ).count()
     assert bad == 0
+
+
+def test_compact_parquet_reduces_files_preserves_content(spark, sf_dir, tmp_path):
+    from parallel_map_reduce_spark.operators.layout import compact_parquet
+    from parallel_map_reduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    shattered = str(tmp_path / "shattered")
+    docs.repartition(32).write.parquet(shattered)
+    n_in = len([f for f in __import__("os").listdir(shattered) if f.endswith(".parquet")])
+    assert n_in >= 30  # genuinely shattered
+
+    compacted = str(tmp_path / "compacted")
+    compact_parquet(spark, shattered, compacted, target_file_bytes=1 << 20)
+    import os
+
+    n_out = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    assert n_out < n_in / 4, (n_in, n_out)
+
+    back = spark.read.parquet(compacted)
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).isEmpty() and docs.exceptAll(back).isEmpty()
