@@ -517,3 +517,70 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_outliers"),
         F.count("*").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+WITH first_seen AS (
+    SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id, f.cohort_day,
+           date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_n
+    FROM events e JOIN first_seen f ON f.user_id = e.user_id
+),
+sizes AS (
+    SELECT cohort_day, COUNT(*) AS cohort_size
+    FROM first_seen GROUP BY cohort_day
+)
+SELECT epoch_us(a.cohort_day) AS cohort_day_us,
+       a.day_n::BIGINT AS day_n,
+       COUNT(*)::BIGINT AS n_active,
+       s.cohort_size::BIGINT AS cohort_size
+FROM activity a JOIN sizes s ON s.cohort_day = a.cohort_day
+GROUP BY a.cohort_day, a.day_n, s.cohort_size
+""",
+    doc="Cohort retention: users bucketed by first-seen week, activity "
+    "counted per (cohort, days-since-cohort) against the cohort size — "
+    "the canonical retention triangle. Two shuffles total (first-seen "
+    "per user reused for cohort sizes via a second tiny agg; activity "
+    "dedup folded into the same per-user pass); the cohort dimension "
+    "table broadcasts back onto the event stream.",
+    tags=("relational", "analytics", "cohort", "retention"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    sizes = first_seen.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_size")
+    )
+    activity = (
+        e.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(
+                (
+                    F.unix_micros(F.date_trunc("day", "ts"))
+                    - F.unix_micros("cohort_day")
+                )
+                / (24 * 3600 * 1_000_000)
+            ).alias("day_n"),
+        )
+        .distinct()
+    )
+    return (
+        activity.join(F.broadcast(sizes), "cohort_day")
+        .groupBy("cohort_day", "day_n", "cohort_size")
+        .agg(F.count("*").cast("bigint").alias("n_active"))
+        .select(
+            F.unix_micros("cohort_day").alias("cohort_day_us"),
+            F.col("day_n").cast("bigint").alias("day_n"),
+            "n_active",
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        )
+    )
