@@ -584,3 +584,37 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cohort_size").cast("bigint").alias("cohort_size"),
         )
     )
+
+
+@register(
+    "events_rolling_7d_users_hll",
+    oracle=None,  # sketch estimates — rows-only in the gate;
+    # tests/test_approx.py pins tolerance vs the exact rolling distinct.
+    doc="Rolling 7-day active users via windowed sketch merges: one "
+    "pass builds per-day DataSketches HLL user sketches (the 100 TB "
+    "fact is touched once); the rolling window is then a self-join of "
+    "the 30-row day table with hll_union_agg per window — exact rolling "
+    "count(distinct) would re-scan the fact per window or hold every "
+    "(day, user) pair in window state. The sketch table IS the reusable "
+    "artifact: any window length reuses it with just a different "
+    "metadata join.",
+    tags=("relational", "approx", "sketch", "window", "rolling"),
+)
+def events_rolling_7d_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_day = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    d = per_day.select(F.col("day").alias("d"))
+    joined = d.join(
+        per_day,
+        (F.col("day") <= F.col("d")) & (F.col("day") >= F.date_sub(F.col("d"), 6)),
+    )
+    return (
+        joined.groupBy("d")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_7d_est"),
+            F.count("*").cast("bigint").alias("n_days_in_window"),
+        )
+        .select(F.col("d").cast("string").alias("day"), "n_users_7d_est", "n_days_in_window")
+    )

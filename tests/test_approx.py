@@ -112,3 +112,28 @@ def test_hll_rollup_tolerance_and_merge_consistency(spark, sf_dir):
         assert rolled[k] == direct[k], (
             f"{k}: merged-sketch estimate {rolled[k]} != direct {direct[k]}"
         )
+
+
+def test_rolling_7d_hll_tolerance(spark, sf_dir):
+    """Windowed sketch merges must track the exact rolling 7-day
+    distinct-user count within HLL tolerance for every day."""
+    from parallel_map_reduce_spark.registry import all_queries
+
+    got = {
+        r.day: r.n_users_7d_est
+        for r in all_queries()["events_rolling_7d_users_hll"].build(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    d = e.select(F.col("day").alias("d")).distinct()
+    exact_rows = (
+        d.join(e, (F.col("day") <= F.col("d")) & (F.col("day") >= F.date_sub(F.col("d"), 6)))
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    )
+    exact = {str(r.d): r.n for r in exact_rows}
+    assert set(got) == set(exact)
+    for day, n in exact.items():
+        assert abs(got[day] - n) <= max(3, 0.1 * n), (day, n, got[day])

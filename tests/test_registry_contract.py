@@ -58,6 +58,7 @@ def test_rows_only_entries_are_the_documented_set():
         "event_value_quantiles_approx",
         "streaming_sliding_users_approx",
         "event_users_hll_rollup",
+        "events_rolling_7d_users_hll",
     }
     actual = {n for n, s in all_queries().items() if s.oracle is None}
     assert actual == expected, actual.symmetric_difference(expected)
