@@ -29,6 +29,9 @@ CARTESIAN_OK = {
     # centroid assignment: |centroids| x n with k<=8 broadcast centroids
     "similarity_ann_ivf": "broadcast centroid table (k rows)",
     "search_bm25": "1-row corpus (N, avgdl) aggregate broadcast",
+    # rolling-window self-join of the ~30-row per-day table: the range
+    # condition forces NLJ, but both sides are metadata-sized by design
+    "events_rolling_7d_users_hll": "day-table range self-join (~30 rows/side)",
 }
 
 # Single-partition exchanges are only acceptable when they carry
