@@ -440,7 +440,7 @@ def incremental_lsh_matches(
 
 
 def fuzzy_value_pairs(
-    df: DataFrame, col: str, max_dist: int = 2
+    df: DataFrame, col: str, max_dist: int = 2, max_values: int = 100_000
 ) -> DataFrame:
     """(val_a, val_b, dist): pairs of DISTINCT values of ``col`` within
     ``max_dist`` edit distance — entity-resolution canonicalization
@@ -450,11 +450,24 @@ def fuzzy_value_pairs(
     row count — |V|² comparisons where |V| is vocabulary size, after a
     length-band prefilter (|len(a)-len(b)| <= max_dist is a necessary
     condition for edit distance <= max_dist, and it reaches the join as
-    a range condition). For vocabularies too big for banded |V|²,
-    compose with the MinHash-LSH machinery above on character shingles;
-    for row-level application, broadcast-join the resolved pairs back
-    (the pair table is vocabulary-sized, hence broadcastable)."""
-    vals = df.select(F.col(col).alias("v")).distinct()
+    a range condition). The |V|² shape is only acceptable for
+    vocabulary-sized domains, so ``max_values`` is a hard guard: above
+    it this RAISES instead of silently running the quadratic join —
+    compose with the MinHash-LSH machinery above on character shingles
+    instead. For row-level application, broadcast-join the resolved
+    pairs back (the pair table is vocabulary-sized, hence
+    broadcastable)."""
+    # Materialize the distinct value domain once: the guard needs its
+    # count, and the self-join below reuses it without recomputing.
+    vals = df.select(F.col(col).alias("v")).distinct().localCheckpoint(eager=True)
+    n_vals = vals.count()
+    if n_vals > max_values:
+        raise ValueError(
+            f"fuzzy_value_pairs: {n_vals} distinct values of {col!r} exceeds "
+            f"max_values={max_values}; the |V|^2 levenshtein join is only for "
+            "vocabulary-sized domains — use char-shingle MinHash-LSH "
+            "(minhash_signatures + lsh_candidate_pairs) for large vocabularies"
+        )
     a, b = vals.alias("a"), vals.alias("b")
     return (
         a.join(

@@ -33,6 +33,16 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     check: deterministic output, identical on any engine."""
     edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # Loop-invariant: (src, dst, deg) never changes across supersteps,
+    # so join it ONCE and materialize — each iteration then joins only
+    # the node-sized rank vector against this static table. At cluster
+    # scale this is also the table to pre-bucket by src so supersteps
+    # shuffle ranks, never edges.
+    out_edges = (
+        edges.join(deg, "src")
+        .select("src", "dst", "deg")
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -43,8 +53,7 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         contrib = (
-            edges.join(deg, "src")
-            .join(ranks, edges.src == ranks.node)
+            out_edges.join(ranks, out_edges.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))

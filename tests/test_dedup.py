@@ -87,3 +87,18 @@ def test_connected_components_chain_and_islands(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_fuzzy_value_pairs_guards_high_cardinality(spark):
+    """The |V|^2 levenshtein join must REFUSE a high-cardinality domain
+    (silently running quadratic on a big vocabulary is the failure
+    mode) — callers are pointed at the char-shingle LSH path instead."""
+    big = spark.range(100).selectExpr("concat('value_', id) AS name")
+    with pytest.raises(ValueError, match="max_values"):
+        D.fuzzy_value_pairs(big, "name", max_values=10)
+    # At or under the cap the join proceeds normally.
+    small = spark.createDataFrame(
+        [("alpha",), ("alphb",), ("gamma",)], ["name"]
+    )
+    rows = D.fuzzy_value_pairs(small, "name", max_values=10).collect()
+    assert [(r.val_a, r.val_b, r.dist) for r in rows] == [("alpha", "alphb", 1)]
