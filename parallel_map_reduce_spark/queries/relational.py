@@ -1182,3 +1182,122 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p.p_brand, p.p_type
         """
     ).withColumn("supplier_cnt", F.col("supplier_cnt").cast("bigint"))
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, COUNT(DISTINCT l1.l_orderkey)::BIGINT AS numwait
+FROM supplier s, lineitem l1, orders o
+WHERE s.s_suppkey = l1.l_suppkey
+  AND o.o_orderkey = l1.l_orderkey
+  AND o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_suppkey, s.s_name
+""",
+    doc="TPC-H Q21 pattern (suppliers who kept waiting): the reference "
+    "taxonomy's hardest subquery shape — correlated EXISTS plus NOT "
+    "EXISTS against the same fact table. The oracle is the literal "
+    "double-correlated form; the Spark plan deliberately is NOT: both "
+    "correlations collapse into ONE per-(order, supplier) aggregation "
+    "followed by a per-order profile (n suppliers, n late suppliers, "
+    "the unique late supplier via max-over-singleton), so the fact "
+    "table is scanned once and shuffled twice (orderkey, then "
+    "suppkey) instead of three correlated probes. 'Late' adapts TPC-H "
+    "receipt-vs-commit (columns this schema lacks) to ship > order "
+    "date + 60d, matching late_shipment_priority. At 100 TB the "
+    "per-order profile is orders-sized, and supplier broadcasts.",
+    tags=("relational", "join", "exists", "not-exists", "aggregate"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add("o_orderdate", 60).cast("timestamp_ntz")).alias(
+            "late"
+        ),
+    )
+    # (order, supplier) grain first: no distinct-aggregate Expand, and
+    # the orderkey shuffle carries one row per participant, not per line.
+    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(F.max("late").alias("any_late"))
+    profile = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("any_late").cast("int")).alias("n_late"),
+        F.max(F.when(F.col("any_late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    waits = profile.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    return (
+        waits.groupBy("late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT p.p_brand,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_price,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand IN ('Brand#11', 'Brand#21', 'Brand#31')
+  AND CAST(l.l_quantity AS BIGINT) * 5
+      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p.p_brand
+""",
+    doc="TPC-H Q17 pattern (small-quantity-order revenue): correlated "
+    "scalar subquery comparing each line's quantity to 20% of its "
+    "part's average. The oracle keeps the correlated form; the Spark "
+    "plan de-correlates into a per-part (sum_qty, n_lines) aggregate "
+    "re-joined on partkey — one extra shuffle instead of a per-row "
+    "probe. The 0.2*avg threshold is cross-multiplied into integers "
+    "(qty*5*n < sum_qty; quantities are integral) so no float "
+    "division sits on the keep/drop boundary, same discipline as "
+    "q22's DECIMAL thresholds. avg_yearly divides the already-rounded "
+    "double by 7.0 — one IEEE op, bit-identical across engines.",
+    tags=("relational", "join", "scalar-subquery", "aggregate"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#11", "Brand#21", "Brand#31")
+    ).select("p_partkey", "p_brand")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count("*").alias("n_lines"),
+    )
+    small = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part.withColumnRenamed("l_partkey", "pp_key"),
+              F.col("l_partkey") == F.col("pp_key"))
+        .filter(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("n_lines")
+            < F.col("sum_qty")
+        )
+    )
+    total = F.round(F.sum(_dec("l_extendedprice")), 4).cast("double")
+    return small.groupBy("p_brand").agg(
+        total.alias("total_price"),
+        (total / F.lit(7.0)).alias("avg_yearly"),
+    )
