@@ -507,3 +507,108 @@ def resolve_clusters_keep_longest(
         ).alias("keeper_doc"),
         F.count("*").cast("bigint").alias("n_members"),
     )
+
+
+# ---- decontamination & passage-level dedup ----
+
+
+def benchmark_overlap(
+    candidates: DataFrame, eval_docs: DataFrame, k: int = 8
+) -> DataFrame:
+    """(doc_id, n_shingles, n_hit, overlap, contaminated): per candidate
+    document, how many of its distinct k-token shingles also occur in
+    the evaluation corpus — the standard train/test decontamination
+    check for LLM training pipelines (GPT-3-style 8-gram overlap;
+    Brown et al. 2020 §C use 13-grams, the k here is a parameter on the
+    same machinery as ``doc_shingles``).
+
+    Scale shape: the eval side is a BENCHMARK suite — thousands of
+    documents, megabytes — so its distinct shingle set broadcasts and
+    the 100 TB candidate side is probed map-side with ZERO shuffle on
+    the corpus (the only exchange is the per-doc count agg, keyed on
+    doc_id, which partial-aggregates). Never flip this join: shuffling
+    the corpus against a benchmark is the canonical wasted-shuffle
+    mistake. Candidates shorter than k tokens have no shingles and
+    report 0/0 → overlap 0.0, not NULL."""
+    cand_sh = doc_shingles(candidates, k)
+    eval_sh = (
+        doc_shingles(eval_docs, k).select("shingle").distinct().withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        cand_sh.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        candidates.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_shingles"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("overlap"),
+            (F.coalesce("n_hit", F.lit(0)) >= 1).alias("contaminated"),
+        )
+    )
+
+
+def duplicated_passages(docs: DataFrame, w: int = 8) -> DataFrame:
+    """(doc_id, n_passages, n_dup_passages, dup_ratio): fraction of each
+    document's NON-OVERLAPPING w-token passages that also occur in at
+    least one OTHER document — the CCNet/RefinedWeb "duplicated
+    paragraph fraction" quality signal, expressed on token windows
+    because this corpus has no paragraph breaks. Passages keep
+    within-doc multiplicity (a passage repeated inside one doc counts
+    each time toward the ratio) but "duplicated" means seen in >= 2
+    DISTINCT documents.
+
+    Scale shape: passage extraction is a pure array projection (slice
+    over the cleaned word array — zero shuffle); then one exchange
+    keyed on the passage string for the document-frequency count, a
+    same-key join back (AQE-planned shuffle join; both sides already
+    hash on passage), and the per-doc ratio agg on doc_id. Uniform
+    md5-like key distribution — no skew salt needed."""
+    wa = clean_words_array(docs)
+    n_full = F.floor(F.size("words") / w).cast("int")
+    passages = F.when(
+        n_full >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.array_join(F.slice("words", i * w + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pass_df = wa.select("doc_id", F.explode(passages).alias("passage"))
+    freq = pass_df.groupBy("passage").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        pass_df.join(freq, "passage")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_passages"),
+            F.sum((F.col("nd") >= 2).cast("int")).alias("n_dup_passages"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_passages", F.lit(0)).cast("bigint").alias("n_passages"),
+            F.coalesce("n_dup_passages", F.lit(0)).cast("bigint").alias("n_dup_passages"),
+            F.when(
+                F.coalesce("n_passages", F.lit(0)) > 0,
+                F.coalesce("n_dup_passages", F.lit(0)) / F.col("n_passages"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
+        )
+    )

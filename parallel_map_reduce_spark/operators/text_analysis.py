@@ -311,3 +311,48 @@ def bigram_counts(docs: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("tf"),
         F.countDistinct("doc_id").cast("bigint").alias("df"),
     )
+
+
+# ---- PII / pattern redaction ----
+
+# Dialect-portable regexes (identical semantics in Java regex and RE2:
+# no backreferences, no lookaround). Patterns run sequentially in dict
+# order, each counting and replacing what the EARLIER patterns left —
+# so an IP address is counted by 'ipv4' once and is no longer visible
+# to the looser 'phone' digit-run pattern. Order the dict most-specific
+# first.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def redact_patterns(
+    df: DataFrame,
+    col: str,
+    patterns: dict[str, str] | None = None,
+    token: str = "[PII]",
+) -> DataFrame:
+    """All input columns + ``<col>_redacted`` and per-pattern match
+    counts ``n_<name>``: regex scrubbing for PII before a corpus ships
+    to training — emails, SSNs, IPs, phones by default.
+
+    Scale shape: a pure per-row projection (regexp_replace +
+    regexp_extract_all chains, all JVM codegen) — ZERO shuffles, runs
+    at scan speed; the counts exist so a downstream audit can
+    aggregate redaction rates without re-scanning the raw text.
+    Patterns count-then-replace sequentially in dict order, so each
+    match is attributed to exactly ONE pattern (the first that sees
+    it) and the counts sum to the number of redactions made."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    out = df
+    redacted = F.col(col)
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(redacted, F.lit(f"({pat})"), 0)).cast("bigint"),
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.withColumn(f"{col}_redacted", redacted)

@@ -371,3 +371,112 @@ def dedup_cluster_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     clusters = D.connected_components(D.minhash_lsh_candidates(docs))
     return D.resolve_clusters_keep_longest(clusters, docs)
+
+
+def _kgram_shingles_cte(k: int) -> str:
+    """Parameterized DuckDB mirror of operators/dedup.doc_shingles(k):
+    distinct k-token shingles per doc via lead() windows (the
+    ``_SHINGLES_CTE`` above is this at k=SHINGLE_K)."""
+    leads = " || ' ' || ".join(
+        ["word"] + [f"lead(word, {j}) OVER w" for j in range(1, k)]
+    )
+    return (
+        ORDERED_WORDS_CTE
+        + f""",
+kshingle_raw AS (
+    SELECT doc_id, {leads} AS shingle, lead(word, {k - 1}) OVER w AS tail
+    FROM ordered_words
+    WINDOW w AS (PARTITION BY doc_id ORDER BY seq)
+),
+kshingles AS (
+    SELECT DISTINCT doc_id, shingle FROM kshingle_raw WHERE tail IS NOT NULL
+)
+"""
+    )
+
+
+DECONTAM_K = 8  # GPT-3-style n-gram decontamination window
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 -> held-out "benchmark" doc
+
+
+@register(
+    "decontaminate_benchmark_overlap",
+    oracle=f"""
+WITH {_kgram_shingles_cte(DECONTAM_K)},
+eval_sh AS (
+    SELECT DISTINCT shingle FROM kshingles WHERE doc_id % {EVAL_MOD} = 0
+),
+cand AS (
+    SELECT doc_id, shingle FROM kshingles WHERE doc_id % {EVAL_MOD} <> 0
+),
+per_doc AS (
+    SELECT c.doc_id, COUNT(*) AS n_shingles,
+           SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+    FROM cand c LEFT JOIN eval_sh e ON c.shingle = e.shingle
+    GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_shingles, 0)::BIGINT AS n_shingles,
+       COALESCE(p.n_hit, 0)::BIGINT AS n_hit,
+       CASE WHEN COALESCE(p.n_shingles, 0) > 0
+            THEN COALESCE(p.n_hit, 0) / CAST(p.n_shingles AS DOUBLE)
+            ELSE 0.0 END AS overlap,
+       COALESCE(p.n_hit, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+WHERE d.doc_id % {EVAL_MOD} <> 0
+""",
+    doc="Train/test decontamination: per training document, the "
+    "fraction of its distinct 8-token shingles that also occur in the "
+    "held-out benchmark slice (doc_id % 97 == 0 stands in for the eval "
+    "suite). Eval shingles BROADCAST — the corpus is probed map-side "
+    "with zero corpus shuffle. operators/dedup.py:benchmark_overlap.",
+    tags=("dedup", "curation", "decontamination", "broadcast"),
+)
+def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    cands = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return D.benchmark_overlap(cands, eval_docs, k=DECONTAM_K)
+
+
+PASSAGE_W = 8  # non-overlapping token-window width
+
+
+@register(
+    "dedup_passage_duplicates",
+    oracle=f"""
+WITH {ORDERED_WORDS_CTE},
+pw AS (
+    SELECT doc_id, (seq - 1) // {PASSAGE_W} AS wno,
+           string_agg(word, ' ' ORDER BY seq) AS passage
+    FROM ordered_words
+    GROUP BY doc_id, (seq - 1) // {PASSAGE_W}
+    HAVING COUNT(*) = {PASSAGE_W}
+),
+freq AS (
+    SELECT passage, COUNT(DISTINCT doc_id) AS nd FROM pw GROUP BY passage
+),
+per_doc AS (
+    SELECT p.doc_id, COUNT(*) AS n_passages,
+           SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+    FROM pw p JOIN freq f ON p.passage = f.passage
+    GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_passages, 0)::BIGINT AS n_passages,
+       COALESCE(p.n_dup, 0)::BIGINT AS n_dup_passages,
+       CASE WHEN COALESCE(p.n_passages, 0) > 0
+            THEN COALESCE(p.n_dup, 0) / CAST(p.n_passages AS DOUBLE)
+            ELSE 0.0 END AS dup_ratio
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+""",
+    doc="CCNet/RefinedWeb-style duplicated-passage fraction: share of "
+    "each doc's non-overlapping 8-token windows seen in >= 2 distinct "
+    "documents (token windows stand in for paragraphs — this corpus "
+    "has no paragraph breaks). Array-projection extraction, one "
+    "passage-keyed exchange. operators/dedup.py:duplicated_passages.",
+    tags=("dedup", "curation", "quality"),
+)
+def dedup_passage_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicated_passages(docs, w=PASSAGE_W)

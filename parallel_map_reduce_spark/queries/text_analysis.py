@@ -4,6 +4,7 @@ constants as operators/text_analysis.py (stopword lists, regexes)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import text_analysis as T
 from ..registry import register
@@ -338,3 +339,31 @@ FROM grams GROUP BY bigram
 )
 def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bigram_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "customer_pii_masked",
+    oracle="""
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+       len(regexp_extract_all(c_name, '[0-9]+'))::BIGINT AS n_redacted
+FROM customer
+""",
+    doc="PII scrubbing as a registry-visible projection: digit runs in "
+    "customer names masked via the generic redact_patterns operator "
+    "(emails/SSNs/IPs/phones are the default pattern set — exercised "
+    "on constructed strings in tests/test_text_analysis_ops.py, since "
+    "this corpus contains no such strings). Pure regexp projection, "
+    "zero shuffles. operators/text_analysis.py:redact_patterns.",
+    tags=("text", "pii", "curation"),
+)
+def customer_pii_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text_analysis import redact_patterns
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = redact_patterns(c, "c_name", {"digits": "[0-9]+"}, token="#")
+    return out.select(
+        "c_custkey",
+        F.col("c_name_redacted").alias("name_masked"),
+        F.col("n_digits").alias("n_redacted"),
+    )

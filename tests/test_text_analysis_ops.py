@@ -1,0 +1,100 @@
+"""Contracts for the round-4 text/curation operators: PII redaction,
+benchmark decontamination, and duplicated-passage fractions.
+
+The corpus has no PII-shaped strings, so redact_patterns' default
+pattern set is exercised here on constructed rows (the registry entry
+``customer_pii_masked`` covers the cross-engine regexp semantics on
+real data); decontamination and passage dedup get semantic checks on
+hand-built corpora where the expected counts are countable by eye.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_map_reduce_spark.operators.dedup import (
+    benchmark_overlap,
+    duplicated_passages,
+)
+from parallel_map_reduce_spark.operators.text_analysis import (
+    PII_PATTERNS,
+    redact_patterns,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    rows = [
+        (1, "mail bob.smith+x@example.co.uk and SSN 123-45-6789 today"),
+        (2, "server at 10.0.255.7 called +1 (415) 555-0199 twice"),
+        (3, "nothing sensitive here"),
+        (4, "two mails: a@b.io c@d.org and ip 1.2.3.4"),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def test_redact_patterns_counts_and_masks(pii_df):
+    out = {r.id: r for r in redact_patterns(pii_df, "text").collect()}
+    assert out[1].n_email == 1 and out[1].n_ssn == 1
+    assert "example.co.uk" not in out[1].text_redacted
+    assert "123-45-6789" not in out[1].text_redacted
+    assert out[2].n_ipv4 == 1 and out[2].n_phone == 1
+    assert "10.0.255.7" not in out[2].text_redacted
+    assert out[3].n_email == out[3].n_ssn == out[3].n_ipv4 == out[3].n_phone == 0
+    assert out[3].text_redacted == "nothing sensitive here"
+    assert out[4].n_email == 2 and out[4].n_ipv4 == 1
+    assert "[PII]" in out[4].text_redacted
+
+
+def test_redact_patterns_is_pure_projection(pii_df):
+    # PII scrubbing must run at scan speed: no Exchange in the plan.
+    assert "Exchange" not in _plan(redact_patterns(pii_df, "text"))
+
+
+def test_default_patterns_cover_the_documented_set():
+    assert set(PII_PATTERNS) == {"email", "ssn", "ipv4", "phone"}
+
+
+@pytest.fixture(scope="module")
+def mini_docs(spark):
+    # doc 1 = eval doc; doc 2 copies its first 8 words (contaminated);
+    # doc 3 shares nothing; doc 4 too short for any 8-gram.
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta XXX YYY"),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_benchmark_overlap_flags_the_copied_prefix(mini_docs):
+    eval_docs = mini_docs.filter("doc_id = 1")
+    cands = mini_docs.filter("doc_id != 1")
+    out = {r.doc_id: r for r in benchmark_overlap(cands, eval_docs, k=8).collect()}
+    assert set(out) == {2, 3, 4}
+    # doc 2 has 3 distinct 8-grams; exactly 1 (the copied prefix) is in eval.
+    assert out[2].n_shingles == 3 and out[2].n_hit == 1 and out[2].contaminated
+    assert out[3].n_hit == 0 and not out[3].contaminated
+    assert out[4].n_shingles == 0 and out[4].overlap == 0.0
+
+
+def test_duplicated_passages_cross_doc_only(spark):
+    # docs 1 and 2 share their first 4-token window; doc 1 repeats its
+    # own window twice (within-doc multiplicity counts toward the
+    # denominator but self-repeats alone aren't "duplicated").
+    rows = [
+        (1, "a b c d a b c d"),
+        (2, "a b c d x y z w"),
+        (3, "p q r s t u v w"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in duplicated_passages(docs, w=4).collect()}
+    assert out[1].n_passages == 2 and out[1].n_dup_passages == 2
+    assert out[2].n_passages == 2 and out[2].n_dup_passages == 1
+    assert out[2].dup_ratio == 0.5
+    assert out[3].n_dup_passages == 0 and out[3].dup_ratio == 0.0
