@@ -76,10 +76,9 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_minhash_lsh_pairs",
-    oracle=f"""
-WITH {_SHINGLES_CTE},
+# Reusable CTE chain ending in lsh_pairs(doc_a < doc_b) — shared by the
+# pair query below and the near-dup triangle census in queries/graph.py.
+LSH_PAIRS_CTES = f"""{_SHINGLES_CTE},
 hashed AS (
     SELECT doc_id, {_HV32.format(col='shingle')} AS hv FROM shingles
 ),
@@ -95,10 +94,19 @@ bands AS (
     SELECT doc_id, (j // {D.ROWS_PER_BAND}) AS band,
            md5(string_agg(minhash::VARCHAR, ',' ORDER BY j)) AS sig
     FROM mh GROUP BY doc_id, (j // {D.ROWS_PER_BAND})
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+lsh_pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)"""
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+WITH {LSH_PAIRS_CTES}
+SELECT doc_a, doc_b FROM lsh_pairs
 """,
     doc=f"MinHash-LSH candidate pairs: {D.N_BANDS} bands × "
     f"{D.ROWS_PER_BAND} rows; equi-join on band signature replaces the "

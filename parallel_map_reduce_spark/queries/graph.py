@@ -78,3 +78,53 @@ def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "node", F.round(F.col("rank") * n, 6).alias("rank_scaled")
     )
+
+
+def _neardup_triangle_oracle() -> str:
+    # Import here, not at module top: queries modules are imported as a
+    # package side effect and a top-level circular import would be easy
+    # to trip. The pairs CTE is the SAME SQL the LSH pair oracle runs.
+    from .dedup import LSH_PAIRS_CTES
+
+    return f"""
+WITH {LSH_PAIRS_CTES},
+tri AS (
+    SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+    FROM lsh_pairs e1
+    JOIN lsh_pairs e2 ON e2.doc_a = e1.doc_b
+    JOIN lsh_pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+)
+SELECT node::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_triangles
+FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+GROUP BY node
+"""
+
+
+@register(
+    "neardup_triangle_census",
+    oracle=_neardup_triangle_oracle(),
+    doc="Triangle census over the MinHash-LSH near-dup candidate graph: "
+    "documents whose candidate pairs close into triangles are MUTUALLY "
+    "similar triples — the strongest transitive-duplication signal, and "
+    "a validation of LSH clustering quality. The operator is the "
+    "degree-oriented compact-forward algorithm (wedges pivot only on "
+    "each node's out-neighbors under (degree, id) orientation, bounding "
+    "fan-out by O(sqrt(m)) — Suri & Vassilvitskii's last-reducer fix); "
+    "the oracle is the independent id-oriented 3-way self-join. "
+    "operators/graph.py:triangle_counts.",
+    tags=("graph", "dedup", "custom-operator"),
+)
+def neardup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.minhash_lsh_candidates(docs).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    return G.triangle_counts(edges).select(
+        F.col("node").alias("doc_id"), "n_triangles"
+    )

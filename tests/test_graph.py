@@ -40,3 +40,26 @@ def test_pagerank_ranks_hubs_higher(spark, sf_dir):
     top_by_deg = j.orderBy(F.desc("count")).first()
     bottom_by_deg = j.orderBy(F.asc("count")).first()
     assert top_by_deg["rank"] > bottom_by_deg["rank"]
+
+
+def test_triangle_counts_on_known_graph(spark):
+    """K4 plus a pendant vertex and an isolated edge: every K4 vertex
+    sits in C(3,2)=3 triangles; the pendant and the isolated edge's
+    endpoints sit in none (and are absent from the census)."""
+    from parallel_map_reduce_spark.operators.graph import triangle_counts
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    extra = [(4, 5), (6, 7)]  # pendant off the clique + isolated edge
+    edges = spark.createDataFrame(k4 + extra, ["a", "b"])
+    got = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_star_has_none(spark):
+    """A star (maximal degree skew) has wedges everywhere but zero
+    triangles — the degree-oriented closure must not fabricate any."""
+    from parallel_map_reduce_spark.operators.graph import triangle_counts
+
+    star = [(0, i) for i in range(1, 20)]
+    edges = spark.createDataFrame(star, ["a", "b"])
+    assert triangle_counts(edges).count() == 0
