@@ -409,3 +409,71 @@ def quantize_embeddings_int8(emb: DataFrame) -> DataFrame:
             "q_codes"
         ),
     )
+
+
+def two_stage_topk(
+    emb: DataFrame, query_filter: F.Column, k: int = 10, overfetch: int = 4
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank): exact top-k by two-stage retrieval —
+    stage 1 scores EVERY candidate against the int8-quantized store
+    (symmetric per-vector quantization, as quantize_embeddings_int8)
+    and keeps a k*overfetch shortlist per query; stage 2 fetches full-
+    precision vectors ONLY for the shortlist and re-ranks by exact
+    cosine. The classic coarse-then-fine serving shape: at 100 TB the
+    first pass streams the 4x-smaller code store (broadcast queries, no
+    corpus shuffle), and the expensive full-vector reads touch
+    |Q| * k * overfetch rows instead of the corpus.
+
+    Fully deterministic, hence SQL-oracle-able: integer code dots are
+    exact in doubles (|code| <= 127, so any 64-dim dot < 2^21), scales
+    are rounded to 10 dp, and both rankings break ties by vec_id.
+    Top-k equals brute force whenever the true k-th neighbor survives
+    the quantized shortlist — the recall contract in
+    tests/test_similarity.py pins equality at the default overfetch."""
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    max_abs = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    safe = F.when(max_abs > 0, max_abs).otherwise(F.lit(1.0))
+    qz = emb.select(
+        "vec_id",
+        F.transform(x, lambda v: F.round(v * 127.0 / safe).cast("long")).alias("codes"),
+        F.round(safe / 127.0, 10).alias("scale"),
+    )
+    q1 = qz.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("q_codes"),
+        F.col("scale").alias("q_scale"),
+    )
+    dotint = F.aggregate(
+        F.zip_with("codes", "q_codes", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    s1 = (
+        qz.join(F.broadcast(q1), F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "approx", dotint.cast("double") * F.col("scale") * F.col("q_scale")
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
+    shortlist = (
+        s1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k * overfetch)
+        .select("query_id", "vec_id")
+    )
+    qe = emb.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("q_norm"),
+    )
+    ce = emb.select("vec_id", "embedding", l2_norm("embedding").alias("c_norm"))
+    re = (
+        shortlist.join(ce, "vec_id")
+        .join(F.broadcast(qe), "query_id")
+        .withColumn("cos", dot("q_emb", "embedding") / (F.col("q_norm") * F.col("c_norm")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        re.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

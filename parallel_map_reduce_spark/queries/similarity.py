@@ -196,3 +196,72 @@ FROM s
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantize_embeddings_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+_OVERFETCH = 4
+
+
+@register(
+    "similarity_two_stage_topk",
+    oracle=f"""
+WITH base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS xs FROM embeddings
+),
+z AS (
+    SELECT vec_id, xs,
+           list_max(list_transform(xs, v -> abs(v))) AS max_abs
+    FROM base
+),
+z2 AS (
+    SELECT vec_id, xs,
+           CASE WHEN max_abs > 0 THEN max_abs ELSE 1.0 END AS safe
+    FROM z
+),
+qz AS (
+    SELECT vec_id,
+           list_transform(xs, v -> CAST(ROUND(v * 127.0 / safe) AS DOUBLE)) AS codes,
+           ROUND(safe / 127.0, 10) AS scale
+    FROM z2
+),
+s1 AS (
+    SELECT q.vec_id AS query_id, c.vec_id,
+           list_dot_product(c.codes, q.codes) * c.scale * q.scale AS approx
+    FROM qz q JOIN qz c ON q.vec_id % {_QUERY_MOD} = 0 AND c.vec_id <> q.vec_id
+),
+short AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx DESC, vec_id ASC) AS rn
+        FROM s1
+    ) WHERE rn <= {_K * _OVERFETCH}
+),
+re AS (
+    SELECT s.query_id, s.vec_id,
+           list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                  CAST(ce.embedding AS DOUBLE[])) AS cos
+    FROM short s
+    JOIN embeddings qe ON qe.vec_id = s.query_id
+    JOIN embeddings ce ON ce.vec_id = s.vec_id
+)
+SELECT query_id, vec_id, cos, rank FROM (
+    SELECT query_id, vec_id, cos,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, vec_id ASC) AS rank
+    FROM re
+) WHERE rank <= {_K}
+""",
+    doc="Two-stage retrieval: stage 1 scores every candidate against the "
+    "int8-quantized store (4x less IO at 100 TB; broadcast queries, no "
+    "corpus shuffle) keeping a k*overfetch shortlist; stage 2 fetches "
+    "full-precision vectors only for the shortlist and re-ranks by "
+    "exact cosine. Deterministic end-to-end (integer code dots exact "
+    "in doubles, vec_id tie-breaks), so the oracle replays both stages "
+    "in SQL. operators/similarity.py:two_stage_topk.",
+    tags=("similarity", "ann", "topk", "compression"),
+)
+def similarity_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.two_stage_topk(
+        emb, F.col("vec_id") % _QUERY_MOD == 0, k=_K, overfetch=_OVERFETCH
+    )

@@ -182,3 +182,22 @@ def test_int8_quantization_preserves_geometry(spark, sf_dir):
     cos = (dot / (norm(F.col("x")) * norm(F.col("y")))).alias("cos")
     worst = joined.select(cos).agg(F.min("cos").alias("m")).first()["m"]
     assert worst > 0.995, worst
+
+
+def test_two_stage_topk_equals_brute_force(spark, sf_dir):
+    """At the default overfetch the quantized shortlist preserves every
+    true top-k neighbor, so two-stage retrieval must EQUAL the exact
+    baseline — (query, neighbor, rank) for all queries, not just
+    recall-overlap. Quantization error only matters near the shortlist
+    boundary, which overfetch=4 keeps far from rank k."""
+    from parallel_map_reduce_spark.operators.similarity import (
+        brute_force_topk,
+        two_stage_topk,
+    )
+    from parallel_map_reduce_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qf = F.col("vec_id") % 50 == 0
+    bf = {(r.query_id, r.vec_id, r.rank) for r in brute_force_topk(emb, qf, k=10).collect()}
+    ts = {(r.query_id, r.vec_id, r.rank) for r in two_stage_topk(emb, qf, k=10).collect()}
+    assert bf == ts and len(bf) > 0
