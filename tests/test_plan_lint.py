@@ -19,6 +19,9 @@ CARTESIAN_OK = {
     # brute-force baselines / blocked pair generation over broadcast sides:
     # BroadcastNestedLoopJoin is the intended physical form
     "similarity_topk_bruteforce": "documented exact baseline, broadcast query side",
+    "similarity_two_stage_topk": "stage-1 scan of the int8 code store vs "
+    "broadcast queries — deliberate full-corpus coarse pass; the "
+    "expensive full-vector stage runs only on the equi-joined shortlist",
     "embedding_neardup_pairs": "label-blocked exact baseline",
     "part_name_fuzzy_pairs": "value-domain |V|^2 with length-band filter",
     # 1-row broadcast sides: a scalar subquery / corpus constant NLJ-joins
