@@ -64,6 +64,11 @@ HEADLINE = (
     "trade_graph_pagerank",
     "dedup_incremental_lsh",
     "search_bm25",
+    "q21_waiting_suppliers",
+    "decontaminate_benchmark_overlap",
+    "dedup_passage_duplicates",
+    "neardup_triangle_census",
+    "similarity_two_stage_topk",
 )
 
 # Hard cap on the final stdout JSON line. The driver keeps a ~2 KB tail

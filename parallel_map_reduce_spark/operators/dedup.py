@@ -612,3 +612,84 @@ def duplicated_passages(docs: DataFrame, w: int = 8) -> DataFrame:
             .alias("dup_ratio"),
         )
     )
+
+
+def fuzzy_value_pairs_lsh(
+    df: DataFrame, col: str, max_dist: int = 2
+) -> DataFrame:
+    """(val_a, val_b, dist): the LARGE-vocabulary path for fuzzy entity
+    resolution — the char-shingle MinHash-LSH composition that
+    ``fuzzy_value_pairs``'s cardinality guard prescribes. Distinct
+    values shingle into char 3-grams (values shorter than 3 chars use
+    the whole value), minhash into the SAME seeded N_HASHES/N_BANDS
+    layout as document LSH, and candidate pairs come from a band-
+    signature equi-join — O(collisions), never |V|². Candidates are
+    verified with the same length-band + levenshtein predicate, so
+    every emitted pair is exact; only RECALL is approximate (a pair
+    missed by every band is lost — the standard LSH trade; recall vs
+    the exact |V|² baseline is pinned in tests/test_dedup.py).
+
+    Scale shape: shingling and hashing are projections; the only
+    exchanges are the per-(value, j) min partial agg and the band
+    equi-join. No distinct-count guard needed — nothing here is
+    quadratic in |V|."""
+    vals = df.select(F.col(col).alias("v")).distinct()
+    n_sh = F.length("v") - F.lit(2)
+    grams = F.when(
+        n_sh >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh), lambda i: F.substring("v", i, 3)
+            )
+        ),
+    ).otherwise(F.array(F.col("v")))
+    sh = vals.select("v", F.explode(grams).alias("shingle")).withColumn(
+        "hv", md5_i32("shingle")
+    )
+    seeds = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for j, (a, b) in enumerate(MINHASH_SEEDS)
+        ]
+    )
+    mh = (
+        sh.select("v", "hv", F.explode(seeds).alias("s"))
+        .select(
+            "v",
+            F.col("s.j").alias("j"),
+            ((F.col("s.a") * F.col("hv") + F.col("s.b")) % F.lit(MINHASH_PRIME)).alias("h"),
+        )
+        .groupBy("v", "j")
+        .agg(F.min("h").alias("minhash"))
+    )
+    bands = (
+        mh.withColumn("band", (F.col("j") / F.lit(ROWS_PER_BAND)).cast("int"))
+        .groupBy("v", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("j", "minhash"))),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.v") < F.col("b.v")),
+        )
+        .select(F.col("a.v").alias("val_a"), F.col("b.v").alias("val_b"))
+        .distinct()
+    )
+    return (
+        cand.filter(F.abs(F.length("val_a") - F.length("val_b")) <= max_dist)
+        .withColumn("dist", F.levenshtein("val_a", "val_b"))
+        .filter(F.col("dist") <= max_dist)
+    )

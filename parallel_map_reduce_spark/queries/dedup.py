@@ -488,3 +488,55 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 def dedup_passage_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.duplicated_passages(docs, w=PASSAGE_W)
+
+
+@register(
+    "part_name_fuzzy_pairs_lsh",
+    oracle=f"""
+WITH vals AS (SELECT DISTINCT p_name AS v FROM part),
+grams AS (
+    SELECT v, unnest(
+        CASE WHEN length(v) >= 3
+             THEN list_distinct(list_transform(range(1, length(v) - 1),
+                                               i -> substr(v, CAST(i AS INT), 3)))
+             ELSE [v] END) AS shingle
+    FROM vals
+),
+hashed AS (
+    SELECT v, {_HV32.format(col='shingle')} AS hv FROM grams
+),
+seeds(j, a, b) AS (
+    VALUES {_SEEDS_VALUES}
+),
+mh AS (
+    SELECT h.v, s.j, MIN((s.a * h.hv + s.b) % {D.MINHASH_PRIME}) AS minhash
+    FROM hashed h CROSS JOIN seeds s
+    GROUP BY h.v, s.j
+),
+bands AS (
+    SELECT v, (j // {D.ROWS_PER_BAND}) AS band,
+           md5(string_agg(minhash::VARCHAR, ',' ORDER BY j)) AS sig
+    FROM mh GROUP BY v, (j // {D.ROWS_PER_BAND})
+),
+cand AS (
+    SELECT DISTINCT a.v AS val_a, b.v AS val_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.v < b.v
+)
+SELECT val_a, val_b, levenshtein(val_a, val_b)::INT AS dist
+FROM cand
+WHERE abs(length(val_a) - length(val_b)) <= 2
+  AND levenshtein(val_a, val_b) <= 2
+""",
+    doc="Fuzzy entity resolution, LARGE-vocabulary path: the char-"
+    "3-gram MinHash-LSH composition fuzzy_value_pairs's cardinality "
+    "guard prescribes — band-signature equi-join candidates (never "
+    "|V|²), then the exact length-band + levenshtein verify, so "
+    "precision is exact and only recall is LSH-approximate (floor "
+    "pinned vs the exact baseline in tests/test_dedup.py). Same "
+    "seeded hash layout as document LSH; the oracle replays the "
+    "whole chain. operators/dedup.py:fuzzy_value_pairs_lsh.",
+    tags=("dedup", "fuzzy", "entity-resolution", "lsh"),
+)
+def part_name_fuzzy_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.fuzzy_value_pairs_lsh(load_table(spark, sf_dir, "part"), "p_name")

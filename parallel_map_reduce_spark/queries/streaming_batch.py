@@ -618,3 +618,116 @@ def events_rolling_7d_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("d").cast("string").alias("day"), "n_users_7d_est", "n_days_in_window")
     )
+
+
+@register(
+    "events_hourly_interpolated",
+    oracle="""
+WITH b AS (
+    SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+    FROM events
+),
+hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+types AS (SELECT DISTINCT event_type FROM events),
+hourly AS (
+    SELECT date_trunc('hour', ts) AS h, event_type,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+             / COUNT(*) AS avg_v
+    FROM events GROUP BY 1, 2
+),
+grid AS (
+    SELECT epoch_us(hours.h) AS hour_us, t.event_type, c.avg_v
+    FROM hours CROSS JOIN types t
+    LEFT JOIN hourly c ON c.h = hours.h AND c.event_type = t.event_type
+),
+ctx AS (
+    SELECT hour_us, event_type, avg_v,
+           last_value(avg_v IGNORE NULLS) OVER wp AS pv,
+           last_value(CASE WHEN avg_v IS NOT NULL THEN hour_us END IGNORE NULLS)
+               OVER wp AS ph,
+           first_value(avg_v IGNORE NULLS) OVER wn AS nv,
+           first_value(CASE WHEN avg_v IS NOT NULL THEN hour_us END IGNORE NULLS)
+               OVER wn AS nh
+    FROM grid
+    WINDOW wp AS (PARTITION BY event_type ORDER BY hour_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wn AS (PARTITION BY event_type ORDER BY hour_us
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT hour_us, event_type,
+       CASE WHEN avg_v IS NOT NULL THEN avg_v
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * (CAST(hour_us - ph AS DOUBLE)
+                                   / CAST(nh - ph AS DOUBLE))
+       END AS value_interp,
+       avg_v IS NOT NULL AS observed
+FROM ctx
+""",
+    doc="Time-series linear interpolation on the dense hourly grid: "
+    "missing (hour, type) cells take pv + (nv-pv)*frac between the "
+    "nearest observed hourly means (ends clamp to nearest — leading "
+    "gaps back-fill, trailing gaps forward-fill) via last/first-value "
+    "IGNORE NULLS windows. The windows run over the metadata-sized "
+    "spine, never the event stream; hourly means are DECIMAL-summed "
+    "then divided so the doubles entering interpolation are identical "
+    "cross-engine, and the interpolation expression tree is mirrored "
+    "term-for-term in the oracle.",
+    tags=("relational", "timeseries", "gap-fill", "window"),
+)
+def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        (
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4).cast("double")
+            / F.count("*")
+        ).alias("avg_v")
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(types)
+        .join(hourly, ["h", "event_type"], "left")
+        .select(F.unix_micros("h").alias("hour_us"), "event_type", "avg_v")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_us")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("avg_v").isNotNull(), F.col("hour_us"))
+    ctx = grid.select(
+        "hour_us",
+        "event_type",
+        "avg_v",
+        F.last("avg_v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("avg_v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    frac = (F.col("hour_us") - F.col("ph")).cast("double") / (
+        F.col("nh") - F.col("ph")
+    ).cast("double")
+    interp = (
+        F.when(F.col("avg_v").isNotNull(), F.col("avg_v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return ctx.select(
+        "hour_us",
+        "event_type",
+        interp.alias("value_interp"),
+        F.col("avg_v").isNotNull().alias("observed"),
+    )

@@ -102,3 +102,25 @@ def test_fuzzy_value_pairs_guards_high_cardinality(spark):
     )
     rows = D.fuzzy_value_pairs(small, "name", max_values=10).collect()
     assert [(r.val_a, r.val_b, r.dist) for r in rows] == [("alpha", "alphb", 1)]
+
+
+def test_fuzzy_lsh_pairs_are_exact_subset_with_recall(spark, sf_dir):
+    """The char-shingle LSH path must emit ONLY true pairs (precision
+    1.0 — every candidate is levenshtein-verified) and recover most of
+    the exact |V|^2 baseline's pairs (recall is the LSH trade; typo
+    variants share most 3-grams, so the floor is high)."""
+    parts = load_table(spark, sf_dir, "part")
+    exact = {
+        (r.val_a, r.val_b): r.dist
+        for r in D.fuzzy_value_pairs(parts, "p_name").collect()
+    }
+    lsh = {
+        (r.val_a, r.val_b): r.dist
+        for r in D.fuzzy_value_pairs_lsh(parts, "p_name").collect()
+    }
+    assert set(lsh) <= set(exact)  # precision 1.0
+    for k, d in lsh.items():
+        assert exact[k] == d
+    assert len(exact) > 0
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.5, (recall, len(lsh), len(exact))

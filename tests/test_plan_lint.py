@@ -16,6 +16,7 @@ from parallel_map_reduce_spark.registry import all_queries
 CARTESIAN_OK = {
     # spine build: hours x event_types, both metadata-sized
     "events_hourly_dense": "dense-grid spine; both sides tiny",
+    "events_hourly_interpolated": "dense-grid spine; both sides tiny",
     # brute-force baselines / blocked pair generation over broadcast sides:
     # BroadcastNestedLoopJoin is the intended physical form
     "similarity_topk_bruteforce": "documented exact baseline, broadcast query side",
@@ -44,6 +45,7 @@ SINGLE_PARTITION_OK = {
     "q22_idle_rich_customers": "1-row scalar aggregate (avg acctbal)",
     "text_tfidf": "1-row corpus doc-count aggregate",
     "events_hourly_dense": "1-row min/max bounds for the spine",
+    "events_hourly_interpolated": "1-row min/max bounds for the spine",
     "orders_quality_report": "the report IS a global |rules|-row aggregate",
     "referential_integrity_report": "three 1-row orphan counts unioned",
     "search_bm25": "1-row corpus (N, avgdl) aggregate",

@@ -149,3 +149,30 @@ def test_xml_documents_source(spark, sf_dir, tmp_path):
     )
     assert back.count() == len(rows)
     assert back.exceptAll(docs).isEmpty() and docs.exceptAll(back).isEmpty()
+
+
+def test_binary_file_source_for_multimodal_ingest(spark, tmp_path):
+    """binaryFile is the ingestion path for opaque image/audio blobs
+    (multimodal/codec.py consumes the resulting binary column): each
+    file becomes (path, modificationTime, length, content BINARY), and
+    pathGlobFilter prunes non-matching files at the LISTING, before any
+    bytes are read."""
+    blobs = {f"img_{i}.bin": bytes([i] * (10 + i)) for i in range(5)}
+    for name, payload in blobs.items():
+        (tmp_path / name).write_bytes(payload)
+    (tmp_path / "notes.txt").write_text("not a blob")
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(tmp_path))
+    )
+    assert [f.name for f in df.schema.fields] == [
+        "path", "modificationTime", "length", "content",
+    ]
+    rows = df.collect()
+    assert len(rows) == 5  # the .txt never appears
+    for r in rows:
+        name = r.path.rsplit("/", 1)[-1]
+        assert bytes(r.content) == blobs[name]
+        assert r.length == len(blobs[name])
