@@ -1301,3 +1301,55 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total_price"),
         (total / F.lit(7.0)).alias("avg_yearly"),
     )
+
+
+@register(
+    "q20_concentrated_suppliers",
+    oracle="""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    GROUP BY l.l_partkey, l.l_suppkey
+    HAVING SUM(CAST(l.l_quantity AS BIGINT))
+           * (SELECT COUNT(DISTINCT l3.l_suppkey) FROM lineitem l3
+              WHERE l3.l_partkey = l.l_partkey)
+         > 4 * (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+                WHERE l2.l_partkey = l.l_partkey)
+)
+""",
+    doc="TPC-H Q20 pattern (nested IN feeding a semi join): suppliers "
+    "whose shipped-quantity share of ANY part exceeds 4x the uniform "
+    "share among that part's suppliers. The oracle keeps the literal "
+    "nested-IN form with TWO correlated aggregates (per-part supplier "
+    "count and total quantity); the Spark plan de-correlates into a "
+    "two-level aggregation — per-(part, supplier) sums, re-aggregated "
+    "per part — one fact scan, then a LEFT SEMI against the supplier "
+    "dim. The share predicate cross-multiplies to exact integers "
+    "(q*ns > 4*tq), so no float ratio sits on the keep/drop boundary. "
+    "At 100 TB both aggregations shuffle on partkey (the second is "
+    "metadata-sized); the semi join broadcasts the qualifying-supplier "
+    "set.",
+    tags=("relational", "join", "semi", "nested-subquery", "aggregate"),
+)
+def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("q")
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        F.sum("q").alias("tq"), F.count("*").alias("ns")
+    )
+    concentrated = (
+        ps.join(per_part, "l_partkey")
+        .filter(F.col("q") * F.col("ns") > 4 * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return s.join(
+        concentrated, s.s_suppkey == concentrated.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")

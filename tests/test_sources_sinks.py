@@ -176,3 +176,31 @@ def test_binary_file_source_for_multimodal_ingest(spark, tmp_path):
         name = r.path.rsplit("/", 1)[-1]
         assert bytes(r.content) == blobs[name]
         assert r.length == len(blobs[name])
+
+
+def test_partitioned_write_prunes_partitions_at_scan(spark, sf_dir, tmp_path):
+    """Hive-style partitionBy layout + a partition-column predicate must
+    prune at the LISTING (PartitionFilters on the scan node, fewer
+    input files), not post-scan — at 100 TB this is the difference
+    between reading one language's files and reading the corpus."""
+    import pyspark.sql.functions as F
+
+    from parallel_map_reduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(out)
+
+    full = spark.read.parquet(out)
+    one_lang = full.filter(F.col("lang") == "en").select("doc_id")
+    plan = one_lang._jdf.queryExecution().executedPlan().toString()
+    # The predicate must land in the scan's PartitionFilters (listing-
+    # time pruning), NOT in PushedFilters/post-scan Filter. inputFiles()
+    # can't witness this — it lists the relation before pruning.
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*lang[^\]]* = en[^\]]*\]", plan)
+    assert m, plan[-2000:]
+    # Pruning must not change results vs the post-scan filter.
+    n_langs = docs.filter(F.col("lang") == "en").count()
+    assert one_lang.count() == n_langs > 0
