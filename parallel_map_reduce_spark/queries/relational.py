@@ -1269,7 +1269,10 @@ GROUP BY p.p_brand
     "part's average. The oracle keeps the correlated form; the Spark "
     "plan de-correlates into a per-part (sum_qty, n_lines) aggregate "
     "re-joined on partkey — one extra shuffle instead of a per-row "
-    "probe. The 0.2*avg threshold is cross-multiplied into integers "
+    "probe — and the aggregate's input is pre-pruned by the broadcast "
+    "brand filter (per-part stats only need that part's own rows), so "
+    "the exchange carries ~3/25 brands' volume, not the full fact. "
+    "The 0.2*avg threshold is cross-multiplied into integers "
     "(qty*5*n < sum_qty; quantities are integral) so no float "
     "division sits on the keep/drop boundary, same discipline as "
     "q22's DECIMAL thresholds. avg_yearly divides the already-rounded "
@@ -1283,14 +1286,18 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand").isin("Brand#11", "Brand#21", "Brand#31")
     ).select("p_partkey", "p_brand")
-    per_part = li.groupBy("l_partkey").agg(
+    # The per-part average depends only on that part's own rows, so the
+    # broadcast brand filter prunes the fact BEFORE the aggregate —
+    # ~brand_selectivity× less shuffled/aggregated volume than grouping
+    # all of lineitem (at 100 TB: a pruned exchange vs a full-fact one).
+    pruned = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    per_part = pruned.groupBy("l_partkey").agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         F.count("*").alias("n_lines"),
     )
     small = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(per_part.withColumnRenamed("l_partkey", "pp_key"),
-              F.col("l_partkey") == F.col("pp_key"))
+        pruned.join(per_part.withColumnRenamed("l_partkey", "pp_key"),
+                    F.col("l_partkey") == F.col("pp_key"))
         .filter(
             F.col("l_quantity").cast("bigint") * 5 * F.col("n_lines")
             < F.col("sum_qty")
