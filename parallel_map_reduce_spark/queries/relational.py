@@ -1360,3 +1360,342 @@ def q20_concentrated_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         concentrated, s.s_suppkey == concentrated.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 4) AS DOUBLE) AS revenue,
+       COUNT(*)::BIGINT AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6 pattern (forecasting revenue change): pure scan-side "
+    "filter + ungrouped aggregate — the canonical predicate-pushdown "
+    "probe. All three predicates reach the parquet scan (shipdate range "
+    "is row-group-prunable on sorted data); the aggregate is a "
+    "map-side partial collapsing to ONE row per task, so the exchange "
+    "moves bytes, not rows. The discount boundary compares the stored "
+    "double against the literal's double — both engines parse 0.05 to "
+    "the identical IEEE value, so BETWEEN agrees bit-for-bit.",
+    tags=("relational", "aggregate", "scan"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 4)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+WITH vol AS (
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS volume,
+           n2.n_name AS supp_nation
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n1.n_regionkey
+    JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'PROMO'
+      AND r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END)
+                  / SUM(volume) AS DOUBLE), 4) AS mkt_share
+FROM vol GROUP BY o_year
+""",
+    doc="TPC-H Q8 pattern (national market share): one nation's share "
+    "of a region's PROMO-part purchase volume per year. Two roles for "
+    "the nation dim (customer side filters through region; supplier "
+    "side labels the share) — both broadcast, as do part (type-"
+    "filtered), supplier and region; only orders<->lineitem and "
+    "orders<->customer shuffle on their keys. Decimal-exact "
+    "numerator/denominator, ONE double division at the end (same "
+    "discipline as q14) so both engines agree bit-for-bit.",
+    tags=("relational", "join", "aggregate", "conditional"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = (
+        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_7", F.col("volume"))
+                    .otherwise(F.lit(0))
+                )
+                / F.sum("volume")
+            ).cast("double"),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+SELECT n.n_name AS supp_nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(ROUND(SUM(
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))
+           - CAST(CAST(p.p_retailprice AS DECIMAL(18,4))
+                  * CAST(l.l_quantity AS DECIMAL(18,4))
+                  * CAST(0.6 AS DECIMAL(2,1)) AS DECIMAL(18,4))
+       ), 4) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+    doc="TPC-H Q9 pattern (product-type profit): per supplier-nation "
+    "and order-year profit on parts matching a name substring. This "
+    "schema has no partsupp table, so supply cost is modeled as "
+    "0.6 * p_retailprice * quantity (documented proxy, same join "
+    "shape as the original's partsupp probe). part (name-filtered), "
+    "supplier and nation broadcast; lineitem<->orders shuffle on "
+    "orderkey. Requantized-decimal intermediates are LOSSLESS here "
+    "(retail prices have 2 decimals, quantities are integral, so "
+    "products carry <=3 decimals into a 4-decimal cast) — no rounding "
+    "ambiguity between engines.",
+    tags=("relational", "join", "aggregate"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    ).cast("decimal(18,4)")
+    cost = (
+        _dec("p_retailprice") * _dec("l_quantity") * F.lit(0.6).cast("decimal(2,1)")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (rev - cost).alias("amount"),
+        )
+        .groupBy("supp_nation", "o_year")
+        .agg(F.round(F.sum("amount"), 4).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 pattern (returned-item reporting): top-20 customers "
+    "by lost revenue from returned lines in one quarter. Returnflag "
+    "and the quarter both push to the scans; nation broadcasts; "
+    "orders<->lineitem and the customer re-key shuffle. The top-20 is "
+    "TakeOrderedAndProject (per-partition heads + single merge), never "
+    "a full global sort; the c_custkey tiebreak makes the cut "
+    "deterministic across engines even on equal revenues.",
+    tags=("relational", "join", "aggregate", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_late_lines_by_class",
+    oracle="""
+SELECT l.l_returnflag,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 14 DAY
+GROUP BY l.l_returnflag
+""",
+    doc="TPC-H Q12 pattern (shipping modes vs priority): lines shipped "
+    ">14 days after ordering in 1997, bucketed by return flag (this "
+    "schema has no l_shipmode column — returnflag stands in as the "
+    "line class, documented adaptation) with high/low order-priority "
+    "counts. The year window pushes to the lineitem scan; the "
+    "late-shipment predicate is a non-equi residual evaluated at "
+    "probe time on the orderkey hash join — no range-join blowup; "
+    "3-group output collapses map-side.",
+    tags=("relational", "join", "aggregate", "conditional"),
+)
+def q12_late_lines_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate, 14).cast("timestamp_ntz")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH rev AS (
+    SELECT l_suppkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(ROUND(r.total_rev, 4) AS DOUBLE) AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+""",
+    doc="TPC-H Q15 pattern (top supplier): the revenue view CTE + "
+    "argmax selection. Per-supplier quarterly revenue (one shuffle on "
+    "suppkey, map-side partials first), then the scalar max broadcasts "
+    "back as a single-row join — the whole argmax costs one "
+    "metadata-sized exchange, not a global sort. Revenue stays "
+    "DECIMAL through the max-equality comparison (exact, so ties and "
+    "the argmax agree across engines) and becomes double only in the "
+    "output projection.",
+    tags=("relational", "join", "aggregate", "argmax"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias(
+            "total_rev"
+        )
+    )
+    m = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(m), rev.total_rev == m.max_rev)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 4).cast("double").alias("total_revenue"),
+        )
+    )
