@@ -183,3 +183,60 @@ def mix_oversample(docs: DataFrame) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy"),
         )
     )
+
+
+TMIX_SALT = "tmix:"
+TMIX_ALPHA = 0.5
+TMIX_BASIS = 10000
+
+
+def temperature_mix(docs: DataFrame, alpha: float = TMIX_ALPHA) -> DataFrame:
+    """(doc_id, lang, copy): temperature-scaled source mixing — per-
+    language sampling weights proportional to n_lang^alpha (alpha<1
+    flattens the distribution toward rare languages, the multilingual-
+    pretraining "temperature sampling" scheme), renormalized so the
+    expected output size equals the corpus size. Each document gets
+    rate = T * n^alpha / (sum_l n_l^alpha) / n copies: floor(rate)
+    whole copies plus one more when its salted md5 bucket (stable
+    across engines/retries) falls under the fractional part.
+
+    Unlike ``mix_oversample`` (operator-supplied FIXED epoch factors),
+    the rates here are COMPUTED from the observed language histogram —
+    a 5-row aggregate that broadcasts back onto the corpus; the copy
+    materialization is the same zero-shuffle explode(sequence).
+
+    Determinism note: rate is rounded to 4 decimals immediately after
+    the one double division (same q14 discipline) so the floor/bucket
+    cliffs read identical values on both engines."""
+    cnt = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
+    tot = docs.agg(F.count("*").cast("bigint").alias("t"))
+    wts = cnt.withColumn("wt", F.pow(F.col("n").cast("double"), F.lit(alpha)))
+    sw = wts.agg(F.sum("wt").alias("total_w"))
+    rate = (
+        wts.crossJoin(F.broadcast(sw))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.round(
+                F.col("t") * F.col("wt") / F.col("total_w") / F.col("n"), 4
+            ).alias("r"),
+        )
+    )
+    bucket = F.pmod(
+        md5_i32(F.concat(F.lit(TMIX_SALT), F.col("doc_id").cast("string"))),
+        F.lit(TMIX_BASIS),
+    )
+    frac_ticks = F.round((F.col("r") - F.floor("r")) * TMIX_BASIS).cast("bigint")
+    n_copies = F.floor("r").cast("bigint") + (bucket < frac_ticks).cast("bigint")
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(rate), "lang")
+        .select("doc_id", "lang", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy"),
+        )
+        .select("doc_id", "lang", F.col("copy").cast("bigint").alias("copy"))
+    )

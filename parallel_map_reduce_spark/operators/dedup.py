@@ -693,3 +693,89 @@ def fuzzy_value_pairs_lsh(
         .withColumn("dist", F.levenshtein("val_a", "val_b"))
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def passage_dedup_clean(docs: DataFrame, w: int = 8) -> DataFrame:
+    """(doc_id, clean_text, n_kept, n_removed): CCNet-style corpus-level
+    passage deduplication that REBUILDS each document — every
+    non-overlapping w-token passage seen in >= 2 DISTINCT documents is
+    dropped; passages unique to one document and the trailing partial
+    window (< w tokens, not meaningfully dedupable) are kept in their
+    original order. ``duplicated_passages`` reports the signal; this
+    operator applies the edit — the pair mirrors CCNet's
+    measure-then-strip sentence dedup, on token windows because this
+    corpus has no sentence/paragraph breaks.
+
+    Scale shape: passage extraction is the same zero-shuffle array
+    projection as ``duplicated_passages``; one exchange keyed on the
+    passage string for the distinct-doc count, a same-key join back,
+    then the rebuild aggregates on doc_id (sort_array over an
+    in-memory per-doc list — document-sized, never corpus-sized). The
+    join key stays the passage STRING for oracle-exact parity; at
+    100 TB you'd key the exchange on xxhash64(passage) and carry the
+    string only on the winning side."""
+    wa = clean_words_array(docs)
+    n_full = F.floor(F.size("words") / w).cast("int")
+    passages = F.when(
+        n_full >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_full - 1),
+            lambda i: F.array_join(F.slice("words", i * w + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tail = F.array_join(
+        F.slice(
+            "words",
+            (F.col("n_full") * w + 1).cast("int"),
+            (F.size("words") - F.col("n_full") * w).cast("int"),
+        ),
+        " ",
+    )
+    base = wa.select(
+        "doc_id",
+        n_full.alias("n_full"),
+        passages.alias("passages"),
+    ).select(
+        "doc_id",
+        F.col("n_full").cast("bigint").alias("n_passages"),
+        "passages",
+    )
+    pass_df = base.select(
+        "doc_id", F.posexplode("passages").alias("wno", "passage")
+    )
+    freq = pass_df.groupBy("passage").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    kept = pass_df.join(freq, "passage").filter(F.col("nd") == 1)
+    body = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("wno", "passage"))),
+                lambda x: x.getField("passage"),
+            ),
+            " ",
+        ).alias("body"),
+        F.count("*").alias("n_kept"),
+    )
+    tails = wa.select(
+        "doc_id",
+        F.floor(F.size("words") / w).cast("int").alias("n_full"),
+        "words",
+    ).select("doc_id", tail.alias("tail"))
+    return (
+        base.select("doc_id", "n_passages")
+        .join(body, "doc_id", "left")
+        .join(tails, "doc_id")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.when(F.length(F.coalesce("body", F.lit(""))) > 0, F.col("body")),
+                F.when(F.length("tail") > 0, F.col("tail")),
+            ).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_passages") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

@@ -477,3 +477,101 @@ def two_stage_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+def two_stage_ivf_topk(
+    emb: DataFrame,
+    query_filter: F.Column,
+    k: int = 10,
+    overfetch: int = 4,
+    n_centroids: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank): the 100 TB serving shape — IVF
+    partition pruning composed with two-stage quantized retrieval.
+    Stage 0 picks each query's nprobe nearest k-means centroids
+    (``train_ivf_centroids``); stage 1 scores int8 codes ONLY for
+    vectors assigned to those centroids (broadcast probes, so the code
+    store is partition-pruned AND 4x smaller than raw — compute drops
+    from O(|corpus|*|Q|) to O(|probed partitions|*|Q|), closing
+    ``two_stage_topk``'s documented exhaustive-coarse-pass gap);
+    stage 2 fetches full-precision vectors only for the k*overfetch
+    shortlist and re-ranks by exact cosine. At scale the assignment
+    table is written once partitioned by centroid_id, so stage 1 is
+    nprobe partition scans of int8 codes per query batch.
+
+    Candidate generation inherits IVF's approximation (a true neighbor
+    outside the probed lists is unreachable), so this is rows-only at
+    the gate; the recall-floor contract vs brute force lives in
+    tests/test_similarity.py, and nprobe = n_centroids degenerates to
+    ``two_stage_topk``'s exact shortlist."""
+    if cents is None:
+        cents = train_ivf_centroids(emb, n_centroids)
+    e = emb.select("vec_id", "embedding").withColumn("nrm", l2_norm("embedding"))
+    assigned = _assign_to_centroids(e, cents)
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    max_abs = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    safe = F.when(max_abs > 0, max_abs).otherwise(F.lit(1.0))
+    qz = assigned.select(
+        "vec_id",
+        "centroid_id",
+        F.transform(x, lambda v: F.round(v * 127.0 / safe).cast("long")).alias("codes"),
+        F.round(safe / 127.0, 10).alias("scale"),
+    )
+    q = e.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+    )
+    q_cents = q.crossJoin(F.broadcast(cents)).withColumn(
+        "c_cos", dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_nrm"))
+    )
+    w0 = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    probes = (
+        q_cents.withColumn("rk", F.row_number().over(w0))
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    qq = qz.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("q_codes"),
+        F.col("scale").alias("q_scale"),
+    ).join(F.broadcast(probes.groupBy("query_id").agg(
+        F.collect_set("centroid_id").alias("probe_set")
+    )), "query_id")
+    dotint = F.aggregate(
+        F.zip_with("codes", "q_codes", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    s1 = (
+        qz.join(
+            F.broadcast(qq),
+            F.array_contains(F.col("probe_set"), F.col("centroid_id"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .withColumn("approx", dotint.cast("double") * F.col("scale") * F.col("q_scale"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
+    shortlist = (
+        s1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k * overfetch)
+        .select("query_id", "vec_id")
+    )
+    ce = emb.select("vec_id", "embedding", l2_norm("embedding").alias("c_norm"))
+    re = (
+        shortlist.join(ce, "vec_id")
+        .join(
+            F.broadcast(q.select("query_id", "q_emb", "q_norm")), "query_id"
+        )
+        .withColumn(
+            "cos", dot("q_emb", "embedding") / (F.col("q_norm") * F.col("c_norm"))
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        re.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -234,3 +234,42 @@ FROM n WHERE n_copies > 0
 )
 def curation_mix_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.mix_oversample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_temperature_mix",
+    oracle=f"""
+WITH cnt AS (SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang),
+tot AS (SELECT COUNT(*)::BIGINT AS t FROM documents),
+w AS (SELECT lang, n, pow(n, {C.TMIX_ALPHA}) AS wt FROM cnt),
+sw AS (SELECT SUM(wt) AS total_w FROM w),
+rate AS (
+    SELECT lang, n, ROUND(t * wt / total_w / n, 4) AS r
+    FROM w, sw, tot
+),
+b AS (
+    SELECT d.doc_id, d.lang, r.r,
+           CAST(concat('0x', substr(md5(concat('{C.TMIX_SALT}', d.doc_id::VARCHAR)), 1, 8)) AS BIGINT) % {C.TMIX_BASIS} AS bucket
+    FROM documents d JOIN rate r ON r.lang = d.lang
+),
+n AS (
+    SELECT doc_id, lang,
+           CAST(FLOOR(r) AS BIGINT)
+           + CASE WHEN bucket < CAST(ROUND((r - FLOOR(r)) * {C.TMIX_BASIS}) AS BIGINT)
+                  THEN 1 ELSE 0 END AS n_copies
+    FROM b
+)
+SELECT doc_id, lang, unnest(range(1, n_copies + 1))::BIGINT AS copy
+FROM n WHERE n_copies > 0
+""",
+    doc="Temperature-scaled training mix: per-language rates computed "
+    "FROM the observed histogram (weight n^0.5, renormalized to keep "
+    "corpus size) rather than operator-supplied factors — the "
+    "multilingual-pretraining temperature-sampling scheme. The 5-row "
+    "rate table broadcasts onto the corpus; copies materialize via "
+    "explode(sequence) at scan speed. "
+    "operators/curation.py:temperature_mix.",
+    tags=("curation", "sampling", "mixing"),
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.temperature_mix(load_table(spark, sf_dir, "documents"))

@@ -540,3 +540,59 @@ WHERE abs(length(val_a) - length(val_b)) <= 2
 )
 def part_name_fuzzy_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.fuzzy_value_pairs_lsh(load_table(spark, sf_dir, "part"), "p_name")
+
+
+@register(
+    "dedup_passage_clean",
+    oracle=f"""
+WITH {ORDERED_WORDS_CTE},
+pw AS (
+    SELECT doc_id, (seq - 1) // {PASSAGE_W} AS wno,
+           string_agg(word, ' ' ORDER BY seq) AS passage
+    FROM ordered_words
+    GROUP BY doc_id, (seq - 1) // {PASSAGE_W}
+    HAVING COUNT(*) = {PASSAGE_W}
+),
+freq AS (
+    SELECT passage, COUNT(DISTINCT doc_id) AS nd FROM pw GROUP BY passage
+),
+kept AS (
+    SELECT p.doc_id, p.wno, p.passage
+    FROM pw p JOIN freq f ON p.passage = f.passage
+    WHERE f.nd = 1
+),
+body AS (
+    SELECT doc_id, string_agg(passage, ' ' ORDER BY wno) AS body,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+),
+cnt AS (
+    SELECT doc_id, COUNT(*) AS n FROM ordered_words GROUP BY doc_id
+),
+tails AS (
+    SELECT w.doc_id, string_agg(w.word, ' ' ORDER BY w.seq) AS tail
+    FROM ordered_words w JOIN cnt c ON c.doc_id = w.doc_id
+    WHERE w.seq > (c.n // {PASSAGE_W}) * {PASSAGE_W}
+    GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       concat_ws(' ', NULLIF(b.body, ''), NULLIF(t.tail, '')) AS clean_text,
+       COALESCE(b.n_kept, 0)::BIGINT AS n_kept,
+       (COALESCE(c.n, 0) // {PASSAGE_W} - COALESCE(b.n_kept, 0))::BIGINT AS n_removed
+FROM documents d
+LEFT JOIN body b ON b.doc_id = d.doc_id
+LEFT JOIN cnt c ON c.doc_id = d.doc_id
+LEFT JOIN tails t ON t.doc_id = d.doc_id
+""",
+    doc="CCNet-style passage dedup APPLIED: rebuilds every document "
+    "with cross-document duplicated 8-token passages stripped (unique "
+    "passages and the trailing partial window survive in order), "
+    "returning the cleaned text plus kept/removed counts — the edit "
+    "step paired with dedup_passage_duplicates' measurement. One "
+    "passage-keyed exchange + a doc-keyed rebuild agg. "
+    "operators/dedup.py:passage_dedup_clean.",
+    tags=("dedup", "curation", "text"),
+)
+def dedup_passage_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.passage_dedup_clean(docs, w=PASSAGE_W)

@@ -265,3 +265,24 @@ def similarity_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.two_stage_topk(
         emb, F.col("vec_id") % _QUERY_MOD == 0, k=_K, overfetch=_OVERFETCH
     )
+
+
+@register(
+    "similarity_two_stage_ivf_topk",
+    oracle=None,  # IVF candidate generation is approximate (unreached
+    # partitions are invisible); recall-floor + nprobe=all equality
+    # contracts vs brute force live in tests/test_similarity.py (the
+    # driver records rows-only).
+    doc="The 100 TB serving shape: IVF partition pruning composed with "
+    "two-stage int8 retrieval — nprobe centroid lists bound stage 1's "
+    "compute AND the quantized codes bound its IO; exact full-vector "
+    "re-rank only on the k*overfetch shortlist. Closes the documented "
+    "exhaustive-coarse-pass gap of similarity_two_stage_topk. "
+    "operators/similarity.py:two_stage_ivf_topk.",
+    tags=("similarity", "ann", "ivf", "topk", "compression"),
+)
+def similarity_two_stage_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.two_stage_ivf_topk(
+        emb, F.col("vec_id") % _QUERY_MOD == 0, k=_K, overfetch=_OVERFETCH
+    )

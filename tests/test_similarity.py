@@ -201,3 +201,28 @@ def test_two_stage_topk_equals_brute_force(spark, sf_dir):
     bf = {(r.query_id, r.vec_id, r.rank) for r in brute_force_topk(emb, qf, k=10).collect()}
     ts = {(r.query_id, r.vec_id, r.rank) for r in two_stage_topk(emb, qf, k=10).collect()}
     assert bf == ts and len(bf) > 0
+
+
+def test_two_stage_ivf_recall_and_exact_degeneration(spark, emb):
+    """IVF-pruned two-stage retrieval: (a) a recall floor vs brute force
+    at the default nprobe (candidate generation is approximate, but the
+    probed lists must catch most true neighbors); (b) with nprobe =
+    n_centroids every partition is probed, so the shortlist equals
+    two_stage_topk's and the result must EQUAL brute force exactly."""
+    from parallel_map_reduce_spark.operators.similarity import (
+        IVF_K,
+        brute_force_topk,
+        two_stage_ivf_topk,
+    )
+
+    qf = F.col("vec_id") % 50 == 0
+    exact = brute_force_topk(emb, qf, k=10).collect()
+    approx = two_stage_ivf_topk(emb, qf, k=10).collect()
+    mean_recall, _ = _mean_recall(exact, approx)
+    assert len(approx) > 0
+    assert mean_recall >= 0.3, f"mean recall {mean_recall:.3f}"
+
+    full = two_stage_ivf_topk(emb, qf, k=10, nprobe=IVF_K).collect()
+    bf = {(r.query_id, r.vec_id, r.rank) for r in exact}
+    fu = {(r.query_id, r.vec_id, r.rank) for r in full}
+    assert bf == fu

@@ -98,3 +98,43 @@ def test_duplicated_passages_cross_doc_only(spark):
     assert out[2].n_passages == 2 and out[2].n_dup_passages == 1
     assert out[2].dup_ratio == 0.5
     assert out[3].n_dup_passages == 0 and out[3].dup_ratio == 0.0
+
+
+def test_passage_dedup_clean_rebuild(spark):
+    """Cross-doc duplicated windows are stripped from the rebuilt text;
+    unique windows and the trailing partial window survive in order."""
+    from parallel_map_reduce_spark.operators.dedup import passage_dedup_clean
+
+    rows = [
+        (1, "a b c d ua ub uc ud tailx"),
+        (2, "a b c d x y z w"),
+        (3, "p q r s t"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in passage_dedup_clean(docs, w=4).collect()}
+    # doc 1: shared window dropped, unique window + tail kept in order
+    assert out[1].clean_text == "ua ub uc ud tailx"
+    assert out[1].n_kept == 1 and out[1].n_removed == 1
+    # doc 2: shared window dropped, its unique window kept
+    assert out[2].clean_text == "x y z w"
+    # doc 3: one full window (unique) + partial tail — untouched
+    assert out[3].clean_text == "p q r s t"
+    assert out[3].n_removed == 0
+
+
+def test_temperature_mix_flattens_toward_rare_langs(spark):
+    """Temperature sampling (alpha=0.5) must (a) roughly preserve corpus
+    size, (b) give rare languages a higher per-doc rate than common
+    ones, while keeping common langs' rate below 1 and rare langs'
+    above 1 — the flattening direction."""
+    from parallel_map_reduce_spark.operators.curation import temperature_mix
+
+    rows = [(i, "en" if i < 90 else "zh") for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = temperature_mix(docs).groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in out}
+    total = sum(counts.values())
+    assert 85 <= total <= 115, total  # ~corpus-size preserving
+    # per-doc rates: en 90->~75 (downsampled), zh 10->~25 (oversampled)
+    assert counts["en"] < 90
+    assert counts["zh"] > 10
