@@ -30,7 +30,10 @@ from parallel_map_reduce_spark.registry import all_queries
 
 # Headline set: one per major operator family (SURVEY.md §2), heaviest
 # representative each — scan-agg, fact join, window, dedup chain, LSH,
-# similarity, text, sessionization, multimodal UDF path.
+# similarity, text, sessionization, multimodal UDF path. Rotation
+# policy (round-4 lesson: grow the line and the driver drops the whole
+# deliverable): when adding round-N heavies, RETIRE an equal number of
+# fast, multi-round-stable micro-queries instead of growing the set.
 HEADLINE = (
     "reference_corpus_index",
     "inverted_index",
@@ -45,21 +48,14 @@ HEADLINE = (
     "dedup_ngram_jaccard",
     "similarity_topk_bruteforce",
     "similarity_ann_lsh",
-    "text_quality_scores",
-    "text_fingerprints",
-    "text_winnowing_fingerprints",
     "text_tfidf",
-    "event_value_quantiles",
     "streaming_hourly_tumbling",
     "multimodal_image_features",
     "multimodal_video_frames",
     "q7_nation_trade_matrix",
     "q18_large_orders",
     "similarity_ann_ivf",
-    "curation_pipeline",
     "orders_value_deciles",
-    "funnel_view_click_purchase",
-    "text_repetition_signals",
     "text_bigram_counts",
     "trade_graph_pagerank",
     "dedup_incremental_lsh",
@@ -69,6 +65,17 @@ HEADLINE = (
     "dedup_passage_duplicates",
     "neardup_triangle_census",
     "similarity_two_stage_topk",
+    # round-5 rotation: new heavies in, seven <0.5 s stable micros out
+    # (text_quality_scores, text_fingerprints, text_winnowing_
+    # fingerprints, text_repetition_signals, event_value_quantiles,
+    # funnel_view_click_purchase, curation_pipeline)
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "dedup_passage_clean",
+    "curation_temperature_mix",
+    "similarity_two_stage_ivf_topk",
 )
 
 # Hard cap on the final stdout JSON line. The driver keeps a ~2 KB tail

@@ -33,24 +33,29 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver's correctness gate checks exactly the FIRST 50 registered
-# entries (rounds 2 and 3 both recorded exact 50-entry prefixes of the
-# then-current registry). GATE_PRIORITY therefore curates positions
-# 1-50 so the gate window samples EVERY operator family instead of
-# whatever import order happens to put first:
-#   - the 10 core entries (the SURVEY §2.1 reference-parity bar);
-#   - 8 long-green representatives keeping the relational families
-#     (scan-agg, join, window, grouping sets, skew, ranking, funnel)
-#     and the dedup LSH chain in-window;
-#   - every previously un-gated entry from similarity, text,
-#     streaming-batch, curation, graph, search, and multimodal.
-# Relational/dedup entries displaced behind position 50 all carry two
-# rounds of green hash-match history (CORRECTNESS_r02/r03). Live
-# streaming drains stay at the registry tail on purpose — they cost
-# seconds each and their families carry r2 gate rows + pytest
-# contracts (see tests/test_registry_contract.py, which pins this
-# ordering).
+# entries (rounds 2-4 all recorded exact 50-entry prefixes of the
+# then-current registry). GATE_PRIORITY curates positions 1-50.
+#
+# ROTATION POLICY (apply EVERY round — round 4's mistake was adding
+# operators without rotating, so 12 new capabilities shipped with no
+# driver evidence):
+#   1. The 10 core entries (SURVEY §2.1 reference-parity bar) are
+#      permanent.
+#   2. Every entry ADDED this round goes INTO the window immediately,
+#      displacing the entries with the most rounds of green hash-match
+#      history (their evidence ages best).
+#   3. Every family keeps at least one in-window representative.
+#   4. Slow entries (live streaming drains, >5 s oracles) sit at the
+#      END of the window so a wall-clock-truncated gate still covers
+#      the fast majority; un-gated live drains stay at the registry
+#      tail.
+# Round-5 window: core + the 12 round-4 entries that had never been
+# driver-checked + the round-5 additions (TPC-H Q6/Q8/Q9/Q10/Q12/Q15,
+# passage dedup-clean, temperature mix) + one anchor per long-green
+# family + two live streaming drains (first live gate rows ever).
+# Displaced entries all carry r4 (most also r2/r3) green driver rows.
 GATE_PRIORITY: tuple[str, ...] = (
-    # core (reference parity)
+    # core (reference parity) — permanent
     "inverted_index",
     "token_pairs_distinct",
     "token_stream",
@@ -61,7 +66,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "doc_stats",
     "inverted_index_chunked",
     "documents_provenance",
-    # relational family representatives (2 rounds green history)
+    # relational anchors (r2+r3+r4 green)
     "q1_pricing_summary",
     "q3_shipping_priority",
     "top_customers_per_segment",
@@ -69,47 +74,49 @@ GATE_PRIORITY: tuple[str, ...] = (
     "event_type_distinct_users_salted",
     "orders_value_deciles",
     "funnel_view_click_purchase",
-    # dedup
+    # relational — round-4 entries never driver-checked
+    "q17_small_quantity_revenue",
+    "q20_concentrated_suppliers",
+    "q21_waiting_suppliers",
+    # relational — new round 5
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_lines_by_class",
+    "q15_top_supplier",
+    # dedup: LSH anchor + round-4 never-checked + new round 5
     "dedup_minhash_lsh_pairs",
-    "part_name_fuzzy_pairs",
-    "dedup_cluster_keepers",
-    # similarity / embeddings
-    "embedding_label_centroids",
-    "embedding_l2_norms_arrow",
-    "embedding_quantize_int8",
-    # text analysis
-    "text_repetition_signals",
-    "text_bigram_counts",
-    # events / streaming-batch (incl. approx sketches, layout, cohort)
+    "part_name_fuzzy_pairs_lsh",
+    "decontaminate_benchmark_overlap",
+    "dedup_passage_duplicates",
+    "dedup_passage_clean",
+    # similarity — round-4 never-checked
+    "similarity_two_stage_topk",
+    # text — round-4 never-checked
+    "customer_pii_masked",
+    # events / streaming-batch: never-checked + family anchors
+    "events_hourly_interpolated",
     "events_latest_per_user",
-    "event_value_quantiles_approx",
-    "event_value_dispersion",
-    "event_users_hll_rollup",
-    "events_zorder_code",
-    "events_hourly_dense",
-    "events_per_user_sample",
-    "events_anomaly_mad",
     "events_cohort_retention",
-    "events_rolling_7d_users_hll",
-    # curation / quality
+    "events_zorder_code",
+    # curation anchors + new round 5
     "curation_pipeline",
-    "curation_train_val_split",
     "curation_pack_bins",
-    "curation_stratified_sample",
     "orders_quality_report",
-    "referential_integrity_report",
-    "curation_mix_oversample",
-    # graph
+    "curation_temperature_mix",
+    # graph: anchor + round-4 never-checked
     "trade_graph_pagerank",
-    # search
-    "search_positional_index",
-    "search_phrase",
+    "neardup_triangle_census",
+    # search / multimodal anchors + round-4 never-checked
     "search_bm25",
-    # multimodal
+    "search_phrase",
     "multimodal_image_features",
-    "multimodal_audio_features",
-    "multimodal_video_frames",
+    "multimodal_image_resize",
     "multimodal_curation_filter",
+    # live streaming drains — first-ever gate rows; last on purpose
+    "streaming_hourly_tumbling",
+    "streaming_curation_dedup",
 )
 
 

@@ -58,13 +58,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     df = spark.read.parquet(path)
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet, read as BIGINT nanos via
-        # spark.sql.legacy.parquet.nanosAsLong (session.py). The source
-        # data is microsecond-granular (nanos % 1000 == 0), so the
-        # conversion is exact.
+        # ts is TIMESTAMP(NANOS) in parquet. How Spark surfaces it is
+        # version-dependent: with spark.sql.legacy.parquet.nanosAsLong
+        # honored (<= 4.0) it arrives as BIGINT nanos; Spark 4.1+ reads
+        # it natively as TIMESTAMP_NTZ and ignores the legacy conf.
+        # Normalize BOTH to a session-TZ TIMESTAMP (UTC per
+        # _ensure_session_confs, so the NTZ wall clock maps to the same
+        # instant). The source data is microsecond-granular
+        # (nanos % 1000 == 0), so either conversion is exact.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

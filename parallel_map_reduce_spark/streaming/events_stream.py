@@ -28,8 +28,13 @@ from pyspark.sql.types import (
 )
 
 # Schema for readStream (the file streaming source requires an explicit
-# schema). ts is TIMESTAMP(NANOS) in parquet, read as BIGINT nanos via
-# spark.sql.legacy.parquet.nanosAsLong (set by sources.catalog).
+# schema). ts is TIMESTAMP(NANOS) in parquet; how the reader surfaces it
+# is version-dependent (BIGINT nanos under the <=4.0 nanosAsLong legacy
+# conf, native TIMESTAMP_NTZ on 4.1+), so the declared schema is derived
+# from a batch-read probe of the same files at stream-construction time
+# (read_events_stream) instead of being pinned here. Declaring the wrong
+# type would not fail loudly: the parquet column would be reinterpreted
+# and every timestamp silently lands in the wrong epoch.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -79,13 +84,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import _ensure_session_confs
 
     _ensure_session_confs(spark)
+    from pyspark.sql.types import LongType
+
+    staging = _staging_dir(sf_dir)
+    # Probe the files with a batch read so the declared stream schema
+    # matches THIS Spark version's parquet-nanos behavior (see
+    # EVENTS_RAW_SCHEMA note) — a mismatched declared type silently
+    # reinterprets the column instead of erroring.
+    probed = spark.read.parquet(staging).schema
     # No maxFilesPerTrigger: an availableNow drain of a static staging dir
     # should process everything in ONE micro-batch — per-file micro-batching
     # here only multiplies trigger overhead (and would make the complete-mode
     # memory sink re-emit full state per file). Production backpressure
     # belongs to the real source (Kafka maxOffsetsPerTrigger etc.).
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(_staging_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(probed).parquet(staging)
+    if isinstance(probed["ts"].dataType, LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_tumbling_stream(events: DataFrame) -> DataFrame:

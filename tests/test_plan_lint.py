@@ -36,6 +36,13 @@ CARTESIAN_OK = {
     # rolling-window self-join of the ~30-row per-day table: the range
     # condition forces NLJ, but both sides are metadata-sized by design
     "events_rolling_7d_users_hll": "day-table range self-join (~30 rows/side)",
+    # |langs|-row rate table built from 1-row aggregates; all sides are
+    # metadata-sized — the corpus itself only sees a broadcast hash join
+    "curation_temperature_mix": "rate-table build: |langs| x 1-row scalars",
+    "similarity_two_stage_ivf_topk": "broadcast centroid table (k rows) for "
+    "probe selection + array_contains(probe_set) stage-1 join — NLJ in "
+    "form, but the broadcast side is |Q| rows and the stream side is "
+    "partition-pruned to nprobe centroid lists",
 }
 
 # Single-partition exchanges are only acceptable when they carry
@@ -49,6 +56,11 @@ SINGLE_PARTITION_OK = {
     "orders_quality_report": "the report IS a global |rules|-row aggregate",
     "referential_integrity_report": "three 1-row orphan counts unioned",
     "search_bm25": "1-row corpus (N, avgdl) aggregate",
+    "q6_forecast_revenue": "the result IS a 1-row global aggregate; "
+    "map-side partials collapse to one row per task first",
+    "q15_top_supplier": "1-row scalar max(total_rev) broadcast back",
+    "curation_temperature_mix": "1-row corpus count + |langs|-row "
+    "weight-sum scalars for the rate table",
 }
 
 SKIP_PREFIX = "streaming_"  # live drains execute on build; covered elsewhere

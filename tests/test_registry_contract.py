@@ -66,12 +66,23 @@ def test_rows_only_entries_are_the_documented_set():
 
 
 def test_live_streaming_entries_registered_last():
-    """Slowest entries (live drains) must stay at the registry tail so a
-    wall-clock-budgeted gate run never truncates fast entries behind
-    them (the round-2 failure mode)."""
+    """Slowest entries (live drains) must never sit ahead of fast ones:
+    the un-gated drains stay contiguous at the registry tail, and the
+    two drains rotated INTO the gate window (round 5 — the family's
+    first driver rows) sit at the very END of the window, so a
+    wall-clock-truncated gate still covers the fast majority (the
+    round-2 failure mode)."""
+    from parallel_map_reduce_spark.registry import GATE_PRIORITY
+
     names = list(all_queries())
-    live = [n for n in names if n.startswith("streaming_")]
-    assert names[-len(live):] == live, "live entries not contiguous at tail"
+    live_gated = [n for n in GATE_PRIORITY if n.startswith("streaming_")]
+    assert list(GATE_PRIORITY[-len(live_gated):]) == live_gated, (
+        "gated live drains must close the gate window"
+    )
+    live_tail = [
+        n for n in names if n.startswith("streaming_") and n not in GATE_PRIORITY
+    ]
+    assert names[-len(live_tail):] == live_tail, "live entries not contiguous at tail"
 
 
 def test_gate_priority_is_the_first_50_and_covers_every_family():
