@@ -121,3 +121,47 @@ def global_ntile(
         F.lit(r) + F.floor((rn - head - 1) / max(q, 1)) + 1
     )
     return ranked.withColumn(out_col, tile.cast("bigint")).drop("_gnt_rn")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    val_cols: list[str],
+    n_buckets: int = N_RANGE_BUCKETS,
+    suffix: str = "_cum",
+) -> DataFrame:
+    """df + exact global running SUM(val) in ``order_col`` order for each
+    value column — the cumulative-sum sibling of ``global_row_number``,
+    with the same no-single-partition guarantee: quantile range buckets
+    on the order column, per-bucket local window sums, and per-bucket
+    prefix offsets (n_buckets rows of metadata collected, never data).
+    ``order_col`` must be unique (callers order by a key); values must
+    be integer-exact or order-insensitive for the decomposition to be
+    bit-identical to the single-task window."""
+    bucketed = df.withColumn("_rb", range_bucket(df, order_col, n_buckets))
+    per_bucket = (
+        bucketed.groupBy("_rb")
+        .agg(*[F.sum(c).alias(c) for c in val_cols])
+        .collect()
+    )
+    sums = {r["_rb"]: r for r in per_bucket}
+    offsets: dict[str, dict[int, int]] = {c: {} for c in val_cols}
+    acc = dict.fromkeys(val_cols, 0)
+    for b in range(n_buckets):
+        for c in val_cols:
+            offsets[c][b] = acc[c]
+            acc[c] += (sums[b][c] or 0) if b in sums else 0
+    w = (
+        Window.partitionBy("_rb")
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = bucketed
+    for c in val_cols:
+        omap = F.create_map(
+            *[x for b in range(n_buckets) for x in (F.lit(b), F.lit(offsets[c][b]))]
+        )
+        out = out.withColumn(
+            c + suffix, (F.sum(c).over(w) + omap[F.col("_rb")]).cast("bigint")
+        )
+    return out.drop("_rb")

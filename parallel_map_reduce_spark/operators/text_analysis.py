@@ -356,3 +356,46 @@ def redact_patterns(
         )
         redacted = F.regexp_replace(redacted, pat, token)
     return out.withColumn(f"{col}_redacted", redacted)
+
+
+def vocab_growth(docs: DataFrame) -> DataFrame:
+    """(doc_id, cum_tokens, vocab_size): the Heaps-law vocabulary-growth
+    curve — for each document in doc_id order, the cumulative cleaned-
+    token count and the cumulative DISTINCT-word count up to and
+    including it. The standard corpus-health diagnostic for a training
+    set (sub-linear growth = natural text; near-linear = id/noise
+    contamination).
+
+    Scale shape: "cumulative distinct" never materializes running sets —
+    each word's first_doc = min(doc_id) (one word-keyed exchange with
+    partial min), so a doc's novel-word count is a plain aggregate, and
+    the running totals are ranking.global_cumsum's range-bucket prefix
+    decomposition: per-doc rows only, no single-partition window at any
+    corpus size."""
+    from .dedup import clean_words_array
+    from .ranking import global_cumsum
+
+    wa = clean_words_array(docs)
+    per_doc_tokens = wa.select(
+        "doc_id", F.size("words").cast("bigint").alias("n_tokens")
+    )
+    words = wa.select("doc_id", F.explode("words").alias("word"))
+    new_words = (
+        words.groupBy("word")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_new"))
+    )
+    base = (
+        per_doc_tokens.join(new_words, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+        )
+    )
+    return global_cumsum(base, "doc_id", ["n_tokens", "n_new"]).select(
+        "doc_id",
+        F.col("n_tokens_cum").alias("cum_tokens"),
+        F.col("n_new_cum").alias("vocab_size"),
+    )

@@ -367,3 +367,38 @@ def customer_pii_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name_redacted").alias("name_masked"),
         F.col("n_digits").alias("n_redacted"),
     )
+
+
+@register(
+    "text_vocab_growth",
+    oracle=f"""
+WITH {_WORDS_TF_CTE},
+per_doc AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_tokens FROM words GROUP BY doc_id
+),
+first_seen AS (
+    SELECT word, MIN(doc_id) AS fd FROM words GROUP BY word
+),
+new_words AS (
+    SELECT fd AS doc_id, COUNT(*)::BIGINT AS n_new FROM first_seen GROUP BY fd
+)
+SELECT d.doc_id,
+       SUM(COALESCE(t.n_tokens, 0)) OVER (ORDER BY d.doc_id)::BIGINT AS cum_tokens,
+       SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY d.doc_id)::BIGINT AS vocab_size
+FROM documents d
+LEFT JOIN per_doc t ON t.doc_id = d.doc_id
+LEFT JOIN new_words nw ON nw.doc_id = d.doc_id
+""",
+    doc="Heaps-law vocabulary-growth curve: cumulative token count and "
+    "cumulative DISTINCT-word count per document in doc_id order — the "
+    "corpus-health diagnostic separating natural text (sub-linear "
+    "growth) from id/noise contamination (near-linear). Cumulative "
+    "distinct via each word's min(doc_id) (one word-keyed exchange), "
+    "running totals via the range-bucket prefix decomposition — no "
+    "single-partition window at any corpus size. "
+    "operators/text_analysis.py:vocab_growth, "
+    "operators/ranking.py:global_cumsum.",
+    tags=("text", "curation", "window", "distributed-rank"),
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.vocab_growth(load_table(spark, sf_dir, "documents"))

@@ -110,7 +110,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "neardup_triangle_census",
     # search / multimodal anchors + round-4 never-checked
     "search_bm25",
-    "search_phrase",
+    # text — new round 5 (distributed cumulative-distinct curve)
+    "text_vocab_growth",
     "multimodal_image_features",
     "multimodal_image_resize",
     "multimodal_curation_filter",

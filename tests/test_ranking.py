@@ -72,3 +72,37 @@ def test_ranking_stable_across_shuffle_partitions(spark, sf_dir):
         assert results[0] == results[1]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_global_cumsum_matches_single_window(spark):
+    """Range-bucket prefix cumsum must be bit-identical to the
+    single-partition window formulation on integer data with a unique
+    order key, and its plan must not contain that window's
+    SinglePartition exchange."""
+    import random
+
+    from pyspark.sql import Window
+
+    from parallel_map_reduce_spark.operators.ranking import global_cumsum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50), rng.randint(0, 5)) for i in range(997)]
+    df = spark.createDataFrame(rows, ["k", "a", "b"])
+    got = {
+        r.k: (r.a_cum, r.b_cum)
+        for r in global_cumsum(df, "k", ["a", "b"]).collect()
+    }
+    w = (
+        Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exp = {
+        r.k: (r.ac, r.bc)
+        for r in df.select(
+            "k", F.sum("a").over(w).alias("ac"), F.sum("b").over(w).alias("bc")
+        ).collect()
+    }
+    assert got == exp
+    plan = (
+        global_cumsum(df, "k", ["a"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
