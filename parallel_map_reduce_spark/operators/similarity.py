@@ -575,3 +575,75 @@ def two_stage_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+SEMDEDUP_THRESHOLD = 0.95
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = IVF_K,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, keeper_id, keep): SemDeDup-style semantic deduplication
+    (Abbas et al. 2023): cluster the embedding space with k-means, form
+    near-duplicate pairs ONLY within each cluster (cosine >=
+    threshold), resolve the pair graph by connected components, and
+    keep one representative (min vec_id) per semantic-duplicate group.
+    ``keep`` is true for keepers and for vectors with no near-dup.
+
+    This is the embedding-space sibling of the MinHash document chain:
+    candidate generation is cluster-blocked instead of band-blocked, so
+    the pair join is per-cluster O(n_c^2) rather than corpus O(n^2) —
+    at 100 TB you'd raise n_centroids so clusters stay partition-sized
+    (the paper's setting does exactly this), and the component
+    resolution reuses the same min-label propagation as document dedup.
+
+    Approximate by construction (cross-cluster near-dups are
+    unreachable, exactly like SemDeDup); contracts live in
+    tests/test_similarity.py: within-cluster recall is exact, planted
+    duplicate groups resolve to single keepers."""
+    from .dedup import connected_components
+
+    if cents is None:
+        cents = train_ivf_centroids(emb, n_centroids)
+    e = emb.select("vec_id", "embedding").withColumn("nrm", l2_norm("embedding"))
+    assigned = _assign_to_centroids(e, cents).select(
+        "vec_id", "embedding", "nrm", "centroid_id"
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos",
+            dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
+    )
+    comps = connected_components(pairs)
+    return (
+        emb.select("vec_id")
+        .join(
+            comps.select(F.col("doc_id").alias("vec_id"), "cluster_id"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id")).cast("bigint").alias("keeper_id"),
+            (
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col("vec_id"))
+            ).alias("keep"),
+        )
+    )

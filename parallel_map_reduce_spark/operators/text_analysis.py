@@ -399,3 +399,76 @@ def vocab_growth(docs: DataFrame) -> DataFrame:
         F.col("n_tokens_cum").alias("cum_tokens"),
         F.col("n_new_cum").alias("vocab_size"),
     )
+
+
+def lm_perplexity_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll, ppl): CCNet-style language-model
+    quality scoring — each document's average negative log2-likelihood
+    and perplexity under a Laplace-smoothed corpus bigram LM
+    (P(w2|w1) = (c(w1 w2)+1) / (c(w1)+V)). Low-perplexity docs read
+    like the corpus; high-perplexity docs are noise/ids — the classic
+    LM quality filter, self-trained here instead of external-model
+    scored.
+
+    Plan: bigram instances join the corpus bigram table (one
+    bigram-keyed exchange), the context word joins the unigram table
+    (one word-keyed exchange), the 1-row (V) scalar broadcasts, and
+    the per-doc reduction keys on doc_id. At 100 TB the LM tables are
+    the artifact to prune to a top-M vocabulary and BROADCAST, turning
+    both fact exchanges into map-side hash probes.
+
+    Cross-engine determinism: each bigram's nll is rounded to 6 dp and
+    summed as DECIMAL (exact, order-free); the final avg/perplexity
+    are one division + one pow on that exact sum, rounded to 4 dp —
+    the q14 discipline."""
+    staged = docs.select("doc_id", _clean_words_arr().alias("words"))
+    unic = (
+        staged.select(F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cw"))
+    )
+    voc = unic.agg(F.count("*").cast("bigint").alias("v"))
+    grams = staged.select(
+        "doc_id", F.explode(_ngrams(F.col("words"), 2)).alias("bigram")
+    )
+    bic = grams.groupBy("bigram").agg(F.count("*").cast("bigint").alias("c"))
+    w1 = F.split("bigram", " ")[0]
+    scored = (
+        grams.join(bic, "bigram")
+        .withColumn("w1", w1)
+        .join(unic.select(F.col("word").alias("w1"), "cw"), "w1")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "doc_id",
+            F.round(
+                -F.log2(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("cw") + F.col("v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("nll").alias("s"), F.count("*").cast("bigint").alias("n")
+    )
+    avg = F.col("s").cast("double") / F.col("n")
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.when(F.coalesce("n", F.lit(0)) > 0, F.round(avg, 4))
+            .otherwise(F.lit(0.0))
+            .alias("avg_nll"),
+            F.when(
+                F.coalesce("n", F.lit(0)) > 0,
+                F.round(F.pow(F.lit(2.0), avg), 4),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("ppl"),
+        )
+    )

@@ -273,3 +273,87 @@ FROM n WHERE n_copies > 0
 )
 def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.temperature_mix(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "documents_corpus_report",
+    oracle=f"""
+WITH words AS (
+    SELECT doc_id,
+           unnest(list_filter(list_transform(string_split_regex(text, '[ \t\n]+'),
+                  t -> lower(regexp_replace(t, '[^A-Za-z]', '', 'g'))),
+                  w -> length(w) > 0)) AS word
+    FROM documents
+),
+tok AS (SELECT COUNT(*)::BIGINT AS total_tokens,
+               COUNT(DISTINCT word)::BIGINT AS distinct_words FROM words),
+docs AS (SELECT COUNT(*)::BIGINT AS n_docs,
+                COUNT(DISTINCT lang)::BIGINT AS n_langs,
+                COUNT(DISTINCT source)::BIGINT AS n_sources FROM documents),
+dups AS (
+    SELECT COALESCE(SUM(n), 0)::BIGINT AS exact_dup_docs FROM (
+        SELECT COUNT(*) AS n FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    )
+)
+SELECT metric, value FROM (
+    SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM docs
+    UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM docs
+    UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM docs
+    UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM tok
+    UNION ALL SELECT 'distinct_words', CAST(distinct_words AS DOUBLE) FROM tok
+    UNION ALL SELECT 'exact_dup_docs', CAST(exact_dup_docs AS DOUBLE) FROM dups
+    UNION ALL SELECT 'mean_tokens_per_doc',
+        ROUND(CAST(t.total_tokens AS DOUBLE) / d.n_docs, 4) FROM tok t, docs d
+)
+""",
+    doc="Data-card corpus report: the one-glance summary a training-set "
+    "release ships — doc/lang/source counts, token totals, vocabulary "
+    "size, exact-duplicate count, mean doc length — as (metric, value) "
+    "rows. Every number is integer-derived (one rounded division for "
+    "the mean), so the report is bit-stable across engines; the token "
+    "scan is one pass, everything else is metadata-sized aggregation.",
+    tags=("curation", "quality", "report"),
+)
+def documents_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import clean_words_array
+
+    words = clean_words_array(docs).select(
+        "doc_id", F.explode("words").alias("word")
+    )
+    tok = words.agg(
+        F.count("*").cast("bigint").alias("total_tokens"),
+        F.countDistinct("word").cast("bigint").alias("distinct_words"),
+    )
+    d = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    dups = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("exact_dup_docs"))
+    )
+
+    def row(metric: str, col: F.Column, src: DataFrame) -> DataFrame:
+        return src.select(
+            F.lit(metric).alias("metric"), col.cast("double").alias("value")
+        )
+
+    mean = d.crossJoin(tok).select(
+        F.lit("mean_tokens_per_doc").alias("metric"),
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("n_docs"), 4
+        ).alias("value"),
+    )
+    return (
+        row("n_docs", F.col("n_docs"), d)
+        .unionByName(row("n_langs", F.col("n_langs"), d))
+        .unionByName(row("n_sources", F.col("n_sources"), d))
+        .unionByName(row("total_tokens", F.col("total_tokens"), tok))
+        .unionByName(row("distinct_words", F.col("distinct_words"), tok))
+        .unionByName(row("exact_dup_docs", F.col("exact_dup_docs"), dups))
+        .unionByName(mean)
+    )

@@ -286,3 +286,22 @@ def similarity_two_stage_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     return S.two_stage_ivf_topk(
         emb, F.col("vec_id") % _QUERY_MOD == 0, k=_K, overfetch=_OVERFETCH
     )
+
+
+@register(
+    "embedding_semantic_dedup",
+    oracle=None,  # k-means cluster blocking is not SQL-replayable;
+    # planted-duplicate resolution + within-cluster-exactness contracts
+    # live in tests/test_similarity.py (driver records rows-only).
+    doc="SemDeDup-style semantic dedup: k-means cluster blocking, "
+    "within-cluster cosine pairs (>= the corpus near-dup threshold), "
+    "connected-component resolution, one keeper (min vec_id) per "
+    "semantic-duplicate group — the embedding-space sibling of the "
+    "MinHash document chain, cluster-blocked so pair generation is "
+    "per-cluster O(n_c^2), never corpus O(n^2). "
+    "operators/similarity.py:semantic_dedup.",
+    tags=("similarity", "dedup", "embedding", "clustering"),
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=_NEARDUP_THRESHOLD)

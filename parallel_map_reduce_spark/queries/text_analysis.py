@@ -402,3 +402,52 @@ LEFT JOIN new_words nw ON nw.doc_id = d.doc_id
 )
 def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.vocab_growth(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lm_perplexity",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, {_WORDS_ARR} AS words FROM documents
+),
+grams AS (
+    SELECT doc_id, unnest({_ngrams_sql(2)}) AS bigram FROM base
+),
+unic AS (
+    SELECT word, COUNT(*)::BIGINT AS cw
+    FROM (SELECT unnest(words) AS word FROM base) GROUP BY word
+),
+voc AS (SELECT COUNT(*)::BIGINT AS v FROM unic),
+bic AS (SELECT bigram, COUNT(*)::BIGINT AS c FROM grams GROUP BY bigram),
+scored AS (
+    SELECT g.doc_id,
+           CAST(ROUND(-log2((b.c + 1) / CAST(u.cw + voc.v AS DOUBLE)), 6)
+                AS DECIMAL(18,6)) AS nll
+    FROM grams g
+    JOIN bic b ON b.bigram = g.bigram
+    JOIN unic u ON u.word = string_split(g.bigram, ' ')[1]
+    CROSS JOIN voc
+),
+per_doc AS (
+    SELECT doc_id, SUM(nll) AS s, COUNT(*)::BIGINT AS n
+    FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n, 0)::BIGINT AS n_bigrams,
+       CASE WHEN COALESCE(p.n, 0) > 0
+            THEN ROUND(CAST(p.s AS DOUBLE) / p.n, 4) ELSE 0.0 END AS avg_nll,
+       CASE WHEN COALESCE(p.n, 0) > 0
+            THEN ROUND(pow(2.0, CAST(p.s AS DOUBLE) / p.n), 4) ELSE 1.0 END AS ppl
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+""",
+    doc="CCNet-style LM quality scoring: per-document average negative "
+    "log-likelihood + perplexity under the Laplace-smoothed corpus "
+    "bigram model (self-trained; low ppl = corpus-like, high ppl = "
+    "noise). Per-bigram nll rounded then DECIMAL-summed so the "
+    "reduction is order-free; one bigram-keyed + one word-keyed "
+    "exchange, scalar V broadcast. "
+    "operators/text_analysis.py:lm_perplexity_scores.",
+    tags=("text", "quality", "lm", "curation"),
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lm_perplexity_scores(load_table(spark, sf_dir, "documents"))

@@ -103,7 +103,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # curation anchors + new round 5
     "curation_pipeline",
     "curation_pack_bins",
-    "orders_quality_report",
+    "documents_corpus_report",
     "curation_temperature_mix",
     # graph: anchor + round-4 never-checked
     "trade_graph_pagerank",
@@ -114,7 +114,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_vocab_growth",
     "multimodal_image_features",
     "multimodal_image_resize",
-    "multimodal_curation_filter",
+    "text_lm_perplexity",
     # live streaming drains — first-ever gate rows; last on purpose
     "streaming_hourly_tumbling",
     "streaming_curation_dedup",

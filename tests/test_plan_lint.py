@@ -43,6 +43,9 @@ CARTESIAN_OK = {
     "probe selection + array_contains(probe_set) stage-1 join — NLJ in "
     "form, but the broadcast side is |Q| rows and the stream side is "
     "partition-pruned to nprobe centroid lists",
+    "text_lm_perplexity": "1-row vocabulary-size scalar broadcast",
+    "documents_corpus_report": "report assembly: 1-row scalar aggregates "
+    "cross-joined into (metric, value) rows",
 }
 
 # Single-partition exchanges are only acceptable when they carry
@@ -61,6 +64,9 @@ SINGLE_PARTITION_OK = {
     "q15_top_supplier": "1-row scalar max(total_rev) broadcast back",
     "curation_temperature_mix": "1-row corpus count + |langs|-row "
     "weight-sum scalars for the rate table",
+    "text_lm_perplexity": "1-row vocabulary-size scalar",
+    "documents_corpus_report": "the report IS a handful of 1-row global "
+    "aggregates",
 }
 
 SKIP_PREFIX = "streaming_"  # live drains execute on build; covered elsewhere

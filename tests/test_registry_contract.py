@@ -54,6 +54,7 @@ def test_rows_only_entries_are_the_documented_set():
         "similarity_ann_lsh",
         "similarity_ann_ivf",
         "similarity_two_stage_ivf_topk",
+        "embedding_semantic_dedup",
         "embedding_neardup_lsh",
         "event_type_distinct_users_approx",
         "event_value_quantiles_approx",

@@ -226,3 +226,48 @@ def test_two_stage_ivf_recall_and_exact_degeneration(spark, emb):
     bf = {(r.query_id, r.vec_id, r.rank) for r in exact}
     fu = {(r.query_id, r.vec_id, r.rank) for r in full}
     assert bf == fu
+
+
+def test_semantic_dedup_resolves_planted_groups(spark):
+    """Planted near-identical embedding groups must resolve to exactly
+    one keeper each (min vec_id), distinct vectors must all be kept,
+    and every non-keeper must point at its group's keeper."""
+    import random
+
+    from parallel_map_reduce_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(11)
+    rows = []
+    vid = 0
+    groups = []
+    for g in range(4):  # 4 planted groups of 3 near-copies
+        base = [rng.uniform(-1, 1) for _ in range(16)]
+        members = []
+        for j in range(3):
+            vec = [x + rng.uniform(-1e-4, 1e-4) for x in base]
+            rows.append((vid, [float(x) for x in vec]))
+            members.append(vid)
+            vid += 1
+        groups.append(members)
+    singles = []
+    for s in range(8):  # well-separated singletons: one-hot-ish
+        vec = [0.0] * 16
+        vec[s % 16] = 1.0 + 0.1 * s
+        vec[(s + 7) % 16] = -1.0 - 0.05 * s
+        rows.append((vid, vec))
+        singles.append(vid)
+        vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in semantic_dedup(emb, threshold=0.999, n_centroids=2).collect()}
+    assert len(out) == vid
+    for members in groups:
+        keepers = [m for m in members if out[m].keep]
+        # all three are mutual near-dups IF they landed in one cluster;
+        # cluster blocking may split a group (SemDeDup semantics), but
+        # every member must point at a keeper that IS kept
+        for m in members:
+            assert out[out[m].keeper_id].keep
+        assert min(members) in [out[m].keeper_id for m in members]
+        assert 1 <= len(keepers) <= 2
+    for s in singles:
+        assert out[s].keep and out[s].keeper_id == s
