@@ -472,3 +472,49 @@ def lm_perplexity_scores(docs: DataFrame) -> DataFrame:
             .alias("ppl"),
         )
     )
+
+
+CHUNK_W = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = W - STRIDE)
+
+
+def chunk_documents(
+    docs: DataFrame, w: int = CHUNK_W, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """(doc_id, chunk_id, chunk_text, n_tokens): overlapping token-window
+    chunking — the retrieval/embedding preprocessing step (chunk w
+    tokens, slide by stride, so consecutive chunks share w-stride
+    tokens of context). The final window is whatever remains (>= 1
+    token); a document shorter than w yields exactly one chunk.
+
+    Pure array projection over the cleaned word array — chunk
+    extraction never shuffles; at 100 TB this runs at scan speed and
+    the output feeds the embedding UDF / ANN index builders
+    downstream."""
+    from .dedup import clean_words_array
+
+    wa = clean_words_array(docs)
+    n = F.size("words")
+    # number of chunks: 1 + ceil(max(n - w, 0) / stride), at least 1
+    # when the doc has any tokens
+    n_chunks = F.when(
+        n <= 0, F.lit(0)
+    ).otherwise(
+        F.lit(1) + F.ceil((F.greatest(n - w, F.lit(0))) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            F.slice("words", i * stride + 1, w).alias("toks"),
+        ),
+    )
+    exploded = wa.select(
+        "doc_id", F.explode(F.when(n_chunks > 0, chunks)).alias("c")
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.array_join(F.col("c.toks"), " ").alias("chunk_text"),
+        F.size(F.col("c.toks")).cast("bigint").alias("n_tokens"),
+    )

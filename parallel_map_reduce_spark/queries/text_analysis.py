@@ -451,3 +451,40 @@ FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 )
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lm_perplexity_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "documents_chunked",
+    oracle=f"""
+WITH base AS (
+    SELECT doc_id, {_WORDS_ARR} AS words FROM documents
+),
+c AS (
+    SELECT doc_id, words,
+           CASE WHEN len(words) <= 0 THEN 0
+                ELSE 1 + CAST(ceil(greatest(len(words) - {T.CHUNK_W}, 0)
+                              / ({T.CHUNK_STRIDE} * 1.0)) AS INT) END AS n_chunks
+    FROM base
+),
+ex AS (
+    SELECT doc_id, words, unnest(range(0, n_chunks)) AS chunk_id FROM c
+)
+SELECT doc_id,
+       chunk_id::BIGINT AS chunk_id,
+       array_to_string(words[CAST(chunk_id * {T.CHUNK_STRIDE} + 1 AS INT)
+                             :CAST(chunk_id * {T.CHUNK_STRIDE} + {T.CHUNK_W} AS INT)],
+                       ' ') AS chunk_text,
+       len(words[CAST(chunk_id * {T.CHUNK_STRIDE} + 1 AS INT)
+                 :CAST(chunk_id * {T.CHUNK_STRIDE} + {T.CHUNK_W} AS INT)])::BIGINT AS n_tokens
+FROM ex
+""",
+    doc="RAG-style overlapping chunker: 64-token windows sliding by 48 "
+    "(16-token overlap), final partial window kept, one chunk minimum "
+    "per non-empty doc — the retrieval/embedding preprocessing step. "
+    "Pure array projection at scan speed, zero shuffles; feeds the "
+    "embedding UDF / ANN index builders downstream. "
+    "operators/text_analysis.py:chunk_documents.",
+    tags=("text", "chunking", "retrieval"),
+)
+def documents_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.chunk_documents(load_table(spark, sf_dir, "documents"))

@@ -73,7 +73,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "orders_rollup",
     "event_type_distinct_users_salted",
     "orders_value_deciles",
-    "funnel_view_click_purchase",
     # relational — round-4 entries never driver-checked
     "q17_small_quantity_revenue",
     "q20_concentrated_suppliers",
@@ -115,6 +114,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_image_features",
     "multimodal_image_resize",
     "text_lm_perplexity",
+    "documents_chunked",
     # live streaming drains — first-ever gate rows; last on purpose
     "streaming_hourly_tumbling",
     "streaming_curation_dedup",

@@ -138,3 +138,31 @@ def test_temperature_mix_flattens_toward_rare_langs(spark):
     # per-doc rates: en 90->~75 (downsampled), zh 10->~25 (oversampled)
     assert counts["en"] < 90
     assert counts["zh"] > 10
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    """Chunks slide by stride with w-stride overlap; the final partial
+    window is kept; short docs yield exactly one chunk."""
+    from parallel_map_reduce_spark.operators.text_analysis import chunk_documents
+
+    toks = " ".join(f"w{i:03d}" for i in range(10))  # wNNN has letters+digits;
+    # digits strip in cleaning -> all tokens become "w"? use letters only
+    toks = " ".join(chr(97 + i % 26) * (i // 26 + 1) for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, toks), (2, "alpha beta"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, w=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_id] = r
+    # doc 1: 10 tokens, w=4 s=3 -> chunks at 1-4, 4-7, 7-10 => 3 chunks
+    assert sorted(by_doc[1]) == [0, 1, 2]
+    c0, c1 = by_doc[1][0], by_doc[1][1]
+    assert c0.n_tokens == 4 and c1.n_tokens == 4
+    # overlap: last token of chunk k == first token of chunk k+1 (s=w-1? no:
+    # overlap = w - stride = 1 token)
+    assert c0.chunk_text.split()[-1] == c1.chunk_text.split()[0]
+    # doc 2: shorter than w -> one chunk with all tokens
+    assert sorted(by_doc[2]) == [0] and by_doc[2][0].chunk_text == "alpha beta"
+    # doc 3: empty -> no chunks
+    assert 3 not in by_doc
