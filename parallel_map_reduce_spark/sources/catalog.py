@@ -79,3 +79,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     names = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_temp_views(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, *names: str
+) -> tuple[str, ...]:
+    """Register the catalog tables as session temp views so ad-hoc SQL
+    (``spark.sql('SELECT ... FROM lineitem JOIN part ...')``) works
+    against the same normalized frames the builder queries use —
+    including the events timestamp normalization, so SQL users never
+    see the raw nanos column. Returns the registered view names.
+
+    Temp views are lazy logical plans, not materializations: SQL
+    through a view gets identical pushdown/pruning to the DataFrame
+    path (same Catalyst plan), so this is a naming surface, not a
+    performance fork."""
+    regs = names or TABLES
+    for n in regs:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+    return tuple(regs)

@@ -204,3 +204,35 @@ def test_partitioned_write_prunes_partitions_at_scan(spark, sf_dir, tmp_path):
     # Pruning must not change results vs the post-scan filter.
     n_langs = docs.filter(F.col("lang") == "en").count()
     assert one_lang.count() == n_langs > 0
+
+
+def test_register_temp_views_sql_surface(spark, sf_dir):
+    """spark.sql over the registered views must (a) agree with the
+    DataFrame path, (b) see the normalized events timestamp (never the
+    raw nanos physical type), (c) inherit scan pushdown through the
+    view (filters reach the parquet scan)."""
+    from parallel_map_reduce_spark.sources.catalog import (
+        load_table,
+        register_temp_views,
+    )
+
+    register_temp_views(spark, sf_dir)
+    got = spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus"
+    ).collect()
+    exp = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    ts_type = dict(spark.sql("SELECT ts FROM events").dtypes)["ts"]
+    assert ts_type == "timestamp"
+    plan = (
+        spark.sql("SELECT o_orderkey FROM orders WHERE o_custkey = 42")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,42)]" in plan
