@@ -51,9 +51,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #      tail.
 # Round-5 window: core + the 12 round-4 entries that had never been
 # driver-checked + the round-5 additions (TPC-H Q6/Q8/Q9/Q10/Q12/Q15,
-# passage dedup-clean, temperature mix) + one anchor per long-green
-# family + two live streaming drains (first live gate rows ever).
-# Displaced entries all carry r4 (most also r2/r3) green driver rows.
+# passage dedup-clean, temperature mix, vocab growth, LM perplexity,
+# corpus report, chunker) + one anchor per long-green family + two live
+# streaming drains (first live gate rows ever). Displaced entries all
+# carry r4 (most also r2/r3) green driver rows. Round-5 additions kept
+# OUT of the window by design: similarity_two_stage_ivf_topk and
+# embedding_semantic_dedup (rows-only — pytest contracts carry them;
+# the window stays 100% oracle-checked).
 GATE_PRIORITY: tuple[str, ...] = (
     # core (reference parity) — permanent
     "inverted_index",
