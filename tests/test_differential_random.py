@@ -104,3 +104,112 @@ def test_global_ntile_matches_python_on_random(spark):
             want[order[pos][0]] = tile
             pos += 1
     assert got == want
+
+
+def _random_docs(rng, n_docs, vocab, min_len=0, max_len=40, phrases=None):
+    """Random word documents; optional shared multi-word phrases injected
+    to force cross-document duplicate windows."""
+    docs = []
+    for d in range(1, n_docs + 1):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(min_len, max_len))]
+        if phrases and rng.random() < 0.5:
+            ph = rng.choice(phrases)
+            pos = rng.randint(0, len(toks))
+            toks = toks[:pos] + ph + toks[pos:]
+        docs.append((d, " ".join(toks)))
+    return docs
+
+
+def test_chunker_matches_python_loop(spark):
+    """chunk_documents vs a plain-Python sliding-window loop on random
+    docs (lengths straddling w, multiples of stride, empty docs), plus
+    the reconstruction invariant: dropping each later chunk's overlap
+    prefix and concatenating rebuilds the document."""
+    from parallel_map_reduce_spark.operators.text_analysis import chunk_documents
+
+    rng = random.Random(SEED + 1)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    w, s = 6, 4
+    docs = _random_docs(rng, 120, vocab, min_len=0, max_len=20)
+    import math
+
+    want = {}
+    for d, text in docs:
+        toks = text.split()
+        if not toks:
+            continue
+        n_chunks = 1 + math.ceil(max(len(toks) - w, 0) / s)
+        want[d] = [toks[k * s : k * s + w] for k in range(n_chunks)]
+    got = {}
+    out = chunk_documents(
+        spark.createDataFrame(docs, ["doc_id", "text"]), w=w, stride=s
+    ).collect()
+    for r in out:
+        got.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split()
+    for d, chunks in want.items():
+        gc = [got[d][k] for k in sorted(got[d])]
+        assert gc == chunks, (d, gc, chunks)
+        rebuilt = list(gc[0]) if gc else []
+        for later in gc[1:]:
+            rebuilt.extend(later[w - s :])
+        orig = docs[d - 1][1].split()
+        assert rebuilt == orig, (d, rebuilt, orig)
+    assert set(got) == set(want)
+
+
+def test_passage_dedup_clean_matches_python_loop(spark):
+    """passage_dedup_clean vs a Python reference on random docs with
+    injected shared phrases (guaranteed cross-doc duplicate windows)."""
+    from parallel_map_reduce_spark.operators.dedup import passage_dedup_clean
+
+    rng = random.Random(SEED + 2)
+    vocab = ["ada", "bee", "cat", "doe", "elk", "fox", "gnu", "hen"]
+    w = 4
+    phrases = [["dup"] * w, ["rep", "rep", "rep", "rep"]]
+    docs = _random_docs(rng, 80, vocab, min_len=0, max_len=18, phrases=phrases)
+
+    windows = {}
+    for d, text in docs:
+        toks = text.split()
+        windows[d] = [
+            toks[i * w : (i + 1) * w] for i in range(len(toks) // w)
+        ]
+    from collections import defaultdict
+
+    seen_in = defaultdict(set)
+    for d, ws_ in windows.items():
+        for ch in ws_:
+            seen_in[" ".join(ch)].add(d)
+    want = {}
+    for d, text in docs:
+        toks = text.split()
+        kept = [ch for ch in windows[d] if len(seen_in[" ".join(ch)]) == 1]
+        tail = toks[(len(toks) // w) * w :]
+        clean = " ".join([t for ch in kept for t in ch] + tail)
+        want[d] = (clean, len(kept), len(windows[d]) - len(kept))
+    out = passage_dedup_clean(
+        spark.createDataFrame(docs, ["doc_id", "text"]), w=w
+    ).collect()
+    got = {r.doc_id: (r.clean_text, r.n_kept, r.n_removed) for r in out}
+    assert got == want
+
+
+def test_vocab_growth_matches_python_loop(spark):
+    """vocab_growth vs a Python running-set loop on random docs
+    (including empty docs and repeated words)."""
+    from parallel_map_reduce_spark.operators.text_analysis import vocab_growth
+
+    rng = random.Random(SEED + 3)
+    vocab = [f"w{chr(97 + i)}" for i in range(12)]
+    docs = _random_docs(rng, 100, vocab, min_len=0, max_len=15)
+    seen = set()
+    cum_tok = 0
+    want = {}
+    for d, text in docs:
+        toks = text.split()
+        cum_tok += len(toks)
+        seen.update(toks)
+        want[d] = (cum_tok, len(seen))
+    out = vocab_growth(spark.createDataFrame(docs, ["doc_id", "text"])).collect()
+    got = {r.doc_id: (r.cum_tokens, r.vocab_size) for r in out}
+    assert got == want
