@@ -62,7 +62,6 @@ HEADLINE = (
     "search_bm25",
     "q21_waiting_suppliers",
     "decontaminate_benchmark_overlap",
-    "dedup_passage_duplicates",
     "neardup_triangle_census",
     "similarity_two_stage_topk",
     # round-5 rotation: new heavies in, seven <0.5 s stable micros out
@@ -76,6 +75,8 @@ HEADLINE = (
     "dedup_passage_clean",
     "curation_temperature_mix",
     "similarity_two_stage_ivf_topk",
+    "text_lm_perplexity",
+    "documents_chunked",
 )
 
 # Hard cap on the final stdout JSON line. The driver keeps a ~2 KB tail
