@@ -52,12 +52,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Round-5 window: core + the 12 round-4 entries that had never been
 # driver-checked + the round-5 additions (TPC-H Q6/Q8/Q9/Q10/Q12/Q15,
 # passage dedup-clean, temperature mix, vocab growth, LM perplexity,
-# corpus report, chunker) + one anchor per long-green family + two live
-# streaming drains (first live gate rows ever). Displaced entries all
-# carry r4 (most also r2/r3) green driver rows. Round-5 additions kept
-# OUT of the window by design: similarity_two_stage_ivf_topk and
-# embedding_semantic_dedup (rows-only — pytest contracts carry them;
-# the window stays 100% oracle-checked).
+# corpus report, chunker) + one anchor per long-green family + four
+# live streaming drains (the family's first gate rows ever). Displaced
+# entries all carry r4 (most also r2/r3) green driver rows. Round-5
+# additions kept OUT of the window by design:
+# similarity_two_stage_ivf_topk and embedding_semantic_dedup (rows-only
+# — pytest contracts carry them; the window stays 100% oracle-checked).
 GATE_PRIORITY: tuple[str, ...] = (
     # core (reference parity) — permanent
     "inverted_index",
@@ -73,8 +73,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     # relational anchors (r2+r3+r4 green)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "top_customers_per_segment",
-    "orders_rollup",
     "event_type_distinct_users_salted",
     "orders_value_deciles",
     # relational — round-4 entries never driver-checked
@@ -122,6 +120,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     # live streaming drains — first-ever gate rows; last on purpose
     "streaming_hourly_tumbling",
     "streaming_curation_dedup",
+    "streaming_dedup_keys",
+    "streaming_sessionized",
 )
 
 
