@@ -116,3 +116,32 @@ def compact_parquet(
     df = spark.read.parquet(in_dir)
     df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
     return n_files
+
+
+def range_sorted_parquet(
+    df: DataFrame, order_col: str, out_dir: str, n_files: int
+) -> int:
+    """Write ``df`` as ``n_files`` parquet files range-partitioned AND
+    sorted on ``order_col`` — the single-column layout optimization
+    (Z-order's simpler sibling): every file covers a DISJOINT value
+    range, so a selective predicate on ``order_col`` prunes to one or
+    two files via footer min/max stats alone, and within-file pages
+    are sorted for page-level skipping. The standard time-series
+    layout: events sorted by timestamp make "last hour" queries read
+    1/n_files of the data before any filter executes.
+
+    Returns the number of files written. Contract (footer ranges
+    disjoint, content exact) is pinned in tests/test_layout.py."""
+    (
+        df.repartitionByRange(n_files, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    import os
+
+    return sum(
+        1
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet") and not f.startswith("_")
+    )
