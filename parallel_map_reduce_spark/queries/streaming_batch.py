@@ -731,3 +731,52 @@ def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("value_interp"),
         F.col("avg_v").isNotNull().alias("observed"),
     )
+
+
+@register(
+    "event_type_user_overlap_hll",
+    oracle=None,  # sketch estimates are approximate by design — rows-only
+    # in the driver gate; tests/test_approx.py pins pairwise overlap
+    # error vs exact intersection counts.
+    doc="Sketch-based audience overlap: |A ∩ B| for every event-type "
+    "pair by inclusion-exclusion over mergeable HLL sketches "
+    "(|A|+|B|-|A∪B|, union via hll_union_agg on the per-type sketches "
+    "— no re-scan of the fact and no pairwise user-set join). The "
+    "segment-overlap matrix pattern: at 100 TB the exact form is a "
+    "self-join exploding user sets per pair; the sketch form is "
+    "|types|^2 metadata-sized merges of sketches built in ONE fact "
+    "pass. Estimates floor at 0 (inclusion-exclusion can go slightly "
+    "negative on near-disjoint sets).",
+    tags=("relational", "aggregate", "approx", "sketch", "set-overlap"),
+)
+def event_type_user_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n_est"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_est").alias("n_a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_est").alias("n_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    union_est = F.hll_sketch_estimate(
+        F.hll_union(F.col("sk_a"), F.col("sk_b"))
+    )
+    overlap = F.greatest(
+        F.lit(0).cast("bigint"),
+        (F.col("n_a") + F.col("n_b") - union_est).cast("bigint"),
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("n_a").cast("bigint").alias("n_users_a_est"),
+        F.col("n_b").cast("bigint").alias("n_users_b_est"),
+        overlap.alias("n_overlap_est"),
+    )

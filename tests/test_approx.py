@@ -137,3 +137,37 @@ def test_rolling_7d_hll_tolerance(spark, sf_dir):
     assert set(got) == set(exact)
     for day, n in exact.items():
         assert abs(got[day] - n) <= max(3, 0.1 * n), (day, n, got[day])
+
+
+def test_hll_overlap_matrix_error_vs_exact(spark, sf_dir):
+    """Inclusion-exclusion sketch overlaps must track the exact pairwise
+    intersection counts within HLL tolerance (and never go negative)."""
+    from itertools import combinations
+
+    from parallel_map_reduce_spark.queries.streaming_batch import (
+        event_type_user_overlap_hll,
+    )
+    from parallel_map_reduce_spark.sources.catalog import load_table
+
+    est = {
+        (r.type_a, r.type_b): r.n_overlap_est
+        for r in event_type_user_overlap_hll(spark, sf_dir).collect()
+    }
+    assert est, "no pairs produced"
+    users = {
+        t: {r.user_id for r in g.collect()}
+        for t, g in (
+            (t, load_table(spark, sf_dir, "events")
+                .filter(F.col("event_type") == t)
+                .select("user_id")
+                .distinct())
+            for t in {k for pair in est for k in pair}
+        )
+    }
+    for (ta, tb), e in est.items():
+        exact = len(users[ta] & users[tb])
+        assert e >= 0
+        # HLL default lgK=12 -> ~1.6% standard error per sketch; the
+        # inclusion-exclusion difference amplifies it, so allow 10%
+        # relative (or ±5 absolute on tiny overlaps)
+        assert abs(e - exact) <= max(5, 0.10 * exact), (ta, tb, e, exact)

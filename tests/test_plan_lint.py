@@ -44,6 +44,9 @@ CARTESIAN_OK = {
     "form, but the broadcast side is |Q| rows and the stream side is "
     "partition-pruned to nprobe centroid lists",
     "text_lm_perplexity": "1-row vocabulary-size scalar broadcast",
+    "event_type_user_overlap_hll": "|types| x |types| sketch-pair matrix "
+    "(metadata-sized both sides; the whole point is avoiding the "
+    "user-set pair join)",
     "documents_corpus_report": "report assembly: 1-row scalar aggregates "
     "cross-joined into (metric, value) rows",
 }

@@ -55,6 +55,7 @@ def test_rows_only_entries_are_the_documented_set():
         "similarity_ann_ivf",
         "similarity_two_stage_ivf_topk",
         "embedding_semantic_dedup",
+        "event_type_user_overlap_hll",
         "embedding_neardup_lsh",
         "event_type_distinct_users_approx",
         "event_value_quantiles_approx",
