@@ -780,3 +780,52 @@ def event_type_user_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b").cast("bigint").alias("n_users_b_est"),
         overlap.alias("n_overlap_est"),
     )
+
+
+@register(
+    "events_value_winsorized",
+    oracle="""
+WITH b AS (
+    SELECT event_type,
+           round(quantile_cont(value, 0.05), 6) AS lo,
+           round(quantile_cont(value, 0.95), 6) AS hi
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(CASE WHEN e.value < b.lo THEN b.lo
+                  WHEN e.value > b.hi THEN b.hi
+                  ELSE e.value END, 6) AS value_wins,
+       (e.value < b.lo OR e.value > b.hi) AS clipped
+FROM events e JOIN b ON b.event_type = e.event_type
+""",
+    doc="Per-group winsorization (outlier clamping to the exact "
+    "[p05, p95] band) — the standard feature-cleaning step before "
+    "training on heavy-tailed measures. Bounds come from Spark's exact "
+    "sort-based percentile (interpolation identical to DuckDB "
+    "quantile_cont, rounded 6dp — the proven event_value_quantiles "
+    "contract), broadcast back as a |groups|-row table so the clamp is "
+    "a scan-speed projection. At 100 TB swap the exact percentile for "
+    "approx_percentile: the plan shape (tiny bounds table broadcast "
+    "onto the fact) is unchanged.",
+    tags=("relational", "aggregate", "quantile", "curation"),
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    )
+    j = e.join(F.broadcast(b), "event_type")
+    w = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return j.select(
+        "event_id",
+        "event_type",
+        F.round(w, 6).alias("value_wins"),
+        (
+            (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+        ).alias("clipped"),
+    )
