@@ -203,23 +203,23 @@ def train_ivf_centroids(
     cents = {i: [float(x) for x in r.embedding] for i, r in enumerate(seed)}
     for _ in range(iters):
         assigned = _assign_to_centroids(e, _centroid_df(spark, cents))
+        # One shuffle per iteration: the per-(centroid, dim) means are
+        # k x dim rows of metadata, so the array re-assembly happens on
+        # the driver instead of a second groupBy stage (same values —
+        # identical avg + 6-dp rounding — one less exchange per round).
         means = (
             assigned.select(
                 "centroid_id", F.posexplode("embedding").alias("pos", "val")
             )
             .groupBy("centroid_id", "pos")
             .agg(F.round(F.avg("val"), 6).alias("m"))
-            .groupBy("centroid_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("c_emb")
-            )
             .collect()
         )
+        by_c: dict[int, dict[int, float]] = {}
         for r in means:
-            cents[r.centroid_id] = [float(x) for x in r.c_emb]
+            by_c.setdefault(r.centroid_id, {})[r.pos] = float(r.m)
+        for cid, dims in by_c.items():
+            cents[cid] = [dims[p] for p in sorted(dims)]
     return _centroid_df(spark, cents)
 
 
