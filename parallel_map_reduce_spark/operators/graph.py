@@ -115,7 +115,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Scale shape: one shuffle to count degrees, one join keyed on the
     wedge pivot, one semi-join keyed on (dst_lo, dst_hi), one explode +
     count. No driver-side state; nodes in no triangle are absent (join
-    back against the node set if a dense 0-filled census is needed)."""
+    back against the node set if a dense 0-filled census is needed).
+
+    The input plan is materialized up front (same discipline as
+    ``pagerank``): ``edges`` is referenced ~8 ways downstream (both
+    union arms of sym, two degree joins, o1/o2/closing, three corner
+    unions), and when the caller passes a non-trivial producer — e.g.
+    the MinHash-LSH candidate subplan in ``queries/graph.py`` — the
+    physical plan would otherwise re-expand that whole subtree per
+    reference (measured: 319 Exchanges at sf0.1 without the
+    checkpoint)."""
+    edges = edges.localCheckpoint(eager=True)
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
