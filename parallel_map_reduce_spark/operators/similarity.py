@@ -430,14 +430,8 @@ def two_stage_topk(
     Top-k equals brute force whenever the true k-th neighbor survives
     the quantized shortlist — the recall contract in
     tests/test_similarity.py pins equality at the default overfetch."""
-    x = F.transform("embedding", lambda v: v.cast("double"))
-    max_abs = F.array_max(F.transform(x, lambda v: F.abs(v)))
-    safe = F.when(max_abs > 0, max_abs).otherwise(F.lit(1.0))
-    qz = emb.select(
-        "vec_id",
-        F.transform(x, lambda v: F.round(v * 127.0 / safe).cast("long")).alias("codes"),
-        F.round(safe / 127.0, 10).alias("scale"),
-    )
+    codes, scale = _int8_code_exprs()
+    qz = emb.select("vec_id", codes.alias("codes"), scale.alias("scale"))
     q1 = qz.filter(query_filter).select(
         F.col("vec_id").alias("query_id"),
         F.col("codes").alias("q_codes"),
@@ -491,15 +485,17 @@ def two_stage_ivf_topk(
     """(query_id, vec_id, cos, rank): the 100 TB serving shape — IVF
     partition pruning composed with two-stage quantized retrieval.
     Stage 0 picks each query's nprobe nearest k-means centroids
-    (``train_ivf_centroids``); stage 1 scores int8 codes ONLY for
-    vectors assigned to those centroids (broadcast probes, so the code
-    store is partition-pruned AND 4x smaller than raw — compute drops
-    from O(|corpus|*|Q|) to O(|probed partitions|*|Q|), closing
-    ``two_stage_topk``'s documented exhaustive-coarse-pass gap);
-    stage 2 fetches full-precision vectors only for the k*overfetch
-    shortlist and re-ranks by exact cosine. At scale the assignment
-    table is written once partitioned by centroid_id, so stage 1 is
-    nprobe partition scans of int8 codes per query batch.
+    (``train_ivf_centroids``); stage 1 hash-equi-joins the int8 code
+    store against broadcast (query, probed-centroid) pairs on
+    centroid_id, so dot products are computed ONLY for vectors in
+    probed lists — O(sum of probed list sizes) coarse compute instead
+    of ``two_stage_topk``'s O(|corpus|*|Q|); stage 2 fetches
+    full-precision vectors only for the k*overfetch shortlist and
+    re-ranks by exact cosine. In-plan, the equi-join still SCANS the
+    whole code store (one O(1) hash probe per row); skipping the scan
+    too is a LAYOUT property — write the codes once partitioned by
+    centroid_id (``write_ivf_index`` / ``two_stage_ivf_topk_indexed``)
+    and stage 1 becomes nprobe partition-pruned scans per query batch.
 
     Candidate generation inherits IVF's approximation (a true neighbor
     outside the probed lists is unreachable), so this is rows-only at
@@ -510,14 +506,9 @@ def two_stage_ivf_topk(
         cents = train_ivf_centroids(emb, n_centroids)
     e = emb.select("vec_id", "embedding").withColumn("nrm", l2_norm("embedding"))
     assigned = _assign_to_centroids(e, cents)
-    x = F.transform("embedding", lambda v: v.cast("double"))
-    max_abs = F.array_max(F.transform(x, lambda v: F.abs(v)))
-    safe = F.when(max_abs > 0, max_abs).otherwise(F.lit(1.0))
+    codes, scale = _int8_code_exprs()
     qz = assigned.select(
-        "vec_id",
-        "centroid_id",
-        F.transform(x, lambda v: F.round(v * 127.0 / safe).cast("long")).alias("codes"),
-        F.round(safe / 127.0, 10).alias("scale"),
+        "vec_id", "centroid_id", codes.alias("codes"), scale.alias("scale")
     )
     q = e.filter(query_filter).select(
         F.col("vec_id").alias("query_id"),
@@ -533,24 +524,31 @@ def two_stage_ivf_topk(
         .filter(F.col("rk") <= nprobe)
         .select("query_id", "centroid_id")
     )
-    qq = qz.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("codes").alias("q_codes"),
-        F.col("scale").alias("q_scale"),
-    ).join(F.broadcast(probes.groupBy("query_id").agg(
-        F.collect_set("centroid_id").alias("probe_set")
-    )), "query_id")
+    # (query_id, centroid_id, q_codes, q_scale): |Q| * nprobe rows, each
+    # carrying its query's codes — broadcast-sized. Joining THIS on
+    # centroid_id is a hash equi-join: every corpus row does one O(1)
+    # hash probe and rows in unprobed centroids drop at the join. (The
+    # previous shape — array_contains(probe_set, centroid_id) — was a
+    # broadcast nested-loop join evaluating every (vector, query) pair:
+    # full-corpus compute, and measured 2x SLOWER than the exhaustive
+    # two_stage_topk.) Each vector has exactly one centroid and each
+    # query probes distinct centroids, so no (query, vec) pair repeats.
+    probe_q = probes.join(
+        qz.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("codes").alias("q_codes"),
+            F.col("scale").alias("q_scale"),
+        ),
+        "query_id",
+    )
     dotint = F.aggregate(
         F.zip_with("codes", "q_codes", lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     s1 = (
-        qz.join(
-            F.broadcast(qq),
-            F.array_contains(F.col("probe_set"), F.col("centroid_id"))
-            & (F.col("query_id") != F.col("vec_id")),
-        )
+        qz.join(F.broadcast(probe_q), "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn("approx", dotint.cast("double") * F.col("scale") * F.col("q_scale"))
     )
     w1 = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
@@ -565,6 +563,129 @@ def two_stage_ivf_topk(
         .join(
             F.broadcast(q.select("query_id", "q_emb", "q_norm")), "query_id"
         )
+        .withColumn(
+            "cos", dot("q_emb", "embedding") / (F.col("q_norm") * F.col("c_norm"))
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        re.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def _int8_code_exprs() -> tuple[F.Column, F.Column]:
+    """(codes, scale) column exprs for symmetric per-vector int8
+    quantization of ``embedding`` — the single definition shared by
+    ``two_stage_topk`` / ``two_stage_ivf_topk`` / ``write_ivf_index``
+    so the in-plan and persisted code stores are bit-identical."""
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    max_abs = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    safe = F.when(max_abs > 0, max_abs).otherwise(F.lit(1.0))
+    codes = F.transform(x, lambda v: F.round(v * 127.0 / safe).cast("long"))
+    scale = F.round(safe / 127.0, 10)
+    return codes, scale
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = IVF_K,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Persist the IVF serving artifact: the int8 code store written
+    ONCE, partitioned by centroid_id (``<path>/codes``), plus the
+    trained centroid table (``<path>/centroids``). Returns the
+    centroids. This is the index-build half of the 100 TB serving
+    split: build amortizes over every future query batch, and the
+    partitioned layout is what turns nprobe from a join-time filter
+    into genuine file-level partition pruning (see
+    ``two_stage_ivf_topk_indexed``)."""
+    if cents is None:
+        cents = train_ivf_centroids(emb, n_centroids)
+    e = emb.select("vec_id", "embedding").withColumn("nrm", l2_norm("embedding"))
+    assigned = _assign_to_centroids(e, cents)
+    codes, scale = _int8_code_exprs()
+    store = assigned.select(
+        "vec_id", codes.alias("codes"), scale.alias("scale"), "centroid_id"
+    )
+    store.write.mode("overwrite").partitionBy("centroid_id").parquet(path + "/codes")
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    return cents
+
+
+def two_stage_ivf_topk_indexed(
+    emb: DataFrame,
+    index_path: str,
+    query_filter: F.Column,
+    k: int = 10,
+    overfetch: int = 4,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Serving-only twin of ``two_stage_ivf_topk``: stage 1 reads the
+    persisted centroid_id-partitioned code store from
+    ``write_ivf_index`` instead of quantizing in-plan, and the probed
+    centroid ids are applied as an ``isin`` partition filter BEFORE the
+    join — so the scan itself prunes to nprobe partitions per query
+    batch (``PartitionFilters`` in the plan), the real 100 TB shape.
+    The probed-id list is |Q| * nprobe ints of driver metadata, same
+    class as the centroids themselves. Query codes are recomputed from
+    the raw query vectors (the quantization is a deterministic
+    projection — ``_int8_code_exprs``), avoiding a full code-store scan
+    just to fetch |Q| rows. Results are identical to the inline
+    operator given the same centroids (contract in
+    tests/test_similarity.py)."""
+    spark = emb.sparkSession
+    cents = spark.read.parquet(index_path + "/centroids")
+    store = spark.read.parquet(index_path + "/codes")
+    q = emb.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm("embedding").alias("q_norm"),
+    )
+    q_cents = q.crossJoin(F.broadcast(cents)).withColumn(
+        "c_cos", dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_nrm"))
+    )
+    w0 = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), F.asc("centroid_id"))
+    probes = (
+        q_cents.withColumn("rk", F.row_number().over(w0))
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    probed_ids = sorted(
+        r.centroid_id for r in probes.select("centroid_id").distinct().collect()
+    )
+    codes, scale = _int8_code_exprs()
+    probe_q = probes.join(
+        emb.filter(query_filter).select(
+            F.col("vec_id").alias("query_id"),
+            codes.alias("q_codes"),
+            scale.alias("q_scale"),
+        ),
+        "query_id",
+    )
+    dotint = F.aggregate(
+        F.zip_with("codes", "q_codes", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    s1 = (
+        store.filter(F.col("centroid_id").isin(probed_ids))
+        .join(F.broadcast(probe_q), "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("approx", dotint.cast("double") * F.col("scale") * F.col("q_scale"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
+    shortlist = (
+        s1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k * overfetch)
+        .select("query_id", "vec_id")
+    )
+    ce = emb.select("vec_id", "embedding", l2_norm("embedding").alias("c_norm"))
+    re = (
+        shortlist.join(ce, "vec_id")
+        .join(F.broadcast(q.select("query_id", "q_emb", "q_norm")), "query_id")
         .withColumn(
             "cos", dot("q_emb", "embedding") / (F.col("q_norm") * F.col("c_norm"))
         )

@@ -228,6 +228,40 @@ def test_two_stage_ivf_recall_and_exact_degeneration(spark, emb):
     assert bf == fu
 
 
+def test_two_stage_ivf_indexed_equals_inline(spark, emb, tmp_path):
+    """The persisted-index serving path (write_ivf_index +
+    two_stage_ivf_topk_indexed) must return EXACTLY the inline
+    operator's results given the same centroids: the code store is a
+    deterministic projection, parquet round-trips long/double exactly,
+    and the partition-pruned scan sees the same probed rows the
+    in-plan equi-join keeps. Also pins that the pruned scan carries a
+    centroid_id partition filter — the layout property the artifact
+    exists for."""
+    from parallel_map_reduce_spark.operators.similarity import (
+        train_ivf_centroids,
+        two_stage_ivf_topk,
+        two_stage_ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    qf = F.col("vec_id") % 50 == 0
+    cents = train_ivf_centroids(emb, S.IVF_K)
+    idx = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, idx, cents=cents)
+    inline = {
+        (r.query_id, r.vec_id, r.rank, round(r.cos, 12))
+        for r in two_stage_ivf_topk(emb, qf, k=10, cents=cents).collect()
+    }
+    indexed_df = two_stage_ivf_topk_indexed(emb, idx, qf, k=10)
+    indexed = {
+        (r.query_id, r.vec_id, r.rank, round(r.cos, 12))
+        for r in indexed_df.collect()
+    }
+    assert inline == indexed and len(inline) > 0
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
 def test_semantic_dedup_resolves_planted_groups(spark):
     """Planted near-identical embedding groups must resolve to exactly
     one keeper each (min vec_id), distinct vectors must all be kept,
