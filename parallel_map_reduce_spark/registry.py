@@ -49,15 +49,27 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #      END of the window so a wall-clock-truncated gate still covers
 #      the fast majority; un-gated live drains stay at the registry
 #      tail.
-# Round-5 window: core + the 12 round-4 entries that had never been
-# driver-checked + the round-5 additions (TPC-H Q6/Q8/Q9/Q10/Q12/Q15,
-# passage dedup-clean, temperature mix, vocab growth, LM perplexity,
-# corpus report, chunker) + one anchor per long-green family + four
-# live streaming drains (the family's first gate rows ever). Displaced
-# entries all carry r4 (most also r2/r3) green driver rows. Round-5
-# additions kept OUT of the window by design:
-# similarity_two_stage_ivf_topk and embedding_semantic_dedup (rows-only
-# — pytest contracts carry them; the window stays 100% oracle-checked).
+# Round-6 window: the 5 remaining gate-able never-checked entries
+# rotate IN (events_value_winsorized + the last four live drains,
+# completing live-streaming coverage: all 8 drains will then have a
+# driver row in r5 or r6), plus event_users_hll_rollup as the approx
+# family's first driver row since r4 (rows-only by design — proves the
+# entry RUNS under the driver; its tolerance contract lives in
+# pytest). Displaced: q1_pricing_summary and q3_shipping_priority
+# (r2+r3+r4+r5 green — the longest hash-match histories in the
+# window) and the four r5-gated drains (streaming_hourly_tumbling,
+# streaming_curation_dedup, streaming_dedup_keys,
+# streaming_sessionized — swapping the streaming slots keeps the
+# drain block at 4 so gate wall-clock doesn't grow; the incoming
+# drains are the family's representatives per rule 3). Entries
+# remaining OUT of the window, each with a reason:
+#   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
+#     event_type_user_overlap_hll: rows-only by design, pytest
+#     contracts carry them (ivf_topk additionally has the
+#     indexed==inline equality contract);
+#   - events_rolling_7d_users_hll, event_value_quantiles_approx:
+#     rows-only approx siblings — event_users_hll_rollup represents
+#     the family this round; rotate them in next rounds.
 GATE_PRIORITY: tuple[str, ...] = (
     # core (reference parity) — permanent
     "inverted_index",
@@ -70,11 +82,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     "doc_stats",
     "inverted_index_chunked",
     "documents_provenance",
-    # relational anchors (r2+r3+r4 green)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+    # relational / events anchors (multi-round green)
     "event_type_distinct_users_salted",
     "orders_value_deciles",
+    # events — new round 5, registered after the r5 window froze
+    "events_value_winsorized",
+    # approx family representative (rows-only by design; ran r4)
+    "event_users_hll_rollup",
     # relational — round-4 entries never driver-checked
     "q17_small_quantity_revenue",
     "q20_concentrated_suppliers",
@@ -117,11 +131,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_image_resize",
     "text_lm_perplexity",
     "documents_chunked",
-    # live streaming drains — first-ever gate rows; last on purpose
-    "streaming_hourly_tumbling",
-    "streaming_curation_dedup",
-    "streaming_dedup_keys",
-    "streaming_sessionized",
+    # live streaming drains — the four never-gated ones; last on purpose
+    "streaming_sliding_counts",
+    "streaming_sliding_users_approx",
+    "streaming_segment_enrichment",
+    "streaming_purchase_click_join",
 )
 
 

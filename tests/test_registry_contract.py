@@ -70,8 +70,9 @@ def test_rows_only_entries_are_the_documented_set():
 def test_live_streaming_entries_registered_last():
     """Slowest entries (live drains) must never sit ahead of fast ones:
     the un-gated drains stay contiguous at the registry tail, and the
-    two drains rotated INTO the gate window (round 5 — the family's
-    first driver rows) sit at the very END of the window, so a
+    four drains rotated INTO the gate window (round 6 — the four that
+    had never been driver-checked, displacing the four gated green in
+    round 5) sit at the very END of the window, so a
     wall-clock-truncated gate still covers the fast majority (the
     round-2 failure mode)."""
     from parallel_map_reduce_spark.registry import GATE_PRIORITY
