@@ -137,7 +137,11 @@ def global_cumsum(
     prefix offsets (n_buckets rows of metadata collected, never data).
     ``order_col`` must be unique (callers order by a key); values must
     be integer-exact or order-insensitive for the decomposition to be
-    bit-identical to the single-task window."""
+    bit-identical to the single-task window. NULL values count as 0
+    (matching the driver-side offset accumulation, which coalesces
+    NULL bucket sums to 0) — without the in-window coalesce, a NULL
+    row would poison every later row in its bucket, diverging from
+    the offsets' treatment of the same rows."""
     bucketed = df.withColumn("_rb", range_bucket(df, order_col, n_buckets))
     per_bucket = (
         bucketed.groupBy("_rb")
@@ -162,6 +166,9 @@ def global_cumsum(
             *[x for b in range(n_buckets) for x in (F.lit(b), F.lit(offsets[c][b]))]
         )
         out = out.withColumn(
-            c + suffix, (F.sum(c).over(w) + omap[F.col("_rb")]).cast("bigint")
+            c + suffix,
+            (
+                F.sum(F.coalesce(F.col(c), F.lit(0))).over(w) + omap[F.col("_rb")]
+            ).cast("bigint"),
         )
     return out.drop("_rb")

@@ -106,3 +106,31 @@ def test_global_cumsum_matches_single_window(spark):
         global_cumsum(df, "k", ["a"])._jdf.queryExecution().executedPlan().toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_global_cumsum_nulls_count_as_zero(spark):
+    """NULL values must behave as 0 everywhere — the in-window sum used
+    to go NULL from a bucket's first NULL row onward while the
+    driver-side offsets coalesced the same rows to 0, so buckets after
+    a NULL-bearing one silently diverged from buckets before it."""
+    import random
+
+    from pyspark.sql import Window
+
+    from parallel_map_reduce_spark.operators.ranking import global_cumsum
+
+    rng = random.Random(11)
+    rows = [
+        (i, None if rng.random() < 0.3 else rng.randint(0, 50)) for i in range(499)
+    ]
+    df = spark.createDataFrame(rows, "k INT, a INT")
+    got = {r.k: r.a_cum for r in global_cumsum(df, "k", ["a"]).collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exp = {
+        r.k: r.ac
+        for r in df.select(
+            "k", F.sum(F.coalesce("a", F.lit(0))).over(w).alias("ac")
+        ).collect()
+    }
+    assert got == exp
+    assert None not in got.values()
