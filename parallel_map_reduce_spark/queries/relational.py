@@ -1699,3 +1699,88 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_rev", 4).cast("double").alias("total_revenue"),
         )
     )
+
+
+@register(
+    "q4_priority_order_check",
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 14 DAY
+  )
+GROUP BY o.o_orderpriority
+""",
+    doc="TPC-H Q4 pattern (order priority checking): orders placed in "
+    "1997Q1 having at least one line shipped >14 days after ordering "
+    "(this schema has no l_commitdate/l_receiptdate — the q12 "
+    "late-shipment predicate stands in, documented adaptation), "
+    "counted per priority. The EXISTS compiles to a LEFT SEMI hash "
+    "join on l_orderkey with the non-equi lateness residual evaluated "
+    "at probe time — each order shuffles once and emits at most once "
+    "regardless of how many lines are late, so the join output is "
+    "bounded by |orders|, not |lineitem|; the quarter window prunes "
+    "the orders scan and the 5-row priority agg collapses map-side.",
+    tags=("relational", "join", "semi-join", "aggregate"),
+)
+def q4_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_lines = li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 14).cast("timestamp_ntz")),
+        "left_semi",
+    )
+    return (
+        o.join(late_lines, o.o_orderkey == late_lines.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+SELECT c_count, COUNT(*)::BIGINT AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey)::BIGINT AS c_count
+    FROM customer c
+    LEFT OUTER JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+    GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 pattern (customer order distribution): per-customer "
+    "count of non-'5-LOW'-priority orders (this schema has no "
+    "o_comment — the priority filter stands in for the NOT LIKE "
+    "'%special%requests%' exclusion, documented adaptation), then the "
+    "histogram of those counts INCLUDING zero-order customers — which "
+    "is what forces the LEFT OUTER join; an inner join silently drops "
+    "the c_count=0 bucket. Two aggregations, both partial+final: the "
+    "first shuffles on c_custkey (join and agg share the key, so AQE "
+    "coalesces), the second on the |distinct counts|-sized c_count "
+    "domain — metadata-sized at any corpus scale.",
+    tags=("relational", "join", "outer-join", "aggregate"),
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
