@@ -145,3 +145,50 @@ def range_sorted_parquet(
         for f in os.listdir(out_dir)
         if f.endswith(".parquet") and not f.startswith("_")
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Write ``df`` as a hash-BUCKETED table (Hive-style bucketing:
+    rows land in bucket ``hash(bucket_col) % n_buckets``, one file set
+    per bucket, bucket spec recorded in the catalog).
+
+    This is the co-located-join layout for 100 TB fact tables: two
+    tables bucketed on their join key with the same bucket count join
+    with ZERO Exchange on either side — the shuffle was paid ONCE at
+    write time and amortizes over every subsequent join, instead of
+    re-shuffling both sides per query. ``sort=True`` additionally
+    sorts within buckets so repeat sort-merge joins can skip the sort.
+    The table registers in the session catalog (in-memory catalog —
+    no Hive required); ``path`` makes it external so the data outlives
+    the session."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucketed_equijoin(
+    spark,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Sort-merge equi-join of two bucketed tables on their bucket
+    keys. The merge hint pins SMJ (a broadcast would also be
+    shuffle-free but wouldn't demonstrate the layout property being
+    bought here); with matching bucket specs Spark elides BOTH
+    exchanges — asserted in tests/test_layout.py, visible as a plan
+    with SortMergeJoin and no Exchange."""
+    left = spark.table(left_table).hint("merge")
+    right = spark.table(right_table)
+    return left.join(right, F.col(left_key) == F.col(right_key))

@@ -1784,3 +1784,61 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     return per_cust.groupBy("c_count").agg(
         F.count("*").cast("bigint").alias("custdist")
     )
+
+
+@register(
+    "bucketed_orders_revenue",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
+       COUNT(*)::BIGINT AS n_lines
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+    doc="Co-located bucketed join: orders and lineitem are written ONCE "
+    "as 16-bucket hash-bucketed tables on their join key "
+    "(operators/layout.py:write_bucketed), then sort-merge joined with "
+    "ZERO Exchange on either side — the write-time shuffle amortizes "
+    "over every subsequent join, the defining layout optimization for "
+    "repeatedly-joined 100 TB fact tables. Values are identical to "
+    "the plain join (this oracle); the no-Exchange plan property is "
+    "pinned in tests/test_layout.py. Tables rebuild per session (in-"
+    "memory catalog) from a /tmp external path; revenue uses the "
+    "DECIMAL(18,4) exact-sum convention.",
+    tags=("relational", "join", "layout", "bucketing", "aggregate"),
+)
+def bucketed_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import re as _re
+    import tempfile as _tempfile
+
+    from ..operators.layout import bucketed_equijoin, write_bucketed
+
+    tag = _re.sub(r"[^a-z0-9]+", "_", _os.path.basename(sf_dir.rstrip("/")).lower())
+    ot, lt = f"pmrs_b_orders_{tag}", f"pmrs_b_lineitem_{tag}"
+    root = _os.path.join(_tempfile.gettempdir(), "pmrs_bucketed", tag)
+    if not spark.catalog.tableExists(ot):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            ot,
+            "o_orderkey",
+            path=_os.path.join(root, "orders"),
+        )
+    if not spark.catalog.tableExists(lt):
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            lt,
+            "l_orderkey",
+            path=_os.path.join(root, "lineitem"),
+        )
+    j = bucketed_equijoin(spark, ot, lt, "o_orderkey", "l_orderkey")
+    return j.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))), 4
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )

@@ -157,3 +157,40 @@ def test_parquet_aggregate_pushdown_capability(spark, sf_dir, tmp_path):
             spark.conf.unset("spark.sql.sources.useV1SourceList")
         else:
             spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+
+
+def test_bucketed_join_elides_both_exchanges(spark, sf_dir, tmp_path):
+    """Two tables bucketed on their join key with matching bucket
+    counts must sort-merge join with ZERO Exchange in the plan — the
+    write-time shuffle replaces both query-time shuffles. Also pins
+    value equality against the plain (shuffling) join, so the layout
+    is an optimization, never a semantics change."""
+    from parallel_map_reduce_spark.operators.layout import (
+        bucketed_equijoin,
+        write_bucketed,
+    )
+    from parallel_map_reduce_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(o, "t_bkt_orders", "o_orderkey", path=str(tmp_path / "o"))
+    write_bucketed(li, "t_bkt_lineitem", "l_orderkey", path=str(tmp_path / "l"))
+    try:
+        j = bucketed_equijoin(
+            spark, "t_bkt_orders", "t_bkt_lineitem", "o_orderkey", "l_orderkey"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles"
+        got = sorted(
+            (r.o_orderkey, r.l_orderkey, r.o_orderpriority, r.l_quantity)
+            for r in j.collect()
+        )
+        exp = sorted(
+            (r.o_orderkey, r.l_orderkey, r.o_orderpriority, r.l_quantity)
+            for r in o.join(li, o.o_orderkey == li.l_orderkey).collect()
+        )
+        assert got == exp and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
