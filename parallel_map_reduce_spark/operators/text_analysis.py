@@ -518,3 +518,114 @@ def chunk_documents(
         F.array_join(F.col("c.toks"), " ").alias("chunk_text"),
         F.size(F.col("c.toks")).cast("bigint").alias("n_tokens"),
     )
+
+
+# --- BPE subword vocabulary training (Sennrich, Haddow & Birch, ACL
+# 2016, "Neural Machine Translation of Rare Words with Subword Units";
+# the merge loop below is the standard algorithm re-expressed as
+# DataFrame ops) -------------------------------------------------------
+
+BPE_END = "</w>"  # end-of-word marker symbol
+BPE_N_MERGES = 24
+BPE_CKPT_EVERY = 6  # checkpoint the vocab-sized symbol table every K merges
+
+
+def _char_syms(word_col: str) -> F.Column:
+    """word -> its character symbols + the end-of-word marker. The
+    (?!^) lookahead split emits a trailing '' that must be filtered."""
+    chars = F.filter(F.split(F.col(word_col), "(?!^)"), lambda s: s != "")
+    return F.concat(chars, F.array(F.lit(BPE_END)))
+
+
+def _merge_pair_expr(syms_col: str | F.Column, a: str, b: str, ab: str) -> F.Column:
+    """Greedy left-to-right non-overlapping replacement of adjacent
+    (a, b) with ab, as a fold: append each symbol unless it closes the
+    pair with the accumulator's last element. Matches the reference
+    algorithm's scan exactly (in 'aaa', pair (a,a) merges once)."""
+    return F.aggregate(
+        syms_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(ab))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+    """(rank, left, right, merged, pair_freq): the first ``n_merges``
+    BPE merges learned from the corpus, in order.
+
+    Scale shape — the reason this is distributable at all: the corpus
+    is touched ONCE (word-frequency count, one shuffle); every merge
+    round then runs over the |vocab|-sized (freq, syms) table — pair
+    explode + one partial-aggregated groupBy per round, with only the
+    winning pair (one row) reaching the driver, exactly the
+    metadata-sized collect discipline of train_ivf_centroids. The
+    symbol table is localCheckpoint'ed every BPE_CKPT_EVERY rounds so
+    plan depth stays bounded while most rounds stay lazy. Ties on
+    pair frequency break (freq DESC, left ASC, right ASC) so training
+    is deterministic; pytest pins the merge sequence against an
+    independent pure-Python reference implementation
+    (tests/test_bpe.py)."""
+    spark = docs.sparkSession
+    wf = (
+        _words(docs)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select("freq", _char_syms("word").alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for i in range(n_merges):
+        best = (
+            wf.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms)-1),"
+                        " (s, j) -> struct(s AS l, syms[j+1] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if best is None or best.c < 2:
+            break  # nothing left worth merging
+        a, b, ab = best.l, best.r, best.l + best.r
+        merges.append((i + 1, a, b, ab, int(best.c)))
+        wf = wf.select("freq", _merge_pair_expr("syms", a, b, ab).alias("syms"))
+        if (i + 1) % BPE_CKPT_EVERY == 0:
+            wf = wf.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "rank INT, left STRING, right STRING, merged STRING, pair_freq BIGINT"
+    )
+
+
+def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(word, n_subwords, subwords): BPE segmentation of the corpus
+    VOCABULARY under an ordered merge list — applied per DISTINCT
+    word, never per occurrence, because segmentation is a function of
+    the word alone; the corpus-sized join back (if a caller needs
+    per-token output) is then a broadcast of this vocab table. Merges
+    apply in rank order, each as the same fold ``bpe_train`` uses, so
+    train→segment round-trips: a word whose pairs were all merged
+    segments to one symbol."""
+    vocab = _words(docs).groupBy("word").agg(F.count("*").alias("freq"))
+    syms = _char_syms("word")
+    for a, b in merges:
+        # Rebinding through a Column (not a DataFrame per round) keeps
+        # this a single projection: n_merges nested folds, one stage,
+        # zero shuffles after the vocab groupBy.
+        syms = _merge_pair_expr(syms, a, b, a + b)
+    return vocab.select(
+        "word",
+        "freq",
+        F.size(syms).cast("bigint").alias("n_subwords"),
+        F.array_join(syms, " ").alias("subwords"),
+    )

@@ -488,3 +488,30 @@ FROM ex
 )
 def documents_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_bpe_vocabulary",
+    oracle=None,  # iterative merge training is not SQL-expressible; the
+    # merge sequence is pinned EXACTLY against an independent pure-
+    # Python reference implementation in tests/test_bpe.py (driver
+    # records rows-only).
+    doc="BPE subword vocabulary (Sennrich et al. 2016) trained on the "
+    "corpus and applied back to it: one corpus pass for word "
+    "frequencies, then each merge round is a pair-explode + partial-"
+    "aggregated groupBy over the |vocab|-sized symbol table with only "
+    "the winning pair (one row) reaching the driver; segmentation is "
+    "computed per DISTINCT word, never per occurrence. Deterministic "
+    "(freq DESC, pair ASC tie-break); merge-sequence equality vs a "
+    "textbook reference implementation + segment round-trip pinned in "
+    "tests/test_bpe.py. operators/text_analysis.py:bpe_train,"
+    "bpe_segment.",
+    tags=("text", "tokenizer", "bpe", "llm-pipeline", "custom-operator"),
+)
+def text_bpe_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in T.bpe_train(docs, n_merges=T.BPE_N_MERGES).orderBy("rank").collect()
+    ]
+    return T.bpe_segment(docs, merges)
