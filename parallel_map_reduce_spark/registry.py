@@ -55,18 +55,25 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # driver row in r5 or r6), plus event_users_hll_rollup as the approx
 # family's first driver row since r4 (rows-only by design — proves the
 # entry RUNS under the driver; its tolerance contract lives in
-# pytest). Displaced: q1_pricing_summary and q3_shipping_priority
-# (r2+r3+r4+r5 green — the longest hash-match histories in the
-# window) and the four r5-gated drains (streaming_hourly_tumbling,
-# streaming_curation_dedup, streaming_dedup_keys,
-# streaming_sessionized — swapping the streaming slots keeps the
-# drain block at 4 so gate wall-clock doesn't grow; the incoming
-# drains are the family's representatives per rule 3). Entries
-# remaining OUT of the window, each with a reason:
+# pytest), plus the three oracle-backed round-6 additions per rule 2
+# (q4_priority_order_check, q13_customer_order_distribution,
+# bucketed_orders_revenue). Displaced, longest-green-first:
+# q1_pricing_summary, q3_shipping_priority,
+# event_type_distinct_users_salted, orders_value_deciles (all
+# r2+r3+r4+r5 green — the longest hash-match histories in the
+# window), dedup_minhash_lsh_pairs (r3-r5 green; dedup keeps four
+# in-window members), and the four r5-gated drains
+# (streaming_hourly_tumbling, streaming_curation_dedup,
+# streaming_dedup_keys, streaming_sessionized — swapping the
+# streaming slots keeps the drain block at 4 so gate wall-clock
+# doesn't grow; the incoming drains are the family's representatives
+# per rule 3). Entries remaining OUT of the window, each with a
+# reason:
 #   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
-#     event_type_user_overlap_hll: rows-only by design, pytest
-#     contracts carry them (ivf_topk additionally has the
-#     indexed==inline equality contract);
+#     event_type_user_overlap_hll, text_bpe_vocabulary (new r6):
+#     rows-only by design, pytest contracts carry them (ivf_topk has
+#     the indexed==inline equality contract, bpe the exact
+#     merge-sequence contract vs a textbook reference);
 #   - events_rolling_7d_users_hll, event_value_quantiles_approx:
 #     rows-only approx siblings — event_users_hll_rollup represents
 #     the family this round; rotate them in next rounds.
@@ -82,9 +89,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "doc_stats",
     "inverted_index_chunked",
     "documents_provenance",
-    # relational / events anchors (multi-round green)
-    "event_type_distinct_users_salted",
-    "orders_value_deciles",
+    # relational — new round 6 (TPC-H pattern coverage completion +
+    # bucketed co-located join layout)
+    "q4_priority_order_check",
+    "q13_customer_order_distribution",
+    "bucketed_orders_revenue",
     # events — new round 5, registered after the r5 window froze
     "events_value_winsorized",
     # approx family representative (rows-only by design; ran r4)
@@ -100,8 +109,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q10_returned_items",
     "q12_late_lines_by_class",
     "q15_top_supplier",
-    # dedup: LSH anchor + round-4 never-checked + new round 5
-    "dedup_minhash_lsh_pairs",
+    # dedup: round-4 never-checked + new round 5
     "part_name_fuzzy_pairs_lsh",
     "decontaminate_benchmark_overlap",
     "dedup_passage_duplicates",
