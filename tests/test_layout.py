@@ -194,3 +194,41 @@ def test_bucketed_join_elides_both_exchanges(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_orders")
         spark.sql("DROP TABLE IF EXISTS t_bkt_lineitem")
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Hive-partitioned fact joined to a filtered dim must plan a
+    dynamicpruning subquery on the fact scan: the dim filter's
+    surviving keys prune fact PARTITIONS at runtime — on a 100 TB
+    fact laid out by join/filter key, the scan reads only the joined
+    slice, without the query author writing the partition predicate.
+    Pins both the plan marker and value equality vs the unpartitioned
+    join."""
+    from parallel_map_reduce_spark.sources.catalog import load_table
+
+    path = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    ev.write.partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    # The dim filter must NOT be a literal predicate on the join key —
+    # that case is handled statically (constraint propagation pushes
+    # `event_type = X` straight into the fact scan, no DPP needed, as
+    # this test originally discovered). A filter on a computed column
+    # leaves the surviving key set unknowable until runtime, which is
+    # precisely what dynamic partition pruning exists for.
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .filter(F.length("event_type") >= 6)
+    )
+    j = fact.join(dim, "event_type")
+    optimized = j._jdf.queryExecution().optimizedPlan().toString()
+    executed = j._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "dynamicpruning" in optimized.lower()
+        or "dynamicpruningexpression" in executed.lower()
+    ), "no dynamic partition pruning in plan"
+    got = j.count()
+    exp = ev.filter(F.length("event_type") >= 6).count()
+    assert got == exp > 0
