@@ -375,3 +375,27 @@ def similarity_two_stage_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame
 def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_dedup(emb, threshold=_NEARDUP_THRESHOLD)
+
+
+@register(
+    "embedding_pca_whitened",
+    oracle=None,  # eigendecomposition is not SQL-expressible; the
+    # covariance stats, projection values, and unit-variance property
+    # are pinned against a full-numpy reference in tests/test_pca.py
+    # (driver records rows-only).
+    doc="PCA whitening of the embedding corpus (top-8 components, unit "
+    "variance) — the standard embedding-postprocessing step before "
+    "indexing/clustering. Train is ONE corpus pass: mapInArrow emits "
+    "per-BATCH sufficient statistics (count, sum, X'X — one BLAS gemm "
+    "per batch), a zip_with fold combines them, and only the dim^2 "
+    "covariance reaches the driver (IVF-centroid metadata class); "
+    "numpy eigendecomposition on the driver; serving is k broadcast "
+    "literal dot products, JVM codegen, zero Python, zero shuffles. "
+    "Component signs canonicalized for determinism. "
+    "functions/arrow_ops.py:covariance_stats,pca_whiten.",
+    tags=("similarity", "embedding", "pca", "llm-pipeline", "udf-surface", "arrow"),
+)
+def embedding_pca_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.arrow_ops import pca_whiten
+
+    return pca_whiten(load_table(spark, sf_dir, "embeddings"), k=8)

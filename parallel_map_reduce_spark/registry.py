@@ -70,10 +70,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # per rule 3). Entries remaining OUT of the window, each with a
 # reason:
 #   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
-#     event_type_user_overlap_hll, text_bpe_vocabulary (new r6):
-#     rows-only by design, pytest contracts carry them (ivf_topk has
-#     the indexed==inline equality contract, bpe the exact
-#     merge-sequence contract vs a textbook reference);
+#     event_type_user_overlap_hll, text_bpe_vocabulary (new r6),
+#     embedding_pca_whitened (new r6): rows-only by design, pytest
+#     contracts carry them (ivf_topk has the indexed==inline equality
+#     contract, bpe the exact merge-sequence contract vs a textbook
+#     reference, pca the full-numpy covariance/projection contract);
 #   - events_rolling_7d_users_hll, event_value_quantiles_approx:
 #     rows-only approx siblings — event_users_hll_rollup represents
 #     the family this round; rotate them in next rounds.
