@@ -1842,3 +1842,74 @@ def bucketed_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count("*").cast("bigint").alias("n_lines"),
     )
+
+
+@register(
+    "orders_status_scd2",
+    oracle="""
+WITH lagged AS (
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od, o_orderstatus,
+           CASE WHEN LAG(o_orderstatus) OVER
+                    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                IS DISTINCT FROM o_orderstatus THEN 1 ELSE 0 END AS chg
+    FROM orders
+),
+runs AS (
+    SELECT *, SUM(chg) OVER
+        (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS run_id
+    FROM lagged
+),
+seg AS (
+    SELECT o_custkey AS custkey, CAST(run_id AS BIGINT) AS seq,
+           o_orderstatus AS status,
+           MIN(od) AS vf, COUNT(*)::BIGINT AS n_orders
+    FROM runs GROUP BY 1, 2, 3
+)
+SELECT custkey, seq, status,
+       CAST(vf AS VARCHAR) AS valid_from,
+       CAST(LEAD(vf) OVER (PARTITION BY custkey ORDER BY seq) AS VARCHAR)
+           AS valid_to,
+       n_orders
+FROM seg
+""",
+    doc="Slowly-changing-dimension type-2 build (gaps-and-islands): per "
+    "customer, collapse the order-status sequence into validity "
+    "intervals — one row per consecutive same-status run with "
+    "valid_from = first order date of the run, valid_to = start of the "
+    "next run (NULL while current), and the run's order count. The "
+    "standard warehouse dimension-history pattern: change detection is "
+    "a null-safe lag inequality, run numbering a running sum of change "
+    "flags, interval close a lead over the run table. ONE exchange on "
+    "custkey serves both window passes AND the run groupBy (the "
+    "grouping key is a superset of the partitioning, so Catalyst "
+    "reuses the partitioning — no second shuffle); per-customer state "
+    "is bounded by that customer's order count, so the plan holds at "
+    "any fact size. Ties inside a day break on o_orderkey for a total "
+    "order.",
+    tags=("relational", "window", "scd", "gaps-and-islands"),
+)
+def orders_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        "o_orderstatus",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    chg = F.when(
+        F.lag("o_orderstatus").over(w).eqNullSafe(F.col("o_orderstatus")), 0
+    ).otherwise(1)
+    runs = o.withColumn("chg", chg).withColumn("run_id", F.sum("chg").over(w))
+    seg = runs.groupBy("o_custkey", "run_id", "o_orderstatus").agg(
+        F.min("od").alias("vf"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("run_id")
+    return seg.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("run_id").cast("bigint").alias("seq"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("vf").cast("string").alias("valid_from"),
+        F.lead("vf").over(w2).cast("string").alias("valid_to"),
+        "n_orders",
+    )

@@ -621,6 +621,51 @@ def events_rolling_7d_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rolling_7d_users_exact",
+    oracle="""
+WITH pairs AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       COUNT(DISTINCT p.user_id)::BIGINT AS n_users_7d
+FROM days d
+JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
+""",
+    doc="Exact rolling 7-day distinct active users — the precise twin "
+    "of events_rolling_7d_users_hll, via the contribute-to-window "
+    "decomposition: each distinct (user, day) pair EXPLODES to the 7 "
+    "window-end days it contributes to, then one dedup + count per "
+    "window day. The fact is touched once; intermediate state is "
+    "bounded by |distinct pairs| x 7 and shuffles on (user, window "
+    "day) — never a per-window re-scan of the fact and never a range "
+    "self-join of user SETS (the naive exact forms). The DuckDB "
+    "oracle deliberately uses the range-join formulation so the two "
+    "sides are independent derivations. At 100 TB either keep this "
+    "exact form (state is |users| x 7 rows) or swap to the HLL twin "
+    "when the per-day user sets themselves dominate.",
+    tags=("relational", "window", "rolling", "distinct", "exact"),
+)
+def events_rolling_7d_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    pairs = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = pairs.select("day").distinct().withColumnRenamed("day", "wday")
+    contrib = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+    ).distinct()
+    return (
+        contrib.join(F.broadcast(days), "wday")
+        .groupBy("wday")
+        .agg(F.count("*").cast("bigint").alias("n_users_7d"))
+        .select(F.col("wday").cast("string").alias("day"), "n_users_7d")
+    )
+
+
+@register(
     "events_hourly_interpolated",
     oracle="""
 WITH b AS (

@@ -67,7 +67,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # streaming_dedup_keys, streaming_sessionized — swapping the
 # streaming slots keeps the drain block at 4 so gate wall-clock
 # doesn't grow; the incoming drains are the family's representatives
-# per rule 3). Entries remaining OUT of the window, each with a
+# per rule 3). Late-round-6 additions, per rule 2: orders_status_scd2
+# and events_rolling_7d_users_exact (both oracle-backed) rotate IN,
+# displacing events_latest_per_user and events_cohort_retention (r4+r5
+# green — the longest hash-match histories among remaining non-core
+# members; the events family keeps winsorized, hourly_interpolated,
+# zorder and the new exact-rolling entry in-window).
+# Entries remaining OUT of the window, each with a
 # reason:
 #   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
 #     event_type_user_overlap_hll, text_bpe_vocabulary (new r6),
@@ -91,10 +97,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     "inverted_index_chunked",
     "documents_provenance",
     # relational — new round 6 (TPC-H pattern coverage completion +
-    # bucketed co-located join layout)
+    # bucketed co-located join layout + SCD2 dimension-history build)
     "q4_priority_order_check",
     "q13_customer_order_distribution",
     "bucketed_orders_revenue",
+    "orders_status_scd2",
+    # events — new round 6 (exact twin of the HLL rolling window)
+    "events_rolling_7d_users_exact",
     # events — new round 5, registered after the r5 window froze
     "events_value_winsorized",
     # approx family representative (rows-only by design; ran r4)
@@ -121,8 +130,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "customer_pii_masked",
     # events / streaming-batch: never-checked + family anchors
     "events_hourly_interpolated",
-    "events_latest_per_user",
-    "events_cohort_retention",
     "events_zorder_code",
     # curation anchors + new round 5
     "curation_pipeline",
