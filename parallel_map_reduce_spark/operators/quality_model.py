@@ -1,0 +1,182 @@
+"""Distributed quality-classifier training (logistic-style regression).
+
+The missing piece between heuristic quality *features*
+(``text_analysis.quality_scores``) and a corpus-wide quality *model*:
+train a linear classifier ON the cluster with batch gradient descent
+expressed as DataFrame aggregations — the standard shape for fitting
+small models over 100 TB corpora (features stay distributed; only the
+(k+1)-float weight vector ever reaches the driver, the same metadata
+discipline as ``similarity.train_ivf_centroids``).
+
+Design choices for cross-engine / cross-run determinism:
+
+- **Squashing function**: ``sigma(z) = 0.5 * (1 + z / (1 + |z|))``
+  (the "fast sigmoid") instead of ``1/(1+exp(-z))``. It is pure
+  +,*,/,abs IEEE-754 arithmetic, so JVM codegen, numpy, and pure
+  Python produce bit-identical values — ``exp`` is only guaranteed
+  faithfully rounded and may differ in the last ulp across libms,
+  which would cascade through 20 GD iterations. Same monotone
+  S-shape, range (0, 1), sigma(0)=0.5; the trained scores rank
+  documents identically for filtering purposes.
+- **Order-free gradient reduction**: each row's per-feature gradient
+  term ``(sigma(x.w) - y) * x_j`` is rounded to 12 dp and summed as
+  DECIMAL(28,12) (exact integer arithmetic underneath), so the result
+  does not depend on partitioning or reduction order — the
+  ``lm_perplexity`` discipline. Weight updates on the driver are then
+  plain double arithmetic on identical inputs every run.
+- **Bounded features, no transcendentals**: token count enters as
+  ``least(n_tokens/200, 1)``; ratios are already in [0, 1]. Nothing
+  in the feature map calls log/exp.
+
+Per GD iteration: ONE job — a scan of the persisted feature frame and
+a single partial+final aggregation producing k+1 decimal sums. The
+fact table is featurized once (``persist()``); 100 TB corpora would
+materialize the feature frame as parquet and reuse it across epochs
+and models.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURES = ("f_bias", "f_len", "f_alpha", "f_stop", "f_wordlen")
+LR = 2.0
+ITERS = 40
+GRAD_SCALE = 12  # dp for the order-free decimal gradient sums
+
+
+def fast_sigmoid(z: F.Column) -> F.Column:
+    """0.5 * (1 + z / (1 + |z|)) — arithmetic-only squashing, (0, 1)."""
+    return 0.5 * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+
+
+def doc_quality_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, label, f_bias, f_len, f_alpha, f_stop, f_wordlen).
+
+    Features derive from ``quality_scores`` (integer-count divisions,
+    deterministic). The weak label is "top half of the corpus by the
+    composite heuristic quality score" (exact median split, 1-row
+    broadcast) — the distillation shape: turn a hard rule-based filter
+    into a calibrated linear scorer. With external labels (a
+    Wikipedia-vs-crawl slice, human ratings), only this column
+    changes; the training machinery is label-agnostic.
+    """
+    from .text_analysis import quality_scores
+
+    q = quality_scores(docs)
+    med = q.agg(
+        F.expr("percentile(quality, 0.5)").alias("median_quality")
+    )
+    return q.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        F.when(F.col("quality") >= F.col("median_quality"), 1.0)
+        .otherwise(0.0)
+        .alias("label"),
+        F.lit(1.0).alias("f_bias"),
+        F.least(F.col("n_tokens") / 200.0, F.lit(1.0)).alias("f_len"),
+        F.col("alpha_ratio").alias("f_alpha"),
+        F.col("stopword_ratio").alias("f_stop"),
+        F.least(F.col("mean_token_len") / 10.0, F.lit(1.0)).alias("f_wordlen"),
+    )
+
+
+def feature_stats(feat: DataFrame) -> dict[str, tuple[float, float]]:
+    """Per-feature (mean, population std) for standardization.
+
+    Sums use the same rounded-DECIMAL order-free reduction as the
+    gradients, so the stats — and therefore the standardized features
+    and the whole training run — are bit-identical across
+    partitionings (sqrt is correctly rounded under IEEE-754, so the
+    driver-side finish is deterministic too). Only 2k+1 numbers reach
+    the driver. The bias column is excluded (sd would be 0).
+    """
+    dec = f"decimal(28,{GRAD_SCALE})"
+    cols = [c for c in FEATURES if c != "f_bias"]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.round(F.col(c), GRAD_SCALE).cast(dec)).cast("double").alias(f"s_{c}")
+        )
+        aggs.append(
+            F.sum(F.round(F.col(c) * F.col(c), GRAD_SCALE).cast(dec))
+            .cast("double")
+            .alias(f"q_{c}")
+        )
+    row = feat.agg(F.count("*").alias("n"), *aggs).collect()[0]
+    n = row["n"]
+    stats: dict[str, tuple[float, float]] = {}
+    for c in cols:
+        mu = row[f"s_{c}"] / n
+        var = max(row[f"q_{c}"] / n - mu * mu, 1e-12)
+        stats[c] = (mu, var**0.5)
+    return stats
+
+
+def standardize(feat: DataFrame, stats: dict[str, tuple[float, float]]) -> DataFrame:
+    """Zero-shuffle projection: (f - mean) / sd with the stats baked in
+    as literals (metadata-sized, no broadcast join needed); the bias
+    column passes through."""
+    cols = [F.col("doc_id"), F.col("label"), F.col("f_bias")]
+    for c, (mu, sd) in stats.items():
+        cols.append(((F.col(c) - F.lit(mu)) / F.lit(sd)).alias(c))
+    return feat.select(*cols)
+
+
+def _margin(weights: list[float]) -> F.Column:
+    z = F.lit(0.0)
+    for w, c in zip(weights, FEATURES):
+        z = z + F.lit(float(w)) * F.col(c)
+    return z
+
+
+def train_logreg(feat: DataFrame, lr: float = LR, iters: int = ITERS) -> list[float]:
+    """Batch gradient descent; returns the trained weight vector.
+
+    Each iteration aggregates k+1 exact decimal gradient sums in one
+    job; only those k+1 numbers are collected (metadata-sized, the
+    k-means-centroid discipline). ``feat`` should be persisted by the
+    caller when it does not already sit in a fast store.
+    """
+    n = feat.count()
+    weights = [0.0] * len(FEATURES)
+    dec = f"decimal(28,{GRAD_SCALE})"
+    for _ in range(iters):
+        resid = fast_sigmoid(_margin(weights)) - F.col("label")
+        sums = feat.agg(
+            *[
+                F.sum(F.round(resid * F.col(c), GRAD_SCALE).cast(dec))
+                .cast("double")
+                .alias(c)
+                for c in FEATURES
+            ]
+        ).collect()[0]
+        weights = [w - lr * float(sums[c]) / n for w, c in zip(weights, FEATURES)]
+    return weights
+
+
+def score_logreg(feat: DataFrame, weights: list[float]) -> DataFrame:
+    """(doc_id, label, score, pred): squashed margin under ``weights``,
+    rounded to 6 dp; pred thresholds at 0.5. Zero-shuffle projection."""
+    s = fast_sigmoid(_margin(weights))
+    return feat.select(
+        "doc_id",
+        F.col("label").cast("double").alias("label"),
+        F.round(s, 6).alias("score"),
+        (s >= 0.5).cast("int").alias("pred"),
+    )
+
+
+def train_and_score(docs: DataFrame, lr: float = LR, iters: int = ITERS) -> DataFrame:
+    """End-to-end: featurize once (persisted), standardize (literal
+    projection), train, score every doc."""
+    feat = doc_quality_features(docs).persist()
+    try:
+        std = standardize(feat, feature_stats(feat))
+        weights = train_logreg(std, lr=lr, iters=iters)
+        return score_logreg(std, weights)
+    finally:
+        # Scored frame is a projection of feat; unpersist lazily after
+        # the action that consumes it (Spark tolerates early unpersist
+        # by recomputing — correctness unaffected).
+        feat.unpersist(blocking=False)

@@ -357,3 +357,28 @@ def documents_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("exact_dup_docs", F.col("exact_dup_docs"), dups))
         .unionByName(mean)
     )
+
+
+@register(
+    "documents_quality_logreg",
+    oracle=None,  # 20 GD iterations are not one-shot SQL; rows-only in
+    # the gate. tests/test_quality_model.py carries the contract: the
+    # Spark-trained weights equal a pure-Python replica's (identical
+    # rounding + exact Decimal sums) and scores agree to 1e-9, plus a
+    # bit-determinism re-run and a separation check (en docs score
+    # higher than non-en on average by construction).
+    doc="Weak-supervision quality classifier trained ON the cluster: "
+    "batch gradient descent over heuristic quality features "
+    "(operators/quality_model.py), label = high-resource slice "
+    "(lang == 'en'), squashing chosen arithmetic-only and gradient "
+    "sums reduced as rounded DECIMALs so training is bit-deterministic "
+    "across partitionings. One aggregation job per iteration; only "
+    "the 5-float weight vector reaches the driver. The CCNet/GPT-3 "
+    "quality-filter shape with the external scorer replaced by a "
+    "self-trained model.",
+    tags=("curation", "quality", "model", "training", "iterative"),
+)
+def documents_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality_model import train_and_score
+
+    return train_and_score(load_table(spark, sf_dir, "documents"))

@@ -81,6 +81,9 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #     contracts carry them (ivf_topk has the indexed==inline equality
 #     contract, bpe the exact merge-sequence contract vs a textbook
 #     reference, pca the full-numpy covariance/projection contract);
+#   - documents_quality_logreg (new r6): rows-only by design
+#     (iterative GD training); tests/test_quality_model.py carries the
+#     python-replica equality + bit-determinism + separation contracts;
 #   - events_rolling_7d_users_hll, event_value_quantiles_approx:
 #     rows-only approx siblings — event_users_hll_rollup represents
 #     the family this round; rotate them in next rounds.

@@ -49,6 +49,8 @@ CARTESIAN_OK = {
     "user-set pair join)",
     "documents_corpus_report": "report assembly: 1-row scalar aggregates "
     "cross-joined into (metric, value) rows",
+    "documents_quality_logreg": "1-row median-quality scalar broadcast "
+    "(the weak-label threshold) joined onto the feature frame",
 }
 
 # Single-partition exchanges are only acceptable when they carry
@@ -70,6 +72,8 @@ SINGLE_PARTITION_OK = {
     "text_lm_perplexity": "1-row vocabulary-size scalar",
     "documents_corpus_report": "the report IS a handful of 1-row global "
     "aggregates",
+    "documents_quality_logreg": "1-row median-quality scalar (weak-label "
+    "threshold); features/gradients aggregate partial-first",
 }
 
 SKIP_PREFIX = "streaming_"  # live drains execute on build; covered elsewhere

@@ -64,6 +64,7 @@ def test_rows_only_entries_are_the_documented_set():
         "events_rolling_7d_users_hll",
         "text_bpe_vocabulary",
         "embedding_pca_whitened",
+        "documents_quality_logreg",
     }
     actual = {n for n, s in all_queries().items() if s.oracle is None}
     assert actual == expected, actual.symmetric_difference(expected)
