@@ -768,3 +768,199 @@ def semantic_dedup(
             ).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 — PAPERS.md): split the embedding into
+# PQ_M subspaces, k-means each subspace independently, store each
+# vector as M one-byte codes. The compressed store is dim*4/M-fold
+# smaller than float32 (64-dim float32, 256 B → 8 bytes here), and queries
+# score candidates WITHOUT touching raw vectors via asymmetric
+# distance computation (ADC): cos(q, x) ≈ Σ_s q_s · c_{s, code_s(x)}
+# on unit-normalized vectors. The standard billion-scale ANN layout
+# (FAISS IVFPQ's fine quantizer), complementing the int8 store
+# (4x, per-vector) and the IVF partitioner (scan pruning).
+
+PQ_M = 8  # subspaces
+PQ_K = 32  # codes per subspace (codebook rows)
+PQ_TRAIN_ITERS = 3  # Lloyd rounds per subspace
+PQ_SHORTLIST = 80  # ADC shortlist size fed to exact re-rank (fixed per
+# query regardless of corpus size — |Q| * 80 full-vector reads)
+
+
+def _normalized(emb: DataFrame) -> DataFrame:
+    """(vec_id, nemb): unit-L2 embeddings (zero vectors pass through) —
+    PQ for cosine quantizes the normalized vectors so subspace dots sum
+    to the cosine."""
+    nrm = l2_norm("embedding")
+    safe = F.when(nrm > 0, nrm).otherwise(F.lit(1.0))
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double") / safe).alias("nemb"),
+    )
+
+
+def _book_lit(book: list[list[float]]) -> F.Column:
+    """k x subdim codebook as a nested array literal (metadata-sized:
+    codebooks ride into the plan, no join needed)."""
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in cent]) for cent in book]
+    )
+
+
+def _sq_dist(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sub_slice(col: str, s: int, subdim: int) -> F.Column:
+    return F.slice(col, s * subdim + 1, subdim)
+
+
+def _code_expr(book: list[list[float]], sub: F.Column) -> F.Column:
+    """argmin_j ||sub - book[j]||²; first (lowest) code wins ties —
+    deterministic, and array_position's exact double compare is safe
+    because the needle comes from the same computed array."""
+    dists = F.transform(_book_lit(book), lambda c: _sq_dist(c, sub))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_TRAIN_ITERS,
+) -> list[list[list[float]]]:
+    """codebooks[sub][code] = subdim-float centroid.
+
+    Each Lloyd round is ONE corpus pass for ALL subspaces: every vector
+    emits (sub, code, pos, val) rows via a struct-array explode, and the
+    per-(sub, code, pos) means — m*k*subdim rows, metadata by
+    definition — come back to the driver (the train_ivf_centroids
+    discipline: small model state lives driver-side, truncating lineage
+    so training costs iters+1 passes). Seeds are the first k vectors'
+    subslices (deterministic); 6-dp-rounded means keep assignments
+    rerun-stable; an empty code keeps its previous centroid."""
+    e = _normalized(emb)
+    dim = len(e.select("nemb").first()["nemb"])
+    subdim = dim // m
+    seeds = e.orderBy("vec_id").limit(k).collect()
+    books = [
+        [[float(v) for v in r["nemb"][s * subdim : (s + 1) * subdim]] for r in seeds]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        per_sub = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    _code_expr(books[s], _sub_slice("nemb", s, subdim)).alias("code"),
+                    _sub_slice("nemb", s, subdim).alias("sv"),
+                )
+                for s in range(m)
+            ]
+        )
+        means = (
+            e.select(F.explode(per_sub).alias("x"))
+            .select("x.sub", "x.code", F.posexplode("x.sv").alias("pos", "val"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("mv"))
+            .collect()
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            upd.setdefault((r.sub, r.code), {})[r.pos] = float(r.mv)
+        for (s, c), dims in upd.items():
+            books[s][c] = [dims[p] for p in sorted(dims)]
+    return books
+
+
+def pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, codes): the PQ code store — array of m small ints per
+    vector. Pure zero-shuffle projection (codebooks are literals), so
+    encoding runs at scan speed; this is the frame to persist as the
+    compressed index artifact."""
+    m = len(books)
+    subdim = len(books[0][0])
+    e = _normalized(emb)
+    return e.select(
+        "vec_id",
+        F.array(
+            *[_code_expr(books[s], _sub_slice("nemb", s, subdim)) for s in range(m)]
+        ).alias("codes"),
+    )
+
+
+def pq_adc_scores(
+    emb: DataFrame,
+    query_filter: F.Column,
+    books: list[list[list[float]]],
+) -> DataFrame:
+    """(query_id, vec_id, codes, adc): stage-1 ADC scores — each code
+    row against each broadcast query, score = Σ_s q_s · c_{s, code_s}
+    via element_at into the codebook literals. Split out of pq_topk so
+    the expression has its own python-replica contract in
+    tests/test_similarity.py."""
+    m = len(books)
+    subdim = len(books[0][0])
+    e = _normalized(emb)
+    codes_df = pq_encode(emb, books)
+    q = e.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), F.col("nemb").alias("q_nemb")
+    )
+    adc = F.lit(0.0)
+    for s in range(m):
+        cent = F.element_at(_book_lit(books[s]), F.col("codes")[s] + 1)
+        adc = adc + F.aggregate(
+            F.zip_with(_sub_slice("q_nemb", s, subdim), cent, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    return codes_df.join(
+        F.broadcast(q), F.col("query_id") != F.col("vec_id")
+    ).withColumn("adc", adc)
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_filter: F.Column,
+    k: int = 10,
+    shortlist_n: int = PQ_SHORTLIST,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank): PQ-ADC retrieval — stage 1 scores
+    the m-byte code store against broadcast queries with the ADC
+    expression Σ_s q_s · c_{s, code_s} (codebook literals, element_at
+    by runtime code — no raw-vector reads, the stream side is the
+    maximally-compressed store); stage 2 re-ranks the shortlist by
+    exact cosine on full vectors (|Q| * shortlist_n rows only).
+    Approximate where the true neighbor's ADC score falls off the
+    shortlist — recall floor pinned in tests/test_similarity.py."""
+    if books is None:
+        books = train_pq_codebooks(emb)
+    e = _normalized(emb)
+    s1 = pq_adc_scores(emb, query_filter, books)
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    short = (
+        s1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= shortlist_n)
+        .select("query_id", "vec_id")
+    )
+    qn = e.filter(query_filter).select(
+        F.col("vec_id").alias("query_id"), F.col("nemb").alias("qe")
+    )
+    re_rank = (
+        short.join(e, "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn("cos", dot("qe", "nemb"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        re_rank.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -399,3 +399,43 @@ def embedding_pca_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.arrow_ops import pca_whiten
 
     return pca_whiten(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
+_PQ_MEMO: dict[str, list[list[list[float]]]] = {}
+
+
+def _pretrained_pq_books(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Codebook training is a BUILD step (same serving-vs-training split
+    as _pretrained_cents): memoized per sf_dir so repeat runs measure
+    ADC serving. Training is deterministic (vec_id-ordered seeds,
+    6-dp-rounded means), so memoized and fresh codebooks agree."""
+    key = os.path.abspath(sf_dir)
+    if key not in _PQ_MEMO:
+        _PQ_MEMO[key] = S.train_pq_codebooks(load_table(spark, sf_dir, "embeddings"))
+    return _PQ_MEMO[key]
+
+
+@register(
+    "similarity_pq_topk",
+    oracle=None,  # the ADC shortlist is approximate by design (recall
+    # floor + code-range + python-ADC-replica + determinism contracts
+    # live in tests/test_similarity.py; driver records rows-only).
+    doc="Product-quantization retrieval (Jégou et al. 2011): the corpus "
+    "is served from an 8-byte-per-vector PQ code store (32x smaller "
+    "than float32; codebooks are m*k*subdim literals riding in the "
+    "plan) — stage 1 scores codes against broadcast queries with the "
+    "asymmetric-distance expression, stage 2 exact-re-ranks only the "
+    "fixed-size shortlist. The FAISS-style fine-quantizer layout "
+    "complementing int8 (4x) and IVF (scan pruning); at 100 TB the "
+    "code store is the only corpus-sized scan. "
+    "operators/similarity.py:train_pq_codebooks,pq_encode,pq_topk.",
+    tags=("similarity", "ann", "topk", "compression", "pq"),
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_topk(
+        emb,
+        F.col("vec_id") % _QUERY_MOD == 0,
+        k=_K,
+        books=_pretrained_pq_books(spark, sf_dir),
+    )

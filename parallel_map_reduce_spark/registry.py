@@ -81,6 +81,9 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #     contracts carry them (ivf_topk has the indexed==inline equality
 #     contract, bpe the exact merge-sequence contract vs a textbook
 #     reference, pca the full-numpy covariance/projection contract);
+#   - similarity_pq_topk (new r6): rows-only by design (ADC shortlist
+#     is approximate); recall-floor + python-ADC-replica + determinism
+#     contracts in tests/test_similarity.py;
 #   - documents_quality_logreg (new r6): rows-only by design
 #     (iterative GD training); tests/test_quality_model.py carries the
 #     python-replica equality + bit-determinism + separation contracts;

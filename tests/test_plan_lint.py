@@ -51,6 +51,9 @@ CARTESIAN_OK = {
     "cross-joined into (metric, value) rows",
     "documents_quality_logreg": "1-row median-quality scalar broadcast "
     "(the weak-label threshold) joined onto the feature frame",
+    "similarity_pq_topk": "stage-1 scan of the 8-byte PQ code store vs "
+    "broadcast queries — deliberate full-corpus ADC pass; full vectors "
+    "touch only the fixed-size shortlist",
 }
 
 # Single-partition exchanges are only acceptable when they carry

@@ -305,3 +305,83 @@ def test_semantic_dedup_resolves_planted_groups(spark):
         assert 1 <= len(keepers) <= 2
     for s in singles:
         assert out[s].keep and out[s].keeper_id == s
+
+
+@pytest.fixture(scope="module")
+def pq_books(emb):
+    from parallel_map_reduce_spark.operators.similarity import train_pq_codebooks
+
+    return train_pq_codebooks(emb)
+
+
+def test_pq_codes_shape_and_range(emb, pq_books):
+    from parallel_map_reduce_spark.operators.similarity import PQ_K, PQ_M, pq_encode
+
+    assert len(pq_books) == PQ_M and all(len(b) == PQ_K for b in pq_books)
+    rows = pq_encode(emb, pq_books).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r.codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in r.codes)
+
+
+def test_pq_topk_recall_floor(spark, emb, pq_books):
+    from parallel_map_reduce_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    qf = F.col("vec_id") % QUERY_FILTER_MOD == 0
+    exact = brute_force_topk(emb, qf, k=K).collect()
+    approx = pq_topk(emb, qf, k=K, books=pq_books).collect()
+    recall, approx_sets = _mean_recall(exact, approx)
+    # 64-dim near-random embeddings are PQ's worst case; with the
+    # default m=8/k=32/shortlist=80 the measured recall is ~0.88.
+    assert recall >= 0.7, recall
+    assert all(len(s) == K for s in approx_sets.values())
+
+
+def test_pq_adc_matches_python_replica(emb, pq_books):
+    """The Spark ADC column equals the textbook ADC formula computed in
+    pure Python on the collected normalized vectors, codes, and
+    codebooks — Σ_s q_s · c_{s, code_s}."""
+    from parallel_map_reduce_spark.operators.similarity import (
+        _normalized,
+        pq_adc_scores,
+        pq_encode,
+    )
+
+    m = len(pq_books)
+    subdim = len(pq_books[0][0])
+    nemb = {r.vec_id: list(r.nemb) for r in _normalized(emb).collect()}
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(emb, pq_books).collect()}
+    spark_adc = {
+        (r.query_id, r.vec_id): r.adc
+        for r in pq_adc_scores(
+            emb, F.col("vec_id") % QUERY_FILTER_MOD == 0, pq_books
+        ).collect()
+    }
+    assert spark_adc
+    checked = 0
+    for (qid, vid), got in sorted(spark_adc.items())[:200]:
+        q = nemb[qid]
+        expected = sum(
+            sum(
+                a * b
+                for a, b in zip(
+                    q[s * subdim : (s + 1) * subdim], pq_books[s][codes[vid][s]]
+                )
+            )
+            for s in range(m)
+        )
+        assert got == pytest.approx(expected, abs=1e-9), (qid, vid)
+        checked += 1
+    assert checked == 200
+
+
+def test_pq_training_deterministic(emb):
+    from parallel_map_reduce_spark.operators.similarity import train_pq_codebooks
+
+    b1 = train_pq_codebooks(emb)
+    b2 = train_pq_codebooks(emb.repartition(5))
+    assert b1 == b2
