@@ -1913,3 +1913,79 @@ def orders_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("vf").over(w2).cast("string").alias("valid_to"),
         "n_orders",
     )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (SELECT l_partkey, COUNT(*)::BIGINT AS n FROM items GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*)::BIGINT AS support
+    FROM items a
+    JOIN items b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+)
+SELECT part_a, part_b, support,
+       fa.n AS n_orders_a, fb.n AS n_orders_b,
+       CAST(ROUND(support * 1.0 / fa.n, 4) AS DOUBLE) AS conf_a_to_b,
+       CAST(ROUND(support * 1.0 / fb.n, 4) AS DOUBLE) AS conf_b_to_a
+FROM pairs
+JOIN freq fa ON fa.l_partkey = part_a
+JOIN freq fb ON fb.l_partkey = part_b
+""",
+    doc="Market-basket co-occurrence mining: part pairs bought together "
+    "in >= 2 orders, with per-direction confidence. The Spark side "
+    "NEVER self-joins the fact: distinct items collapse to per-order "
+    "sorted baskets (bounded — TPC-H orders cap at ~13 lines), pairs "
+    "explode from each basket as an array comprehension (<= n*(n-1)/2 "
+    "per order, fan-out bounded by the basket cap, not the corpus), "
+    "and one pair-keyed exchange counts support. Part frequencies "
+    "join back as a broadcast (|parts| rows, dimension-sized). The "
+    "oracle deliberately uses the self-join formulation as an "
+    "independent derivation. At 100 TB: cap basket size (a 10k-item "
+    "order would emit 50M pairs — filter or sample giant baskets) "
+    "and raise min support; the plan shape is otherwise unchanged.",
+    tags=("relational", "basket", "cooccurrence", "aggregate", "explode"),
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    freq = items.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n"))
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_orders_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_orders_b"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "n_orders_a",
+            "n_orders_b",
+            F.round(F.col("support") / F.col("n_orders_a"), 4).alias("conf_a_to_b"),
+            F.round(F.col("support") / F.col("n_orders_b"), 4).alias("conf_b_to_a"),
+        )
+    )

@@ -72,7 +72,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # displacing events_latest_per_user and events_cohort_retention (r4+r5
 # green — the longest hash-match histories among remaining non-core
 # members; the events family keeps winsorized, hourly_interpolated,
-# zorder and the new exact-rolling entry in-window).
+# zorder and the new exact-rolling entry in-window); and
+# basket_part_pairs (oracle-backed market-basket mining) displacing
+# curation_pack_bins (r4+r5 green; curation keeps pipeline,
+# corpus_report and temperature_mix in-window).
 # Entries remaining OUT of the window, each with a
 # reason:
 #   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
@@ -108,6 +111,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q13_customer_order_distribution",
     "bucketed_orders_revenue",
     "orders_status_scd2",
+    "basket_part_pairs",
     # events — new round 6 (exact twin of the HLL rolling window)
     "events_rolling_7d_users_exact",
     # events — new round 5, registered after the r5 window froze
@@ -139,7 +143,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_zorder_code",
     # curation anchors + new round 5
     "curation_pipeline",
-    "curation_pack_bins",
     "documents_corpus_report",
     "curation_temperature_mix",
     # graph: anchor + round-4 never-checked
