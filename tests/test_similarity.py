@@ -385,3 +385,23 @@ def test_pq_training_deterministic(emb):
     b1 = train_pq_codebooks(emb)
     b2 = train_pq_codebooks(emb.repartition(5))
     assert b1 == b2
+
+
+def test_pq_indexed_equals_inline(spark, emb, pq_books, tmp_path):
+    """The persisted-code-store serving path (driver-computed LUTs)
+    returns EXACTLY the inline expression path's rows — same codes,
+    same sequential-fold ADC arithmetic, same tie-breaks."""
+    from parallel_map_reduce_spark.operators.similarity import (
+        pq_topk,
+        pq_topk_indexed,
+        write_pq_index,
+    )
+
+    path = str(tmp_path / "pq_index")
+    write_pq_index(emb, path, pq_books)
+    qf = F.col("vec_id") % QUERY_FILTER_MOD == 0
+    inline = sorted(map(tuple, pq_topk(emb, qf, k=K, books=pq_books).collect()))
+    indexed = sorted(
+        map(tuple, pq_topk_indexed(emb, path, qf, pq_books, k=K).collect())
+    )
+    assert inline == indexed
