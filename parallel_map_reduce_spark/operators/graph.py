@@ -156,3 +156,49 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .union(tris.select(F.col("w_w").alias("node")))
     )
     return corners.groupBy("node").agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+LPA_ITERS = 4
+
+
+def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """(node, label): synchronous label-propagation community detection
+    (Raghavan et al. 2007) over the DIRECTED edge list (src, dst) —
+    pass a symmetrized list for undirected graphs. Init label = own
+    node id; each round every node adopts the most frequent label among
+    its in-neighbors, ties to the smallest label; isolated nodes keep
+    their label. Fixed iteration count and total-order tie-breaks make
+    the result a deterministic function of the edge list, so the
+    oracle SQL is a literal unrolled transcription (the pagerank
+    discipline — queries/graph.py). Synchronous LPA can oscillate on
+    bipartite structure; the fixed-round output is still deterministic
+    and that caveat is inherent to the published algorithm.
+
+    Per round: one (node, label) exchange for neighbor-label counts,
+    one node-keyed exchange for the argmax — label-sized frames only;
+    the edge list is joined from its checkpointed static table (never
+    recomputed, never re-shuffled wider than the join)."""
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iters):
+        counts = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        winner = counts.groupBy("node").agg(
+            F.min_by(
+                "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            ).alias("new_label")
+        )
+        labels = nodes.join(winner, "node", "left").select(
+            "node", F.coalesce("new_label", F.col("node")).alias("label")
+        )
+    return labels

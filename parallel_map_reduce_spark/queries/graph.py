@@ -128,3 +128,55 @@ def neardup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_counts(edges).select(
         F.col("node").alias("doc_id"), "n_triangles"
     )
+
+
+def _lpa_sql(iters: int) -> str:
+    steps = ["lp0 AS (SELECT node, node AS label FROM nodes)"]
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""lp{i} AS (
+    SELECT n.node, COALESCE(w.label, n.node) AS label
+    FROM nodes n LEFT JOIN (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM (
+                SELECT e.dst AS node, p.label, COUNT(*) AS cnt
+                FROM sym e JOIN lp{i - 1} p ON p.node = e.src
+                GROUP BY 1, 2
+            )
+        ) WHERE rn = 1
+    ) w ON w.node = n.node
+)"""
+        )
+    return ",\n".join(steps)
+
+
+@register(
+    "trade_graph_communities_lpa",
+    oracle=f"""
+WITH {_EDGES_CTE},
+{_lpa_sql(G.LPA_ITERS)}
+SELECT node, label AS community FROM lp{G.LPA_ITERS}
+""",
+    doc=f"Label-propagation community detection ({G.LPA_ITERS} "
+    "synchronous rounds, most-frequent-neighbor-label update, ties to "
+    "the smallest label) over the symmetrized customer-supplier trade "
+    "graph — the integer-exact sibling of pagerank's numeric "
+    "propagation: same driver superstep loop, same checkpointed static "
+    "edge table, per-round exchanges carry only label-sized frames. "
+    "Total-order tie-breaks make the output deterministic, so the "
+    "oracle is the identical update unrolled into chained CTEs (no "
+    "rounding slop at all — labels are strings). "
+    "operators/graph.py:label_propagation.",
+    tags=("graph", "iterative", "community", "custom-operator"),
+)
+def trade_graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = G.customer_supplier_edges(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    return G.label_propagation(edges).select(
+        "node", F.col("label").alias("community")
+    )

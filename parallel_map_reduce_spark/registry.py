@@ -75,7 +75,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # zorder and the new exact-rolling entry in-window); and
 # basket_part_pairs (oracle-backed market-basket mining) displacing
 # curation_pack_bins (r4+r5 green; curation keeps pipeline,
-# corpus_report and temperature_mix in-window).
+# corpus_report and temperature_mix in-window); and
+# trade_graph_communities_lpa (oracle-backed LPA community detection)
+# displacing events_zorder_code (r4+r5 green; the layout family stays
+# represented by bucketed_orders_revenue).
 # Entries remaining OUT of the window, each with a
 # reason:
 #   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
@@ -140,14 +143,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     "customer_pii_masked",
     # events / streaming-batch: never-checked + family anchors
     "events_hourly_interpolated",
-    "events_zorder_code",
     # curation anchors + new round 5
     "curation_pipeline",
     "documents_corpus_report",
     "curation_temperature_mix",
-    # graph: anchor + round-4 never-checked
+    # graph: anchor + round-4 never-checked + new round 6 (LPA)
     "trade_graph_pagerank",
     "neardup_triangle_census",
+    "trade_graph_communities_lpa",
     # search / multimodal anchors + round-4 never-checked
     "search_bm25",
     # text — new round 5 (distributed cumulative-distinct curve)

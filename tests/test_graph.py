@@ -63,3 +63,18 @@ def test_triangle_counts_star_has_none(spark):
     star = [(0, i) for i in range(1, 20)]
     edges = spark.createDataFrame(star, ["a", "b"])
     assert triangle_counts(edges).count() == 0
+
+
+def test_label_propagation_separates_disjoint_cliques(spark):
+    """Two disjoint triangles must land in two different communities,
+    each labeled by its smallest member (min tie-break + min-id
+    dominance on symmetric cliques)."""
+    from parallel_map_reduce_spark.operators.graph import label_propagation
+
+    tri = lambda a, b, c: [(a, b), (b, a), (b, c), (c, b), (a, c), (c, a)]
+    edges = spark.createDataFrame(
+        tri("a1", "a2", "a3") + tri("b1", "b2", "b3"), "src STRING, dst STRING"
+    )
+    got = {r.node: r.label for r in label_propagation(edges, iters=4).collect()}
+    assert {got["a1"], got["a2"], got["a3"]} == {"a1"}
+    assert {got["b1"], got["b2"], got["b3"]} == {"b1"}
