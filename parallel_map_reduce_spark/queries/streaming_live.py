@@ -246,3 +246,44 @@ def streaming_curation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = CS.curation_stream(CS.read_documents_stream(spark, sf_dir))
     return _drain_append(stream, "live_curation", spark)
+
+
+@register(
+    "streaming_inverted_index",
+    oracle=None,  # placeholder — set just below via _WORDS (avoids an
+    # import cycle at module top; see _set_index_oracle)
+    doc="LIVE streaming inverted-index maintenance: the reference's "
+    "flagship map+reduce as a Structured Streaming job — per-micro-"
+    "batch tokenization with the batch flagship's fused per-document "
+    "contract, posting lists held in streaming aggregation state "
+    "keyed by word (state = the reducer footprint, updated "
+    "incrementally). Drained availableNow, the final state equals the "
+    "batch index, so the LIVE run is checked against the SAME oracle "
+    "as the batch `inverted_index` entry — streaming family meets "
+    "reference parity. streaming/index_stream.py:inverted_index_stream.",
+    tags=("streaming", "live", "reference", "flagship"),
+)
+def streaming_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import curation_stream as CS
+    from ..streaming import index_stream as IS
+
+    stream = IS.inverted_index_stream(CS.read_documents_stream(spark, sf_dir))
+    return _drain(stream, "live_index", spark)
+
+
+def _set_index_oracle() -> None:
+    from ..registry import _REGISTRY
+    from ._sql import WORDS_CTE
+
+    _REGISTRY["streaming_inverted_index"].oracle = f"""
+WITH {WORDS_CTE}
+SELECT word,
+       count(*)::BIGINT AS df,
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings,
+       substr(word, 1, 1) AS letter
+FROM words
+GROUP BY word
+"""
+
+
+_set_index_oracle()

@@ -95,7 +95,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #     python-replica equality + bit-determinism + separation contracts;
 #   - events_rolling_7d_users_hll, event_value_quantiles_approx:
 #     rows-only approx siblings — event_users_hll_rollup represents
-#     the family this round; rotate them in next rounds.
+#     the family this round; rotate them in next rounds;
+#   - streaming_inverted_index (new r6, oracle-backed): registered
+#     after the r6 drain block was committed to the four never-checked
+#     drains, which must get their first driver rows this round; it
+#     rotates into the drain block next round. Until then the LIVE
+#     drain is pinned by tests/test_streaming.py's exact-equality
+#     contract against the batch flagship (same oracle SQL).
 GATE_PRIORITY: tuple[str, ...] = (
     # core (reference parity) — permanent
     "inverted_index",

@@ -308,3 +308,19 @@ def test_stream_outer_interval_join_semantics(spark, sf_dir, batch_events):
     )
     withheld = batch_unmatched.count() - got_nulls.count()
     assert 0 <= withheld <= max(10, 0.01 * n_purchases), withheld
+
+
+def test_streaming_inverted_index_equals_batch_flagship(spark, sf_dir):
+    """The availableNow drain of the LIVE index-maintenance stream must
+    equal the batch flagship inverted index EXACTLY — same tokenization
+    contract, same posting-list rendering, row for row."""
+    from parallel_map_reduce_spark.queries.core import q_inverted_index
+    from parallel_map_reduce_spark.streaming import curation_stream as CS
+    from parallel_map_reduce_spark.streaming import events_stream as ES
+    from parallel_map_reduce_spark.streaming import index_stream as IS
+
+    stream = IS.inverted_index_stream(CS.read_documents_stream(spark, sf_dir))
+    ES.run_to_memory(stream, "t_live_index")
+    live = sorted(map(tuple, spark.table("t_live_index").collect()))
+    batch = sorted(map(tuple, q_inverted_index(spark, sf_dir).collect()))
+    assert live == batch
