@@ -232,3 +232,53 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     got = j.count()
     exp = ev.filter(F.length("event_type") >= 6).count()
     assert got == exp > 0
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
+    """DPP's sibling for UNPARTITIONED facts: a shuffle join against a
+    selectively-filtered dim should inject a runtime bloom filter
+    (might_contain over a bloom_filter_agg scalar subquery) on the
+    fact side, discarding non-joining rows BEFORE the exchange — at
+    100 TB that is the difference between shuffling the whole fact and
+    shuffling the joined slice. Conf-scoped: the application-side size
+    threshold defaults to 10 GB, far above test data (same
+    demonstrated-capability pattern as the aggregate-pushdown test);
+    broadcast is disabled so the join actually shuffles. Pins the plan
+    marker and value equality against the default-conf join."""
+    from parallel_map_reduce_spark.sources.catalog import load_table
+
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .filter(F.length("o_orderpriority") >= 8)
+    )
+    j = fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+    expected = j.count()
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        j2 = fact.join(dim, fact.l_orderkey == dim.o_orderkey)
+        optimized = j2._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "might_contain" in optimized, "no runtime bloom filter injected"
+        assert j2.count() == expected > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

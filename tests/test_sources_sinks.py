@@ -236,3 +236,29 @@ def test_register_temp_views_sql_surface(spark, sf_dir):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,42)]" in plan
+
+
+def test_python_datasource_manifest_equals_join_reader(spark):
+    """The PySpark 4 DataSource-API manifest source (one InputPartition
+    per manifest entry, id native to the partition) must return exactly
+    the join-based reader's rows, with one task per file."""
+    import os
+
+    manifest = "/root/reference/checker/test_small.txt"
+    if not os.path.exists(manifest):
+        import pytest
+
+        pytest.skip("reference corpus not present")
+    from parallel_map_reduce_spark.sources import pyds_manifest, text_manifest
+
+    pyds_manifest.register(spark)
+    df = spark.read.format("manifest_text").option("manifest", manifest).load()
+    assert [f.name for f in df.schema.fields] == ["doc_id", "text"]
+    assert df.rdd.getNumPartitions() == len(
+        text_manifest.parse_manifest(manifest)
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(
+        map(tuple, text_manifest.read_manifest_documents(spark, manifest).collect())
+    )
+    assert got == want
