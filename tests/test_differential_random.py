@@ -213,3 +213,111 @@ def test_vocab_growth_matches_python_loop(spark):
     out = vocab_growth(spark.createDataFrame(docs, ["doc_id", "text"])).collect()
     got = {r.doc_id: (r.cum_tokens, r.vocab_size) for r in out}
     assert got == want
+
+
+def test_scd2_runs_match_python_simulation(spark):
+    """orders_status_scd2's gaps-and-islands logic vs a loop-style run
+    builder on random dense data (many same-day ties, single-order runs,
+    customers with one order)."""
+    rng = random.Random(SEED + 1)
+    rows = []
+    for ok in range(4000):
+        cust = rng.randint(1, 80)
+        day = rng.randint(1, 60)  # coarse → same-day ties, orderkey breaks
+        status = rng.choice(["O", "F", "P"])
+        rows.append((ok, cust, f"2024-01-{1:02d}", day, status))
+    df = spark.createDataFrame(
+        [(ok, c, f"2024-{(d - 1) // 28 + 1:02d}-{(d - 1) % 28 + 1:02d}", s)
+         for ok, c, _, d, s in rows],
+        "o_orderkey BIGINT, o_custkey BIGINT, od STRING, o_orderstatus STRING",
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.to_date("od").alias("od"), "o_orderstatus",
+    )
+
+    # python reference: per customer sort by (date, orderkey), collapse runs
+    per_cust: dict[int, list[tuple[str, int, str]]] = {}
+    for ok, c, _, d, s in rows:
+        date = f"2024-{(d - 1) // 28 + 1:02d}-{(d - 1) % 28 + 1:02d}"
+        per_cust.setdefault(c, []).append((date, ok, s))
+    want = set()
+    for c, evs in per_cust.items():
+        evs.sort()
+        runs = []  # (status, first_date, count)
+        for date, _ok, s in evs:
+            if runs and runs[-1][0] == s:
+                runs[-1][2] += 1
+            else:
+                runs.append([s, date, 1])
+        for i, (s, vf, n) in enumerate(runs):
+            vt = runs[i + 1][1] if i + 1 < len(runs) else None
+            want.add((c, i + 1, s, vf, vt, n))
+
+    # the registered query logic, applied to the synthetic frame
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    chg = F.when(
+        F.lag("o_orderstatus").over(w).eqNullSafe(F.col("o_orderstatus")), 0
+    ).otherwise(1)
+    runs_df = df.withColumn("chg", chg).withColumn("run_id", F.sum("chg").over(w))
+    seg = runs_df.groupBy("o_custkey", "run_id", "o_orderstatus").agg(
+        F.min("od").alias("vf"), F.count("*").cast("bigint").alias("n_orders")
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("run_id")
+    got = {
+        (r.c, r.seq, r.status, r.vf, r.vt, r.n)
+        for r in seg.select(
+            F.col("o_custkey").alias("c"),
+            F.col("run_id").cast("bigint").alias("seq"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("vf").cast("string").alias("vf"),
+            F.lead("vf").over(w2).cast("string").alias("vt"),
+            F.col("n_orders").alias("n"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rolling_exact_window_matches_python_simulation(spark):
+    """events_rolling_7d_users_exact's explode decomposition vs a brute
+    per-day set union on random sparse activity (gaps between days,
+    users active on many days)."""
+    rng = random.Random(SEED + 2)
+    rows = []
+    for _ in range(2500):
+        user = rng.randint(1, 50)
+        day = rng.randint(1, 45)
+        if rng.random() < 0.35:
+            continue  # day gaps
+        rows.append((user, day))
+    df = spark.createDataFrame(
+        [(u, f"2024-{(d - 1) // 28 + 1:02d}-{(d - 1) % 28 + 1:02d}") for u, d in rows],
+        "user_id BIGINT, day_s STRING",
+    ).select("user_id", F.to_date("day_s").alias("day"))
+
+    # python reference: for each observed day, distinct users over [d-6, d]
+    from datetime import date as _date
+
+    pairs = {( u, _date(2024, (d - 1) // 28 + 1, (d - 1) % 28 + 1)) for u, d in rows}
+    days = sorted({d for _, d in pairs})
+    want = {}
+    for d in days:
+        users = {u for u, dd in pairs if 0 <= (d - dd).days <= 6}
+        want[str(d)] = len(users)
+
+    pairs_df = df.distinct()
+    days_df = pairs_df.select("day").distinct().withColumnRenamed("day", "wday")
+    contrib = pairs_df.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("wday"),
+    ).distinct()
+    got = {
+        r.day: r.n
+        for r in contrib.join(F.broadcast(days_df), "wday")
+        .groupBy("wday")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("wday").cast("string").alias("day"), "n")
+        .collect()
+    }
+    assert got == want
