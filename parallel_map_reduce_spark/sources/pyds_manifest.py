@@ -20,7 +20,12 @@ which is the acceptable cost for an ingestion-time parity path.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from .text_manifest import parse_manifest
 
@@ -67,7 +72,47 @@ class ManifestTextDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return ManifestTextReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "ManifestTextStreamReader":
+        return ManifestTextStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of the source with a session."""
     spark.dataSource.register(ManifestTextDataSource)
+
+
+class ManifestTextStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor: the manifest is a replayable, ordered log and
+    the offset is an index into it — each trigger ingests the next
+    slice of files (``batch_files`` per trigger), so a drain feeds the
+    live index-maintenance pipeline file-by-file exactly the way a
+    landing zone would. ``readBetweenOffsets`` replays any committed
+    range from the manifest (deterministic ids → exact replay), which
+    is what makes the source restart-safe."""
+
+    def __init__(self, options: dict):
+        path = options.get("manifest") or options.get("path")
+        if not path:
+            raise ValueError("manifest_text requires option 'manifest' (or 'path')")
+        self.paths = parse_manifest(path)
+        self.batch_files = int(options.get("batch_files", "64"))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def _rows(self, start: int, end: int) -> list[tuple]:
+        # Materialized list, not a generator: the engine pickles the
+        # prefetched batch to serve/replay it.
+        rows = []
+        for i in range(start, end):
+            with open(self.paths[i], encoding="utf-8", errors="replace") as fh:
+                rows.append((i + 1, fh.read()))
+        return rows
+
+    def read(self, start: dict):
+        lo = start["index"]
+        hi = min(lo + self.batch_files, len(self.paths))
+        return self._rows(lo, hi), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["index"], end["index"])

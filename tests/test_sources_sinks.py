@@ -262,3 +262,47 @@ def test_python_datasource_manifest_equals_join_reader(spark):
         map(tuple, text_manifest.read_manifest_documents(spark, manifest).collect())
     )
     assert got == want
+
+
+def test_python_datasource_manifest_streams_incrementally(spark):
+    """The streaming flavor of the manifest source ingests the corpus
+    file-by-file (offset = manifest index, one file per micro-batch
+    here) and ends up with exactly the batch reader's rows — the
+    replayable-log contract that feeds the live index-maintenance
+    pipeline."""
+    import os
+    import time
+
+    manifest = "/root/reference/checker/test_small.txt"
+    if not os.path.exists(manifest):
+        import pytest
+
+        pytest.skip("reference corpus not present")
+    from parallel_map_reduce_spark.sources import pyds_manifest, text_manifest
+
+    pyds_manifest.register(spark)
+    n_files = len(text_manifest.parse_manifest(manifest))
+    stream = (
+        spark.readStream.format("manifest_text")
+        .option("manifest", manifest)
+        .option("batch_files", "1")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_pyds_stream")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and spark.table("t_pyds_stream").count() < n_files:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.table("t_pyds_stream").collect()))
+    want = sorted(
+        map(tuple, text_manifest.read_manifest_documents(spark, manifest).collect())
+    )
+    assert got == want
