@@ -874,3 +874,116 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
         ).alias("clipped"),
     )
+
+
+@register(
+    "events_user_skew_report",
+    oracle="""
+WITH per_key AS (
+    SELECT user_id, COUNT(*)::BIGINT AS n FROM events GROUP BY user_id
+),
+stats AS (
+    SELECT COUNT(*)::BIGINT AS n_keys,
+           MAX(n) AS max_n,
+           MIN(n) AS min_n,
+           CAST(ROUND(AVG(n), 4) AS DOUBLE) AS mean_n,
+           CAST(quantile_cont(n, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(n, 0.9) AS DOUBLE) AS p90,
+           CAST(quantile_cont(n, 0.99) AS DOUBLE) AS p99
+    FROM per_key
+)
+SELECT n_keys, max_n, min_n, mean_n, p50, p90, p99,
+       CAST(ROUND(max_n / p50, 4) AS DOUBLE) AS skew_ratio
+FROM stats
+""",
+    doc="Join/agg-key skew diagnostics for the events fact's user_id — "
+    "the pre-flight report that tells you whether a planned "
+    "shuffle-on-user needs salting or AQE skew handling (the repo's "
+    "salted operators exist precisely for when skew_ratio blows up). "
+    "One key-count exchange, then a metadata-sized (|keys| rows) "
+    "exact-percentile reduction; at 100 TB swap quantile for "
+    "approx_percentile and keep the same report shape. percentile() "
+    "here is exact linear interpolation, matching DuckDB's "
+    "quantile_cont bit-for-bit on integer counts.",
+    tags=("relational", "diagnostics", "skew", "aggregate"),
+)
+def events_user_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
+    return per_key.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.min("n").alias("min_n"),
+        F.round(F.avg("n"), 4).alias("mean_n"),
+        F.expr("percentile(n, 0.5)").alias("p50"),
+        F.expr("percentile(n, 0.9)").alias("p90"),
+        F.expr("percentile(n, 0.99)").alias("p99"),
+    ).select(
+        "n_keys",
+        "max_n",
+        "min_n",
+        "mean_n",
+        "p50",
+        "p90",
+        "p99",
+        F.round(F.col("max_n") / F.col("p50"), 4).alias("skew_ratio"),
+    )
+
+
+_INCR_CUTOFF = "2024-01-20"
+
+
+@register(
+    "events_incremental_agg_merge",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+       MAX(CAST(ts AS DATE))::VARCHAR AS last_day
+FROM events
+GROUP BY event_type
+""",
+    doc="Incremental materialized-aggregate maintenance: the base "
+    "aggregate (events before the cutoff day — standing for the "
+    "already-materialized history) MERGES with the delta aggregate "
+    "(new arrivals) via the algebraic combine of each measure — "
+    "count/sum add, max takes greater — instead of re-aggregating "
+    "history. The plan aggregates each side partial+final and "
+    "full-outer-joins the two |types|-row summaries: at 100 TB the "
+    "history scan disappears (the base table IS the stored artifact; "
+    "here it is derived from the same fact so the oracle can verify "
+    "merged == full recompute exactly). DECIMAL sums make the merge "
+    "order-free, so the two-step result is bit-identical to one-shot.",
+    tags=("relational", "incremental", "materialized-view", "aggregate"),
+)
+def events_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value", F.to_date("ts").alias("day")
+    )
+    cutoff = F.lit(_INCR_CUTOFF).cast("date")
+
+    def agg(side: DataFrame) -> DataFrame:
+        return side.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(_dec("value")).alias("sum_dec"),
+            F.max("day").alias("last_day"),
+        )
+
+    base = agg(e.filter(F.col("day") < cutoff))
+    delta = agg(e.filter(F.col("day") >= cutoff))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, F.col("b.event_type") == F.col("d.event_type"), "full_outer")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return merged.select(
+        F.coalesce(F.col("b.event_type"), F.col("d.event_type")).alias("event_type"),
+        (
+            F.coalesce(F.col("b.n_events"), F.lit(0))
+            + F.coalesce(F.col("d.n_events"), F.lit(0))
+        ).cast("bigint").alias("n_events"),
+        (
+            F.coalesce(F.col("b.sum_dec"), zero) + F.coalesce(F.col("d.sum_dec"), zero)
+        ).cast("double").alias("sum_value"),
+        F.greatest(F.col("b.last_day"), F.col("d.last_day"))
+        .cast("string")
+        .alias("last_day"),
+    )

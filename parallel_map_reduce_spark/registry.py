@@ -78,7 +78,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # corpus_report and temperature_mix in-window); and
 # trade_graph_communities_lpa (oracle-backed LPA community detection)
 # displacing events_zorder_code (r4+r5 green; the layout family stays
-# represented by bucketed_orders_revenue).
+# represented by bucketed_orders_revenue); and events_user_skew_report
+# + events_incremental_agg_merge (oracle-backed diagnostics and
+# materialized-aggregate maintenance) displacing curation_pipeline and
+# multimodal_image_features (both r4+r5 green; curation keeps
+# corpus_report + temperature_mix, multimodal keeps image_resize).
 # Entries remaining OUT of the window, each with a
 # reason:
 #   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
@@ -121,8 +125,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "bucketed_orders_revenue",
     "orders_status_scd2",
     "basket_part_pairs",
-    # events — new round 6 (exact twin of the HLL rolling window)
+    # events — new round 6 (exact twin of the HLL rolling window,
+    # skew pre-flight diagnostics, incremental aggregate maintenance)
     "events_rolling_7d_users_exact",
+    "events_user_skew_report",
+    "events_incremental_agg_merge",
     # events — new round 5, registered after the r5 window froze
     "events_value_winsorized",
     # approx family representative (rows-only by design; ran r4)
@@ -150,7 +157,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     # events / streaming-batch: never-checked + family anchors
     "events_hourly_interpolated",
     # curation anchors + new round 5
-    "curation_pipeline",
     "documents_corpus_report",
     "curation_temperature_mix",
     # graph: anchor + round-4 never-checked + new round 6 (LPA)
@@ -161,7 +167,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "search_bm25",
     # text — new round 5 (distributed cumulative-distinct curve)
     "text_vocab_growth",
-    "multimodal_image_features",
     "multimodal_image_resize",
     "text_lm_perplexity",
     "documents_chunked",
