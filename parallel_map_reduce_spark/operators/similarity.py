@@ -1004,10 +1004,10 @@ def write_pq_index(
     emb: DataFrame, path: str, books: list[list[list[float]]]
 ) -> None:
     """Persist the PQ code store (vec_id, codes) as parquet — encoding
-    runs ONCE at build time; serving then scans the 8-byte-per-vector
-    artifact instead of re-encoding the corpus per query batch (the
-    FAISS index-file equivalent). Codebooks are metadata the caller
-    keeps (k*m*subdim floats)."""
+    runs ONCE at build time; serving then scans the m-codes-per-vector
+    artifact (logically one byte per code) instead of re-encoding the
+    corpus per query batch (the FAISS index-file equivalent). Codebooks
+    are metadata the caller keeps (k*m*subdim floats)."""
     pq_encode(emb, books).write.mode("overwrite").parquet(path)
 
 

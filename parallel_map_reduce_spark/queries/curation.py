@@ -361,7 +361,7 @@ def documents_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "documents_quality_logreg",
-    oracle=None,  # 20 GD iterations are not one-shot SQL; rows-only in
+    oracle=None,  # 40 GD iterations are not one-shot SQL; rows-only in
     # the gate. tests/test_quality_model.py carries the contract: the
     # Spark-trained weights equal a pure-Python replica's (identical
     # rounding + exact Decimal sums) and scores agree to 1e-9, plus a

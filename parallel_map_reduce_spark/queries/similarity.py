@@ -447,14 +447,16 @@ def _ensure_pq_index(
     # floor + code-range + python-ADC-replica + determinism contracts
     # live in tests/test_similarity.py; driver records rows-only).
     doc="Product-quantization retrieval (Jégou et al. 2011): the corpus "
-    "is served from an 8-byte-per-vector PQ code store (32x smaller "
-    "than float32; codebooks are m*k*subdim literals riding in the "
-    "plan) — stage 1 scores codes against broadcast queries with the "
-    "asymmetric-distance expression, stage 2 exact-re-ranks only the "
-    "fixed-size shortlist. The FAISS-style fine-quantizer layout "
-    "complementing int8 (4x) and IVF (scan pruning); at 100 TB the "
-    "code store is the only corpus-sized scan. "
-    "operators/similarity.py:train_pq_codebooks,pq_encode,pq_topk.",
+    "is served from a persisted PQ code store — m=8 small codes per "
+    "vector (logically one byte each, 32x under float32; parquet "
+    "bit-packs further), written once by write_pq_index. Stage 1 "
+    "scores codes against per-query ADC lookup tables computed on the "
+    "driver for the broadcast-sized query batch (m array lookups per "
+    "pair); stage 2 exact-re-ranks only the fixed-size shortlist. The "
+    "FAISS-style fine-quantizer layout complementing int8 (4x) and "
+    "IVF (scan pruning); at 100 TB the code store is the only corpus-"
+    "sized scan. operators/similarity.py:train_pq_codebooks,"
+    "write_pq_index,pq_topk_indexed.",
     tags=("similarity", "ann", "topk", "compression", "pq"),
 )
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
