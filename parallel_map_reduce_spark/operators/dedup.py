@@ -779,3 +779,92 @@ def passage_dedup_clean(docs: DataFrame, w: int = 8) -> DataFrame:
             .alias("n_removed"),
         )
     )
+
+
+# ---- exact set-similarity join via prefix filtering ----
+
+# Jaccard threshold for the prefix-filtered join. 0.5 is exactly
+# representable in binary, so tau-comparisons are bit-identical across
+# engines.
+PREFIX_JACCARD_TAU = 0.5
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame, tau: float = PREFIX_JACCARD_TAU, k: int = SHINGLE_K
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard): ALL pairs with shingle-set Jaccard >= tau,
+    found LOSSLESSLY via prefix filtering (SSJoin, Chaudhuri et al.
+    ICDE'06; PPJoin, Xiao et al. WWW'08) — the exact-join counterpart to
+    the df-capped heuristic in ``ngram_jaccard_pairs``.
+
+    Canonicalize every document's shingle set in one global order
+    (ascending document-frequency, ties by shingle string — rarest
+    first), and index only each set's PREFIX of length
+    n - ceil(tau*n) + 1. The prefix-filtering lemma: if
+    |A∩B| >= ceil(tau*max(|A|,|B|)) — implied by Jaccard >= tau since
+    |A∩B| >= tau*|A∪B| >= tau*max(|A|,|B|) — then the two prefixes
+    under a COMMON total order share at least one element. So joining
+    prefixes finds every qualifying pair; verification computes exact
+    Jaccard from the full sets and discards false candidates. Nothing
+    is dropped — unlike the df cap, hot shingles still count toward
+    every intersection; they are merely unlikely to be anyone's rare
+    prefix, which is the whole trick.
+
+    Scale shape: one shuffle keys shingles, one vocabulary-sized join
+    attaches frequencies, one doc-keyed agg builds the ordered set
+    array, and the candidate join fans out only on PREFIX tokens —
+    rare by construction (a shingle shared by f prefixes costs f²,
+    and high-df shingles sit at the back of every set, outside
+    prefixes). The verify step touches |candidates| rows, each a
+    per-row array intersection. A length filter
+    (min(n) >= tau*max(n)) prunes candidates before verification.
+    """
+    sh = doc_shingles(docs, k)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("freq"))
+    ranked = sh.join(freq, "shingle")
+    per_doc = (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("freq", "shingle"))).alias("ord")
+        )
+        .select(
+            "doc_id",
+            F.col("ord").getField("shingle").alias("toks"),
+            F.size("ord").alias("n"),
+        )
+    )
+    plen = (F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1).cast("int")
+    pre = per_doc.select(
+        "doc_id", "n", F.explode(F.slice("toks", F.lit(1), plen)).alias("shingle")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            F.least(F.col("a.n"), F.col("b.n"))
+            >= F.lit(tau) * F.greatest(F.col("a.n"), F.col("b.n"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("ta"),
+        F.col("n").alias("na"),
+    )
+    sb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
+    )

@@ -629,3 +629,73 @@ def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
         F.size(syms).cast("bigint").alias("n_subwords"),
         F.array_join(syms, " ").alias("subwords"),
     )
+
+
+# ---- sparse all-pairs document similarity over tf-idf vectors ----
+
+# Terms with document frequency above this cap are excluded from the
+# similarity SUBSPACE entirely (weights, norms, and pair generation) —
+# standard stopword-style pruning: high-df terms carry near-zero idf
+# anyway, and a term shared by f documents costs f² join rows.
+DOC_SIM_DF_CAP = 60
+# Pairs below this cosine are dropped (on the 6-dp ROUNDED value, so
+# the cut is identical cross-engine).
+DOC_SIM_MIN_COS = 0.3
+
+
+def doc_similarity_tfidf(
+    docs: DataFrame,
+    df_cap: int = DOC_SIM_DF_CAP,
+    min_cos: float = DOC_SIM_MIN_COS,
+) -> DataFrame:
+    """(doc_a, doc_b, cos_sim): all-pairs cosine similarity between
+    tf-idf document vectors, computed SPARSELY via a term-keyed
+    inverted-index self-join (the classic MapReduce pairwise-similarity
+    formulation, Elsayed et al., ACL'08): a pair is scored only on the
+    terms it actually shares, so the corpus-squared dense product never
+    materializes.
+
+    Vector space = terms with df <= df_cap (exact semantics, applied to
+    weights AND norms — the vectors live in the discriminative-term
+    subspace; see DOC_SIM_DF_CAP). Per-term fan-out is thereby bounded
+    at df_cap² join rows, which is what makes the self-join survive
+    100 TB (plus: the df filter drops exactly the terms that would
+    dominate the shuffle).
+
+    Determinism: weights are tf-idf rounded to 4 dp and cast to
+    DECIMAL, so the dot product and squared norms are EXACT order-free
+    decimal sums; both are then rounded to 2 dp — small enough that the
+    decimal→double conversion is exact in IEEE — before the final
+    sqrt/divide, and the cosine is rounded to 6 dp. Every step is
+    bit-reproducible on any engine.
+    """
+    w = tfidf(docs).filter(F.col("df") <= df_cap)
+    w = w.select(
+        "doc_id", "word", F.round("tfidf", 4).cast("decimal(18,4)").alias("w")
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.round(F.sum(F.col("w") * F.col("w")), 2).cast("double").alias("norm2")
+    )
+    a = w.select(
+        F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.sum(F.col("wa") * F.col("wb")), 2).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm2").alias("n2b"))
+    cos = F.round(
+        F.col("dot") / (F.sqrt(F.col("n2a")) * F.sqrt(F.col("n2b"))), 6
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= min_cos)
+    )

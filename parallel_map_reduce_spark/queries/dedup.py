@@ -596,3 +596,39 @@ LEFT JOIN tails t ON t.doc_id = d.doc_id
 def dedup_passage_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.passage_dedup_clean(docs, w=PASSAGE_W)
+
+
+@register(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+WITH {{shingles}},
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {D.PREFIX_JACCARD_TAU}
+""".format(shingles=_SHINGLES_CTE),
+    doc=f"LOSSLESS exact set-similarity join (Jaccard >= "
+    f"{D.PREFIX_JACCARD_TAU} over {D.SHINGLE_K}-token shingle sets) via "
+    "prefix filtering (SSJoin/PPJoin): sets canonicalized in global "
+    "rarest-first order, candidates only from prefix-token collisions, "
+    "then exact per-pair verification — same result as a brute-force "
+    "all-shared-shingle join (the oracle IS that brute force) but the "
+    "join fans out only on rare prefix tokens. Unlike the df-capped "
+    "ngram_jaccard_pairs heuristic, nothing is dropped from the "
+    "intersection math. Pure-integer Jaccard division is bit-identical "
+    "cross-engine. operators/dedup.py:jaccard_prefix_pairs.",
+    tags=("dedup", "similarity-join", "prefix-filter"),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))

@@ -515,3 +515,52 @@ def text_bpe_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in T.bpe_train(docs, n_merges=T.BPE_N_MERGES).orderBy("rank").collect()
     ]
     return T.bpe_segment(docs, merges)
+
+
+@register(
+    "text_doc_similarity",
+    oracle=f"""
+WITH {_WORDS_TF_CTE},
+tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+),
+dfc AS (
+    SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+wv AS (
+    SELECT t.doc_id, t.word,
+           CAST(round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 4)
+                AS DECIMAL(18,4)) AS w
+    FROM tf t JOIN dfc d USING (word) CROSS JOIN n
+    WHERE d.df <= {T.DOC_SIM_DF_CAP}
+),
+norms AS (
+    SELECT doc_id, CAST(round(SUM(w * w), 2) AS DOUBLE) AS norm2
+    FROM wv GROUP BY doc_id
+),
+dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(round(SUM(a.w * b.w), 2) AS DOUBLE) AS dot
+    FROM wv a JOIN wv b ON a.word = b.word AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b,
+       round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) AS cos_sim
+FROM dots d
+JOIN norms na ON na.doc_id = d.doc_a
+JOIN norms nb ON nb.doc_id = d.doc_b
+WHERE round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) >= {T.DOC_SIM_MIN_COS}
+""",
+    doc="Sparse all-pairs tf-idf cosine similarity via term-keyed "
+    "inverted-index self-join (Elsayed et al., ACL'08): pairs scored "
+    f"only on shared terms, vector space pruned to df <= "
+    f"{T.DOC_SIM_DF_CAP} so per-term join fan-out is capped and the "
+    "dense corpus-squared product never exists. DECIMAL dot/norm "
+    "sums are order-free exact; 2-dp rounding keeps the "
+    "decimal-to-double conversion bit-exact cross-engine. "
+    "operators/text_analysis.py:doc_similarity_tfidf.",
+    tags=("text", "similarity-join", "tfidf"),
+)
+def text_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.doc_similarity_tfidf(load_table(spark, sf_dir, "documents"))

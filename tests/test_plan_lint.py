@@ -77,6 +77,9 @@ SINGLE_PARTITION_OK = {
     "aggregates",
     "documents_quality_logreg": "1-row median-quality scalar (weak-label "
     "threshold); features/gradients aggregate partial-first",
+    "events_user_skew_report": "the report IS a 1-row global reduction "
+    "of the |keys|-row per-key counts (exact percentiles need the "
+    "whole count vector; swap to approx_percentile at 100 TB)",
 }
 
 SKIP_PREFIX = "streaming_"  # live drains execute on build; covered elsewhere
