@@ -240,3 +240,49 @@ def temperature_mix(docs: DataFrame, alpha: float = TMIX_ALPHA) -> DataFrame:
         )
         .select("doc_id", "lang", F.col("copy").cast("bigint").alias("copy"))
     )
+
+
+# ---- deterministic weighted sampling without replacement ----
+
+WSAMPLE_SALT = "wsample:"
+WSAMPLE_K = 25  # keep this many docs per language
+
+
+def weighted_sample(docs: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
+    """(lang, doc_id, n_chars, sample_rank): weighted random sample
+    WITHOUT replacement, k docs per language, inclusion probability
+    proportional to n_chars — the Efraimidis-Spirakis A-Res scheme
+    (IPL 2006): give every row an exponential race key
+    -ln(u)/w and keep the k SMALLEST keys per group, which is
+    distributionally identical to sequential weighted draws.
+
+    Deterministic: u = (md5(salt||doc_id) first-8-hex + 0.5) / 2^32 —
+    a salted hash draw, not rand(), so re-runs, retries, and the
+    DuckDB oracle all see the same sample (the repo's standard
+    curation-sampling discipline). The race key itself stays out of
+    the output: ln differs by ulps across libms, which cannot flip a
+    rank except for keys equal to ~1e-16 relative — never with hash-
+    distinct u values.
+
+    Scale: the rank-limit window compiles to WindowGroupLimit
+    (Spark 3.5+), which takes a per-task partial top-k BEFORE the
+    lang-keyed exchange — the shuffle carries at most tasks*k rows
+    per language, never the corpus, and no language is ever sorted
+    whole."""
+    u = (
+        md5_i32(F.concat(F.lit(WSAMPLE_SALT), F.col("doc_id").cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(float(2**32))
+    key = -F.log(u) / F.col("n_chars").cast("double")
+    w = Window.partitionBy("lang").orderBy(F.asc("key"), F.asc("doc_id"))
+    return (
+        docs.select("lang", "doc_id", "n_chars", key.alias("key"))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+        )
+    )

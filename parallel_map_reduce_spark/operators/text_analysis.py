@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_i32
 from .tokenize import TOKEN_SPLIT_REGEX, clean_word_col
 
 # BPE-ish token regex: letter runs, digit runs, single non-space symbols.
@@ -698,4 +699,151 @@ def doc_similarity_tfidf(
         .join(nb, "doc_b")
         .select("doc_a", "doc_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cos)
+    )
+
+
+# ---- corpus-order n-gram novelty ----
+
+NOVELTY_K = 8  # same window length as the CCNet-style passage dedup
+
+
+def novelty_ngrams(docs: DataFrame, k: int = NOVELTY_K) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty): what fraction of each
+    document's distinct k-token n-grams appear in NO earlier document
+    (doc_id order = ingestion order) — the curation signal that
+    separates genuinely new text from recombinations of already-seen
+    content, complementing passage dedup (which measures verbatim
+    duplication) with a first-seen attribution.
+
+    An n-gram's "owner" is the minimum doc_id containing it; a gram is
+    novel for exactly that one document. Plan: per-doc distinct grams
+    are an array projection (no shuffle), then ONE gram-keyed exchange
+    computes min(doc_id) per gram (partial min map-side, so a gram
+    shared by f documents ships f partial rows, never f² pairs), and
+    the ownership join back reuses the same gram keying. Docs with
+    fewer than k tokens surface with n_grams = 0 and NULL novelty.
+    Pure integer counts and an int/int division — bit-identical on any
+    engine."""
+    grams = docs.select("doc_id", _clean_words_arr().alias("words")).select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams(F.col("words"), k))).alias("gram"),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_novel") / F.col("n_grams").cast("double"),
+            ).alias("novelty"),
+        )
+    )
+
+
+# ---- Count-Min sketch heavy hitters ----
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # buckets per row
+CMS_TOPN = 20
+CMS_SALTS = tuple(f"cms{i}:" for i in range(CMS_D))
+
+
+def cms_estimates(docs: DataFrame) -> DataFrame:
+    """(word, est_tf, exact_tf, overestimate) for EVERY vocabulary word
+    — the un-truncated estimate table behind ``cms_heavy_hitters``
+    (which see for the sketch design); split out so contracts can
+    check the est >= exact invariant over the whole vocabulary without
+    a giant TakeOrdered limit."""
+    toks = _words(docs)
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            md5_i32(F.concat(F.lit(CMS_SALTS[i]), F.col("word"))),
+                            F.lit(CMS_W),
+                        ).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.row", "cell.bucket")
+    cms = cells.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+    exact = toks.groupBy("word").agg(F.count("*").alias("exact_tf"))
+    coords = exact.select(
+        "word",
+        "exact_tf",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            md5_i32(F.concat(F.lit(CMS_SALTS[i]), F.col("word"))),
+                            F.lit(CMS_W),
+                        ).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("cell"),
+    ).select("word", "exact_tf", "cell.row", "cell.bucket")
+    est = (
+        coords.join(F.broadcast(cms), ["row", "bucket"])
+        .groupBy("word", "exact_tf")
+        .agg(F.min("cnt").alias("est_tf"))
+    )
+    return est.select(
+        "word",
+        F.col("est_tf").cast("bigint").alias("est_tf"),
+        F.col("exact_tf").cast("bigint").alias("exact_tf"),
+        (F.col("est_tf") - F.col("exact_tf")).cast("bigint").alias("overestimate"),
+    )
+
+
+def cms_heavy_hitters(docs: DataFrame, topn: int = CMS_TOPN) -> DataFrame:
+    """(word, est_tf, exact_tf, overestimate): the corpus's top-N tokens
+    by Count-Min-sketch frequency estimate (Cormode & Muthukrishnan,
+    J.Alg 2005), with the exact count alongside so the report itself
+    exhibits the CMS guarantee: est >= exact always, est <= exact +
+    eps*N with probability 1-delta (eps = e/W, delta = e^-D).
+
+    The sketch is the 100 TB shape: the token stream maps each
+    occurrence to D (row, bucket) cells and aggregates — only
+    D*W = 4x512 distinct keys exist, so map-side partial aggregation
+    collapses every task's stream to <= D*W rows before the exchange;
+    the sketch table is metadata-sized and MERGEABLE (cell-wise adds
+    across shards/days, same property as the HLL rollup family).
+    Estimates then come from joining candidate words' bucket
+    coordinates against the tiny table (broadcast) and taking the
+    row-wise MIN. Candidates here = the observed vocabulary (exact_tf
+    is also computed for the report); at corpus scale you would feed a
+    candidate stream (e.g. a sample) instead and skip both
+    vocabulary-sized aggregations — the sketch build is unchanged.
+
+    Deterministic end to end: buckets are salted md5 (no seed/rand),
+    counts are integers, and the final top-N orders by (est desc,
+    word asc) — a total order, taken via TakeOrderedAndProject (no
+    single-partition window)."""
+    return (
+        cms_estimates(docs)
+        .orderBy(F.desc("est_tf"), F.asc("word"))
+        .limit(topn)
     )

@@ -382,3 +382,34 @@ def documents_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality_model import train_and_score
 
     return train_and_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_weighted_sample",
+    oracle=f"""
+WITH keyed AS (
+    SELECT lang, doc_id, n_chars,
+           -ln((CAST(concat('0x', substr(md5(concat('{C.WSAMPLE_SALT}', doc_id::VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)
+           / n_chars AS key
+    FROM documents
+),
+ranked AS (
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (PARTITION BY lang ORDER BY key ASC, doc_id ASC) AS sample_rank
+    FROM keyed
+)
+SELECT lang, doc_id, n_chars::BIGINT AS n_chars, sample_rank::INT AS sample_rank
+FROM ranked WHERE sample_rank <= {C.WSAMPLE_K}
+""",
+    doc=f"Weighted sampling without replacement ({C.WSAMPLE_K} docs per "
+    "language, inclusion odds proportional to n_chars) via the "
+    "Efraimidis-Spirakis exponential-race keys -ln(u)/w over a salted "
+    "md5 draw — deterministic across engines and retries, no rand(). "
+    "The rank-limit window compiles to WindowGroupLimit (per-task "
+    "partial top-k before the exchange), so the shuffle carries "
+    "tasks*k rows, never the corpus. "
+    "operators/curation.py:weighted_sample.",
+    tags=("curation", "sampling", "window"),
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.weighted_sample(load_table(spark, sf_dir, "documents"))

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from ..operators import text_analysis as T
 from ..registry import register
 from ..sources.catalog import load_table
+from ._sql import ORDERED_WORDS_CTE
 
 _WORDS_TF_CTE = """
 w_all AS (
@@ -564,3 +565,103 @@ WHERE round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) >= {T.DOC_SIM_MIN_COS}
 )
 def text_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.doc_similarity_tfidf(load_table(spark, sf_dir, "documents"))
+
+
+_NOVELTY_GRAM = " || ' ' || ".join(
+    ["word"] + [f"lead(word, {i}) OVER w" for i in range(1, T.NOVELTY_K)]
+)
+
+
+@register(
+    "text_novelty_ngrams",
+    oracle=f"""
+WITH {ORDERED_WORDS_CTE},
+grams_raw AS (
+    SELECT doc_id,
+           {_NOVELTY_GRAM} AS gram,
+           lead(word, {T.NOVELTY_K - 1}) OVER w AS tail
+    FROM ordered_words
+    WINDOW w AS (PARTITION BY doc_id ORDER BY seq)
+),
+grams AS (
+    SELECT DISTINCT doc_id, gram FROM grams_raw WHERE tail IS NOT NULL
+),
+firsts AS (
+    SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+),
+per AS (
+    SELECT g.doc_id, COUNT(*) AS n_grams,
+           SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+    FROM grams g JOIN firsts f USING (gram)
+    GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0)::BIGINT AS n_grams,
+       COALESCE(p.n_novel, 0)::BIGINT AS n_novel,
+       CASE WHEN p.n_grams > 0
+            THEN CAST(p.n_novel AS DOUBLE) / p.n_grams END AS novelty
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+    doc=f"Corpus-order n-gram novelty: fraction of each document's "
+    f"distinct {T.NOVELTY_K}-token n-grams first seen in THAT document "
+    "(owner = min doc_id over the corpus) — separates genuinely new "
+    "text from recombinations of already-seen content, complementing "
+    "verbatim passage dedup. One gram-keyed exchange (map-side partial "
+    "min, linear in gram occurrences) + the ownership join on the same "
+    "key. Integer counts; int/int division is bit-identical. "
+    "operators/text_analysis.py:novelty_ngrams.",
+    tags=("text", "dedup", "curation"),
+)
+def text_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.novelty_ngrams(load_table(spark, sf_dir, "documents"))
+
+
+_CMS_BUCKET = (
+    "CAST(concat('0x', substr(md5(concat('{salt}', word)), 1, 8)) AS BIGINT) % "
+    + str(T.CMS_W)
+)
+_CMS_CELLS = "\n    UNION ALL\n".join(
+    f"    SELECT {i} AS row, {_CMS_BUCKET.format(salt=T.CMS_SALTS[i])} AS bucket, word FROM words"
+    for i in range(T.CMS_D)
+)
+
+
+@register(
+    "text_cms_heavy_hitters",
+    oracle=f"""
+WITH {_WORDS_TF_CTE},
+cells AS (
+{_CMS_CELLS}
+),
+cms AS (
+    SELECT row, bucket, COUNT(*) AS cnt FROM cells GROUP BY row, bucket
+),
+exact AS (
+    SELECT word, COUNT(*) AS exact_tf FROM words GROUP BY word
+),
+est AS (
+    SELECT c.word, e.exact_tf, MIN(m.cnt) AS est_tf
+    FROM (SELECT DISTINCT row, bucket, word FROM cells) c
+    JOIN exact e USING (word)
+    JOIN cms m ON m.row = c.row AND m.bucket = c.bucket
+    GROUP BY c.word, e.exact_tf
+)
+SELECT word, est_tf::BIGINT AS est_tf, exact_tf::BIGINT AS exact_tf,
+       (est_tf - exact_tf)::BIGINT AS overestimate
+FROM est
+ORDER BY est_tf DESC, word ASC
+LIMIT {T.CMS_TOPN}
+""",
+    doc=f"Count-Min-sketch heavy hitters: top-{T.CMS_TOPN} tokens by "
+    f"CMS estimate ({T.CMS_D} salted-md5 hash rows x {T.CMS_W} "
+    "buckets), exact counts alongside so the overestimate column "
+    "exhibits the est>=exact guarantee in the result itself. The "
+    "sketch build collapses map-side to <= D*W rows per task and the "
+    "table is cell-wise mergeable across shards; deterministic salted "
+    "hashing makes the whole sketch (not just the query) "
+    "oracle-checkable — unlike HLL, where only tolerances can be "
+    "pinned. operators/text_analysis.py:cms_heavy_hitters.",
+    tags=("text", "sketch", "approximate", "heavy-hitters"),
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.cms_heavy_hitters(load_table(spark, sf_dir, "documents"))

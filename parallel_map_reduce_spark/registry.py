@@ -83,6 +83,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # materialized-aggregate maintenance) displacing curation_pipeline and
 # multimodal_image_features (both r4+r5 green; curation keeps
 # corpus_report + temperature_mix, multimodal keeps image_resize).
+# Final round-6 additions, per rule 2: dedup_jaccard_prefix,
+# text_doc_similarity, text_novelty_ngrams, text_cms_heavy_hitters,
+# curation_weighted_sample, events_drift_psi (all oracle-backed)
+# rotate IN, displacing q9_product_profit, q12_late_lines_by_class,
+# dedup_passage_duplicates, customer_pii_masked, text_lm_perplexity
+# and documents_chunked (all r5 green; relational keeps ten in-window
+# members, dedup keeps four, text keeps four — every displaced
+# family stays represented).
 # Entries remaining OUT of the window, each with a
 # reason:
 #   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
@@ -141,35 +149,37 @@ GATE_PRIORITY: tuple[str, ...] = (
     # relational — new round 5
     "q6_forecast_revenue",
     "q8_market_share",
-    "q9_product_profit",
     "q10_returned_items",
-    "q12_late_lines_by_class",
     "q15_top_supplier",
-    # dedup: round-4 never-checked + new round 5
+    # dedup: round-4 never-checked + new rounds 5/6 (the lossless
+    # prefix-filtered exact similarity join is a round-6 addition)
     "part_name_fuzzy_pairs_lsh",
     "decontaminate_benchmark_overlap",
-    "dedup_passage_duplicates",
     "dedup_passage_clean",
+    "dedup_jaccard_prefix",
     # similarity — round-4 never-checked
     "similarity_two_stage_topk",
-    # text — round-4 never-checked
-    "customer_pii_masked",
-    # events / streaming-batch: never-checked + family anchors
+    # events / streaming-batch: never-checked + family anchors +
+    # round-6 PSI drift monitor
     "events_hourly_interpolated",
-    # curation anchors + new round 5
+    "events_drift_psi",
+    # curation anchors + new rounds 5/6 (weighted sampling)
     "documents_corpus_report",
     "curation_temperature_mix",
+    "curation_weighted_sample",
     # graph: anchor + round-4 never-checked + new round 6 (LPA)
     "trade_graph_pagerank",
     "neardup_triangle_census",
     "trade_graph_communities_lpa",
     # search / multimodal anchors + round-4 never-checked
     "search_bm25",
-    # text — new round 5 (distributed cumulative-distinct curve)
+    # text — new round 5 (distributed cumulative-distinct curve) +
+    # round 6 (sparse tf-idf cosine join, n-gram novelty, CMS sketch)
     "text_vocab_growth",
     "multimodal_image_resize",
-    "text_lm_perplexity",
-    "documents_chunked",
+    "text_doc_similarity",
+    "text_novelty_ngrams",
+    "text_cms_heavy_hitters",
     # live streaming drains — the four never-gated ones; last on purpose
     "streaming_sliding_counts",
     "streaming_sliding_users_approx",

@@ -124,3 +124,34 @@ def test_fuzzy_lsh_pairs_are_exact_subset_with_recall(spark, sf_dir):
     assert len(exact) > 0
     recall = len(lsh) / len(exact)
     assert recall >= 0.5, (recall, len(lsh), len(exact))
+
+
+def test_jaccard_prefix_matches_brute_force(spark, docs):
+    """Prefix filtering is LOSSLESS: the prefix-indexed join must return
+    exactly the pairs the uncapped inverted-index join finds at or
+    above tau (same shingle sets, same integer-exact jaccard)."""
+    tau = D.PREFIX_JACCARD_TAU
+    pref = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in D.jaccard_prefix_pairs(docs).collect()
+    }
+    brute = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in D.ngram_jaccard_pairs(docs, df_cap=None).collect()
+        if r.jaccard >= tau
+    }
+    assert pref == brute and len(pref) > 0
+
+
+def test_jaccard_prefix_planted_identical_and_disjoint(spark):
+    """Identical docs pair at jaccard 1.0; docs sharing no shingle never
+    appear; a doc shorter than the shingle width is absent."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "zeta eta theta iota kappa"),
+        (4, "xi omicron"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in D.jaccard_prefix_pairs(df).collect()}
+    assert got == {(1, 2): 1.0}

@@ -321,3 +321,45 @@ def test_rolling_exact_window_matches_python_simulation(spark):
         .collect()
     }
     assert got == want
+
+
+def test_weighted_sample_matches_pure_python(spark):
+    """Efraimidis-Spirakis race vs an independent pure-Python replica
+    (hashlib md5 + math.log) on a random corpus: same winners, same
+    ranks. Also pins per-group size = min(k, |group|)."""
+    import hashlib
+    import math
+    import random
+
+    from parallel_map_reduce_spark.operators import curation as C
+
+    rng = random.Random(20260814)
+    rows = [
+        (i, rng.choice(["aa", "bb", "cc"]), rng.randint(1, 5000))
+        for i in range(1, 301)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    k = 7
+    got = [
+        (r.lang, r.doc_id, r.sample_rank)
+        for r in C.weighted_sample(df, k=k).collect()
+    ]
+
+    def key(doc_id, w):
+        hv = int(
+            hashlib.md5(f"{C.WSAMPLE_SALT}{doc_id}".encode()).hexdigest()[:8], 16
+        )
+        u = (hv + 0.5) / 2**32
+        return -math.log(u) / w
+
+    want = []
+    for lang in ("aa", "bb", "cc"):
+        grp = sorted(
+            (r for r in rows if r[1] == lang),
+            key=lambda r: (key(r[0], r[2]), r[0]),
+        )[:k]
+        want += [(lang, r[0], i + 1) for i, r in enumerate(grp)]
+    assert sorted(got) == sorted(want)
+    for lang in ("aa", "bb", "cc"):
+        n_grp = sum(1 for r in rows if r[1] == lang)
+        assert sum(1 for g in got if g[0] == lang) == min(k, n_grp)

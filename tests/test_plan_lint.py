@@ -44,6 +44,9 @@ CARTESIAN_OK = {
     "form, but the broadcast side is |Q| rows and the stream side is "
     "partition-pruned to nprobe centroid lists",
     "text_lm_perplexity": "1-row vocabulary-size scalar broadcast",
+    "text_doc_similarity": "1-row corpus doc-count broadcast (inherited "
+    "from the tf-idf weight build; the pair join itself is a hash "
+    "equi-join on word)",
     "event_type_user_overlap_hll": "|types| x |types| sketch-pair matrix "
     "(metadata-sized both sides; the whole point is avoiding the "
     "user-set pair join)",
@@ -80,6 +83,8 @@ SINGLE_PARTITION_OK = {
     "events_user_skew_report": "the report IS a 1-row global reduction "
     "of the |keys|-row per-key counts (exact percentiles need the "
     "whole count vector; swap to approx_percentile at 100 TB)",
+    "text_doc_similarity": "1-row corpus doc-count aggregate (the "
+    "tf-idf idf denominator)",
 }
 
 SKIP_PREFIX = "streaming_"  # live drains execute on build; covered elsewhere

@@ -166,3 +166,67 @@ def test_chunk_documents_overlap_and_tail(spark):
     assert sorted(by_doc[2]) == [0] and by_doc[2][0].chunk_text == "alpha beta"
     # doc 3: empty -> no chunks
     assert 3 not in by_doc
+
+
+# ---- CMS heavy hitters ----
+
+
+def test_cms_estimate_never_undercounts_and_bounds(spark, sf_dir):
+    """The CMS invariant est >= exact must hold for EVERY vocabulary
+    word (not just the reported top-N), and the average overestimate
+    must respect the eps*N bound (eps = e/W) with wide margin at test
+    scale."""
+    import math
+
+    from parallel_map_reduce_spark.operators import text_analysis as T
+    from parallel_map_reduce_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = T.cms_estimates(docs).collect()  # no truncation
+    assert rows and all(r.est_tf >= r.exact_tf for r in rows)
+    n_total = sum(r.exact_tf for r in rows)
+    eps = math.e / T.CMS_W
+    # Markov-style sanity: mean overestimate far under the per-row bound.
+    mean_over = sum(r.overestimate for r in rows) / len(rows)
+    assert mean_over <= eps * n_total
+
+
+def test_cms_topn_contains_true_heaviest(spark, sf_dir):
+    """With D=4 rows the true heaviest words must surface in the
+    top-N report (CMS can overestimate light words but never
+    underestimates heavy ones)."""
+    from parallel_map_reduce_spark.operators import text_analysis as T
+    from parallel_map_reduce_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = {r.word for r in T.cms_heavy_hitters(docs, topn=T.CMS_TOPN).collect()}
+    truth = {
+        r.word
+        for r in T._words(docs)
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("word"))
+        .limit(5)
+        .collect()
+    }
+    assert truth <= top
+
+
+# ---- n-gram novelty ----
+
+
+def test_novelty_planted_copy_chain(spark):
+    """First occurrence owns its grams: an exact copy of an earlier doc
+    has novelty 0, the original 1.0, and a short doc yields NULL."""
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [(1, base), (2, base), (3, "totally different words " * 3), (4, "tiny")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from parallel_map_reduce_spark.operators.text_analysis import novelty_ngrams
+
+    got = {r.doc_id: r for r in novelty_ngrams(df).collect()}
+    assert got[1].novelty == 1.0 and got[1].n_grams > 0
+    assert got[2].novelty == 0.0 and got[2].n_grams == got[1].n_grams
+    assert got[3].novelty == 1.0
+    assert got[4].n_grams == 0 and got[4].novelty is None
