@@ -1989,3 +1989,221 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("support") / F.col("n_orders_b"), 4).alias("conf_b_to_a"),
         )
     )
+
+
+# --- lakehouse MERGE (operators/cdc.py) ------------------------------------
+
+_CDC_INSERT_OFFSET = 1_000_000_000  # keeps synthetic insert keys disjoint
+
+
+@register(
+    "orders_cdc_merge",
+    oracle=f"""
+WITH feed AS (
+    SELECT o_orderkey AS k, -1 AS seq, 'K' AS op, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+           CAST(o_orderdate AS DATE) AS od
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 1, 'U', o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, CAST(o_orderdate AS DATE)
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, 2, 'U', o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(18,4)) * 1.2, CAST(o_orderdate AS DATE)
+    FROM orders WHERE o_orderkey % 30 = 0
+    UNION ALL
+    SELECT o_orderkey, 3, 'D', o_custkey, o_orderstatus, NULL, NULL
+    FROM orders WHERE o_orderkey % 17 = 0
+    UNION ALL
+    SELECT o_orderkey + {_CDC_INSERT_OFFSET}, 1, 'I', o_custkey, 'N',
+           CAST(o_totalprice AS DECIMAL(18,4)), CAST(o_orderdate AS DATE)
+    FROM orders WHERE o_orderkey % 13 = 0
+),
+w AS (
+    SELECT * FROM feed
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+)
+SELECT k AS o_orderkey, o_custkey, o_orderstatus,
+       CAST(price AS DOUBLE) AS o_totalprice,
+       od::VARCHAR AS o_orderdate,
+       op AS src
+FROM w WHERE op <> 'D'
+""",
+    doc="Lakehouse MERGE INTO: a change feed (two generations of "
+    "updates, deletes, inserts — derived deterministically from the "
+    "orders snapshot itself so the oracle can replay it) applies to "
+    "the snapshot with latest-sequence-wins semantics. Implemented as "
+    "union + ONE hash aggregate (max_by over a packed struct keyed by "
+    "sequence) instead of the naive window-compact + full-outer-join "
+    "two-shuffle plan; delete tombstones drop at the end. Precedence "
+    "is exercised: keys in both update generations take the later one, "
+    "keys matching update AND delete rules resolve to the delete. At "
+    "100 TB only the (tiny) feed shuffles if the snapshot is bucketed "
+    "by the merge key (operators/layout.py). Prices move through exact "
+    "DECIMAL so replayed arithmetic hash-matches. "
+    "operators/cdc.py:merge_changes.",
+    tags=("relational", "cdc", "merge", "upsert", "incremental"),
+)
+def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import merge_changes
+
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    snap = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        price.alias("price"),
+        F.to_date("o_orderdate").alias("od"),
+    )
+
+    def chg(pred, seq, op, *, price_col=None, status_col=None, key_col=None):
+        return o.filter(pred).select(
+            (key_col if key_col is not None else key).alias("o_orderkey"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            "o_custkey",
+            (status_col if status_col is not None else F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            (price_col if price_col is not None else price).alias("price"),
+            F.to_date("o_orderdate").alias("od"),
+        )
+
+    mult = lambda s: price * F.lit(s).cast("decimal(2,1)")  # noqa: E731
+    feed = (
+        chg(key % 10 == 0, 1, "U", price_col=mult("1.1"))
+        .unionByName(chg(key % 30 == 0, 2, "U", price_col=mult("1.2")))
+        .unionByName(
+            chg(
+                key % 17 == 0,
+                3,
+                "D",
+                price_col=F.lit(None).cast("decimal(18,4)"),
+            ).withColumn("od", F.lit(None).cast("date"))
+        )
+        .unionByName(
+            chg(
+                key % 13 == 0,
+                1,
+                "I",
+                key_col=key + F.lit(_CDC_INSERT_OFFSET),
+                status_col=F.lit("N"),
+            )
+        )
+    )
+    merged = merge_changes(snap, feed, ["o_orderkey"], seq_col="seq", op_col="op")
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("price").cast("double").alias("o_totalprice"),
+        F.col("od").cast("string").alias("o_orderdate"),
+        F.col("op").alias("src"),
+    )
+
+
+# --- information-theoretic column profiling --------------------------------
+
+
+@register(
+    "customer_segment_nation_mi",
+    oracle="""
+WITH j AS (
+    SELECT c_mktsegment AS seg, c_nationkey AS nat,
+           COUNT(*)::DOUBLE AS njoint
+    FROM customer GROUP BY 1, 2
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM customer),
+ms AS (SELECT seg, SUM(njoint) AS nseg FROM j GROUP BY 1),
+mn AS (SELECT nat, SUM(njoint) AS nnat FROM j GROUP BY 1),
+mi AS (
+    SELECT SUM(CAST(ROUND((j.njoint / tot.n)
+               * LN(j.njoint * tot.n / (ms.nseg * mn.nnat)) / LN(2), 8)
+               AS DECIMAL(18,8))) AS mi_bits
+    FROM j JOIN ms USING (seg) JOIN mn USING (nat) CROSS JOIN tot
+),
+hs AS (
+    SELECT SUM(CAST(ROUND(-(nseg / tot.n) * LN(nseg / tot.n) / LN(2), 8)
+               AS DECIMAL(18,8))) AS h_seg
+    FROM ms CROSS JOIN tot
+),
+hn AS (
+    SELECT SUM(CAST(ROUND(-(nnat / tot.n) * LN(nnat / tot.n) / LN(2), 8)
+               AS DECIMAL(18,8))) AS h_nat
+    FROM mn CROSS JOIN tot
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_customers,
+       CAST(ROUND(mi.mi_bits, 4) AS DOUBLE) AS mi_bits,
+       CAST(ROUND(hs.h_seg, 4) AS DOUBLE) AS h_segment_bits,
+       CAST(ROUND(hn.h_nat, 4) AS DOUBLE) AS h_nation_bits
+FROM mi CROSS JOIN hs CROSS JOIN hn
+""",
+    doc="Mutual information between market segment and nation (plus "
+    "both marginal entropies, in bits): the column-dependency profile "
+    "a curation pipeline uses to detect redundant or leaking "
+    "stratification keys before sampling on them. One exchange builds "
+    "the joint |seg|x|nat| contingency table; the marginals and the "
+    "grand total derive from that metadata-sized table (the fact table "
+    "is scanned ONCE), so at 100 TB cost is the single groupBy. "
+    "Per-cell float terms are rounded to 8dp and summed as exact "
+    "DECIMAL — the repo's PSI discipline (events_drift_psi) for "
+    "keeping libm-dependent reductions order-free and engine-stable.",
+    tags=("relational", "diagnostics", "information-theory", "aggregate"),
+)
+def customer_segment_nation_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    j = (
+        c.groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
+        )
+        .agg(F.count("*").cast("double").alias("njoint"))
+        .localCheckpoint(eager=True)  # tiny; scanned by 4 consumers below
+    )
+    n = j.agg(F.sum("njoint").alias("n"))
+    ms = j.groupBy("seg").agg(F.sum("njoint").alias("nseg"))
+    mn = j.groupBy("nat").agg(F.sum("njoint").alias("nnat"))
+    ln2 = F.log(F.lit(2.0))
+
+    def dec8(col):
+        return F.round(col, 8).cast("decimal(18,8)")
+
+    mi = (
+        j.join(F.broadcast(ms), "seg")
+        .join(F.broadcast(mn), "nat")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(
+                dec8(
+                    (F.col("njoint") / F.col("n"))
+                    * F.log(
+                        F.col("njoint") * F.col("n")
+                        / (F.col("nseg") * F.col("nnat"))
+                    )
+                    / ln2
+                )
+            ).alias("mi_bits")
+        )
+    )
+    hs = ms.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            dec8(-(F.col("nseg") / F.col("n")) * F.log(F.col("nseg") / F.col("n")) / ln2)
+        ).alias("h_seg")
+    )
+    hn = mn.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            dec8(-(F.col("nnat") / F.col("n")) * F.log(F.col("nnat") / F.col("n")) / ln2)
+        ).alias("h_nat")
+    )
+    return (
+        n.crossJoin(mi)
+        .crossJoin(hs)
+        .crossJoin(hn)
+        .select(
+            F.col("n").cast("bigint").alias("n_customers"),
+            F.round("mi_bits", 4).cast("double").alias("mi_bits"),
+            F.round("h_seg", 4).cast("double").alias("h_segment_bits"),
+            F.round("h_nat", 4).cast("double").alias("h_nation_bits"),
+        )
+    )

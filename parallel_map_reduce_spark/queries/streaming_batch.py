@@ -1115,3 +1115,138 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("psi_dec", 4) >= _DRIFT_FLAG).alias("drifted"),
         )
     )
+
+
+# --- grouped time-series analytics (operators/timeseries.py) ---------------
+
+_OLS_BASE = 1704067200  # epoch seconds of 2024-01-01 UTC (testdata start)
+
+
+@register(
+    "events_trend_ols",
+    oracle=f"""
+WITH s AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 1000000 - {_OLS_BASE} AS DECIMAL(12,0)) AS x,
+           CAST(value AS DECIMAL(12,4)) AS y
+    FROM events
+),
+g AS (
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x * y) AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx,
+           CAST(SUM(y * y) AS DOUBLE) AS syy
+    FROM s GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 3600.0, 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+           AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM g
+""",
+    doc="Per-type OLS trend of event value over time (slope in "
+    "value/hour, intercept at the 2024-01-01 base instant, r2): the "
+    "map-side-combinable regression over exact sufficient statistics — "
+    "ONE partial+final hash aggregate whose state is six numbers per "
+    "group, so the shape is identical at 100 TB and the statistics "
+    "merge across increments like events_incremental_agg_merge's "
+    "measures. x is epoch seconds RELATIVE to the corpus base (keeps "
+    "the exact DECIMAL squared-sums narrow); sums are BIGINT/DECIMAL "
+    "(order-free), and floats only enter the fixed-shape closed-form "
+    "expression both engines evaluate identically. "
+    "operators/timeseries.py:group_ols.",
+    tags=("relational", "timeseries", "regression", "aggregate"),
+)
+def events_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import group_ols
+
+    e = load_table(spark, sf_dir, "events")
+    x = F.unix_timestamp("ts") - F.lit(_OLS_BASE)
+    return group_ols(
+        e, ["event_type"], x, F.col("value"), x_scale=3600.0
+    ).select(
+        "event_type",
+        "n",
+        F.col("slope"),
+        F.col("intercept"),
+        F.col("r2"),
+    )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_LOOKBACK = 12
+
+
+def _ewma_oracle() -> str:
+    from ..operators.timeseries import ewma_weights
+
+    ws = ewma_weights(_EWMA_ALPHA, _EWMA_LOOKBACK)
+    values = ", ".join(
+        f"({k}, CAST('{w}' AS DECIMAL(18,17)))" for k, w in enumerate(ws)
+    )
+    return f"""
+WITH hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x
+    FROM events GROUP BY 1, 2
+),
+weights(k, w) AS (VALUES {values}),
+src AS (
+    SELECT h.event_type, h.h + to_hours(wt.k) AS dst, wt.w, h.x
+    FROM hourly h CROSS JOIN weights wt
+)
+SELECT a.event_type,
+       epoch_us(a.h) AS window_start_us,
+       COUNT(*)::BIGINT AS n_terms,
+       ROUND(CAST(SUM(s.w * s.x) AS DOUBLE) / CAST(SUM(s.w) AS DOUBLE), 6)
+           AS ewma
+FROM hourly a
+JOIN src s ON s.event_type = a.event_type AND s.dst = a.h
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_value_ewma",
+    oracle=_ewma_oracle(),
+    doc="Exact finite-window EWMA (alpha=0.3, 12h lookback) of hourly "
+    "value sums per event type — the smoothing primitive behind "
+    "metric-drift monitors. The fact table collapses to |types|x|hours| "
+    "rows FIRST; the bounded-lag self-join then runs on that "
+    "metadata-sized aggregate (never on raw events), weights are exact "
+    "decimal literals computed once on the driver (no engine calls "
+    "pow() inside the reduction — libm is not bit-portable), and the "
+    "weighted sums reduce exactly in DECIMAL with one final double "
+    "division. Missing hours renormalize over the present terms "
+    "(n_terms column). operators/timeseries.py:group_ewma.",
+    tags=("relational", "timeseries", "window", "smoothing"),
+)
+def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import group_ewma
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(_dec("value")).cast("decimal(18,4)").alias("x"))
+    )
+    out = group_ewma(
+        hourly,
+        ["event_type"],
+        "h",
+        "x",
+        alpha=_EWMA_ALPHA,
+        lookback=_EWMA_LOOKBACK,
+    )
+    return out.select(
+        "event_type",
+        (F.unix_timestamp("h") * F.lit(1000000)).cast("bigint").alias(
+            "window_start_us"
+        ),
+        "n_terms",
+        "ewma",
+    )

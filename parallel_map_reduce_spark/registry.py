@@ -90,7 +90,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # dedup_passage_duplicates, customer_pii_masked, text_lm_perplexity
 # and documents_chunked (all r5 green; relational keeps ten in-window
 # members, dedup keeps four, text keeps four — every displaced
-# family stays represented).
+# family stays represented). Session-2 round-6 additions, per rule 2:
+# orders_cdc_merge, customer_segment_nation_mi, events_trend_ols,
+# events_value_ewma (all oracle-backed) rotate IN, displacing
+# q17_small_quantity_revenue, q20_concentrated_suppliers,
+# q6_forecast_revenue and q8_market_share (all r5 green; the TPC-H
+# block keeps q4/q13/q21/q10/q15 in-window, so relational stays the
+# most-represented family).
 # Entries remaining OUT of the window, each with a
 # reason:
 #   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
@@ -142,15 +148,18 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_value_winsorized",
     # approx family representative (rows-only by design; ran r4)
     "event_users_hll_rollup",
-    # relational — round-4 entries never driver-checked
-    "q17_small_quantity_revenue",
-    "q20_concentrated_suppliers",
+    # relational — anchors (q17/q20/q6/q8 displaced late round 6 by
+    # the session's four oracle-backed additions, see header comment)
     "q21_waiting_suppliers",
-    # relational — new round 5
-    "q6_forecast_revenue",
-    "q8_market_share",
     "q10_returned_items",
     "q15_top_supplier",
+    # relational / events — new late round 6: lakehouse CDC MERGE,
+    # information-theoretic column profiling, grouped OLS trend and
+    # exact finite-window EWMA (operators/cdc.py, timeseries.py)
+    "orders_cdc_merge",
+    "customer_segment_nation_mi",
+    "events_trend_ols",
+    "events_value_ewma",
     # dedup: round-4 never-checked + new rounds 5/6 (the lossless
     # prefix-filtered exact similarity join is a round-6 addition)
     "part_name_fuzzy_pairs_lsh",

@@ -57,6 +57,9 @@ CARTESIAN_OK = {
     "similarity_pq_topk": "stage-1 scan of the 8-byte PQ code store vs "
     "broadcast queries — deliberate full-corpus ADC pass; full vectors "
     "touch only the fixed-size shortlist",
+    "customer_segment_nation_mi": "report assembly: the grand total and "
+    "three entropy scalars are 1-row broadcasts crossed into the final "
+    "1-row profile; the only fact-table pass is the contingency groupBy",
 }
 
 # Single-partition exchanges are only acceptable when they carry
@@ -85,6 +88,8 @@ SINGLE_PARTITION_OK = {
     "whole count vector; swap to approx_percentile at 100 TB)",
     "text_doc_similarity": "1-row corpus doc-count aggregate (the "
     "tf-idf idf denominator)",
+    "customer_segment_nation_mi": "the profile IS four 1-row scalar "
+    "reductions over the |seg|x|nat| contingency table",
 }
 
 SKIP_PREFIX = "streaming_"  # live drains execute on build; covered elsewhere

@@ -1,0 +1,145 @@
+"""Contracts for the grouped time-series operators and the CDC MERGE.
+
+Each operator's registry entry already hash-matches a DuckDB oracle;
+these tests pin the properties the oracle can't see — agreement with an
+independent numpy/python replica, merge precedence rules, and the
+renormalization semantics at series edges.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from parallel_map_reduce_spark.operators.cdc import merge_changes
+from parallel_map_reduce_spark.operators.timeseries import (
+    ewma_weights,
+    group_ewma,
+    group_ols,
+)
+
+
+def test_group_ols_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for grp, slope, icept in [("a", 0.5, 10.0), ("b", -2.0, 3.0)]:
+        xs = rng.integers(0, 100_000, size=400)
+        for x in xs:
+            noise = float(rng.normal(0, 5))
+            rows.append(
+                Row(g=grp, x=int(x), y=round(float(slope * x) / 3600.0 + icept + noise, 4))
+            )
+    df = spark.createDataFrame(rows)
+    out = {
+        r["g"]: r
+        for r in group_ols(
+            df, ["g"], F.col("x"), F.col("y"), x_scale=3600.0
+        ).collect()
+    }
+    for grp in ("a", "b"):
+        sub = [(r.x, r.y) for r in rows if r.g == grp]
+        xs = np.array([x for x, _ in sub], dtype=float)
+        ys = np.array([y for _, y in sub], dtype=float)
+        ref_slope, ref_icept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        got = out[grp]
+        assert got["n"] == len(sub)
+        assert got["slope"] == pytest.approx(ref_slope * 3600.0, abs=1e-4)
+        assert got["intercept"] == pytest.approx(ref_icept, abs=1e-3)
+        assert got["r2"] == pytest.approx(r * r, abs=1e-5)
+
+
+def test_ewma_weights_are_exact_geometric():
+    ws = [float(w) for w in ewma_weights(0.3, 12)]
+    assert ws[0] == pytest.approx(0.3)
+    for k in range(1, 12):
+        assert ws[k] == pytest.approx(ws[k - 1] * 0.7, rel=1e-12)
+
+
+def test_group_ewma_matches_python_replica_and_renormalizes(spark):
+    # Hours 0..9 with a GAP at hour 5: rows at the gap's right edge must
+    # renormalize over the present terms only.
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    hours = [0, 1, 2, 3, 4, 6, 7, 8, 9]
+    vals = {h: float(10 + 3 * h) for h in hours}
+    df = spark.createDataFrame(
+        [
+            Row(g="a", h=base + dt.timedelta(hours=h), x=vals[h])
+            for h in hours
+        ]
+    ).select("g", "h", F.col("x").cast("decimal(18,4)").alias("x"))
+    out = {
+        r["h"].hour: r
+        for r in group_ewma(df, ["g"], "h", "x", alpha=0.3, lookback=4).collect()
+    }
+    assert set(out) == set(hours)
+    ws = [float(w) for w in ewma_weights(0.3, 4)]
+    for h in hours:
+        terms = [(ws[k], vals[h - k]) for k in range(4) if (h - k) in vals]
+        expect = sum(w * v for w, v in terms) / sum(w for w, _ in terms)
+        assert out[h]["n_terms"] == len(terms)
+        assert out[h]["ewma"] == pytest.approx(expect, abs=1e-5)
+    # the row just after the gap has a missing lag-1 term
+    assert out[6]["n_terms"] == 3
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, seq=s, op=o, v=v) for k, s, o, v in rows]
+    )
+
+
+def test_merge_changes_precedence_and_tombstones(spark):
+    snap = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")])
+    feed = _feed(
+        spark,
+        [
+            (1, 1, "U", "a1"),
+            (1, 2, "U", "a2"),  # later generation wins
+            (2, 1, "U", "b1"),
+            (2, 2, "D", None),  # delete beats earlier update
+            (4, 1, "I", "d"),  # insert of a new key
+        ],
+    )
+    out = {r["k"]: r for r in merge_changes(snap, feed, ["k"]).collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1]["v"] == "a2" and out[1]["op"] == "U"
+    assert out[3]["v"] == "c" and out[3]["op"] == "K"  # untouched snapshot row
+    assert out[4]["v"] == "d" and out[4]["op"] == "I"
+
+
+def test_merge_changes_is_one_exchange(spark):
+    """The MERGE plan must be union + a single aggregate exchange —
+    not the window-compact + join two-shuffle shape."""
+    snap = spark.range(100).select(
+        F.col("id").alias("k"), F.lit("x").alias("v")
+    )
+    feed = snap.limit(10).select(
+        "k", F.lit(1).alias("seq"), F.lit("U").alias("op"), F.lit("y").alias("v")
+    )
+    plan = (
+        merge_changes(snap, feed, ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 2  # partial agg + final agg exchange
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_mi_entry_information_identities(spark, sf_dir):
+    """MI >= 0, MI <= min(H(seg), H(nat)) — the identities any correct
+    estimator satisfies; plus entropies bounded by log2(cardinality)."""
+    from parallel_map_reduce_spark.registry import all_queries
+
+    row = all_queries()["customer_segment_nation_mi"].build(spark, sf_dir).collect()[0]
+    assert row["mi_bits"] >= 0.0
+    assert row["mi_bits"] <= min(row["h_segment_bits"], row["h_nation_bits"]) + 1e-6
+    assert row["h_segment_bits"] <= math.log2(5) + 1e-6  # 5 market segments
+    assert row["h_nation_bits"] <= math.log2(25) + 1e-6  # 25 nations
