@@ -41,6 +41,13 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # AQE is the engine's standing execution posture (runtime re-plan,
+    # small-shuffle coalescing, skew-join splitting) — apply it here too
+    # so a harness-built bare session gets the same physical behavior
+    # the shipped session.py builder configures.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
