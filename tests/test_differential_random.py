@@ -363,3 +363,38 @@ def test_weighted_sample_matches_pure_python(spark):
     for lang in ("aa", "bb", "cc"):
         n_grp = sum(1 for r in rows if r[1] == lang)
         assert sum(1 for g in got if g[0] == lang) == min(k, n_grp)
+
+
+def test_cdc_merge_matches_python_replay(spark):
+    """Randomized change feeds (multi-generation updates, deletes,
+    re-inserts after delete, brand-new keys) vs a dict-based replay."""
+    from parallel_map_reduce_spark.operators.cdc import merge_changes
+
+    rng = random.Random(SEED + 1)
+    snap_rows = [(k, f"v{k}") for k in range(200)]
+    feed_rows = []
+    seq_per_key: dict[int, int] = {}
+    for _ in range(600):
+        k = rng.randint(0, 260)  # keys beyond 199 are pure inserts
+        seq_per_key[k] = seq_per_key.get(k, 0) + 1  # unique seq per key
+        op = rng.choice(["U", "U", "U", "D", "I"])
+        feed_rows.append((k, seq_per_key[k], op, f"p{k}s{seq_per_key[k]}"))
+
+    # replay: latest seq wins per key, snapshot is generation -1
+    state = {k: ("K", v) for k, v in snap_rows}
+    last = {k: -1 for k, _ in snap_rows}
+    for k, seq, op, v in feed_rows:
+        if seq > last.get(k, -2):
+            last[k] = seq
+            state[k] = (op, v)
+    want = {
+        k: (v, op) for k, (op, v) in state.items() if op != "D"
+    }
+
+    snap = spark.createDataFrame(snap_rows, "k INT, v STRING")
+    feed = spark.createDataFrame(feed_rows, "k INT, seq INT, op STRING, v STRING")
+    got = {
+        r["k"]: (r["v"], r["op"])
+        for r in merge_changes(snap, feed, ["k"]).collect()
+    }
+    assert got == want
