@@ -2049,18 +2049,34 @@ def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cdc import merge_changes
 
     o = load_table(spark, sf_dir, "orders")
-    key = F.col("o_orderkey")
-    price = F.col("o_totalprice").cast("decimal(18,4)")
-    snap = o.select(
+    merged = merge_changes(
+        cdc_snapshot(o), cdc_feed(o), ["o_orderkey"], seq_col="seq", op_col="op"
+    )
+    return cdc_present(merged.withColumn("src", F.col("op")))
+
+
+def cdc_snapshot(orders: DataFrame) -> DataFrame:
+    """The merge target's payload form (exact DECIMAL price, DATE)."""
+    return orders.select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
-        price.alias("price"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
         F.to_date("o_orderdate").alias("od"),
     )
 
+
+def cdc_feed(orders: DataFrame) -> DataFrame:
+    """The deterministic synthetic change feed replayed by the oracle:
+    two update generations, deletes (winning sequence), and inserts
+    under disjoint keys. Shared by the batch MERGE entry and the
+    streaming applier (streaming/cdc_stream.py), which derives the
+    same feed from each arriving micro-batch."""
+    key = F.col("o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+
     def chg(pred, seq, op, *, price_col=None, status_col=None, key_col=None):
-        return o.filter(pred).select(
+        return orders.filter(pred).select(
             (key_col if key_col is not None else key).alias("o_orderkey"),
             F.lit(seq).alias("seq"),
             F.lit(op).alias("op"),
@@ -2072,7 +2088,7 @@ def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     mult = lambda s: price * F.lit(s).cast("decimal(2,1)")  # noqa: E731
-    feed = (
+    return (
         chg(key % 10 == 0, 1, "U", price_col=mult("1.1"))
         .unionByName(chg(key % 30 == 0, 2, "U", price_col=mult("1.2")))
         .unionByName(
@@ -2093,14 +2109,17 @@ def orders_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    merged = merge_changes(snap, feed, ["o_orderkey"], seq_col="seq", op_col="op")
+
+
+def cdc_present(merged: DataFrame) -> DataFrame:
+    """Project the merged state into the oracle's output shape."""
     return merged.select(
         "o_orderkey",
         "o_custkey",
         "o_orderstatus",
         F.col("price").cast("double").alias("o_totalprice"),
         F.col("od").cast("string").alias("o_orderdate"),
-        F.col("op").alias("src"),
+        "src",
     )
 
 

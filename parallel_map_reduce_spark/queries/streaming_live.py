@@ -287,3 +287,32 @@ GROUP BY word
 
 
 _set_index_oracle()
+
+
+@register(
+    "streaming_cdc_apply",
+    oracle=None,  # set just below: shares the batch MERGE entry's oracle
+    doc="LIVE streaming CDC apply: the change feed drains through "
+    "foreachBatch, each micro-batch MERGING into a versioned parquet "
+    "snapshot (read current version, union + single max_by aggregate, "
+    "write version N+1 — the read-modify-write never overwrites files "
+    "it is reading; with Delta/Iceberg the body becomes one MERGE "
+    "INTO). Final state equals the one-shot batch merge, so the live "
+    "drain shares `orders_cdc_merge`'s DuckDB oracle. Multi-batch "
+    "sequential==one-shot equivalence is pinned in "
+    "tests/test_streaming.py. streaming/cdc_stream.py:run_cdc_apply.",
+    tags=("streaming", "live", "cdc", "merge"),
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.cdc_stream import run_cdc_apply
+
+    return run_cdc_apply(spark, sf_dir)
+
+
+def _set_cdc_oracle() -> None:
+    from ..registry import _REGISTRY
+
+    _REGISTRY["streaming_cdc_apply"].oracle = _REGISTRY["orders_cdc_merge"].oracle
+
+
+_set_cdc_oracle()

@@ -114,12 +114,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #   - events_rolling_7d_users_hll, event_value_quantiles_approx:
 #     rows-only approx siblings — event_users_hll_rollup represents
 #     the family this round; rotate them in next rounds;
-#   - streaming_inverted_index (new r6, oracle-backed): registered
-#     after the r6 drain block was committed to the four never-checked
-#     drains, which must get their first driver rows this round; it
-#     rotates into the drain block next round. Until then the LIVE
-#     drain is pinned by tests/test_streaming.py's exact-equality
-#     contract against the batch flagship (same oracle SQL).
+#   - streaming_inverted_index (new r6, oracle-backed) and
+#     streaming_cdc_apply (new r6, oracle-backed — shares the batch
+#     MERGE oracle): registered after the r6 drain block was committed
+#     to the four never-checked drains, which must get their first
+#     driver rows this round; they rotate into the drain block next
+#     round. Until then both LIVE drains are pinned by
+#     tests/test_streaming.py exact-equality contracts against their
+#     batch twins (same oracle SQL).
 GATE_PRIORITY: tuple[str, ...] = (
     # core (reference parity) — permanent
     "inverted_index",

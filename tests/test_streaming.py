@@ -324,3 +324,60 @@ def test_streaming_inverted_index_equals_batch_flagship(spark, sf_dir):
     live = sorted(map(tuple, spark.table("t_live_index").collect()))
     batch = sorted(map(tuple, q_inverted_index(spark, sf_dir).collect()))
     assert live == batch
+
+
+def test_cdc_sequential_batches_equal_one_shot(spark, sf_dir, tmp_path):
+    """Applying the change feed in generation-ordered micro-batches
+    (via apply_feed_batch, the exact foreachBatch body) must converge
+    to the one-shot batch MERGE — the confluence property run_cdc_apply
+    relies on."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.queries.relational import (
+        cdc_feed,
+        cdc_present,
+        cdc_snapshot,
+        orders_cdc_merge,
+    )
+    from parallel_map_reduce_spark.sources.catalog import load_table
+    from parallel_map_reduce_spark.streaming.cdc_stream import apply_feed_batch
+
+    o = load_table(spark, sf_dir, "orders")
+    store = str(tmp_path / "store")
+    cdc_snapshot(o).withColumn("src", F.lit("K")).write.parquet(store + "/v0")
+    feed = cdc_feed(o)
+    v = 0
+    for gen in (1, 2, 3):  # one micro-batch per feed generation
+        v = apply_feed_batch(spark, store, v, feed.filter(F.col("seq") == gen))
+    assert v == 3
+    seq = sorted(
+        map(tuple, cdc_present(spark.read.parquet(f"{store}/v{v}")).collect())
+    )
+    one_shot = sorted(map(tuple, orders_cdc_merge(spark, sf_dir).collect()))
+    assert seq == one_shot
+
+
+def test_cdc_update_after_delete_upserts(spark, tmp_path):
+    """Cross-batch resurrection: a key deleted in batch 1 and updated
+    in batch 2 (higher sequence) must exist afterwards with the update's
+    payload — matching one-shot latest-wins."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.streaming.cdc_stream import apply_feed_batch
+
+    snap = spark.createDataFrame(
+        [(1, "a", "K")], "o_orderkey INT, v STRING, src STRING"
+    )
+    store = str(tmp_path / "s2")
+    snap.write.parquet(store + "/v0")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "o_orderkey INT, seq INT, op STRING, v STRING"
+        ).withColumn("src", F.col("op"))
+
+    v = apply_feed_batch(spark, store, 0, batch([(1, 1, "D", None)]))
+    assert [r["o_orderkey"] for r in spark.read.parquet(f"{store}/v{v}").collect()] == []
+    v = apply_feed_batch(spark, store, v, batch([(1, 2, "U", "a2")]))
+    rows = spark.read.parquet(f"{store}/v{v}").collect()
+    assert [(r["o_orderkey"], r["v"], r["src"]) for r in rows] == [(1, "a2", "U")]
