@@ -161,6 +161,16 @@ def main() -> int:
             medians[name] = -1.0
             all_runs[name] = []
             print(f"bench: {name} ERROR: {e}", file=sys.stderr)
+        # Drop the just-benched DataFrames' refs and collect: several
+        # queries localCheckpoint intermediates, whose block-manager
+        # blocks are reclaimed by the ContextCleaner only once the
+        # Python refs die — 100+ executions without a nudge lets dead
+        # blocks accumulate against the 8g heap and degrade later
+        # queries (observed: tail-of-run timings 2-3x early-run ones).
+        df = None
+        import gc
+
+        gc.collect()
 
     # Scale curve (BENCH_DETAIL only, never stdout): the reference's own
     # 355-doc workload replicated 1x/8x/64x with distinct doc ids
@@ -190,6 +200,33 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 scale_curve[f"x{factor}"] = -1.0
                 print(f"bench: scale_curve x{factor} ERROR: {e}", file=sys.stderr)
+
+    # Second curve: exact dedup (the canonical 100 TB pre-pass) over the
+    # same replicated corpus — one digest-keyed exchange whose work is
+    # linear in rows (replicas are REAL duplicates the operator must
+    # group, so the workload is honest: n_copies scales with the factor,
+    # pair-explosion families are deliberately NOT curved this way).
+    dedup_curve: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_CURVE", "1") != "0" and not sys.argv[1:]:
+        from parallel_map_reduce_spark.operators.dedup import exact_dup_groups
+        from parallel_map_reduce_spark.sources.scaled_corpus import (
+            scaled_reference_corpus,
+        )
+
+        for factor in (1, 8, 64):
+            try:
+                docs = scaled_reference_corpus(spark, factor)  # cached build
+                t0 = time.perf_counter()
+                n = exact_dup_groups(docs).count()
+                secs = time.perf_counter() - t0
+                dedup_curve[f"x{factor}"] = round(secs, 3)
+                print(
+                    f"bench: dedup_curve x{factor} {secs:.2f}s ({n} groups)",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # noqa: BLE001
+                dedup_curve[f"x{factor}"] = -1.0
+                print(f"bench: dedup_curve x{factor} ERROR: {e}", file=sys.stderr)
     spark.stop()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
@@ -208,6 +245,7 @@ def main() -> int:
         "queries_median": medians,
         "queries_runs": all_runs,
         "reference_corpus_scale_curve": scale_curve,
+        "exact_dedup_scale_curve": dedup_curve,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
