@@ -144,3 +144,84 @@ def group_ewma(
             ).alias("ewma"),
         )
     )
+
+
+def group_holt(
+    hourly: DataFrame,
+    group_col: str,
+    hour_col: str,
+    val_dec_col: str,
+    alpha: str = "0.5",
+    beta: str = "0.3",
+) -> DataFrame:
+    """Holt linear (double exponential) smoothing per group — the
+    genuinely RECURSIVE time-series primitive EWMA's bounded window
+    can't express: level/trend states fold over the whole series.
+
+    Runs as a grouped-map pandas UDF over the (already aggregated,
+    metadata-sized) per-group hourly series — the applyInPandas shape
+    for custom sequential state. Scale note: the corpus-sized work is
+    the hourly pre-aggregation upstream; each group's series here is
+    bounded by |hours|, the recursion is O(1) state per step, and
+    groups parallelize across tasks.
+
+    Exactness contract (what makes this oracle-able, unlike typical
+    float smoothers): inputs are DECIMAL(18,4), every level/trend
+    update quantizes to 6 decimal places with HALF_UP — matching
+    DuckDB's decimal ROUND tie behavior (away from zero) — and all
+    arithmetic is exact decimal, so an independent recursive-CTE
+    replay produces bit-identical values. Init: level_0 = x_0
+    (quantized), trend_0 = 0.
+    """
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    import pandas as pd
+
+    a = Decimal(alpha)
+    b = Decimal(beta)
+    one = Decimal(1)
+    q6 = Decimal("0.000001")
+
+    out_schema = (
+        f"{group_col} string, {hour_col} timestamp, "
+        "level double, trend double, forecast_next double"
+    )
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(hour_col)
+        levels: list[float] = []
+        trends: list[float] = []
+        nexts: list[float] = []
+        with localcontext() as ctx:
+            ctx.prec = 50  # exact for 18-digit operands times 1-dp params
+            level: Decimal | None = None
+            trend = Decimal(0)
+            for x in pdf[val_dec_col]:
+                xd = Decimal(x)
+                if level is None:
+                    level = xd.quantize(q6, ROUND_HALF_UP)
+                    trend = Decimal(0).quantize(q6)
+                else:
+                    prev = level
+                    level = (a * xd + (one - a) * (prev + trend)).quantize(
+                        q6, ROUND_HALF_UP
+                    )
+                    trend = (b * (level - prev) + (one - b) * trend).quantize(
+                        q6, ROUND_HALF_UP
+                    )
+                levels.append(float(level))
+                trends.append(float(trend))
+                nexts.append(float(level + trend))
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                hour_col: pdf[hour_col],
+                "level": levels,
+                "trend": trends,
+                "forecast_next": nexts,
+            }
+        )
+
+    return hourly.select(group_col, hour_col, val_dec_col).groupBy(group_col).applyInPandas(
+        fit, out_schema
+    )

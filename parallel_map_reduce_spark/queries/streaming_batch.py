@@ -1250,3 +1250,68 @@ def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_terms",
         "ewma",
     )
+
+
+@register(
+    "events_value_holt",
+    oracle="""
+WITH RECURSIVE hourly AS (
+    SELECT event_type, date_trunc('hour', ts) AS h,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS x,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY date_trunc('hour', ts)
+           ) AS rn
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+rec AS (
+    SELECT event_type, rn, h, x,
+           CAST(ROUND(x, 6) AS DECIMAL(18,6)) AS level,
+           CAST(0 AS DECIMAL(18,6)) AS trend
+    FROM hourly WHERE rn = 1
+  UNION ALL
+    SELECT h.event_type, h.rn, h.h, h.x,
+           CAST(ROUND(0.5 * h.x + 0.5 * (r.level + r.trend), 6)
+                AS DECIMAL(18,6)),
+           CAST(ROUND(0.3 * (CAST(ROUND(0.5 * h.x + 0.5 * (r.level + r.trend),
+                                        6) AS DECIMAL(18,6)) - r.level)
+                      + 0.7 * r.trend, 6) AS DECIMAL(18,6))
+    FROM rec r JOIN hourly h ON h.event_type = r.event_type AND h.rn = r.rn + 1
+)
+SELECT event_type,
+       epoch_us(h) AS window_start_us,
+       CAST(level AS DOUBLE) AS level,
+       CAST(trend AS DOUBLE) AS trend,
+       CAST(level + trend AS DOUBLE) AS forecast_next
+FROM rec
+""",
+    doc="Holt linear (double exponential) smoothing of hourly value "
+    "sums per event type — level + trend state folded RECURSIVELY over "
+    "each series, the sequential primitive EWMA's bounded window "
+    "cannot express. Spark side: applyInPandas grouped-map with exact "
+    "decimal recursion (6-dp HALF_UP quantization each step, matching "
+    "DuckDB's decimal ROUND), so the independent recursive-CTE oracle "
+    "replays it bit-for-bit — a fully oracle-checked custom stateful "
+    "operator. The corpus-sized work is the upstream hourly "
+    "aggregation; the recursion runs on metadata-sized series, O(1) "
+    "state per step, groups parallel across tasks. "
+    "operators/timeseries.py:group_holt.",
+    tags=("relational", "timeseries", "smoothing", "pandas-udf",
+          "custom-operator"),
+)
+def events_value_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import group_holt
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(_dec("value")).cast("decimal(18,4)").alias("x"))
+    out = group_holt(hourly, "event_type", "h", "x", alpha="0.5", beta="0.3")
+    return out.select(
+        "event_type",
+        (F.unix_timestamp("h") * F.lit(1000000)).cast("bigint").alias(
+            "window_start_us"
+        ),
+        "level",
+        "trend",
+        "forecast_next",
+    )

@@ -95,8 +95,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # events_value_ewma (all oracle-backed) rotate IN, displacing
 # q17_small_quantity_revenue, q20_concentrated_suppliers,
 # q6_forecast_revenue and q8_market_share (all r5 green; the TPC-H
-# block keeps q4/q13/q21/q10/q15 in-window, so relational stays the
-# most-represented family).
+# block keeps q4/q13/q21/q15 in-window, so relational stays the
+# most-represented family); and events_value_holt (oracle-backed
+# recursive Holt smoothing — a fully oracle-checked applyInPandas
+# stateful operator) displacing q10_returned_items (r5 green).
 # Entries remaining OUT of the window, each with a
 # reason:
 #   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
@@ -153,7 +155,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     # relational — anchors (q17/q20/q6/q8 displaced late round 6 by
     # the session's four oracle-backed additions, see header comment)
     "q21_waiting_suppliers",
-    "q10_returned_items",
     "q15_top_supplier",
     # relational / events — new late round 6: lakehouse CDC MERGE,
     # information-theoretic column profiling, grouped OLS trend and
@@ -162,6 +163,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "customer_segment_nation_mi",
     "events_trend_ols",
     "events_value_ewma",
+    "events_value_holt",
     # dedup: round-4 never-checked + new rounds 5/6 (the lossless
     # prefix-filtered exact similarity join is a round-6 addition)
     "part_name_fuzzy_pairs_lsh",

@@ -143,3 +143,46 @@ def test_mi_entry_information_identities(spark, sf_dir):
     assert row["mi_bits"] <= min(row["h_segment_bits"], row["h_nation_bits"]) + 1e-6
     assert row["h_segment_bits"] <= math.log2(5) + 1e-6  # 5 market segments
     assert row["h_nation_bits"] <= math.log2(25) + 1e-6  # 25 nations
+
+
+def test_group_holt_matches_float_replica_and_partitioning_invariant(spark):
+    """Holt decimal recursion ~= plain float Holt (tolerance — the 6-dp
+    quantization is the only divergence), and output is identical under
+    adversarial input partitioning (applyInPandas sorts per group)."""
+    import datetime as dt
+
+    from parallel_map_reduce_spark.operators.timeseries import group_holt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    vals = {}
+    rng = np.random.default_rng(11)
+    for g in ("a", "b"):
+        for h in range(50):
+            v = round(float(100 + 5 * h + rng.normal(0, 10)), 4)
+            vals[(g, h)] = v
+            rows.append(Row(g=g, h=base + dt.timedelta(hours=h), x=v))
+    df = spark.createDataFrame(rows).select(
+        "g", "h", F.col("x").cast("decimal(18,4)").alias("x")
+    )
+    out = {
+        (r["g"], r["h"].hour + 24 * (r["h"].day - 1)): r
+        for r in group_holt(df, "g", "h", "x").collect()
+    }
+    a, b = 0.5, 0.3
+    for g in ("a", "b"):
+        level, trend = vals[(g, 0)], 0.0
+        assert out[(g, 0)]["level"] == pytest.approx(level, abs=1e-5)
+        for h in range(1, 50):
+            prev = level
+            level = a * vals[(g, h)] + (1 - a) * (prev + trend)
+            trend = b * (level - prev) + (1 - b) * trend
+            got = out[(g, h)]
+            assert got["level"] == pytest.approx(level, abs=1e-3)
+            assert got["trend"] == pytest.approx(trend, abs=1e-3)
+            assert got["forecast_next"] == pytest.approx(
+                got["level"] + got["trend"], abs=1e-9
+            )
+    shuffled = df.repartition(7, "h")  # group rows scattered across tasks
+    out2 = sorted(map(tuple, group_holt(shuffled, "g", "h", "x").collect()))
+    assert out2 == sorted(map(tuple, group_holt(df, "g", "h", "x").collect()))
