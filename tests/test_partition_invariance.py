@@ -1,0 +1,39 @@
+"""Partition-count invariance for the order-free-exactness entries.
+
+The new decimal-discipline operators claim their reductions are exact
+in ANY reduction order (BIGINT/DECIMAL sums; floats only in fixed-shape
+scalar expressions or per-step-quantized recursions). The sharpest
+local falsifier: run each query under a radically different shuffle
+partitioning and require BIT-IDENTICAL results — float-sum
+formulations fail this under reassociation, these must not. (The
+flagship index has the same sweep in tests/test_golden_reference.py;
+this extends it to the round-6 session-2 families.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from parallel_map_reduce_spark.registry import all_queries
+
+ENTRIES = [
+    "events_trend_ols",
+    "events_value_ewma",
+    "events_value_holt",
+    "orders_cdc_merge",
+    "customer_segment_nation_mi",
+]
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_bit_identical_across_shuffle_partitionings(spark, sf_dir, name):
+    spec = all_queries()[name]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, spec.build(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = sorted(map(tuple, spec.build(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b
