@@ -316,3 +316,34 @@ def _set_cdc_oracle() -> None:
 
 
 _set_cdc_oracle()
+
+
+@register(
+    "streaming_neardup_lsh",
+    oracle=None,  # set just below: shares the batch incremental-LSH oracle
+    doc="LIVE ingest-time near-dup detection: each document micro-batch "
+    "is band-signatured (per-doc projections, no streaming state) and "
+    "equi-joined into the PRE-BUILT corpus band table — the persisted-"
+    "artifact serving path the batch operator's 100 TB note promises; "
+    "the corpus is never re-shingled and only colliding (band, sig) "
+    "buckets are touched. Drained availableNow, collisions across "
+    "batches equal the one-shot batch run, so the drain shares "
+    "`dedup_incremental_lsh`'s DuckDB oracle. "
+    "streaming/dedup_stream.py:run_incremental_lsh_stream.",
+    tags=("streaming", "live", "dedup", "lsh", "incremental"),
+)
+def streaming_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.dedup_stream import run_incremental_lsh_stream
+
+    return run_incremental_lsh_stream(spark, sf_dir)
+
+
+def _set_neardup_oracle() -> None:
+    from ..registry import _REGISTRY
+
+    _REGISTRY["streaming_neardup_lsh"].oracle = _REGISTRY[
+        "dedup_incremental_lsh"
+    ].oracle
+
+
+_set_neardup_oracle()

@@ -123,7 +123,9 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #     driver rows this round; they rotate into the drain block next
 #     round. Until then both LIVE drains are pinned by
 #     tests/test_streaming.py exact-equality contracts against their
-#     batch twins (same oracle SQL).
+#     batch twins (same oracle SQL). streaming_neardup_lsh (new r6,
+#     oracle-backed, shares the incremental-LSH oracle) joins them in
+#     the same next-round drain rotation.
 GATE_PRIORITY: tuple[str, ...] = (
     # core (reference parity) — permanent
     "inverted_index",

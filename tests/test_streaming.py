@@ -381,3 +381,22 @@ def test_cdc_update_after_delete_upserts(spark, tmp_path):
     v = apply_feed_batch(spark, store, v, batch([(1, 2, "U", "a2")]))
     rows = spark.read.parquet(f"{store}/v{v}").collect()
     assert [(r["o_orderkey"], r["v"], r["src"]) for r in rows] == [(1, "a2", "U")]
+
+
+def test_streaming_neardup_lsh_equals_batch_incremental(spark, sf_dir):
+    """The ingest-time LSH drain must find exactly the batch
+    incremental run's collision pairs."""
+    from parallel_map_reduce_spark.queries.dedup import dedup_incremental_lsh
+    from parallel_map_reduce_spark.streaming.dedup_stream import (
+        run_incremental_lsh_stream,
+    )
+
+    live = sorted(
+        (r["new_doc"], r["corpus_doc"])
+        for r in run_incremental_lsh_stream(spark, sf_dir).collect()
+    )
+    batch = sorted(
+        (r["new_doc"], r["corpus_doc"])
+        for r in dedup_incremental_lsh(spark, sf_dir).collect()
+    )
+    assert live == batch
