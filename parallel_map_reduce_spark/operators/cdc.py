@@ -75,3 +75,62 @@ def merge_changes(
         *[F.col("_w")[c].alias(c) for c in payload],
         F.col("_w")[op_col].alias(op_col),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Derive the change feed between two snapshot versions — MERGE's
+    algebraic inverse (reconciliation, backfill auditing, generating a
+    feed for downstream consumers from full-table drops).
+
+    Output: one row per differing key with ``op_col`` in {'I','U','D'}
+    and the NEW payload ('D' rows carry the old payload, for tombstone
+    consumers that need the last-known values). Unchanged keys emit
+    nothing, so the result is |changes|-sized. Round-trip law (pinned
+    in tests): merge_changes(old, snapshot_diff(old, new)) == new.
+
+    Plan: ONE full-outer sort-merge join on the key. Null-safe payload
+    comparison via struct equality (<=> on a packed struct), so NULL
+    payload fields compare correctly. At 100 TB: both snapshots
+    bucketed by key (operators/layout.py) make this exchange-free; the
+    struct compare is a scan-speed projection.
+    """
+    payload = [c for c in old.columns if c not in key_cols]
+    # Prefix-rename each side (fresh attribute ids) — the two snapshots
+    # usually share lineage (new = merge(old, feed)), and dataset
+    # aliases cannot disambiguate a self-join through that lineage.
+    o = old.select([F.col(c).alias(f"_o_{c}") for c in old.columns])
+    n = new.select([F.col(c).alias(f"_n_{c}") for c in old.columns])
+    cond = [
+        F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}")) for k in key_cols
+    ]
+    joined = o.join(n, cond, "full_outer")
+    o_pack = F.struct(*[F.col(f"_o_{c}").alias(c) for c in payload])
+    n_pack = F.struct(*[F.col(f"_n_{c}").alias(c) for c in payload])
+    o_present = F.col(f"_o_{key_cols[0]}").isNotNull()
+    n_present = F.col(f"_n_{key_cols[0]}").isNotNull()
+    for k in key_cols[1:]:  # composite keys: present if ANY part non-null
+        o_present = o_present | F.col(f"_o_{k}").isNotNull()
+        n_present = n_present | F.col(f"_n_{k}").isNotNull()
+    op = (
+        F.when(~o_present, F.lit("I"))
+        .when(~n_present, F.lit("D"))
+        .when(~o_pack.eqNullSafe(n_pack), F.lit("U"))
+    )
+    src = F.when(F.col(op_col) == "D", o_pack).otherwise(n_pack)
+    return (
+        joined.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_o_{k}"), F.col(f"_n_{k}")).alias(k)
+                for k in key_cols
+            ],
+            F.col(op_col),
+            *[src[c].alias(c) for c in payload],
+        )
+    )

@@ -1995,11 +1995,10 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CDC_INSERT_OFFSET = 1_000_000_000  # keeps synthetic insert keys disjoint
 
-
-@register(
-    "orders_cdc_merge",
-    oracle=f"""
-WITH feed AS (
+# Shared oracle fragment: the synthetic change feed + latest-wins
+# compaction, used by the MERGE oracle, the diff oracle, and (via
+# registry reuse) the live streaming CDC drain.
+_CDC_FEED_CTES = f"""feed AS (
     SELECT o_orderkey AS k, -1 AS seq, 'K' AS op, o_custkey, o_orderstatus,
            CAST(o_totalprice AS DECIMAL(18,4)) AS price,
            CAST(o_orderdate AS DATE) AS od
@@ -2023,7 +2022,13 @@ WITH feed AS (
 w AS (
     SELECT * FROM feed
     QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1
-)
+)"""
+
+
+@register(
+    "orders_cdc_merge",
+    oracle=f"""
+WITH {_CDC_FEED_CTES}
 SELECT k AS o_orderkey, o_custkey, o_orderstatus,
        CAST(price AS DOUBLE) AS o_totalprice,
        od::VARCHAR AS o_orderdate,
@@ -2225,4 +2230,68 @@ def customer_segment_nation_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("h_seg", 4).cast("double").alias("h_segment_bits"),
             F.round("h_nat", 4).cast("double").alias("h_nation_bits"),
         )
+    )
+
+
+@register(
+    "orders_cdc_diff",
+    oracle=f"""
+WITH {_CDC_FEED_CTES},
+merged AS (
+    SELECT k, o_custkey, o_orderstatus, price, od FROM w WHERE op <> 'D'
+),
+old AS (
+    SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+           CAST(o_orderdate AS DATE) AS od
+    FROM orders
+)
+SELECT COALESCE(o.k, n.k) AS o_orderkey,
+       CASE WHEN o.k IS NULL THEN 'I'
+            WHEN n.k IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       CASE WHEN n.k IS NULL THEN o.o_custkey ELSE n.o_custkey END
+           AS o_custkey,
+       CASE WHEN n.k IS NULL THEN o.o_orderstatus ELSE n.o_orderstatus END
+           AS o_orderstatus,
+       CAST(CASE WHEN n.k IS NULL THEN o.price ELSE n.price END AS DOUBLE)
+           AS o_totalprice,
+       (CASE WHEN n.k IS NULL THEN o.od ELSE n.od END)::VARCHAR
+           AS o_orderdate
+FROM old o FULL JOIN merged n ON o.k = n.k
+WHERE o.k IS NULL OR n.k IS NULL
+   OR (o.o_custkey, o.o_orderstatus, o.price, o.od)
+      IS DISTINCT FROM (n.o_custkey, n.o_orderstatus, n.price, n.od)
+""",
+    doc="Snapshot diff — MERGE's algebraic inverse: derive the I/U/D "
+    "change feed between the original snapshot and the merged state "
+    "(reconciliation / feed generation from full-table drops). ONE "
+    "full-outer join on the key with a null-safe packed-struct payload "
+    "compare; output is |changes|-sized. The round-trip law "
+    "merge(old, diff(old, new)) == new is pinned in "
+    "tests/test_timeseries_cdc.py. At 100 TB both snapshots bucketed "
+    "by key make the join exchange-free. "
+    "operators/cdc.py:snapshot_diff.",
+    tags=("relational", "cdc", "diff", "incremental"),
+)
+def orders_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import merge_changes, snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = cdc_snapshot(o)
+    new = merge_changes(
+        old, cdc_feed(o), ["o_orderkey"], seq_col="seq", op_col="op"
+    ).drop("op")
+    # The feed's update arms widen price to DECIMAL(21,5) through the
+    # union; widen the old side identically (lossless) so the payload
+    # struct compare type-checks.
+    old = old.withColumn("price", F.col("price").cast("decimal(21,5)"))
+    d = snapshot_diff(old, new, ["o_orderkey"])
+    return d.select(
+        "o_orderkey",
+        "op",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("price").cast("double").alias("o_totalprice"),
+        F.col("od").cast("string").alias("o_orderdate"),
     )

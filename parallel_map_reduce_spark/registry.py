@@ -98,7 +98,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # block keeps q4/q13/q21/q15 in-window, so relational stays the
 # most-represented family); and events_value_holt (oracle-backed
 # recursive Holt smoothing — a fully oracle-checked applyInPandas
-# stateful operator) displacing q10_returned_items (r5 green).
+# stateful operator) displacing q10_returned_items (r5 green); and
+# orders_cdc_diff (oracle-backed snapshot diff, MERGE's algebraic
+# inverse with a pinned round-trip law) displacing
+# events_hourly_interpolated (r4+r5 green — the longest remaining
+# non-core history; the events family keeps eight in-window members).
 # Entries remaining OUT of the window, each with a
 # reason:
 #   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
@@ -162,6 +166,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # information-theoretic column profiling, grouped OLS trend and
     # exact finite-window EWMA (operators/cdc.py, timeseries.py)
     "orders_cdc_merge",
+    "orders_cdc_diff",
     "customer_segment_nation_mi",
     "events_trend_ols",
     "events_value_ewma",
@@ -176,7 +181,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "similarity_two_stage_topk",
     # events / streaming-batch: never-checked + family anchors +
     # round-6 PSI drift monitor
-    "events_hourly_interpolated",
     "events_drift_psi",
     # curation anchors + new rounds 5/6 (weighted sampling)
     "documents_corpus_report",

@@ -186,3 +186,32 @@ def test_group_holt_matches_float_replica_and_partitioning_invariant(spark):
     shuffled = df.repartition(7, "h")  # group rows scattered across tasks
     out2 = sorted(map(tuple, group_holt(shuffled, "g", "h", "x").collect()))
     assert out2 == sorted(map(tuple, group_holt(df, "g", "h", "x").collect()))
+
+
+def test_snapshot_diff_roundtrip_law(spark, sf_dir):
+    """merge(old, diff(old, new)) == new — the algebraic pair contract
+    between the two CDC operators, on the real fixture feed."""
+    from parallel_map_reduce_spark.operators.cdc import merge_changes, snapshot_diff
+    from parallel_map_reduce_spark.queries.relational import cdc_feed, cdc_snapshot
+    from parallel_map_reduce_spark.sources.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    old = cdc_snapshot(o).withColumn("price", F.col("price").cast("decimal(21,5)"))
+    new = merge_changes(
+        cdc_snapshot(o), cdc_feed(o), ["o_orderkey"], seq_col="seq", op_col="op"
+    ).drop("op")
+    d = snapshot_diff(old, new, ["o_orderkey"])
+    feed2 = d.withColumn("seq", F.lit(1).cast("bigint"))
+    rebuilt = merge_changes(old, feed2, ["o_orderkey"], seq_col="seq", op_col="op").drop(
+        "op"
+    )
+    a = sorted(map(tuple, rebuilt.collect()))
+    b = sorted(map(tuple, new.collect()))
+    assert a == b
+
+
+def test_snapshot_diff_empty_on_identical(spark):
+    from parallel_map_reduce_spark.operators.cdc import snapshot_diff
+
+    snap = spark.createDataFrame([(1, "a", None), (2, None, "x")], "k INT, u STRING, v STRING")
+    assert snapshot_diff(snap, snap, ["k"]).count() == 0  # null-safe compare
