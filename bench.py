@@ -48,7 +48,6 @@ HEADLINE = (
     "q3_shipping_priority",
     "q5_region_revenue",
     "events_sessionized",
-    "asof_purchase_last_click",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "similarity_topk_bruteforce",
@@ -60,7 +59,6 @@ HEADLINE = (
     "q18_large_orders",
     "similarity_ann_ivf",
     "orders_value_deciles",
-    "text_bigram_counts",
     "trade_graph_pagerank",
     "dedup_incremental_lsh",
     "search_bm25",
@@ -87,6 +85,14 @@ HEADLINE = (
     # multimodal_image_features) retire to hold the set at 36.
     "similarity_pq_topk",
     "basket_part_pairs",
+    # session-2 round-6 rotation: the CDC MERGE shuffle and the Holt
+    # pandas-recursion surface are the new family representatives;
+    # asof_purchase_last_click (0.2 s, stable r2-r6; joins stay benched
+    # via the TPC-H block) and text_bigram_counts (0.5 s, stable r3-r6;
+    # text stays benched via tfidf/lm_perplexity/chunked) retire to
+    # hold the set at 36.
+    "orders_cdc_merge",
+    "events_value_holt",
 )
 
 # Hard cap on the final stdout JSON line. The driver keeps a ~2 KB tail
