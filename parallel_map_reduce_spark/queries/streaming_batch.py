@@ -1315,3 +1315,104 @@ def events_value_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend",
         "forecast_next",
     )
+
+
+@register(
+    "events_ab_conversion",
+    oracle="""
+WITH users AS (
+    SELECT user_id, user_id % 2 AS variant,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS n_purch
+    FROM events GROUP BY user_id
+),
+med AS (SELECT quantile_cont(n_purch, 0.5) AS m FROM users),
+flagged AS (
+    SELECT u.variant,
+           CASE WHEN u.n_purch >= med.m THEN 1 ELSE 0 END AS conv
+    FROM users u CROSS JOIN med
+),
+arms AS (
+    SELECT variant, COUNT(*)::BIGINT AS n_users,
+           SUM(conv)::BIGINT AS n_converted
+    FROM flagged GROUP BY variant
+),
+wide AS (
+    SELECT
+        MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+        MAX(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+        MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+        MAX(CASE WHEN variant = 1 THEN n_converted END) AS c1
+    FROM arms
+)
+SELECT n0, c0, n1, c1,
+       ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+       ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+       ROUND((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+             / SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat,
+       ABS((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+           / SQRT((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                  * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                  * (1.0 / n0 + 1.0 / n1))) >= 1.959964 AS significant
+FROM wide
+""",
+    doc="Experimentation analytics: pooled two-proportion z-test between "
+    "user-id-parity variants, on conversion defined as per-user "
+    "purchase count >= the corpus median (median-split keeps the "
+    "pooled rate ~0.5 at every scale factor, so the test is never "
+    "degenerate — unlike raw any-purchase conversion, which saturates "
+    "to p=1 on this fixture and divides by zero). One fact scan -> "
+    "user-keyed exchange -> exact-median threshold (broadcast 1-row) "
+    "-> 2-row arm table -> fixed-shape scalar z. Deterministic "
+    "cross-engine: the only irrational op is sqrt, which IEEE 754 "
+    "requires correctly rounded (unlike ln/pow, which PSI/MI "
+    "neutralize via per-term DECIMAL rounding); 1.959964 = two-sided "
+    "5% critical value as a literal. At 100 TB: swap the exact median "
+    "for approx_percentile, shape otherwise unchanged (arm stats are "
+    "2 rows).",
+    tags=("relational", "experimentation", "statistics", "aggregate"),
+)
+def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("bigint").alias("n_purch")
+        )
+        .withColumn("variant", F.col("user_id") % 2)
+    )
+    med = users.agg(F.expr("percentile(n_purch, 0.5)").alias("m"))
+    flagged = users.crossJoin(F.broadcast(med)).select(
+        "variant",
+        F.when(F.col("n_purch") >= F.col("m"), 1).otherwise(0).alias("conv"),
+    )
+    arms = flagged.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    n0, c0 = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+    p_pool = (c0 + c1) / (n0 + n1)
+    z = (c0 / n0 - c1 / n1) / F.sqrt(
+        p_pool * (F.lit(1.0) - p_pool) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(c0 / n0, 6).alias("rate0"),
+        F.round(c1 / n1, 6).alias("rate1"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) >= F.lit(1.959964)).alias("significant"),
+    )

@@ -102,7 +102,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # orders_cdc_diff (oracle-backed snapshot diff, MERGE's algebraic
 # inverse with a pinned round-trip law) displacing
 # events_hourly_interpolated (r4+r5 green — the longest remaining
-# non-core history; the events family keeps eight in-window members).
+# non-core history; the events family keeps eight in-window members);
+# and events_ab_conversion (oracle-backed two-proportion z-test —
+# the experimentation-analytics family's first entry) displacing
+# decontaminate_benchmark_overlap (r5 green; dedup keeps three
+# in-window members).
 # Entries remaining OUT of the window, each with a
 # reason:
 #   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
@@ -168,13 +172,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     "orders_cdc_merge",
     "orders_cdc_diff",
     "customer_segment_nation_mi",
+    "events_ab_conversion",
     "events_trend_ols",
     "events_value_ewma",
     "events_value_holt",
     # dedup: round-4 never-checked + new rounds 5/6 (the lossless
     # prefix-filtered exact similarity join is a round-6 addition)
     "part_name_fuzzy_pairs_lsh",
-    "decontaminate_benchmark_overlap",
     "dedup_passage_clean",
     "dedup_jaccard_prefix",
     # similarity — round-4 never-checked

@@ -60,6 +60,8 @@ CARTESIAN_OK = {
     "customer_segment_nation_mi": "report assembly: the grand total and "
     "three entropy scalars are 1-row broadcasts crossed into the final "
     "1-row profile; the only fact-table pass is the contingency groupBy",
+    "events_ab_conversion": "1-row median-threshold broadcast onto the "
+    "per-user table; the fact table sees only the user-keyed exchange",
 }
 
 # Single-partition exchanges are only acceptable when they carry
@@ -90,6 +92,8 @@ SINGLE_PARTITION_OK = {
     "tf-idf idf denominator)",
     "customer_segment_nation_mi": "the profile IS four 1-row scalar "
     "reductions over the |seg|x|nat| contingency table",
+    "events_ab_conversion": "exact-median scalar + the final 2-row arm "
+    "pivot ARE 1-row global reductions (approx_percentile at 100 TB)",
 }
 
 SKIP_PREFIX = "streaming_"  # live drains execute on build; covered elsewhere
