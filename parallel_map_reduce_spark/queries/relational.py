@@ -2295,3 +2295,94 @@ def orders_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").cast("double").alias("o_totalprice"),
         F.col("od").cast("string").alias("o_orderdate"),
     )
+
+
+# --- generic single-pass table profiler ------------------------------------
+
+_PROFILE_COLS = (
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_returnflag", "str"),
+    ("l_shipdate", "date"),
+)
+
+
+def _profile_oracle() -> str:
+    aggs, rows = [], []
+    for c, kind in _PROFILE_COLS:
+        aggs.append(f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS {c}_nulls")
+        aggs.append(f"COUNT(DISTINCT {c})::BIGINT AS {c}_distinct")
+        if kind == "num":
+            aggs.append(f"CAST(CAST(MIN({c}) AS DECIMAL(18,4)) AS VARCHAR) AS {c}_min")
+            aggs.append(f"CAST(CAST(MAX({c}) AS DECIMAL(18,4)) AS VARCHAR) AS {c}_max")
+        elif kind == "date":
+            aggs.append(f"CAST(CAST(MIN({c}) AS DATE) AS VARCHAR) AS {c}_min")
+            aggs.append(f"CAST(CAST(MAX({c}) AS DATE) AS VARCHAR) AS {c}_max")
+        else:
+            aggs.append(f"MIN({c}) AS {c}_min")
+            aggs.append(f"MAX({c}) AS {c}_max")
+        rows.append(
+            f"SELECT '{c}' AS column_name, n_rows, {c}_nulls AS n_nulls, "
+            f"{c}_distinct AS n_distinct, {c}_min AS min_value, "
+            f"{c}_max AS max_value FROM s"
+        )
+    return (
+        "WITH s AS (SELECT COUNT(*)::BIGINT AS n_rows, "
+        + ", ".join(aggs)
+        + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+@register(
+    "lineitem_column_profile",
+    oracle=_profile_oracle(),
+    doc="Generic single-pass column profiler over the largest fact "
+    "table: per column — null count, exact distinct count, canonical "
+    "min/max (numerics through DECIMAL(18,4) so both engines render "
+    "identical strings) — assembled into a (column, metrics) report "
+    "via inline() unpivot of ONE aggregate row. The multi-column "
+    "exact COUNT(DISTINCT) expands the scan (Spark's Expand operator "
+    "multiplies rows by the distinct-agg count); at 100 TB swap each "
+    "for approx_count_distinct and the profile becomes a true single "
+    "unexpanded pass — kept exact here so the report is "
+    "oracle-checkable. The profiler every ingest pipeline runs before "
+    "schema contracts are written.",
+    tags=("relational", "diagnostics", "profiling", "aggregate"),
+)
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"{c}_nulls")
+        )
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"{c}_distinct"))
+        if kind == "num":
+            mn = F.min(c).cast("decimal(18,4)").cast("string")
+            mx = F.max(c).cast("decimal(18,4)").cast("string")
+        elif kind == "date":
+            mn = F.min(F.to_date(c)).cast("string")
+            mx = F.max(F.to_date(c)).cast("string")
+        else:
+            mn, mx = F.min(c), F.max(c)
+        aggs.append(mn.alias(f"{c}_min"))
+        aggs.append(mx.alias(f"{c}_max"))
+    one = li.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows"),
+                F.col(f"{c}_nulls").alias("n_nulls"),
+                F.col(f"{c}_distinct").alias("n_distinct"),
+                F.col(f"{c}_min").alias("min_value"),
+                F.col(f"{c}_max").alias("max_value"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.inline(rows))

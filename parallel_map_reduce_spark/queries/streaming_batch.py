@@ -1416,3 +1416,70 @@ def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         (F.abs(z) >= F.lit(1.959964)).alias("significant"),
     )
+
+
+@register(
+    "events_session_metrics",
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN prev_ts IS NULL
+                     OR epoch(ts) - epoch(prev_ts) > {_SESSION_GAP_MIN * 60}
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+sessions AS (
+    SELECT user_id, ts, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+per_session AS (
+    SELECT user_id, session_id,
+           COUNT(*)::BIGINT AS n_events,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) AS duration_us
+    FROM sessions GROUP BY user_id, session_id
+)
+SELECT COUNT(*)::BIGINT AS n_sessions,
+       SUM(n_events)::BIGINT AS n_events,
+       ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+           AS avg_events_per_session,
+       ROUND(CAST(SUM(duration_us) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+           AS avg_duration_s,
+       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS bounce_rate
+FROM per_session
+""",
+    doc="Product-analytics session readout over the gap-sessionized "
+    "event stream (same 30m-gap islands as events_sessionized, whose "
+    "per-session rows this entry aggregates): session count, average "
+    "events/session, average duration, bounce rate. All reductions "
+    "are exact BIGINT sums of per-session integers; the four ratios "
+    "are fixed-shape double expressions rounded at the end — the "
+    "OLS/z-test discipline. Shape at 100 TB: one user-keyed exchange "
+    "(shared with sessionization) then a metadata-sized global "
+    "reduction with map-side partials.",
+    tags=("relational", "session", "product-analytics", "aggregate"),
+)
+def events_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_session = events_sessionized(spark, sf_dir)
+    n = F.count("*").cast("bigint")
+    ev = F.sum("n_events").cast("bigint")
+    dur = F.sum("duration_us").cast("bigint")
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("bigint")
+    return per_session.agg(
+        n.alias("n_sessions"),
+        ev.alias("n_events"),
+        F.round(ev.cast("double") / n.cast("double"), 6).alias(
+            "avg_events_per_session"
+        ),
+        F.round(
+            dur.cast("double") / n.cast("double") / F.lit(1000000.0), 6
+        ).alias("avg_duration_s"),
+        F.round(bounce.cast("double") / n.cast("double"), 6).alias("bounce_rate"),
+    )

@@ -106,7 +106,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # and events_ab_conversion (oracle-backed two-proportion z-test —
 # the experimentation-analytics family's first entry) displacing
 # decontaminate_benchmark_overlap (r5 green; dedup keeps three
-# in-window members).
+# in-window members); and events_session_metrics (oracle-backed
+# product-analytics session readout) + lineitem_column_profile
+# (oracle-backed single-pass table profiler) displacing
+# documents_corpus_report and trade_graph_pagerank (both r5 green;
+# curation keeps temperature_mix + weighted_sample, graph keeps
+# triangle census + LPA in-window).
 # Entries remaining OUT of the window, each with a
 # reason:
 #   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
@@ -173,6 +178,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "orders_cdc_diff",
     "customer_segment_nation_mi",
     "events_ab_conversion",
+    "events_session_metrics",
+    "lineitem_column_profile",
     "events_trend_ols",
     "events_value_ewma",
     "events_value_holt",
@@ -187,11 +194,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # round-6 PSI drift monitor
     "events_drift_psi",
     # curation anchors + new rounds 5/6 (weighted sampling)
-    "documents_corpus_report",
     "curation_temperature_mix",
     "curation_weighted_sample",
     # graph: anchor + round-4 never-checked + new round 6 (LPA)
-    "trade_graph_pagerank",
     "neardup_triangle_census",
     "trade_graph_communities_lpa",
     # search / multimodal anchors + round-4 never-checked

@@ -94,6 +94,10 @@ SINGLE_PARTITION_OK = {
     "reductions over the |seg|x|nat| contingency table",
     "events_ab_conversion": "exact-median scalar + the final 2-row arm "
     "pivot ARE 1-row global reductions (approx_percentile at 100 TB)",
+    "events_session_metrics": "the readout IS a 1-row global reduction "
+    "of per-session integers (map-side partials collapse first)",
+    "lineitem_column_profile": "the profile IS one global aggregate row "
+    "(per-column stats), unpivoted to |columns| rows",
 }
 
 SKIP_PREFIX = "streaming_"  # live drains execute on build; covered elsewhere
