@@ -215,3 +215,30 @@ def test_snapshot_diff_empty_on_identical(spark):
 
     snap = spark.createDataFrame([(1, "a", None), (2, None, "x")], "k INT, u STRING, v STRING")
     assert snapshot_diff(snap, snap, ["k"]).count() == 0  # null-safe compare
+
+
+def test_column_profile_invariants(spark, sf_dir):
+    from parallel_map_reduce_spark.registry import all_queries
+
+    rows = all_queries()["lineitem_column_profile"].build(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_nulls"] <= r["n_rows"]
+        assert 1 <= r["n_distinct"] <= r["n_rows"] - r["n_nulls"]
+        assert r["min_value"] is not None and r["max_value"] is not None
+    byname = {r["column_name"]: r for r in rows}
+    q = byname["l_quantity"]
+    assert float(q["min_value"]) <= float(q["max_value"])
+    assert byname["l_shipdate"]["min_value"] <= byname["l_shipdate"]["max_value"]
+
+
+def test_session_metrics_identities(spark, sf_dir):
+    from parallel_map_reduce_spark.registry import all_queries
+
+    r = all_queries()["events_session_metrics"].build(spark, sf_dir).collect()[0]
+    assert r["n_sessions"] > 0
+    assert r["avg_events_per_session"] == pytest.approx(
+        r["n_events"] / r["n_sessions"], abs=1e-5
+    )
+    assert 0.0 <= r["bounce_rate"] <= 1.0
+    assert r["avg_duration_s"] >= 0.0
