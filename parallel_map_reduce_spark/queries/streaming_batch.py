@@ -1483,3 +1483,75 @@ def events_session_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_duration_s"),
         F.round(bounce.cast("double") / n.cast("double"), 6).alias("bounce_rate"),
     )
+
+
+@register(
+    "events_seasonal_hourly",
+    oracle="""
+WITH cells AS (
+    SELECT event_type, EXTRACT(hour FROM ts)::BIGINT AS hod,
+           COUNT(*)::BIGINT AS n,
+           SUM(CAST(value AS DECIMAL(18,4))) AS s,
+           SUM(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4)))
+               AS ss
+    FROM events GROUP BY 1, 2
+),
+totals AS (
+    SELECT event_type,
+           CAST(SUM(n) AS DOUBLE) AS tn,
+           CAST(SUM(s) AS DOUBLE) AS ts_,
+           CAST(SUM(ss) AS DOUBLE) AS tss
+    FROM cells GROUP BY event_type
+)
+SELECT c.event_type, c.hod, c.n,
+       ROUND(CAST(c.s AS DOUBLE) / c.n, 6) AS mean_value,
+       ROUND((CAST(c.s AS DOUBLE) / c.n - t.ts_ / t.tn)
+             / SQRT(t.tss / t.tn - (t.ts_ / t.tn) * (t.ts_ / t.tn)), 6)
+           AS dev_sigma,
+       ABS((CAST(c.s AS DOUBLE) / c.n - t.ts_ / t.tn)
+           / SQRT(t.tss / t.tn - (t.ts_ / t.tn) * (t.ts_ / t.tn))) >= 0.05
+           AS flagged
+FROM cells c JOIN totals t USING (event_type)
+""",
+    doc="Hour-of-day seasonal profile per event type: mean value per "
+    "(type, hour-of-day) cell plus each cell's deviation from the "
+    "type's overall mean in overall-sigma units, with a flag for "
+    "cells off the flat-profile baseline. The seasonal-baseline "
+    "extraction behind time-of-day anomaly monitors (MAD and PSI "
+    "cover the distributional side; this covers the cyclic side). "
+    "One exchange builds the 24x|types| cell table; per-type totals "
+    "derive from the CELLS (metadata-sized — the fact table is "
+    "scanned once) and broadcast back. Sums are exact DECIMAL, the "
+    "deviation is a fixed-shape double expression over them, and the "
+    "only irrational op is IEEE-correctly-rounded sqrt — the z-test "
+    "discipline.",
+    tags=("relational", "timeseries", "seasonal", "diagnostics"),
+)
+def events_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    y = F.col("value").cast("decimal(12,4)")
+    cells = e.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hod")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(_dec("value")).alias("s"),
+        F.sum(y * y).alias("ss"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n").cast("double").alias("tn"),
+        F.sum("s").cast("double").alias("ts_"),
+        F.sum("ss").cast("double").alias("tss"),
+    )
+    j = cells.join(F.broadcast(totals), "event_type")
+    mean_c = F.col("s").cast("double") / F.col("n").cast("double")
+    mean_t = F.col("ts_") / F.col("tn")
+    sigma = F.sqrt(F.col("tss") / F.col("tn") - mean_t * mean_t)
+    dev = (mean_c - mean_t) / sigma
+    return j.select(
+        "event_type",
+        "hod",
+        "n",
+        F.round(mean_c, 6).alias("mean_value"),
+        F.round(dev, 6).alias("dev_sigma"),
+        (F.abs(dev) >= F.lit(0.05)).alias("flagged"),
+    )

@@ -111,7 +111,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (oracle-backed single-pass table profiler) displacing
 # documents_corpus_report and trade_graph_pagerank (both r5 green;
 # curation keeps temperature_mix + weighted_sample, graph keeps
-# triangle census + LPA in-window).
+# triangle census + LPA in-window); and events_seasonal_hourly
+# (oracle-backed hour-of-day seasonal profile) displacing
+# part_name_fuzzy_pairs_lsh (r5 green; dedup keeps passage_clean +
+# jaccard_prefix in-window).
 # Entries remaining OUT of the window, each with a
 # reason:
 #   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
@@ -180,12 +183,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_ab_conversion",
     "events_session_metrics",
     "lineitem_column_profile",
+    "events_seasonal_hourly",
     "events_trend_ols",
     "events_value_ewma",
     "events_value_holt",
     # dedup: round-4 never-checked + new rounds 5/6 (the lossless
     # prefix-filtered exact similarity join is a round-6 addition)
-    "part_name_fuzzy_pairs_lsh",
     "dedup_passage_clean",
     "dedup_jaccard_prefix",
     # similarity — round-4 never-checked
