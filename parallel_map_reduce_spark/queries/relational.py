@@ -2386,3 +2386,82 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.inline(rows))
+
+
+@register(
+    "customer_segment_nation_chi2",
+    oracle="""
+WITH j AS (
+    SELECT c_mktsegment AS seg, c_nationkey AS nat,
+           COUNT(*)::DOUBLE AS o
+    FROM customer GROUP BY 1, 2
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM customer),
+ms AS (SELECT seg, SUM(o) AS nseg FROM j GROUP BY 1),
+mn AS (SELECT nat, SUM(o) AS nnat FROM j GROUP BY 1),
+terms AS (
+    SELECT CAST(ROUND((j.o - ms.nseg * mn.nnat / tot.n)
+                      * (j.o - ms.nseg * mn.nnat / tot.n)
+                      / (ms.nseg * mn.nnat / tot.n), 8) AS DECIMAL(18,8))
+               AS term
+    FROM j JOIN ms USING (seg) JOIN mn USING (nat) CROSS JOIN tot
+),
+dims AS (
+    SELECT (SELECT COUNT(*) FROM ms) AS n_seg,
+           (SELECT COUNT(*) FROM mn) AS n_nat
+)
+SELECT CAST(ROUND(SUM(term), 4) AS DOUBLE) AS chi2,
+       ((dims.n_seg - 1) * (dims.n_nat - 1))::BIGINT AS dof,
+       CAST(ROUND(SUM(term), 4) AS DOUBLE)
+           >= 3.0 * ((dims.n_seg - 1) * (dims.n_nat - 1)) AS dependent_hint
+FROM terms CROSS JOIN dims
+GROUP BY dims.n_seg, dims.n_nat
+""",
+    doc="Chi-square test of independence between market segment and "
+    "nation — the frequentist sibling of customer_segment_nation_mi "
+    "(same one-pass contingency table; expected counts are products "
+    "of the metadata-sized margins). Per-cell (O-E)^2/E terms are "
+    "rounded to 8dp and summed as exact DECIMAL (the PSI/MI "
+    "discipline: the division chain is a fixed-shape double "
+    "expression, but the SUM over cells must be order-free). The "
+    "dependent_hint flags chi2 >= 3x dof — a deliberately "
+    "distribution-free threshold, since neither engine exposes a "
+    "bit-portable chi-square CDF; real pipelines feed chi2/dof to a "
+    "stats library downstream. Observed-only cells: structurally "
+    "absent (seg, nat) pairs contribute no term, matching the "
+    "observed-contingency convention.",
+    tags=("relational", "diagnostics", "statistics", "information-theory"),
+)
+def customer_segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    j = (
+        c.groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
+        )
+        .agg(F.count("*").cast("double").alias("o"))
+        .localCheckpoint(eager=True)  # tiny; 4 consumers below
+    )
+    n = j.agg(F.sum("o").alias("n"))
+    ms = j.groupBy("seg").agg(F.sum("o").alias("nseg"))
+    mn = j.groupBy("nat").agg(F.sum("o").alias("nnat"))
+    e = F.col("nseg") * F.col("nnat") / F.col("n")
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 8).cast(
+        "decimal(18,8)"
+    )
+    chi2 = (
+        j.join(F.broadcast(ms), "seg")
+        .join(F.broadcast(mn), "nat")
+        .crossJoin(F.broadcast(n))
+        .agg(F.sum(term).alias("chi2_dec"))
+    )
+    dims = ms.agg(F.count("*").alias("n_seg")).crossJoin(
+        mn.agg(F.count("*").alias("n_nat"))
+    )
+    out = chi2.crossJoin(F.broadcast(dims))
+    dof = ((F.col("n_seg") - 1) * (F.col("n_nat") - 1)).cast("bigint")
+    chi2_d = F.round("chi2_dec", 4).cast("double")
+    return out.select(
+        chi2_d.alias("chi2"),
+        dof.alias("dof"),
+        (chi2_d >= F.lit(3.0) * dof.cast("double")).alias("dependent_hint"),
+    )

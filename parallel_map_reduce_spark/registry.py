@@ -114,7 +114,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # triangle census + LPA in-window); and events_seasonal_hourly
 # (oracle-backed hour-of-day seasonal profile) displacing
 # part_name_fuzzy_pairs_lsh (r5 green; dedup keeps passage_clean +
-# jaccard_prefix in-window).
+# jaccard_prefix in-window); and customer_segment_nation_chi2
+# (oracle-backed chi-square independence, the frequentist sibling of
+# the MI profile) displacing q15_top_supplier (r5 green; the TPC-H
+# block keeps q4/q13/q21 in-window).
 # Entries remaining OUT of the window, each with a
 # reason:
 #   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
@@ -173,13 +176,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     # relational — anchors (q17/q20/q6/q8 displaced late round 6 by
     # the session's four oracle-backed additions, see header comment)
     "q21_waiting_suppliers",
-    "q15_top_supplier",
     # relational / events — new late round 6: lakehouse CDC MERGE,
     # information-theoretic column profiling, grouped OLS trend and
     # exact finite-window EWMA (operators/cdc.py, timeseries.py)
     "orders_cdc_merge",
     "orders_cdc_diff",
     "customer_segment_nation_mi",
+    "customer_segment_nation_chi2",
     "events_ab_conversion",
     "events_session_metrics",
     "lineitem_column_profile",

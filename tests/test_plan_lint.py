@@ -60,6 +60,8 @@ CARTESIAN_OK = {
     "customer_segment_nation_mi": "report assembly: the grand total and "
     "three entropy scalars are 1-row broadcasts crossed into the final "
     "1-row profile; the only fact-table pass is the contingency groupBy",
+    "customer_segment_nation_chi2": "same contingency-report assembly as "
+    "the MI profile: 1-row scalar crosses, one fact-table pass",
     "events_ab_conversion": "1-row median-threshold broadcast onto the "
     "per-user table; the fact table sees only the user-keyed exchange",
 }
@@ -98,6 +100,8 @@ SINGLE_PARTITION_OK = {
     "of per-session integers (map-side partials collapse first)",
     "lineitem_column_profile": "the profile IS one global aggregate row "
     "(per-column stats), unpivoted to |columns| rows",
+    "customer_segment_nation_chi2": "the statistic IS a 1-row scalar "
+    "reduction over the |seg|x|nat| contingency table",
 }
 
 SKIP_PREFIX = "streaming_"  # live drains execute on build; covered elsewhere
