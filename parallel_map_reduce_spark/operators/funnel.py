@@ -67,3 +67,57 @@ def funnel_first_completion(
         "user_id",
         *[F.col(f"st.{n}").alias(f"{s}_ts_us") for n, s in zip(names, steps)],
     )
+
+
+def funnel_first_completion_capped(
+    events: DataFrame,
+    cap_us: int,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+) -> DataFrame:
+    """``funnel_first_completion`` with a per-step conversion window:
+    step i must occur within ``cap_us`` of step i-1's matched event
+    (the "converted within N hours" semantics funnel products report).
+
+    Matching stays GREEDY — each step matches its FIRST qualifying
+    event; a step whose window lapses does not re-anchor on a later
+    candidate. Greedy is what the k-join cascade formulation computes
+    too, which is exactly what makes the independent oracle a semantic
+    proof rather than a restatement. Same single-shuffle array-fold
+    plan as the uncapped operator; the deadline is one more predicate
+    inside the codegen'd state machine."""
+    k = len(steps)
+    rank = F.lit(None).cast("int")
+    for i in range(k - 1, -1, -1):
+        rank = F.when(F.col("event_type") == steps[i], F.lit(i)).otherwise(rank)
+    slim = events.select(
+        "user_id", F.unix_micros("ts").alias("us"), rank.alias("rank")
+    ).filter(F.col("rank").isNotNull())
+    seqs = slim.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("us", "rank"))).alias("seq")
+    )
+
+    names = [f"s{i}" for i in range(k)]
+    init = F.struct(*[F.lit(None).cast("bigint").alias(n) for n in names])
+
+    def step_fold(acc, e):
+        fields = []
+        for i, n in enumerate(names):
+            if i == 0:
+                ok = F.lit(True)
+            else:
+                prev = acc[names[i - 1]]
+                ok = prev.isNotNull() & (e["us"] - prev <= F.lit(cap_us))
+            fields.append(
+                F.when(
+                    ok & acc[n].isNull() & (e["rank"] == i), e["us"]
+                ).otherwise(acc[n]).alias(n)
+            )
+        return F.struct(*fields)
+
+    done = seqs.select(
+        "user_id", F.aggregate("seq", init, step_fold).alias("st")
+    ).filter(F.col(f"st.{names[-1]}").isNotNull())
+    return done.select(
+        "user_id",
+        *[F.col(f"st.{n}").alias(f"{s}_ts_us") for n, s in zip(names, steps)],
+    )

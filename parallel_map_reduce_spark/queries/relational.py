@@ -2465,3 +2465,50 @@ def customer_segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         dof.alias("dof"),
         (chi2_d >= F.lit(3.0) * dof.cast("double")).alias("dependent_hint"),
     )
+
+
+_FUNNEL_CAP_US = 72 * 3600 * 1_000_000  # 72h conversion window per step
+
+
+@register(
+    "funnel_capped_windows",
+    oracle=f"""
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view'
+    GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.t
+         AND epoch_us(e.ts) - epoch_us(v.t) <= {_FUNNEL_CAP_US}
+    WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.t
+         AND epoch_us(e.ts) - epoch_us(c.t) <= {_FUNNEL_CAP_US}
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id,
+       epoch_us(v.t) AS view_ts_us,
+       epoch_us(c.t) AS click_ts_us,
+       epoch_us(p.t) AS purchase_ts_us
+FROM v JOIN c ON v.user_id = c.user_id JOIN p ON v.user_id = p.user_id
+""",
+    doc="Conversion-window funnel: view -> click -> purchase where each "
+    "step must land within 72h of the previous step's match (greedy "
+    "first-qualifying-event semantics, identical on both sides — the "
+    "oracle is the independent k-join cascade with the same deadline "
+    "predicate, so agreement proves the semantics, not just the "
+    "arithmetic). Same ONE-shuffle array-fold plan as the uncapped "
+    "funnel: the deadline is one extra predicate inside the codegen'd "
+    "per-user state machine, vs the cascade's 3 shuffles + 3 fact "
+    "reads. operators/funnel.py:funnel_first_completion_capped.",
+    tags=("relational", "funnel", "sessionization", "custom-operator"),
+)
+def funnel_capped_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.funnel import funnel_first_completion_capped
+
+    return funnel_first_completion_capped(
+        load_table(spark, sf_dir, "events"), _FUNNEL_CAP_US
+    )

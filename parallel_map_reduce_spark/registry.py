@@ -117,7 +117,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # jaccard_prefix in-window); and customer_segment_nation_chi2
 # (oracle-backed chi-square independence, the frequentist sibling of
 # the MI profile) displacing q15_top_supplier (r5 green; the TPC-H
-# block keeps q4/q13/q21 in-window).
+# block keeps q4/q13/q21 in-window); and funnel_capped_windows
+# (oracle-backed conversion-window funnel — the funnel family's
+# in-window representative) displacing text_vocab_growth (r5 green;
+# text keeps doc_similarity + novelty_ngrams + cms_heavy_hitters
+# in-window).
 # Entries remaining OUT of the window, each with a
 # reason:
 #   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
@@ -209,7 +213,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "search_bm25",
     # text — new round 5 (distributed cumulative-distinct curve) +
     # round 6 (sparse tf-idf cosine join, n-gram novelty, CMS sketch)
-    "text_vocab_growth",
+    "funnel_capped_windows",
     "multimodal_image_resize",
     "text_doc_similarity",
     "text_novelty_ngrams",

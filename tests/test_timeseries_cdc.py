@@ -242,3 +242,41 @@ def test_session_metrics_identities(spark, sf_dir):
     )
     assert 0.0 <= r["bounce_rate"] <= 1.0
     assert r["avg_duration_s"] >= 0.0
+
+
+def test_capped_funnel_greedy_deadline_semantics(spark):
+    """The deadline predicate: a click outside the window never counts,
+    a later in-window-looking click does NOT re-anchor (greedy), and
+    the purchase window anchors on the MATCHED click."""
+    import datetime as dt
+
+    from parallel_map_reduce_spark.operators.funnel import (
+        funnel_first_completion_capped,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, mins, et):
+        return Row(user_id=uid, ts=t0 + dt.timedelta(minutes=mins), event_type=et)
+
+    cap_us = 60 * 60 * 1_000_000  # 1h per step
+    rows = [
+        # u1: clean conversion inside both windows
+        ev(1, 0, "view"), ev(1, 30, "click"), ev(1, 80, "purchase"),
+        # u2: click misses its window; later events cannot resurrect it
+        ev(2, 0, "view"), ev(2, 90, "click"), ev(2, 100, "purchase"),
+        # u3: first click in-window, purchase within window of THAT click
+        # (95m after view — fails only if the purchase window anchored
+        # on the view instead of the click)
+        ev(3, 0, "view"), ev(3, 50, "click"), ev(3, 95, "purchase"),
+        # u4: purchase outside the click's window
+        ev(4, 0, "view"), ev(4, 10, "click"), ev(4, 200, "purchase"),
+    ]
+    out = {
+        r["user_id"]: r
+        for r in funnel_first_completion_capped(
+            spark.createDataFrame(rows), cap_us
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[3]["click_ts_us"] - out[3]["view_ts_us"] == 50 * 60 * 1_000_000
