@@ -103,19 +103,26 @@ def snapshot_diff(
     # Prefix-rename each side (fresh attribute ids) — the two snapshots
     # usually share lineage (new = merge(old, feed)), and dataset
     # aliases cannot disambiguate a self-join through that lineage.
-    o = old.select([F.col(c).alias(f"_o_{c}") for c in old.columns])
-    n = new.select([F.col(c).alias(f"_n_{c}") for c in old.columns])
+    o = old.select(
+        [F.col(c).alias(f"_o_{c}") for c in old.columns]
+        + [F.lit(True).alias("_o_present")]
+    )
+    n = new.select(
+        [F.col(c).alias(f"_n_{c}") for c in old.columns]
+        + [F.lit(True).alias("_n_present")]
+    )
     cond = [
         F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}")) for k in key_cols
     ]
     joined = o.join(n, cond, "full_outer")
     o_pack = F.struct(*[F.col(f"_o_{c}").alias(c) for c in payload])
     n_pack = F.struct(*[F.col(f"_n_{c}").alias(c) for c in payload])
-    o_present = F.col(f"_o_{key_cols[0]}").isNotNull()
-    n_present = F.col(f"_n_{key_cols[0]}").isNotNull()
-    for k in key_cols[1:]:  # composite keys: present if ANY part non-null
-        o_present = o_present | F.col(f"_o_{k}").isNotNull()
-        n_present = n_present | F.col(f"_n_{k}").isNotNull()
+    # Presence = explicit per-side marker, NOT key-column isNotNull:
+    # the join is eqNullSafe, so a key whose columns are all NULL can
+    # legitimately exist on both sides and must classify as 'U'/
+    # unchanged, never 'I'.
+    o_present = F.col("_o_present").isNotNull()
+    n_present = F.col("_n_present").isNotNull()
     op = (
         F.when(~o_present, F.lit("I"))
         .when(~n_present, F.lit("D"))

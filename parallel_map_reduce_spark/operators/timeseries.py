@@ -87,6 +87,20 @@ def ewma_weights(alpha: float, lookback: int) -> list[str]:
     out = []
     w = a
     for _ in range(lookback):
+        # The weights ride into the plan as DECIMAL(18,17) literals
+        # (group_ewma); an alpha/lookback combination whose exact
+        # expansion needs more than 17 fractional digits would be
+        # silently rounded there, breaking the documented exactness
+        # contract — fail loudly instead. (Exponent-based check: str()
+        # flips to E-notation below 1e-6, so string parsing would lie.)
+        frac_digits = max(0, -w.as_tuple().exponent)
+        if frac_digits > 17:
+            raise ValueError(
+                f"ewma weight {w} needs {frac_digits} fractional digits; "
+                f"DECIMAL(18,17) literals hold at most 17 — widen the "
+                f"literal type in group_ewma (and the oracle SQL) before "
+                f"using alpha={alpha!r}, lookback={lookback!r}"
+            )
         out.append(str(w))
         w = w * (one - a)
     return out

@@ -42,12 +42,25 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # AQE is the engine's standing execution posture (runtime re-plan,
-    # small-shuffle coalescing, skew-join splitting) — apply it here too
-    # so a harness-built bare session gets the same physical behavior
-    # the shipped session.py builder configures.
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # small-shuffle coalescing, skew-join splitting). A harness-built
+    # bare session (no explicit confs anywhere) should get that posture,
+    # but a caller who EXPLICITLY set any of these — e.g. a test
+    # disabling AQE to pin partition counts — must win: only fill in
+    # confs the session has never been given an explicit value for.
+    # (SQLConf.contains sees explicit sets, incl. builder-time ones,
+    # and not defaults; if the private handle breaks on a future Spark,
+    # fall back to the old unconditional set.)
+    for key, val in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+    ):
+        try:
+            explicitly_set = spark._jsparkSession.sessionState().conf().contains(key)
+        except Exception:  # noqa: BLE001
+            explicitly_set = False
+        if not explicitly_set:
+            spark.conf.set(key, val)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

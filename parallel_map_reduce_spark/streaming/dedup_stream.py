@@ -23,6 +23,9 @@ result equals the batch run exactly and shares its DuckDB oracle.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,7 +67,15 @@ def run_incremental_lsh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") != INCR_SOURCE)
     ).localCheckpoint(eager=True)  # the standing index artifact
 
-    out_dir = tempfile.mkdtemp(prefix="pmrs_lsh_matches_")
+    # Deterministic pid-keyed result dir, cleared up front: repeat runs
+    # (bench best-of-N, gate re-runs) reuse ONE directory per process
+    # instead of leaking a fresh mkdtemp each invocation. The dir must
+    # outlive this call (the returned DataFrame reads it lazily), so
+    # it is cleared at the START of the next run, not on exit.
+    tag = hashlib.md5(f"lsh:{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), "pmrs_lsh_matches", tag)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
     empty = spark.createDataFrame([], "new_doc BIGINT, corpus_doc BIGINT")
     empty.write.mode("append").parquet(out_dir)  # schema for the 0-match case
 
@@ -76,16 +87,20 @@ def run_incremental_lsh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(out_dir)
 
-    (
-        read_documents_stream(spark, sf_dir)
-        .writeStream.foreachBatch(_apply)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="pmrs_lsh_ckpt_")
+    # Fresh checkpoint per invocation (a reused one would drain zero
+    # batches on repeat runs); removed after the drain completes.
+    ckpt = tempfile.mkdtemp(prefix="pmrs_lsh_ckpt_")
+    try:
+        (
+            read_documents_stream(spark, sf_dir)
+            .writeStream.foreachBatch(_apply)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
         )
-        .start()
-        .awaitTermination()
-    )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     # distinct: pair-level idempotence if a batch is ever replayed
     # (foreachBatch is at-least-once without a transactional sink).
     return spark.read.parquet(out_dir).distinct()

@@ -39,10 +39,11 @@ CARTESIAN_OK = {
     # |langs|-row rate table built from 1-row aggregates; all sides are
     # metadata-sized — the corpus itself only sees a broadcast hash join
     "curation_temperature_mix": "rate-table build: |langs| x 1-row scalars",
-    "similarity_two_stage_ivf_topk": "broadcast centroid table (k rows) for "
-    "probe selection + array_contains(probe_set) stage-1 join — NLJ in "
-    "form, but the broadcast side is |Q| rows and the stream side is "
-    "partition-pruned to nprobe centroid lists",
+    "similarity_two_stage_ivf_topk": "the two remaining NLJs are the "
+    "k-row centroid-assignment crossJoins (query x broadcast centroid "
+    "table) for probe selection; stage 1 itself is a hash equi-join on "
+    "centroid_id against the partition-pruned code store "
+    "(operators/similarity.py:two_stage_ivf_topk_indexed)",
     "text_lm_perplexity": "1-row vocabulary-size scalar broadcast",
     "text_doc_similarity": "1-row corpus doc-count broadcast (inherited "
     "from the tf-idf weight build; the pair join itself is a hash "
