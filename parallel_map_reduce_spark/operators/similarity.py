@@ -989,6 +989,139 @@ def pq_topk(
     )
 
 
+def write_ivfpq_index(
+    emb: DataFrame,
+    path: str,
+    books: list[list[list[float]]],
+    cents: DataFrame,
+) -> None:
+    """Persist the IVFPQ serving artifact (FAISS's IndexIVFPQ layout,
+    Jégou et al. 2011): the PQ code store written ONCE, partitioned by
+    coarse centroid_id (``<path>/codes``), plus the coarse centroid
+    table (``<path>/centroids``). Composes the two index halves the
+    repo already had separately — ``write_ivf_index``'s
+    partition-pruned layout and ``write_pq_index``'s 32x-compressed
+    codes — so serving scans only nprobe partitions of m-byte codes:
+    at 100 TB neither a full-corpus raw scan NOR a full-corpus code
+    scan remains.
+
+    Codes come from ``pq_encode`` verbatim (bit-identical to the flat
+    PQ store — the nprobe=all equality contract in
+    tests/test_similarity.py depends on it); the vec_id equi-join with
+    the coarse assignment is a build-time-only shuffle, amortized over
+    every future query batch."""
+    assigned = ivf_assignments(emb, cents=cents).select("vec_id", "centroid_id")
+    store = pq_encode(emb, books).join(assigned, "vec_id")
+    store.write.mode("overwrite").partitionBy("centroid_id").parquet(path + "/codes")
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    index_path: str,
+    query_filter: F.Column,
+    books: list[list[list[float]]],
+    k: int = 10,
+    shortlist_n: int = PQ_SHORTLIST,
+    nprobe: int = IVF_NPROBE,
+    collected_queries: list | None = None,
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank): IVFPQ retrieval from the persisted
+    index — the standard two-level billion-scale ANN serving path.
+
+    Stage 0 (driver, metadata-sized): the broadcast-sized query batch
+    picks its top-``nprobe`` coarse centroids by cosine (k x dim
+    centroid table and |Q| queries are both driver metadata — the same
+    class as the PQ lookup tables, computed with the same sequential
+    fold as every other driver-side replica).
+    Stage 1 (pruned ADC scan): the union of probed centroid ids is
+    applied as an ``isin`` PARTITION filter on the code store — the
+    scan itself reads only nprobe partitions per query batch
+    (``PartitionFilters`` in the plan) — and the surviving m-byte codes
+    hash-equi-join the broadcast (query, probe, lut) rows on
+    centroid_id; ADC score = m array lookups per pair.
+    Stage 2 (exact re-rank): full vectors are fetched by vec_id
+    equi-join for the fixed-size shortlist only.
+
+    With nprobe = all centroids this is value-identical to the flat
+    ``pq_topk_indexed`` (every partition scanned, same ADC arithmetic —
+    pinned in tests); with nprobe < k_coarse it is the approximate
+    trade: vectors whose coarse cell the query does not probe are
+    invisible (recall floor pinned in tests)."""
+    spark = emb.sparkSession
+    m = len(books)
+    subdim = len(books[0][0])
+    store = spark.read.parquet(index_path + "/codes")
+    cent_rows = sorted(
+        spark.read.parquet(index_path + "/centroids").collect(),
+        key=lambda r: r.centroid_id,
+    )
+    e = _normalized(emb)
+    qrows = (
+        collected_queries
+        if collected_queries is not None
+        else e.filter(query_filter).collect()
+    )
+    # Stage 0 + LUTs on the driver: for each query, cos(q, c) over the
+    # k coarse centroids (|q|=1 after normalization, so cos = dot/c_nrm;
+    # ties to the lowest centroid_id — the probe order every Spark-side
+    # sibling uses), then the per-subspace ADC table for its probes.
+    probe_rows = []
+    for r in qrows:
+        q_nemb = [float(v) for v in r["nemb"]]
+        scored = sorted(
+            (
+                (-(_seq_dot(q_nemb, [float(v) for v in c.c_emb]) / float(c.c_nrm)), c.centroid_id)
+                for c in cent_rows
+            ),
+        )[:nprobe]
+        lut = [
+            [
+                _seq_dot(q_nemb[s * subdim : (s + 1) * subdim], cent)
+                for cent in books[s]
+            ]
+            for s in range(m)
+        ]
+        for _, cid in scored:
+            probe_rows.append((r["vec_id"], int(cid), q_nemb, lut))
+    probed_ids = sorted({cid for _, cid, _, _ in probe_rows})
+    q = spark.createDataFrame(
+        probe_rows,
+        "query_id BIGINT, centroid_id INT, q_nemb ARRAY<DOUBLE>, "
+        "lut ARRAY<ARRAY<DOUBLE>>",
+    )
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(F.col("lut")[s], F.col("codes")[s] + 1)
+    s1 = (
+        store.filter(F.col("centroid_id").isin(probed_ids))
+        .join(F.broadcast(q.drop("q_nemb")), "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn("adc", adc)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    short = (
+        s1.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= shortlist_n)
+        .select("query_id", "vec_id")
+    )
+    qn = (
+        q.select("query_id", F.col("q_nemb").alias("qe"))
+        .dropDuplicates(["query_id"])
+    )
+    re_rank = (
+        short.join(e, "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn("cos", dot("qe", "nemb"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        re_rank.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 def _seq_dot(a: list[float], b: list[float]) -> float:
     """Sequential left-fold dot — matches the zip_with/aggregate
     expression's evaluation order exactly (no pairwise/SIMD

@@ -102,6 +102,49 @@ lsh_pairs AS (
 )"""
 
 
+def _lsh_edges_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        mtime = int(os.path.getmtime(docs_path))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"lsh_edges:{os.path.abspath(sf_dir)}:{mtime}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "pmrs_lsh_edges", key)
+
+
+def ensure_lsh_edges(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the MinHash-LSH candidate-pair edge list as a SHARED
+    parquet artifact (built once per sf_dir, keyed by source mtime) —
+    the graph-family analogue of write_ivf_index: every graph query
+    over the near-dup candidate graph (triangle census, LPA
+    communities, future ones) serves from this table instead of
+    re-deriving shingles → minhash → bands → band-join before its own
+    first shuffle. The derivation is deterministic md5 arithmetic
+    (operators/dedup.py:minhash_lsh_candidates), so the artifact equals
+    the live subplan row-for-row and the DuckDB oracles
+    (LSH_PAIRS_CTES) stay valid unchanged. At 100 TB this is the
+    standard shape: candidate edges are an expensive corpus-derived
+    intermediate that MANY consumers read — write once, bucket/serve
+    many."""
+    import os
+
+    path = _lsh_edges_path(sf_dir)
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        D.minhash_lsh_candidates(
+            load_table(spark, sf_dir, "documents")
+        ).write.mode("overwrite").parquet(path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
 @register(
     "dedup_minhash_lsh_pairs",
     oracle=f"""

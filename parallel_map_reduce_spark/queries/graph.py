@@ -114,20 +114,24 @@ GROUP BY node
     "degree-oriented compact-forward algorithm (wedges pivot only on "
     "each node's out-neighbors under (degree, id) orientation, bounding "
     "fan-out by O(sqrt(m)) — Suri & Vassilvitskii's last-reducer fix); "
-    "the oracle is the independent id-oriented 3-way self-join. "
-    "operators/graph.py:triangle_counts.",
+    "the oracle is the independent id-oriented 3-way self-join. The "
+    "edge list is served from the SHARED persisted candidate artifact "
+    "(queries/dedup.py:ensure_lsh_edges — built once per sf_dir), so "
+    "this query's plan starts at a parquet scan of edges, not at "
+    "re-shingling the corpus. operators/graph.py:triangle_counts.",
     tags=("graph", "dedup", "custom-operator"),
 )
 def neardup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import dedup as D
+    from .dedup import ensure_lsh_edges
 
-    docs = load_table(spark, sf_dir, "documents")
-    edges = D.minhash_lsh_candidates(docs).select(
+    edges = spark.read.parquet(ensure_lsh_edges(spark, sf_dir)).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     return G.triangle_counts(edges).select(
         F.col("node").alias("doc_id"), "n_triangles"
     )
+
+
 
 
 def _lpa_sql(iters: int) -> str:
@@ -179,4 +183,47 @@ def trade_graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return G.label_propagation(edges).select(
         "node", F.col("label").alias("community")
+    )
+
+def _neardup_lpa_oracle() -> str:
+    from .dedup import LSH_PAIRS_CTES
+
+    return f"""
+WITH {LSH_PAIRS_CTES},
+sym AS (
+    SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+{_lpa_sql(G.LPA_ITERS)}
+SELECT node::BIGINT AS doc_id, label::BIGINT AS community
+FROM lp{G.LPA_ITERS}
+"""
+
+
+@register(
+    "neardup_communities_lpa",
+    oracle=_neardup_lpa_oracle(),
+    doc=f"Label-propagation communities ({G.LPA_ITERS} synchronous "
+    "rounds, ties to the smallest label) over the MinHash-LSH near-dup "
+    "candidate graph — near-duplicate CLUSTERS rather than pairs, the "
+    "document-side sibling of the trade-graph LPA entry. Served from "
+    "the SHARED persisted edge artifact (queries/dedup.py:"
+    "ensure_lsh_edges), so the superstep loop starts from a parquet "
+    "scan of |edges| rows; integer doc-id labels keep the update "
+    "integer-exact, and the oracle replays the identical rounds as "
+    "unrolled CTEs over the same LSH-pair SQL the pair/triangle "
+    "oracles use. operators/graph.py:label_propagation.",
+    tags=("graph", "dedup", "iterative", "community", "custom-operator"),
+)
+def neardup_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import ensure_lsh_edges
+
+    pairs = spark.read.parquet(ensure_lsh_edges(spark, sf_dir))
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    return G.label_propagation(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community")
     )

@@ -475,3 +475,70 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_K,
         collected_queries=_PQ_QUERY_MEMO[key],
     )
+
+
+def _ivfpq_index_path(sf_dir: str) -> str:
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = int(os.path.getmtime(emb_path))
+    except OSError:
+        mtime = 0
+    key = hashlib.md5(
+        f"ivfpq:{os.path.abspath(sf_dir)}:{mtime}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "pmrs_ivfpq_index", key)
+
+
+def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the persisted IVFPQ index (centroid_id-partitioned PQ code
+    store) for sf_dir if absent — the same build-once/serve-many split
+    as the IVF and flat-PQ indexes, keyed by source mtime."""
+    path = _ivfpq_index_path(sf_dir)
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        emb = load_table(spark, sf_dir, "embeddings")
+        S.write_ivfpq_index(
+            emb,
+            path,
+            _pretrained_pq_books(spark, sf_dir),
+            _pretrained_cents(spark, sf_dir),
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+@register(
+    "similarity_ivfpq_topk",
+    oracle=None,  # doubly approximate by design (IVF cell pruning x PQ
+    # code quantization); the recall floor, the nprobe=all ==
+    # flat-pq_topk equality, and the PartitionFilters plan shape are
+    # pinned in tests/test_similarity.py (driver records rows-only).
+    doc="IVFPQ retrieval (Jégou et al. 2011; the FAISS IndexIVFPQ "
+    "layout): the PQ code store is persisted PARTITIONED BY coarse "
+    "centroid_id (write_ivfpq_index, built once per sf_dir), so each "
+    "query batch prunes the scan to nprobe partitions at the FILE "
+    "level (PartitionFilters) and ADC-scores only the surviving "
+    "m-byte codes via a hash equi-join on centroid_id — composing the "
+    "repo's IVF partition pruning with PQ compression so no retrieval "
+    "path scans the full corpus in ANY representation; exact "
+    "full-vector re-rank touches only the fixed-size shortlist. "
+    "operators/similarity.py:write_ivfpq_index,ivfpq_topk.",
+    tags=("similarity", "ann", "ivf", "pq", "topk", "compression"),
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pretrained_pq_books(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    if key not in _PQ_QUERY_MEMO:
+        _PQ_QUERY_MEMO[key] = (
+            S._normalized(emb).filter(F.col("vec_id") % _QUERY_MOD == 0).collect()
+        )
+    return S.ivfpq_topk(
+        emb,
+        _ensure_ivfpq_index(spark, sf_dir),
+        F.col("vec_id") % _QUERY_MOD == 0,
+        books,
+        k=_K,
+        collected_queries=_PQ_QUERY_MEMO[key],
+    )

@@ -33,122 +33,22 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver's correctness gate checks exactly the FIRST 50 registered
-# entries (rounds 2-4 all recorded exact 50-entry prefixes of the
-# then-current registry). GATE_PRIORITY curates positions 1-50.
-#
-# ROTATION POLICY (apply EVERY round — round 4's mistake was adding
-# operators without rotating, so 12 new capabilities shipped with no
-# driver evidence):
+# entries; GATE_PRIORITY curates that window (mechanics pinned in
+# tests/test_registry_contract.py). ROTATION POLICY, applied every
+# round:
 #   1. The 10 core entries (SURVEY §2.1 reference-parity bar) are
 #      permanent.
-#   2. Every entry ADDED this round goes INTO the window immediately,
-#      displacing the entries with the most rounds of green hash-match
-#      history (their evidence ages best).
+#   2. Every entry ADDED this round rotates IN immediately, displacing
+#      the entries with the longest green hash-match history.
 #   3. Every family keeps at least one in-window representative.
-#   4. Slow entries (live streaming drains, >5 s oracles) sit at the
-#      END of the window so a wall-clock-truncated gate still covers
-#      the fast majority; un-gated live drains stay at the registry
-#      tail.
-# Round-6 window: the 5 remaining gate-able never-checked entries
-# rotate IN (events_value_winsorized + the last four live drains,
-# completing live-streaming coverage: all 8 drains will then have a
-# driver row in r5 or r6), plus event_users_hll_rollup as the approx
-# family's first driver row since r4 (rows-only by design — proves the
-# entry RUNS under the driver; its tolerance contract lives in
-# pytest), plus the three oracle-backed round-6 additions per rule 2
-# (q4_priority_order_check, q13_customer_order_distribution,
-# bucketed_orders_revenue). Displaced, longest-green-first:
-# q1_pricing_summary, q3_shipping_priority,
-# event_type_distinct_users_salted, orders_value_deciles (all
-# r2+r3+r4+r5 green — the longest hash-match histories in the
-# window), dedup_minhash_lsh_pairs (r3-r5 green; dedup keeps four
-# in-window members), and the four r5-gated drains
-# (streaming_hourly_tumbling, streaming_curation_dedup,
-# streaming_dedup_keys, streaming_sessionized — swapping the
-# streaming slots keeps the drain block at 4 so gate wall-clock
-# doesn't grow; the incoming drains are the family's representatives
-# per rule 3). Late-round-6 additions, per rule 2: orders_status_scd2
-# and events_rolling_7d_users_exact (both oracle-backed) rotate IN,
-# displacing events_latest_per_user and events_cohort_retention (r4+r5
-# green — the longest hash-match histories among remaining non-core
-# members; the events family keeps winsorized, hourly_interpolated,
-# zorder and the new exact-rolling entry in-window); and
-# basket_part_pairs (oracle-backed market-basket mining) displacing
-# curation_pack_bins (r4+r5 green; curation keeps pipeline,
-# corpus_report and temperature_mix in-window); and
-# trade_graph_communities_lpa (oracle-backed LPA community detection)
-# displacing events_zorder_code (r4+r5 green; the layout family stays
-# represented by bucketed_orders_revenue); and events_user_skew_report
-# + events_incremental_agg_merge (oracle-backed diagnostics and
-# materialized-aggregate maintenance) displacing curation_pipeline and
-# multimodal_image_features (both r4+r5 green; curation keeps
-# corpus_report + temperature_mix, multimodal keeps image_resize).
-# Final round-6 additions, per rule 2: dedup_jaccard_prefix,
-# text_doc_similarity, text_novelty_ngrams, text_cms_heavy_hitters,
-# curation_weighted_sample, events_drift_psi (all oracle-backed)
-# rotate IN, displacing q9_product_profit, q12_late_lines_by_class,
-# dedup_passage_duplicates, customer_pii_masked, text_lm_perplexity
-# and documents_chunked (all r5 green; relational keeps ten in-window
-# members, dedup keeps four, text keeps four — every displaced
-# family stays represented). Session-2 round-6 additions, per rule 2:
-# orders_cdc_merge, customer_segment_nation_mi, events_trend_ols,
-# events_value_ewma (all oracle-backed) rotate IN, displacing
-# q17_small_quantity_revenue, q20_concentrated_suppliers,
-# q6_forecast_revenue and q8_market_share (all r5 green; the TPC-H
-# block keeps q4/q13/q21/q15 in-window, so relational stays the
-# most-represented family); and events_value_holt (oracle-backed
-# recursive Holt smoothing — a fully oracle-checked applyInPandas
-# stateful operator) displacing q10_returned_items (r5 green); and
-# orders_cdc_diff (oracle-backed snapshot diff, MERGE's algebraic
-# inverse with a pinned round-trip law) displacing
-# events_hourly_interpolated (r4+r5 green — the longest remaining
-# non-core history; the events family keeps eight in-window members);
-# and events_ab_conversion (oracle-backed two-proportion z-test —
-# the experimentation-analytics family's first entry) displacing
-# decontaminate_benchmark_overlap (r5 green; dedup keeps three
-# in-window members); and events_session_metrics (oracle-backed
-# product-analytics session readout) + lineitem_column_profile
-# (oracle-backed single-pass table profiler) displacing
-# documents_corpus_report and trade_graph_pagerank (both r5 green;
-# curation keeps temperature_mix + weighted_sample, graph keeps
-# triangle census + LPA in-window); and events_seasonal_hourly
-# (oracle-backed hour-of-day seasonal profile) displacing
-# part_name_fuzzy_pairs_lsh (r5 green; dedup keeps passage_clean +
-# jaccard_prefix in-window); and customer_segment_nation_chi2
-# (oracle-backed chi-square independence, the frequentist sibling of
-# the MI profile) displacing q15_top_supplier (r5 green; the TPC-H
-# block keeps q4/q13/q21 in-window); and funnel_capped_windows
-# (oracle-backed conversion-window funnel — the funnel family's
-# in-window representative) displacing text_vocab_growth (r5 green;
-# text keeps doc_similarity + novelty_ngrams + cms_heavy_hitters
-# in-window).
-# Entries remaining OUT of the window, each with a
-# reason:
-#   - similarity_two_stage_ivf_topk, embedding_semantic_dedup,
-#     event_type_user_overlap_hll, text_bpe_vocabulary (new r6),
-#     embedding_pca_whitened (new r6): rows-only by design, pytest
-#     contracts carry them (ivf_topk has the indexed==inline equality
-#     contract, bpe the exact merge-sequence contract vs a textbook
-#     reference, pca the full-numpy covariance/projection contract);
-#   - similarity_pq_topk (new r6): rows-only by design (ADC shortlist
-#     is approximate); recall-floor + python-ADC-replica + determinism
-#     contracts in tests/test_similarity.py;
-#   - documents_quality_logreg (new r6): rows-only by design
-#     (iterative GD training); tests/test_quality_model.py carries the
-#     python-replica equality + bit-determinism + separation contracts;
-#   - events_rolling_7d_users_hll, event_value_quantiles_approx:
-#     rows-only approx siblings — event_users_hll_rollup represents
-#     the family this round; rotate them in next rounds;
-#   - streaming_inverted_index (new r6, oracle-backed) and
-#     streaming_cdc_apply (new r6, oracle-backed — shares the batch
-#     MERGE oracle): registered after the r6 drain block was committed
-#     to the four never-checked drains, which must get their first
-#     driver rows this round; they rotate into the drain block next
-#     round. Until then both LIVE drains are pinned by
-#     tests/test_streaming.py exact-equality contracts against their
-#     batch twins (same oracle SQL). streaming_neardup_lsh (new r6,
-#     oracle-backed, shares the incremental-LSH oracle) joins them in
-#     the same next-round drain rotation.
+#   4. Slow entries (live streaming drains) sit at the END of the
+#      window; un-gated drains stay at the registry tail.
+# Round-7 window: the three oracle-backed live drains registered after
+# the r6 drain block froze rotate IN (streaming_inverted_index /
+# streaming_cdc_apply / streaming_neardup_lsh — VERDICT r6 task 3),
+# event_value_quantiles_approx takes the approx family's rows-only
+# slot from event_users_hll_rollup (task 8), and the round's new
+# entries rotate in per rule 2. Full displacement log: GATE_HISTORY.md.
 GATE_PRIORITY: tuple[str, ...] = (
     # core (reference parity) — permanent
     "inverted_index",
@@ -175,8 +75,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_incremental_agg_merge",
     # events — new round 5, registered after the r5 window froze
     "events_value_winsorized",
-    # approx family representative (rows-only by design; ran r4)
-    "event_users_hll_rollup",
+    # approx family representative (rows-only by design; hll_rollup ran
+    # r6 — the GK-quantile sibling takes the slot this round)
+    "event_value_quantiles_approx",
     # relational — anchors (q17/q20/q6/q8 displaced late round 6 by
     # the session's four oracle-backed additions, see header comment)
     "q21_waiting_suppliers",
@@ -198,8 +99,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # prefix-filtered exact similarity join is a round-6 addition)
     "dedup_passage_clean",
     "dedup_jaccard_prefix",
-    # similarity — round-4 never-checked
-    "similarity_two_stage_topk",
+    # similarity — new round 7: the composed IVFPQ serving path
+    # (rows-only by design; contracts in tests/test_similarity.py)
+    "similarity_ivfpq_topk",
     # events / streaming-batch: never-checked + family anchors +
     # round-6 PSI drift monitor
     "events_drift_psi",
@@ -209,6 +111,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # graph: anchor + round-4 never-checked + new round 6 (LPA)
     "neardup_triangle_census",
     "trade_graph_communities_lpa",
+    "neardup_communities_lpa",
     # search / multimodal anchors + round-4 never-checked
     "search_bm25",
     # text — new round 5 (distributed cumulative-distinct curve) +
@@ -218,11 +121,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_doc_similarity",
     "text_novelty_ngrams",
     "text_cms_heavy_hitters",
-    # live streaming drains — the four never-gated ones; last on purpose
-    "streaming_sliding_counts",
-    "streaming_sliding_users_approx",
-    "streaming_segment_enrichment",
-    "streaming_purchase_click_join",
+    # live streaming drains — the three r6-registered oracle-backed ones
+    # (incl. the streaming flagship); last on purpose
+    "streaming_inverted_index",
+    "streaming_cdc_apply",
+    "streaming_neardup_lsh",
 )
 
 

@@ -405,3 +405,80 @@ def test_pq_indexed_equals_inline(spark, emb, pq_books, tmp_path):
         map(tuple, pq_topk_indexed(emb, path, qf, pq_books, k=K).collect())
     )
     assert inline == indexed
+
+
+@pytest.fixture(scope="module")
+def ivfpq_index(spark, emb, pq_books, tmp_path_factory):
+    """One IVFPQ artifact shared by the composition tests (build once —
+    the split the operator is designed around)."""
+    from parallel_map_reduce_spark.operators.similarity import (
+        IVF_K,
+        train_ivf_centroids,
+        write_ivfpq_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    cents = train_ivf_centroids(emb, IVF_K)
+    write_ivfpq_index(emb, path, pq_books, cents)
+    return path
+
+
+def test_ivfpq_nprobe_all_equals_flat_pq(spark, emb, pq_books, ivfpq_index, tmp_path):
+    """With nprobe = all coarse cells, the IVFPQ path scans every
+    partition of the same bit-identical code store and applies the same
+    driver-LUT ADC arithmetic — so it must EQUAL the flat persisted-PQ
+    path row-for-row (which test_pq_indexed_equals_inline pins equal to
+    the inline pq_topk). This is the composition's exactness anchor:
+    partitioning the store changed WHERE codes live, never their values
+    or the scoring."""
+    from parallel_map_reduce_spark.operators.similarity import (
+        IVF_K,
+        ivfpq_topk,
+        pq_topk_indexed,
+        write_pq_index,
+    )
+
+    flat_path = str(tmp_path / "pq_flat")
+    write_pq_index(emb, flat_path, pq_books)
+    qf = F.col("vec_id") % QUERY_FILTER_MOD == 0
+    full = sorted(
+        map(tuple, ivfpq_topk(emb, ivfpq_index, qf, pq_books, k=K, nprobe=IVF_K).collect())
+    )
+    flat = sorted(
+        map(tuple, pq_topk_indexed(emb, flat_path, qf, pq_books, k=K).collect())
+    )
+    assert full == flat and len(full) > 0
+
+
+def test_ivfpq_recall_floor_and_partition_pruning(spark, emb, pq_books, ivfpq_index):
+    """Default-nprobe serving: (a) recall floor vs brute force — doubly
+    approximate (IVF cell pruning x PQ quantization), so the floor sits
+    at the IVF family's level (the coarse pruning dominates the loss on
+    these near-random vectors; flat PQ alone measures ~0.88, IVF alone
+    ~0.5); (b) the executed plan must prune the code-store SCAN to the
+    probed centroid partitions (PartitionFilters), the property the
+    composed artifact exists for; (c) repartitioning the query input
+    must not change results (stage 0 is driver-side, stages 1-2 are
+    partition-count-invariant)."""
+    from parallel_map_reduce_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    qf = F.col("vec_id") % QUERY_FILTER_MOD == 0
+    exact = brute_force_topk(emb, qf, k=K).collect()
+    df = ivfpq_topk(emb, ivfpq_index, qf, pq_books, k=K)
+    approx = df.collect()
+    recall, approx_sets = _mean_recall(exact, approx)
+    assert len(approx) > 0
+    assert recall >= 0.3, f"mean recall {recall:.3f}"
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    # no full-corpus pass in any representation: the only joins are the
+    # centroid_id hash equi-join and the shortlist equi-joins
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    again = ivfpq_topk(emb.repartition(7), ivfpq_index, qf, pq_books, k=K).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
