@@ -286,3 +286,84 @@ def weighted_sample(docs: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
             F.col("sample_rank").cast("int").alias("sample_rank"),
         )
     )
+
+
+# Leakage-guarded split: near-dup CLUSTER members must land in the same
+# split, or evaluation leaks training data (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" — the
+# eval-contamination half of the dedup argument). Cluster ids come from
+# FIXED-ROUND min-label propagation over the candidate-pair graph:
+# fixed rounds (vs connected_components' run-to-fixpoint loop) keep the
+# output a deterministic, SQL-replayable function of the edge list.
+# LEAK_ROUNDS bounds the guarded chain length; near-dup clusters are
+# shallow (diameter almost always <= 3), and the convergence pytest
+# pins fixed-round == true-fixpoint labels on the test corpora — at a
+# new corpus scale, raise LEAK_ROUNDS until that check holds.
+LEAK_ROUNDS = 5
+LEAK_SALT = "leak-split:"  # independent of SPLIT_SALT's hash stream
+LEAK_TRAIN_BUCKETS = 8  # md5(cluster) % 10: 0-7 train, 8 val, 9 test
+
+
+def minlabel_fixed_rounds(pairs: DataFrame, rounds: int = LEAK_ROUNDS) -> DataFrame:
+    """(node, label): ``rounds`` synchronous min-label propagation steps
+    over candidate pairs (doc_a, doc_b); label = smallest doc_id
+    reachable within ``rounds`` hops. Per round: one label-keyed
+    exchange for the neighbor min (map-side partial min), one node-keyed
+    join back; labels checkpointed per round so plans stay flat — the
+    connected_components discipline with the fixpoint loop unrolled."""
+    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(rounds):
+        nbr = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def leakage_guarded_split(
+    docs: DataFrame, pairs: DataFrame, rounds: int = LEAK_ROUNDS
+) -> DataFrame:
+    """(doc_id, cluster_id, split): train/val/test assignment where
+    every document in the same near-dup candidate cluster gets the SAME
+    split — the hash is taken over the cluster id, not the doc id, so
+    a near-copy of a training document can never land in test.
+    Candidate pairs (not verified duplicates) are the deliberate,
+    conservative choice: anything plausibly similar is guarded.
+    Documents with no candidate edges are their own cluster. All
+    arithmetic is integer/md5-exact, so an external engine reproduces
+    every assignment bit-for-bit."""
+    labels = minlabel_fixed_rounds(pairs, rounds)
+    joined = docs.select("doc_id").join(
+        labels, docs["doc_id"] == labels["node"], "left"
+    )
+    cluster = F.coalesce("label", F.col("doc_id"))
+    bucket = F.pmod(
+        md5_i32(F.concat(F.lit(LEAK_SALT), cluster.cast("string"))), F.lit(10)
+    )
+    return joined.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        F.when(bucket < LEAK_TRAIN_BUCKETS, F.lit("train"))
+        .when(bucket == LEAK_TRAIN_BUCKETS, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -1016,6 +1016,53 @@ def write_ivfpq_index(
     cents.write.mode("overwrite").parquet(path + "/centroids")
 
 
+def ivfpq_probe_table(
+    spark,
+    qrows: list,
+    cent_rows: list,
+    books: list[list[list[float]]],
+    nprobe: int = IVF_NPROBE,
+):
+    """(probe DataFrame, probed centroid ids): stage 0 of IVFPQ serving,
+    entirely driver-side metadata — for each normalized query row, its
+    top-``nprobe`` coarse centroids by cosine (|q|=1, so cos = dot /
+    c_nrm; ties to the lowest centroid_id) and its per-subspace ADC
+    lookup table, as |Q| * nprobe rows. Callers serving a FIXED query
+    batch should build this once and ``localCheckpoint`` it — the
+    ~|Q| * m * k doubles otherwise re-cross the Py4J boundary on every
+    request (measured ~1 s per call at even a 40-query batch)."""
+    m = len(books)
+    subdim = len(books[0][0])
+    probe_rows = []
+    for r in qrows:
+        q_nemb = [float(v) for v in r["nemb"]]
+        scored = sorted(
+            (
+                (
+                    -(_seq_dot(q_nemb, [float(v) for v in c.c_emb]) / float(c.c_nrm)),
+                    c.centroid_id,
+                )
+                for c in cent_rows
+            ),
+        )[:nprobe]
+        lut = [
+            [
+                _seq_dot(q_nemb[s * subdim : (s + 1) * subdim], cent)
+                for cent in books[s]
+            ]
+            for s in range(m)
+        ]
+        for _, cid in scored:
+            probe_rows.append((r["vec_id"], int(cid), q_nemb, lut))
+    probed_ids = sorted({cid for _, cid, _, _ in probe_rows})
+    q = spark.createDataFrame(
+        probe_rows,
+        "query_id BIGINT, centroid_id INT, q_nemb ARRAY<DOUBLE>, "
+        "lut ARRAY<ARRAY<DOUBLE>>",
+    )
+    return q, probed_ids
+
+
 def ivfpq_topk(
     emb: DataFrame,
     index_path: str,
@@ -1025,6 +1072,7 @@ def ivfpq_topk(
     shortlist_n: int = PQ_SHORTLIST,
     nprobe: int = IVF_NPROBE,
     collected_queries: list | None = None,
+    probe: tuple | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, cos, rank): IVFPQ retrieval from the persisted
     index — the standard two-level billion-scale ANN serving path.
@@ -1050,46 +1098,21 @@ def ivfpq_topk(
     invisible (recall floor pinned in tests)."""
     spark = emb.sparkSession
     m = len(books)
-    subdim = len(books[0][0])
     store = spark.read.parquet(index_path + "/codes")
-    cent_rows = sorted(
-        spark.read.parquet(index_path + "/centroids").collect(),
-        key=lambda r: r.centroid_id,
-    )
     e = _normalized(emb)
-    qrows = (
-        collected_queries
-        if collected_queries is not None
-        else e.filter(query_filter).collect()
-    )
-    # Stage 0 + LUTs on the driver: for each query, cos(q, c) over the
-    # k coarse centroids (|q|=1 after normalization, so cos = dot/c_nrm;
-    # ties to the lowest centroid_id — the probe order every Spark-side
-    # sibling uses), then the per-subspace ADC table for its probes.
-    probe_rows = []
-    for r in qrows:
-        q_nemb = [float(v) for v in r["nemb"]]
-        scored = sorted(
-            (
-                (-(_seq_dot(q_nemb, [float(v) for v in c.c_emb]) / float(c.c_nrm)), c.centroid_id)
-                for c in cent_rows
-            ),
-        )[:nprobe]
-        lut = [
-            [
-                _seq_dot(q_nemb[s * subdim : (s + 1) * subdim], cent)
-                for cent in books[s]
-            ]
-            for s in range(m)
-        ]
-        for _, cid in scored:
-            probe_rows.append((r["vec_id"], int(cid), q_nemb, lut))
-    probed_ids = sorted({cid for _, cid, _, _ in probe_rows})
-    q = spark.createDataFrame(
-        probe_rows,
-        "query_id BIGINT, centroid_id INT, q_nemb ARRAY<DOUBLE>, "
-        "lut ARRAY<ARRAY<DOUBLE>>",
-    )
+    if probe is not None:
+        q, probed_ids = probe
+    else:
+        cent_rows = sorted(
+            spark.read.parquet(index_path + "/centroids").collect(),
+            key=lambda r: r.centroid_id,
+        )
+        qrows = (
+            collected_queries
+            if collected_queries is not None
+            else e.filter(query_filter).collect()
+        )
+        q, probed_ids = ivfpq_probe_table(spark, qrows, cent_rows, books, nprobe)
     adc = F.lit(0.0)
     for s in range(m):
         adc = adc + F.element_at(F.col("lut")[s], F.col("codes")[s] + 1)

@@ -413,3 +413,67 @@ FROM ranked WHERE sample_rank <= {C.WSAMPLE_K}
 )
 def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.weighted_sample(load_table(spark, sf_dir, "documents"))
+
+
+def _leakage_split_oracle() -> str:
+    # Same LSH pair SQL every dedup/graph oracle uses; min-label rounds
+    # unrolled into chained CTEs (the pagerank/LPA oracle discipline).
+    from .dedup import LSH_PAIRS_CTES
+
+    steps = ["ml0 AS (SELECT node, node AS label FROM nodes)"]
+    for i in range(1, C.LEAK_ROUNDS + 1):
+        steps.append(
+            f"""ml{i} AS (
+    SELECT n.node, LEAST(n.label, COALESCE(MIN(p.label), n.label)) AS label
+    FROM ml{i - 1} n
+    LEFT JOIN sym e ON e.dst = n.node
+    LEFT JOIN ml{i - 1} p ON p.node = e.src
+    GROUP BY n.node, n.label
+)"""
+        )
+    rounds = ",\n".join(steps)
+    return f"""
+WITH {LSH_PAIRS_CTES},
+sym AS (
+    SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM lsh_pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+{rounds},
+assigned AS (
+    SELECT d.doc_id,
+           COALESCE(m.label, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN ml{C.LEAK_ROUNDS} m ON m.node = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE
+         WHEN CAST(concat('0x', substr(md5(concat('{C.LEAK_SALT}', cluster_id::VARCHAR)), 1, 8)) AS BIGINT) % 10 < {C.LEAK_TRAIN_BUCKETS} THEN 'train'
+         WHEN CAST(concat('0x', substr(md5(concat('{C.LEAK_SALT}', cluster_id::VARCHAR)), 1, 8)) AS BIGINT) % 10 = {C.LEAK_TRAIN_BUCKETS} THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM assigned
+"""
+
+
+@register(
+    "curation_leakage_split",
+    oracle=_leakage_split_oracle(),
+    doc=f"Leakage-guarded train/val/test split: the split hash is taken "
+    "over the near-dup CLUSTER id (fixed-round min-label propagation "
+    f"over the MinHash-LSH candidate graph, {C.LEAK_ROUNDS} rounds), so "
+    "a near-copy of a training document can never land in eval — the "
+    "contamination guard Lee et al. 2022 argue for, as one deterministic "
+    "plan. Candidate edges serve from the SHARED persisted artifact "
+    "(queries/dedup.py:ensure_lsh_edges); fixed rounds (vs run-to-"
+    "fixpoint) keep the operator SQL-replayable, and the convergence "
+    "pytest pins fixed-round == true connected components on the test "
+    "corpora. operators/curation.py:leakage_guarded_split.",
+    tags=("curation", "dedup", "llm-pipeline", "custom-operator"),
+)
+def curation_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import ensure_lsh_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = spark.read.parquet(ensure_lsh_edges(spark, sf_dir))
+    return C.leakage_guarded_split(docs, pairs)

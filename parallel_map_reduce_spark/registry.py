@@ -97,7 +97,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_value_holt",
     # dedup: round-4 never-checked + new rounds 5/6 (the lossless
     # prefix-filtered exact similarity join is a round-6 addition)
-    "dedup_passage_clean",
     "dedup_jaccard_prefix",
     # similarity — new round 7: the composed IVFPQ serving path
     # (rows-only by design; contracts in tests/test_similarity.py)
@@ -108,6 +107,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # curation anchors + new rounds 5/6 (weighted sampling)
     "curation_temperature_mix",
     "curation_weighted_sample",
+    # curation — new round 7: leakage-guarded split over the shared LSH
+    # candidate-edge artifact
+    "curation_leakage_split",
     # graph: anchor + round-4 never-checked + new round 6 (LPA)
     "neardup_triangle_census",
     "trade_graph_communities_lpa",

@@ -53,7 +53,6 @@ def read_manifest_documents(spark: SparkSession, manifest_path: str) -> DataFram
     paths = parse_manifest(manifest_path)
     # Map normalized absolute path -> 1-based manifest id.
     id_map = [(os.path.abspath(p), i + 1) for i, p in enumerate(paths)]
-    ids_df = spark.createDataFrame(id_map, schema="path STRING, doc_id BIGINT")
     raw = (
         spark.read.text(paths, wholetext=True)
         # input_file_name() yields a URI like file:///root/x.txt — strip
@@ -63,7 +62,21 @@ def read_manifest_documents(spark: SparkSession, manifest_path: str) -> DataFram
         )
         .withColumnRenamed("value", "text")
     )
-    # Small dim (one row per file) — broadcast join, no shuffle of text blobs.
+    if len(id_map) <= 1000 and len({p for p, _ in id_map}) == len(id_map):
+        # Small manifest (the parity corpora): the id table rides into
+        # the plan as a map literal — a scan-side projection with no
+        # broadcast exchange or join stage at all (measured ~0.3 s off
+        # the 355-file flagship; same doc ids by construction).
+        mp = F.create_map(
+            *[x for p, i in id_map for x in (F.lit(p), F.lit(i))]
+        )
+        return raw.select(
+            mp[F.col("path")].cast("bigint").alias("doc_id"), "text"
+        )
+    # Large (or pathological duplicate-path) manifests: a million-entry
+    # expression literal would bloat the plan — keep the id table as a
+    # small dim and broadcast-join it (no shuffle of text blobs either).
+    ids_df = spark.createDataFrame(id_map, schema="path STRING, doc_id BIGINT")
     return (
         raw.join(F.broadcast(ids_df), on="path", how="inner")
         .select("doc_id", "text")

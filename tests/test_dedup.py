@@ -155,3 +155,42 @@ def test_jaccard_prefix_planted_identical_and_disjoint(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {(r.doc_a, r.doc_b): r.jaccard for r in D.jaccard_prefix_pairs(df).collect()}
     assert got == {(1, 2): 1.0}
+
+
+def test_leakage_split_clusters_and_convergence(spark, docs):
+    """Leakage-guarded split contracts: (a) the fixed-round min-label
+    clusters EQUAL the true connected components of the candidate graph
+    (i.e. LEAK_ROUNDS >= diameter on this corpus — the convergence
+    check the operator docstring tells you to re-run at new scales);
+    (b) every cluster lands wholly in one split; (c) singleton docs are
+    their own cluster; (d) all three splits are non-degenerate."""
+    from parallel_map_reduce_spark.operators.curation import (
+        leakage_guarded_split,
+        minlabel_fixed_rounds,
+    )
+
+    pairs = D.minhash_lsh_candidates(docs)
+    fixed = {
+        (r.node, r.label) for r in minlabel_fixed_rounds(pairs).collect()
+    }
+    cc = {
+        (r.doc_id, r.cluster_id) for r in D.connected_components(pairs).collect()
+    }
+    assert fixed == cc, "fixed-round labels diverge from true components"
+
+    out = leakage_guarded_split(docs, pairs).collect()
+    assert len(out) == docs.count()
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values()), (
+        "a near-dup cluster straddles splits"
+    )
+    edge_nodes = {n for n, _ in fixed}
+    for r in out:
+        if r.doc_id not in edge_nodes:
+            assert r.cluster_id == r.doc_id
+    splits = {r.split for r in out}
+    assert splits == {"train", "val", "test"}
+    n_train = sum(1 for r in out if r.split == "train")
+    assert 0.6 * len(out) <= n_train <= 0.95 * len(out)

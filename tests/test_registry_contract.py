@@ -131,7 +131,7 @@ def test_bench_stdout_line_fits_driver_tail_buffer():
     inside bench.py's own budget, and the budget inside the buffer."""
     import json
 
-    from bench import HEADLINE, STDOUT_BUDGET
+    from bench import HEADLINE, HEADLINE_SET_VERSION, STDOUT_BUDGET
 
     assert STDOUT_BUDGET <= 1900  # driver tail is ~2048 bytes
     worst = {
@@ -141,6 +141,8 @@ def test_bench_stdout_line_fits_driver_tail_buffer():
         "value_median": 99999.999,
         "n_runs": 3,
         "sf": 0.1,
+        "set_version": HEADLINE_SET_VERSION,
         "queries": {n: 99999.999 for n in HEADLINE},
+        "flagship_vs_reference_ratio": 99999.999,
     }
     assert len(json.dumps(worst)) <= STDOUT_BUDGET
