@@ -113,3 +113,63 @@ def bm25_scores(
         .groupBy("doc_id")
         .agg(F.round(F.sum("s"), 4).alias("score"))
     )
+
+
+def bm25_topk_multi(
+    docs: DataFrame,
+    queries: dict[str, tuple[str, ...]],
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query, doc_id, score, rank): BM25 top-k documents for a BATCH of
+    queries served from ONE statistics build — the retrieval serving
+    shape: index-side stats (tf/df/dl/corpus) are computed once and the
+    query batch rides in as a broadcast (query, word) table, so adding
+    queries never adds corpus passes. Per-term scores are rounded to
+    8 dp and summed as DECIMAL(18,8) (the PSI/MI discipline), making
+    the per-(query, doc) reduction order-free — unlike single-query
+    BM25 there are |terms| summands here, so float-sum ordering is a
+    real hazard, not a theoretical one. Ties: score desc, doc_id asc."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    ow = ordered_words(docs)
+    dl = ow.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # BM25 treats repeated query terms as weight-1 (standard qtf=1 form);
+    # dedupe per query so the score is a set function of the query.
+    q_rows = sorted({(qid, t) for qid, ts in queries.items() for t in ts})
+    qt = spark.createDataFrame(q_rows, "query STRING, word STRING")
+    all_terms = sorted({t for _, t in q_rows})
+    tf = (
+        ow.filter(F.col("word").isin(*all_terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(qt), "word")
+        .join(F.broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    per_qd = (
+        scored.withColumn(
+            "s", F.round(idf * tf_part, 8).cast("decimal(18,8)")
+        )
+        .groupBy("query", "doc_id")
+        .agg(F.round(F.sum("s").cast("double"), 4).alias("score"))
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_qd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query", "doc_id", "score", "rank")
+    )

@@ -110,3 +110,80 @@ GROUP BY tf.doc_id
 )
 def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SE.bm25_scores(load_table(spark, sf_dir, "documents"), BM25_TERMS)
+
+
+# A small fixed query workload for the multi-query serving entry — the
+# batch shape a retrieval service sees. Terms chosen to hit the corpus
+# vocabulary at different selectivities.
+BM25_QUERY_BATCH: dict[str, tuple[str, ...]] = {
+    "q_infra": ("table", "hash", "spark"),
+    "q_data": ("data", "stream"),
+    "q_mixed": ("table", "data", "model"),
+    "q_rare": ("spark", "model"),
+}
+_MULTI_K = 5
+
+
+def _bm25_multi_oracle() -> str:
+    k1, b = SE.BM25_K1, SE.BM25_B
+    q_rows = sorted(
+        {(qid, t) for qid, ts in BM25_QUERY_BATCH.items() for t in ts}
+    )
+    values = ",\n        ".join(f"('{q}', '{t}')" for q, t in q_rows)
+    all_terms = sorted({t for _, t in q_rows})
+    terms_list = ", ".join(f"'{t}'" for t in all_terms)
+    return f"""
+WITH {ORDERED_WORDS_CTE},
+queries(query, word) AS (
+    VALUES {values}
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM ordered_words GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf FROM ordered_words
+    WHERE word IN ({terms_list})
+    GROUP BY doc_id, word
+),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+per_term AS (
+    SELECT q.query, tf.doc_id,
+           CAST(ROUND(
+               ln(1.0 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({k1} + 1)) / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / corpus.avgdl))
+           , 8) AS DECIMAL(18,8)) AS s
+    FROM tf
+    JOIN queries q USING (word)
+    JOIN df USING (word)
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN corpus
+),
+per_qd AS (
+    SELECT query, doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 4) AS score
+    FROM per_term GROUP BY query, doc_id
+)
+SELECT query, doc_id, score, rank FROM (
+    SELECT query, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM per_qd
+) WHERE rank <= {_MULTI_K}
+"""
+
+
+@register(
+    "search_bm25_multi",
+    oracle=_bm25_multi_oracle(),
+    doc=f"Multi-query BM25 top-{_MULTI_K} serving: a {len(BM25_QUERY_BATCH)}-"
+    "query batch ranked from ONE statistics build — index-side tf/df/dl "
+    "computed once, the (query, word) batch broadcast in, so adding "
+    "queries never adds corpus passes (the retrieval-service shape; at "
+    "100 TB the stats are the persisted index artifact). Per-term "
+    "scores rounded to 8 dp and summed as DECIMAL (order-free — with "
+    "multiple terms per query, float-sum ordering is a real hazard); "
+    "ties score desc, doc_id asc. operators/search.py:bm25_topk_multi.",
+    tags=("search", "ranking", "bm25", "topk"),
+)
+def search_bm25_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SE.bm25_topk_multi(
+        load_table(spark, sf_dir, "documents"), BM25_QUERY_BATCH, k=_MULTI_K
+    )

@@ -114,8 +114,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "neardup_triangle_census",
     "trade_graph_communities_lpa",
     "neardup_communities_lpa",
-    # search / multimodal anchors + round-4 never-checked
-    "search_bm25",
+    # search / multimodal anchors; round 7 swaps in the multi-query
+    # BM25 serving entry (search_bm25's formula lives on inside it)
+    "search_bm25_multi",
     # text — new round 5 (distributed cumulative-distinct curve) +
     # round 6 (sparse tf-idf cosine join, n-gram novelty, CMS sketch)
     "funnel_capped_windows",
