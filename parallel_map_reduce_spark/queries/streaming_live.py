@@ -347,3 +347,28 @@ def _set_neardup_oracle() -> None:
 
 
 _set_neardup_oracle()
+
+
+@register(
+    "streaming_ivfpq_index",
+    oracle=None,  # PQ codes depend on the trained codebooks (not
+    # SQL-replayable); the exactness contract is pytest-pinned instead:
+    # the drained store EQUALS the batch write_ivfpq_index store
+    # row-for-row (tests/test_streaming.py), and the serving path over
+    # it is covered by the similarity_ivfpq_topk contracts.
+    doc="LIVE ANN-index maintenance: embedding micro-batches are "
+    "coarse-assigned to the PRE-TRAINED IVF centroids and PQ-encoded "
+    "against the PRE-TRAINED codebooks (both deterministic per-row "
+    "projections — quantizers are frozen serving state, the FAISS "
+    "discipline), then APPENDED into the centroid_id-partitioned code "
+    "store as new files inside existing partitions; streamed vectors "
+    "become partition-pruned-searchable one micro-batch after arrival, "
+    "with no rebuild of standing data. Drained availableNow; final "
+    "store equals the batch-built index exactly whatever the batch "
+    "boundaries. streaming/ann_index_stream.py:run_ivfpq_index_stream.",
+    tags=("streaming", "live", "similarity", "ann", "ivf", "pq", "index"),
+)
+def streaming_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ann_index_stream import run_ivfpq_index_stream
+
+    return run_ivfpq_index_stream(spark, sf_dir)

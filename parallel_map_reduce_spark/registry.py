@@ -105,7 +105,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     # round-6 PSI drift monitor
     "events_drift_psi",
     # curation anchors + new rounds 5/6 (weighted sampling)
-    "curation_temperature_mix",
     "curation_weighted_sample",
     # curation — new round 7: leakage-guarded split over the shared LSH
     # candidate-edge artifact
@@ -129,6 +128,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "streaming_inverted_index",
     "streaming_cdc_apply",
     "streaming_neardup_lsh",
+    "streaming_ivfpq_index",
 )
 
 

@@ -67,6 +67,7 @@ def test_rows_only_entries_are_the_documented_set():
         "documents_quality_logreg",
         "similarity_pq_topk",
         "similarity_ivfpq_topk",
+        "streaming_ivfpq_index",
     }
     actual = {n for n, s in all_queries().items() if s.oracle is None}
     assert actual == expected, actual.symmetric_difference(expected)

@@ -400,3 +400,46 @@ def test_streaming_neardup_lsh_equals_batch_incremental(spark, sf_dir):
         for r in dedup_incremental_lsh(spark, sf_dir).collect()
     )
     assert live == batch
+
+
+def test_streaming_ivfpq_index_equals_batch_store(spark, sf_dir, tmp_path):
+    """The drained incremental index EQUALS the batch-built one
+    row-for-row: coarse assignment and PQ encoding are deterministic
+    per-row projections of frozen quantizers, so micro-batch boundaries
+    cannot change a single code. This is the property that makes
+    append-only maintenance sound — serving never needs to know which
+    rows arrived streaming."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.operators.similarity import write_ivfpq_index
+    from parallel_map_reduce_spark.queries.similarity import (
+        _pretrained_cents,
+        _pretrained_pq_books,
+    )
+    from parallel_map_reduce_spark.sources.catalog import load_table
+    from parallel_map_reduce_spark.streaming.ann_index_stream import (
+        run_ivfpq_index_stream,
+    )
+
+    drained = {
+        (r.vec_id, r.centroid_id, r.codes_str)
+        for r in run_ivfpq_index_stream(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq_batch")
+    write_ivfpq_index(
+        emb, idx, _pretrained_pq_books(spark, sf_dir), _pretrained_cents(spark, sf_dir)
+    )
+    batch = {
+        (r.vec_id, r.centroid_id, r.codes_str)
+        for r in spark.read.parquet(idx + "/codes")
+        .select(
+            "vec_id",
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            F.array_join(
+                F.transform("codes", lambda c: c.cast("string")), ","
+            ).alias("codes_str"),
+        )
+        .collect()
+    }
+    assert drained == batch and len(drained) == emb.count()
