@@ -239,3 +239,68 @@ def group_holt(
     return hourly.select(group_col, hour_col, val_dec_col).groupBy(group_col).applyInPandas(
         fit, out_schema
     )
+
+
+def group_trend_anomalies(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Per-row trend-residual anomaly flags: fit the group's OLS line
+    (same exact sufficient statistics as ``group_ols``), then score
+    every observation by its studentized residual z = (y - yhat) /
+    sigma, sigma = sqrt(SSE / (n - 2)), flagging |z| > ``z_thresh`` —
+    the classic residual screen for metric monitoring, composed from
+    the trend fit instead of duplicating it.
+
+    Exactness: the sums are BIGINT/DECIMAL (order-free); slope /
+    intercept / sigma / z are fixed-shape double expressions over them
+    (IEEE-identical across engines; sqrt is correctly rounded). Groups
+    too small or too flat to studentize (n <= 2 or sigma == 0) emit
+    z = 0, never NULL/Inf. Plan: one fact exchange for the sums, the
+    |groups|-row fit broadcast back onto the rows — two passes over
+    the (already aggregated) input, zero extra wide shuffles.
+    """
+    xd = x.cast("decimal(12,0)")
+    yd = y.cast("decimal(18,4)")
+    rows = df.select(*group_cols, xd.alias("_x"), yd.alias("_y"))
+    g = rows.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    sse = syy - intercept * sy - slope * sxy
+    sigma = F.sqrt(F.greatest(sse / (n - 2), F.lit(0.0)))
+    fit = g.select(
+        *group_cols,
+        slope.alias("_slope"),
+        intercept.alias("_intercept"),
+        F.when(F.col("n") > 2, sigma).otherwise(F.lit(0.0)).alias("_sigma"),
+    )
+    scored = rows.join(F.broadcast(fit), group_cols)
+    resid = F.col("_y").cast("double") - (
+        F.col("_intercept") + F.col("_slope") * F.col("_x").cast("double")
+    )
+    zcol = F.when(
+        F.col("_sigma") > 0, F.round(resid / F.col("_sigma"), 4)
+    ).otherwise(F.lit(0.0))
+    return scored.select(
+        *group_cols,
+        F.col("_x").cast("bigint").alias("x"),
+        F.round(F.col("_y").cast("double"), 4).alias("y"),
+        zcol.alias("z"),
+        (F.abs(zcol) > z_thresh).cast("int").alias("is_anomaly"),
+    )

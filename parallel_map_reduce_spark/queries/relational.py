@@ -2512,3 +2512,80 @@ def funnel_capped_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_first_completion_capped(
         load_table(spark, sf_dir, "events"), _FUNNEL_CAP_US
     )
+
+
+@register(
+    "orders_priority_woe_iv",
+    oracle="""
+WITH cells AS (
+    SELECT o_orderpriority AS category,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_good,
+           SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)::BIGINT AS n_bad
+    FROM orders GROUP BY o_orderpriority
+),
+tot AS (
+    SELECT SUM(n_good) AS g_tot, SUM(n_bad) AS b_tot, COUNT(*) AS n_cat
+    FROM cells
+),
+scored AS (
+    SELECT category, n_good, n_bad,
+           (n_good + 0.5) / (g_tot + 0.5 * n_cat) AS dg,
+           (n_bad + 0.5) / (b_tot + 0.5 * n_cat) AS db
+    FROM cells CROSS JOIN tot
+),
+terms AS (
+    SELECT category, n_good, n_bad,
+           ROUND(ln(dg / db), 6) AS woe,
+           ROUND((dg - db) * ln(dg / db), 8) AS iv_contrib,
+           CAST(ROUND((dg - db) * ln(dg / db), 8) AS DECIMAL(18,8)) AS term
+    FROM scored
+)
+SELECT category, n_good, n_bad, woe, iv_contrib,
+       (SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) FROM terms) AS iv_total
+FROM terms
+""",
+    doc="Weight-of-evidence / information-value feature scoring (the "
+    "credit-scoring sibling of the MI and chi-square profiles, and the "
+    "feature-selection pre-pass for a quality classifier like "
+    "documents_quality_logreg): per-category WOE = ln(dist_good / "
+    "dist_bad) with 0.5 Laplace smoothing, IV = sum (dg - db) * WOE. "
+    "ONE fact-table pass (the category x outcome cells), 1-row totals "
+    "broadcast back; ln terms rounded to 8 dp and DECIMAL-summed so "
+    "the IV reduction is order-free (the PSI/MI discipline).",
+    tags=("relational", "profile", "feature-engineering", "llm-pipeline"),
+)
+def orders_priority_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(F.col("o_orderpriority").alias("category"))
+        .agg(
+            F.sum((F.col("o_orderstatus") == "F").cast("int"))
+            .cast("bigint")
+            .alias("n_good"),
+            F.sum((F.col("o_orderstatus") != "F").cast("int"))
+            .cast("bigint")
+            .alias("n_bad"),
+        )
+        .localCheckpoint(eager=True)  # |priorities| rows; 2 consumers
+    )
+    tot = cells.agg(
+        F.sum("n_good").alias("g_tot"),
+        F.sum("n_bad").alias("b_tot"),
+        F.count("*").alias("n_cat"),
+    )
+    dg = (F.col("n_good") + 0.5) / (F.col("g_tot") + 0.5 * F.col("n_cat"))
+    db = (F.col("n_bad") + 0.5) / (F.col("b_tot") + 0.5 * F.col("n_cat"))
+    terms = cells.crossJoin(F.broadcast(tot)).select(
+        "category",
+        "n_good",
+        "n_bad",
+        F.round(F.log(dg / db), 6).alias("woe"),
+        F.round((dg - db) * F.log(dg / db), 8).alias("iv_contrib"),
+        F.round((dg - db) * F.log(dg / db), 8)
+        .cast("decimal(18,8)")
+        .alias("_term"),
+    )
+    iv = terms.agg(
+        F.round(F.sum("_term").cast("double"), 6).alias("iv_total")
+    )
+    return terms.drop("_term").crossJoin(F.broadcast(iv))

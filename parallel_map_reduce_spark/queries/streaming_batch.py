@@ -1555,3 +1555,84 @@ def events_seasonal_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dev, 6).alias("dev_sigma"),
         (F.abs(dev) >= F.lit(0.05)).alias("flagged"),
     )
+
+
+@register(
+    "events_trend_anomalies",
+    oracle=f"""
+WITH hourly AS (
+    SELECT event_type,
+           CAST((epoch_us(date_trunc('hour', ts)) // 1000000 - {_OLS_BASE}) // 3600
+                AS DECIMAL(12,0)) AS x,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS y
+    FROM events
+    GROUP BY 1, 2
+),
+g AS (
+    SELECT event_type,
+           COUNT(*)::BIGINT AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x * y) AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx,
+           CAST(SUM(y * y) AS DOUBLE) AS syy
+    FROM hourly GROUP BY event_type
+),
+fit AS (
+    SELECT event_type, n, sx, sy, sxy, sxx, syy,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+    FROM g
+),
+fit2 AS (
+    SELECT event_type,
+           slope,
+           (sy - slope * sx) / n AS intercept,
+           CASE WHEN n > 2 THEN
+               sqrt(GREATEST((syy - (sy - slope * sx) / n * sy - slope * sxy)
+                             / (n - 2), 0.0))
+           ELSE 0.0 END AS sigma
+    FROM fit
+),
+scored AS (
+    SELECT h.event_type, h.x, h.y,
+           CASE WHEN f.sigma > 0 THEN
+               ROUND((CAST(h.y AS DOUBLE)
+                      - (f.intercept + f.slope * CAST(h.x AS DOUBLE)))
+                     / f.sigma, 4)
+           ELSE 0.0 END AS z
+    FROM hourly h JOIN fit2 f USING (event_type)
+)
+SELECT event_type,
+       CAST(x AS BIGINT) AS x,
+       ROUND(CAST(y AS DOUBLE), 4) AS y,
+       z,
+       CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END AS is_anomaly
+FROM scored
+""",
+    doc="Trend-residual anomaly screen: per event_type, fit the hourly-"
+    "sum OLS line (exact sufficient statistics, the events_trend_ols "
+    "machinery) and flag hours whose studentized residual exceeds 3 "
+    "sigma — the standard metric-monitoring residual screen, composed "
+    "from the trend fit rather than duplicating it. Plan: one fact "
+    "exchange to hourly cells, one |types|-row fit broadcast back onto "
+    "the (metadata-sized) cells; BIGINT/DECIMAL sums keep every "
+    "reduction order-free, slope/intercept/sigma/z are fixed-shape "
+    "double expressions (sqrt is IEEE-correctly-rounded), degenerate "
+    "groups emit z=0 by contract. "
+    "operators/timeseries.py:group_trend_anomalies.",
+    tags=("relational", "timeseries", "anomaly", "monitoring"),
+)
+def events_trend_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import group_trend_anomalies
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(_dec("value")).cast("decimal(18,4)").alias("y"))
+    x = ((F.unix_timestamp("h") - F.lit(_OLS_BASE)) / 3600).cast("bigint")
+    return group_trend_anomalies(
+        hourly.select("event_type", x.alias("xh"), "y"),
+        ["event_type"],
+        F.col("xh"),
+        F.col("y"),
+    )

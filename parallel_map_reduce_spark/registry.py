@@ -78,9 +78,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # approx family representative (rows-only by design; hll_rollup ran
     # r6 — the GK-quantile sibling takes the slot this round)
     "event_value_quantiles_approx",
-    # relational — anchors (q17/q20/q6/q8 displaced late round 6 by
-    # the session's four oracle-backed additions, see header comment)
-    "q21_waiting_suppliers",
+    # relational — new round 7: WOE/IV feature scoring (the MI/chi2
+    # contingency family's credit-scoring sibling)
+    "orders_priority_woe_iv",
     # relational / events — new late round 6: lakehouse CDC MERGE,
     # information-theoretic column profiling, grouped OLS trend and
     # exact finite-window EWMA (operators/cdc.py, timeseries.py)
@@ -95,6 +95,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_trend_ols",
     "events_value_ewma",
     "events_value_holt",
+    # events — new round 7: OLS-residual anomaly screen
+    "events_trend_anomalies",
     # dedup: round-4 never-checked + new rounds 5/6 (the lossless
     # prefix-filtered exact similarity join is a round-6 addition)
     "dedup_jaccard_prefix",
@@ -110,7 +112,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     # candidate-edge artifact
     "curation_leakage_split",
     # graph: anchor + round-4 never-checked + new round 6 (LPA)
-    "neardup_triangle_census",
     "trade_graph_communities_lpa",
     "neardup_communities_lpa",
     # search / multimodal anchors; round 7 swaps in the multi-query

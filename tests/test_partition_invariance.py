@@ -22,6 +22,12 @@ ENTRIES = [
     "events_value_holt",
     "orders_cdc_merge",
     "customer_segment_nation_mi",
+    # round 7: the residual screen and the WOE/IV profile make the same
+    # order-free claim (DECIMAL sums + fixed-shape libm-rounded terms)
+    "events_trend_anomalies",
+    "orders_priority_woe_iv",
+    "search_bm25_multi",
+    "curation_leakage_split",
 ]
 
 
