@@ -65,6 +65,12 @@ CARTESIAN_OK = {
     "the MI profile: 1-row scalar crosses, one fact-table pass",
     "events_ab_conversion": "1-row median-threshold broadcast onto the "
     "per-user table; the fact table sees only the user-keyed exchange",
+    "orders_priority_woe_iv": "report assembly: the 1-row totals and the "
+    "1-row IV aggregate cross onto the |priorities|-row cell table; the "
+    "only fact-table pass is the category groupBy",
+    "search_bm25_multi": "1-row corpus (N, avgdl) aggregate broadcast "
+    "(same as search_bm25); every other join is a hash equi-join on "
+    "word / doc_id",
 }
 
 # Single-partition exchanges are only acceptable when they carry
@@ -103,6 +109,9 @@ SINGLE_PARTITION_OK = {
     "(per-column stats), unpivoted to |columns| rows",
     "customer_segment_nation_chi2": "the statistic IS a 1-row scalar "
     "reduction over the |seg|x|nat| contingency table",
+    "orders_priority_woe_iv": "1-row good/bad totals + the 1-row IV sum "
+    "over the |priorities|-row cell table",
+    "search_bm25_multi": "1-row corpus (N, avgdl) aggregate",
 }
 
 SKIP_PREFIX = "streaming_"  # live drains execute on build; covered elsewhere
