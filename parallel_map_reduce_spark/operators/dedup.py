@@ -868,3 +868,73 @@ def jaccard_prefix_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= tau)
     )
+
+
+# ---- exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr half) ----
+
+SUBSTR_L = 12  # tokens per window; spans are maximal unions of windows
+SUBSTR_MIN_OCC = 2  # a window is "repeated" if it occurs >= this many
+# times across the corpus (cross-doc boilerplate AND within-doc loops)
+
+
+def repeated_substring_spans(
+    docs: DataFrame, L: int = SUBSTR_L, min_occ: int = SUBSTR_MIN_OCC
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows): maximal token spans
+    covered by L-token windows that occur >= ``min_occ`` times in the
+    corpus — the span-level (not document-level) duplication ExactSubstr
+    removes before LLM training: boilerplate, licenses, templated
+    intros that survive document-level dedup because the documents
+    differ elsewhere.
+
+    Pipeline (one token-stream exchange + one span window):
+      1. positional L-gram hashes — a pure projection over the cleaned
+         word array (slice + array_join + md5 per start position; the
+         gram STRING never leaves the projection, only its hash);
+      2. hash-keyed count -> repeated hashes (partial-aggregated);
+      3. equi-join positions back on the hash;
+      4. gaps-and-islands merge of overlapping [pos, pos+L-1] windows
+         per document (one doc-keyed window).
+    All integer/md5-exact, so an external engine reproduces every span
+    boundary. At 100 TB the exchange carries one (hash, doc, pos) row
+    per token — the token_stream class — and md5 can swap for a
+    rolling hash inside the same projection if scan-side compute ever
+    dominates. Positions are 1-based token indexes (the ordered_words
+    contract)."""
+    from pyspark.sql import Window
+
+    wa = clean_words_array(docs)
+    n_gram = F.size("words") - F.lit(L - 1)
+    positions = wa.filter(n_gram >= 1).select(
+        "doc_id",
+        "words",
+        F.explode(F.sequence(F.lit(1), n_gram)).alias("pos"),
+    )
+    grams = positions.select(
+        "doc_id",
+        "pos",
+        F.md5(F.array_join(F.slice("words", F.col("pos"), L), " ")).alias("hv"),
+    )
+    repeated = (
+        grams.groupBy("hv")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_occ)
+        .select("hv")
+    )
+    hits = grams.join(repeated, "hv").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + F.lit(L - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = hits.withColumn(
+        "island", F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        F.max(F.col("pos") + F.lit(L - 1)).cast("bigint").alias("span_end"),
+        F.count("*").cast("bigint").alias("n_windows"),
+    ).select("doc_id", "span_start", "span_end", "n_windows")

@@ -675,3 +675,64 @@ WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= {D.PREFIX_JACCARD_TAU}
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_prefix_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _repeated_substr_oracle() -> str:
+    from ._sql import ORDERED_WORDS_CTE
+
+    L = D.SUBSTR_L
+    return f"""
+WITH {ORDERED_WORDS_CTE},
+docw AS (
+    SELECT doc_id, list(word ORDER BY seq) AS ws
+    FROM ordered_words GROUP BY doc_id
+),
+positions AS (
+    SELECT doc_id, ws, unnest(range(1, len(ws) - {L} + 2)) AS pos
+    FROM docw WHERE len(ws) >= {L}
+),
+grams AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(ws[pos : pos + {L} - 1], ' ')) AS hv
+    FROM positions
+),
+rep AS (SELECT hv FROM grams GROUP BY hv HAVING COUNT(*) >= {D.SUBSTR_MIN_OCC}),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN rep USING (hv)),
+marked AS (
+    SELECT doc_id, pos,
+           MAX(pos + {L} - 1) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM hits
+),
+isl AS (
+    SELECT doc_id, pos,
+           SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM marked
+)
+SELECT doc_id,
+       MIN(pos)::BIGINT AS span_start,
+       MAX(pos + {L} - 1)::BIGINT AS span_end,
+       COUNT(*)::BIGINT AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@register(
+    "dedup_repeated_substrings",
+    oracle=_repeated_substr_oracle(),
+    doc=f"Exact-substring duplication spans (Lee et al. 2022 ExactSubstr, "
+    f"the span-level half of training-data dedup): maximal token spans "
+    f"covered by {D.SUBSTR_L}-token windows occurring >= "
+    f"{D.SUBSTR_MIN_OCC}x in the corpus — boilerplate / licenses / "
+    "templated intros that survive document-level dedup. Positional "
+    "gram hashes are a pure projection over the cleaned word array "
+    "(only hashes reach the one token-stream exchange); repeated hashes "
+    "equi-join positions back; gaps-and-islands merges overlapping "
+    "windows per doc. Integer/md5-exact end to end. "
+    "operators/dedup.py:repeated_substring_spans.",
+    tags=("dedup", "text", "llm-pipeline", "custom-operator"),
+)
+def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.repeated_substring_spans(load_table(spark, sf_dir, "documents"))

@@ -73,8 +73,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_rolling_7d_users_exact",
     "events_user_skew_report",
     "events_incremental_agg_merge",
-    # events — new round 5, registered after the r5 window froze
-    "events_value_winsorized",
     # approx family representative (rows-only by design; hll_rollup ran
     # r6 — the GK-quantile sibling takes the slot this round)
     "event_value_quantiles_approx",
@@ -100,6 +98,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     # dedup: round-4 never-checked + new rounds 5/6 (the lossless
     # prefix-filtered exact similarity join is a round-6 addition)
     "dedup_jaccard_prefix",
+    # dedup — new round 7: exact-substring (span-level) duplication
+    "dedup_repeated_substrings",
     # similarity — new round 7: the composed IVFPQ serving path
     # (rows-only by design; contracts in tests/test_similarity.py)
     "similarity_ivfpq_topk",

@@ -194,3 +194,31 @@ def test_leakage_split_clusters_and_convergence(spark, docs):
     assert splits == {"train", "val", "test"}
     n_train = sum(1 for r in out if r.split == "train")
     assert 0.6 * len(out) <= n_train <= 0.95 * len(out)
+
+
+def test_repeated_substring_spans_planted(spark):
+    """Plant a shared 14-token boilerplate block inside otherwise-unique
+    documents: the detector must emit exactly one span per planted doc,
+    covering exactly the boilerplate's token range (window merge is
+    maximal — the span unions every overlapping repeated window), and
+    docs with no repeated content must emit nothing."""
+    from parallel_map_reduce_spark.operators.dedup import (
+        SUBSTR_L,
+        repeated_substring_spans,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(14))  # 14 > SUBSTR_L
+    rows = [
+        (1, "alpha beta " + boiler + " gamma delta epsilon zeta"),
+        (2, "one two three four " + boiler + " five six"),
+        (3, "totally unique text with no repetition anywhere at all here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in repeated_substring_spans(docs, L=SUBSTR_L).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: boiler occupies tokens 3..16 (1-based, after 2 lead tokens)
+    assert (out[1].span_start, out[1].span_end) == (3, 16)
+    # doc 2: after 4 lead tokens -> 5..18
+    assert (out[2].span_start, out[2].span_end) == (5, 18)
+    # windows per span: 14 - L + 1
+    assert out[1].n_windows == 14 - SUBSTR_L + 1 == out[2].n_windows

@@ -28,6 +28,7 @@ ENTRIES = [
     "orders_priority_woe_iv",
     "search_bm25_multi",
     "curation_leakage_split",
+    "dedup_repeated_substrings",
 ]
 
 
