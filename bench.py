@@ -72,10 +72,8 @@ HEADLINE = (
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
-    "q15_top_supplier",
     "curation_temperature_mix",
     "similarity_two_stage_ivf_topk",
-    "text_lm_perplexity",
     "documents_chunked",
     # round-6 rotation: the PQ serving path and the basket-mining
     # exchange are the session's new heavies; decontaminate_benchmark_
@@ -92,12 +90,17 @@ HEADLINE = (
     # hold the set at 36.
     "orders_cdc_merge",
     "events_value_holt",
-    # round-7 rotation: the composed IVFPQ serving path is the round's
-    # new heavy (VERDICT r6 task 1: bench must show it at or under the
-    # two_stage_ivf number); dedup_passage_clean (0.45 s, stable r4-r6;
-    # dedup stays benched via minhash_lsh_pairs / ngram_jaccard /
-    # incremental_lsh) retires to hold the set at 36.
+    # round-7 rotation: the composed IVFPQ serving path (VERDICT r6
+    # task 1: bench must show it at or under the two_stage_ivf number),
+    # the exact-substring span detector (token-stream exchange + span
+    # windows) and the leakage-guarded split (5 min-label supersteps
+    # over the shared edge artifact) are the round's new heavies;
+    # dedup_passage_clean (0.45 s, r4-r6), q15_top_supplier (0.47 s,
+    # r5-r6) and text_lm_perplexity (0.34 s, r5-r6; text stays benched
+    # via tfidf / documents_chunked) retire to hold the set at 36.
     "similarity_ivfpq_topk",
+    "dedup_repeated_substrings",
+    "curation_leakage_split",
 )
 
 # A change to HEADLINE membership makes round-over-round totals
