@@ -1009,10 +1009,20 @@ def write_ivfpq_index(
     PQ store — the nprobe=all equality contract in
     tests/test_similarity.py depends on it); the vec_id equi-join with
     the coarse assignment is a build-time-only shuffle, amortized over
-    every future query batch."""
+    every future query batch.
+
+    ``<path>/vectors`` holds the NORMALIZED full vectors under the same
+    centroid_id partitioning: the exact re-rank fetches its shortlist
+    from probed partitions only, so serving never scans (or
+    re-normalizes) the raw corpus table — every serving read is pruned
+    to nprobe lists in both representations. Parquet round-trips
+    doubles bit-exactly, so re-rank cosines from the stored ``nemb``
+    equal live-normalized ones to the last ulp."""
     assigned = ivf_assignments(emb, cents=cents).select("vec_id", "centroid_id")
     store = pq_encode(emb, books).join(assigned, "vec_id")
     store.write.mode("overwrite").partitionBy("centroid_id").parquet(path + "/codes")
+    vecs = _normalized(emb).join(assigned, "vec_id")
+    vecs.write.mode("overwrite").partitionBy("centroid_id").parquet(path + "/vectors")
     cents.write.mode("overwrite").parquet(path + "/centroids")
 
 
@@ -1087,19 +1097,25 @@ def ivfpq_topk(
     scan itself reads only nprobe partitions per query batch
     (``PartitionFilters`` in the plan) — and the surviving m-byte codes
     hash-equi-join the broadcast (query, probe, lut) rows on
-    centroid_id; ADC score = m array lookups per pair.
-    Stage 2 (exact re-rank): full vectors are fetched by vec_id
-    equi-join for the fixed-size shortlist only.
+    centroid_id; ADC score = m array lookups per pair. The query
+    vector rides along on the (already query-batch-sized) probe rows,
+    so the shortlist leaves stage 1 carrying everything re-rank needs.
+    Stage 2 (exact re-rank): the |Q| * shortlist_n shortlist — bounded
+    by the query batch, never the corpus — is BROADCAST against the
+    index's centroid-partitioned NORMALIZED vector store, itself pruned
+    to the probed partitions (every shortlisted vec_id lives in a
+    probed cell by construction). No serving stage scans or shuffles
+    the corpus in any representation.
 
     With nprobe = all centroids this is value-identical to the flat
-    ``pq_topk_indexed`` (every partition scanned, same ADC arithmetic —
-    pinned in tests); with nprobe < k_coarse it is the approximate
-    trade: vectors whose coarse cell the query does not probe are
-    invisible (recall floor pinned in tests)."""
+    ``pq_topk_indexed`` (every partition scanned, same ADC arithmetic,
+    and the stored normalized vectors are parquet-round-tripped bits of
+    the live-normalized ones — pinned in tests); with nprobe < k_coarse
+    it is the approximate trade: vectors whose coarse cell the query
+    does not probe are invisible (recall floor pinned in tests)."""
     spark = emb.sparkSession
     m = len(books)
     store = spark.read.parquet(index_path + "/codes")
-    e = _normalized(emb)
     if probe is not None:
         q, probed_ids = probe
     else:
@@ -1110,7 +1126,7 @@ def ivfpq_topk(
         qrows = (
             collected_queries
             if collected_queries is not None
-            else e.filter(query_filter).collect()
+            else _normalized(emb).filter(query_filter).collect()
         )
         q, probed_ids = ivfpq_probe_table(spark, qrows, cent_rows, books, nprobe)
     adc = F.lit(0.0)
@@ -1118,7 +1134,7 @@ def ivfpq_topk(
         adc = adc + F.element_at(F.col("lut")[s], F.col("codes")[s] + 1)
     s1 = (
         store.filter(F.col("centroid_id").isin(probed_ids))
-        .join(F.broadcast(q.drop("q_nemb")), "centroid_id")
+        .join(F.broadcast(q), "centroid_id")
         .filter(F.col("query_id") != F.col("vec_id"))
         .withColumn("adc", adc)
     )
@@ -1126,16 +1142,13 @@ def ivfpq_topk(
     short = (
         s1.withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") <= shortlist_n)
-        .select("query_id", "vec_id")
+        .select("query_id", "vec_id", F.col("q_nemb").alias("qe"))
     )
-    qn = (
-        q.select("query_id", F.col("q_nemb").alias("qe"))
-        .dropDuplicates(["query_id"])
+    vecs = spark.read.parquet(index_path + "/vectors").filter(
+        F.col("centroid_id").isin(probed_ids)
     )
-    re_rank = (
-        short.join(e, "vec_id")
-        .join(F.broadcast(qn), "query_id")
-        .withColumn("cos", dot("qe", "nemb"))
+    re_rank = F.broadcast(short).join(vecs, "vec_id").withColumn(
+        "cos", dot("qe", "nemb")
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (

@@ -485,7 +485,9 @@ def _ivfpq_index_path(sf_dir: str) -> str:
     except OSError:
         mtime = 0
     key = hashlib.md5(
-        f"ivfpq:{os.path.abspath(sf_dir)}:{mtime}".encode()
+        # v2: the artifact gained its centroid-partitioned normalized
+        # vector half (re-rank store); stale code-only indexes rebuild
+        f"ivfpq-v2:{os.path.abspath(sf_dir)}:{mtime}".encode()
     ).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), "pmrs_ivfpq_index", key)
 
@@ -522,8 +524,10 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     "level (PartitionFilters) and ADC-scores only the surviving "
     "m-byte codes via a hash equi-join on centroid_id — composing the "
     "repo's IVF partition pruning with PQ compression so no retrieval "
-    "path scans the full corpus in ANY representation; exact "
-    "full-vector re-rank touches only the fixed-size shortlist. "
+    "path scans the full corpus in ANY representation; the exact "
+    "re-rank BROADCASTS the query-batch-bounded shortlist against the "
+    "index's centroid-partitioned normalized-vector store, itself "
+    "pruned to the probed partitions. "
     "operators/similarity.py:write_ivfpq_index,ivfpq_topk.",
     tags=("similarity", "ann", "ivf", "pq", "topk", "compression"),
 )

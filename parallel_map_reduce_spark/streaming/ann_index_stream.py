@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 def run_ivfpq_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the embeddings stream through incremental IVFPQ indexing;
     return the final code store (vec_id, centroid_id, codes_str)."""
-    from ..operators.similarity import ivf_assignments, pq_encode
+    from ..operators.similarity import _normalized, ivf_assignments, pq_encode
     from ..queries.similarity import _pretrained_cents, _pretrained_pq_books
     from ..sources.catalog import _ensure_session_confs
     from .events_stream import _staging_dir
@@ -67,7 +67,17 @@ def run_ivfpq_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "centroid_id"
         )
         codes = pq_encode(batch_df, books).join(assigned, "vec_id")
-        codes.write.mode("append").partitionBy("centroid_id").parquet(store)
+        codes.write.mode("append").partitionBy("centroid_id").parquet(
+            store + "/codes"
+        )
+        # the re-rank half of the artifact grows in lockstep: serving
+        # (ivfpq_topk) fetches shortlist vectors from the same
+        # centroid_id-partitioned layout, so a drained store is a
+        # complete index, not just its code half
+        vecs = _normalized(batch_df).join(assigned, "vec_id")
+        vecs.write.mode("append").partitionBy("centroid_id").parquet(
+            store + "/vectors"
+        )
 
     ckpt = tempfile.mkdtemp(prefix="pmrs_annidx_ckpt_")
     try:
@@ -81,7 +91,7 @@ def run_ivfpq_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
-    out = spark.read.parquet(store)
+    out = spark.read.parquet(store + "/codes")
     return out.select(
         "vec_id",
         F.col("centroid_id").cast("int").alias("centroid_id"),
