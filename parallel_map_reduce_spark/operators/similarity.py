@@ -461,7 +461,7 @@ def two_stage_topk(
     )
     ce = emb.select("vec_id", "embedding", l2_norm("embedding").alias("c_norm"))
     re = (
-        shortlist.join(ce, "vec_id")
+        F.broadcast(shortlist).join(ce, "vec_id")
         .join(F.broadcast(qe), "query_id")
         .withColumn("cos", dot("q_emb", "embedding") / (F.col("q_norm") * F.col("c_norm")))
     )
@@ -559,7 +559,7 @@ def two_stage_ivf_topk(
     )
     ce = emb.select("vec_id", "embedding", l2_norm("embedding").alias("c_norm"))
     re = (
-        shortlist.join(ce, "vec_id")
+        F.broadcast(shortlist).join(ce, "vec_id")
         .join(
             F.broadcast(q.select("query_id", "q_emb", "q_norm")), "query_id"
         )
@@ -684,7 +684,7 @@ def two_stage_ivf_topk_indexed(
     )
     ce = emb.select("vec_id", "embedding", l2_norm("embedding").alias("c_norm"))
     re = (
-        shortlist.join(ce, "vec_id")
+        F.broadcast(shortlist).join(ce, "vec_id")
         .join(F.broadcast(q.select("query_id", "q_emb", "q_norm")), "query_id")
         .withColumn(
             "cos", dot("q_emb", "embedding") / (F.col("q_norm") * F.col("c_norm"))
@@ -976,8 +976,10 @@ def pq_topk(
     qn = e.filter(query_filter).select(
         F.col("vec_id").alias("query_id"), F.col("nemb").alias("qe")
     )
+    # broadcast the query-batch-bounded shortlist so the corpus side
+    # STREAMS (never shuffles/broadcasts) through the re-rank fetch
     re_rank = (
-        short.join(e, "vec_id")
+        F.broadcast(short).join(e, "vec_id")
         .join(F.broadcast(qn), "query_id")
         .withColumn("cos", dot("qe", "nemb"))
     )
@@ -1241,8 +1243,10 @@ def pq_topk_indexed(
         .select("query_id", "vec_id")
     )
     qn = q.select("query_id", F.col("q_nemb").alias("qe"))
+    # broadcast the query-batch-bounded shortlist so the corpus side
+    # STREAMS (never shuffles/broadcasts) through the re-rank fetch
     re_rank = (
-        short.join(e, "vec_id")
+        F.broadcast(short).join(e, "vec_id")
         .join(F.broadcast(qn), "query_id")
         .withColumn("cos", dot("qe", "nemb"))
     )
