@@ -906,15 +906,23 @@ def repeated_substring_spans(
 
     wa = clean_words_array(docs)
     n_gram = F.size("words") - F.lit(L - 1)
-    positions = wa.filter(n_gram >= 1).select(
-        "doc_id",
-        "words",
-        F.explode(F.sequence(F.lit(1), n_gram)).alias("pos"),
-    )
-    grams = positions.select(
-        "doc_id",
-        "pos",
-        F.md5(F.array_join(F.slice("words", F.col("pos"), L), " ")).alias("hv"),
+    # all window hashes are computed INSIDE one per-document transform,
+    # so the exploded rows carry only (pos, hash) — exploding positions
+    # first and slicing per row would copy the full words array into
+    # every one of its n_gram output rows (O(tokens * doc_len) row
+    # materialization instead of O(tokens * L) compute)
+    grams = (
+        wa.filter(n_gram >= 1)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), n_gram),
+                    lambda i: F.md5(F.array_join(F.slice("words", i, L), " ")),
+                )
+            ).alias("pos0", "hv"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "hv")
     )
     repeated = (
         grams.groupBy("hv")
