@@ -1636,3 +1636,112 @@ def events_trend_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xh"),
         F.col("y"),
     )
+
+
+@register(
+    "events_type_transitions",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+),
+c AS (
+    SELECT prev_type, event_type AS next_type,
+           COUNT(*)::BIGINT AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       ROUND(n_transitions / SUM(n_transitions)
+                 OVER (PARTITION BY prev_type), 4) AS p
+FROM c
+""",
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: one lag window per user (single exchange on user_id, "
+    "total order by (ts, event_id)), then a |types|^2-sized count "
+    "aggregate; row-normalised probabilities are a window over the "
+    "metadata-sized matrix, never the fact. The sequence-mining "
+    "primitive behind next-event prediction and session-flow "
+    "diagnostics.",
+    tags=("relational", "analytics", "sequence", "markov"),
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = pairs.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").cast("bigint").alias("n_transitions"))
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(tot), 4
+        ).alias("p"),
+    )
+
+
+@register(
+    "events_touch_attribution",
+    oracle="""
+WITH touched AS (
+    SELECT event_type, value,
+           LAST_VALUE(
+               CASE WHEN event_type IN ('click', 'view') THEN event_type END
+               IGNORE NULLS
+           ) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS touch_type
+    FROM events
+)
+SELECT COALESCE(touch_type, 'none') AS touch_type,
+       COUNT(*)::BIGINT AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS attributed_value
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+    doc="Last-touch revenue attribution: each purchase's value is "
+    "credited to the user's most recent preceding engagement touch "
+    "(click/view), the marketing-analytics workhorse. One exchange on "
+    "user_id carries the whole computation — the ignore-nulls last() "
+    "window walks each user's ordered stream once, then a "
+    "|touch_types|-row aggregate; DECIMAL sums keep the credited "
+    "revenue order-free. Purchases with no preceding touch land in an "
+    "explicit 'none' bucket rather than vanishing.",
+    tags=("relational", "analytics", "attribution", "window"),
+)
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    touched = e.withColumn("touch_type", touch)
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch_type", F.lit("none")).alias("touch_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum(_dec("value")).cast("double").alias("attributed_value"),
+        )
+    )

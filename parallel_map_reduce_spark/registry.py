@@ -61,16 +61,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     "doc_stats",
     "inverted_index_chunked",
     "documents_provenance",
-    # relational — new round 6 (TPC-H pattern coverage completion +
-    # bucketed co-located join layout + SCD2 dimension-history build)
+    # relational — new round 6 (TPC-H pattern representative + bucketed
+    # co-located join layout + SCD2 dimension-history build)
     "q4_priority_order_check",
-    "q13_customer_order_distribution",
     "bucketed_orders_revenue",
     "orders_status_scd2",
     "basket_part_pairs",
-    # events — new round 6 (exact twin of the HLL rolling window,
-    # skew pre-flight diagnostics, incremental aggregate maintenance)
-    "events_rolling_7d_users_exact",
+    # events — new round 6 (skew pre-flight diagnostics, incremental
+    # aggregate maintenance)
     "events_user_skew_report",
     "events_incremental_agg_merge",
     # approx family representative (rows-only by design; hll_rollup ran
@@ -93,8 +91,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_trend_ols",
     "events_value_ewma",
     "events_value_holt",
-    # events — new round 7: OLS-residual anomaly screen
+    # events — new round 7: OLS-residual anomaly screen, Markov
+    # transition matrix, last-touch revenue attribution
     "events_trend_anomalies",
+    "events_type_transitions",
+    "events_touch_attribution",
     # dedup: round-4 never-checked + new rounds 5/6 (the lossless
     # prefix-filtered exact similarity join is a round-6 addition)
     "dedup_jaccard_prefix",
