@@ -29,6 +29,10 @@ ENTRIES = [
     "search_bm25_multi",
     "curation_leakage_split",
     "dedup_repeated_substrings",
+    # session 2: both are one-user_id-exchange window walks whose only
+    # float is a fixed-shape rounded ratio / DECIMAL-cast sum
+    "events_type_transitions",
+    "events_touch_attribution",
 ]
 
 
