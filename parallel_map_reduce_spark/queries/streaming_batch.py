@@ -1745,3 +1745,75 @@ def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("value")).cast("double").alias("attributed_value"),
         )
     )
+
+
+@register(
+    "events_value_twap",
+    oracle="""
+WITH seq AS (
+    SELECT event_type,
+           date_trunc('day', ts) AS day,
+           CAST(value AS DECIMAL(18,4)) AS v,
+           epoch_us(LEAD(ts) OVER (
+               PARTITION BY event_type, date_trunc('day', ts)
+               ORDER BY ts, event_id
+           )) - epoch_us(ts) AS dt_us
+    FROM events
+),
+agg AS (
+    SELECT event_type, day,
+           SUM(v * dt_us) AS wsum,
+           SUM(dt_us)::BIGINT AS tspan_us,
+           COUNT(*)::BIGINT AS n_events
+    FROM seq WHERE dt_us IS NOT NULL
+    GROUP BY event_type, day
+)
+SELECT event_type, epoch_us(day) AS day_us, n_events + 1 AS n_events,
+       tspan_us,
+       ROUND(CAST(wsum AS DOUBLE) / tspan_us, 6) AS twap
+FROM agg
+""",
+    doc="Time-weighted average value (TWAP) per (event_type, day) over "
+    "the IRREGULARLY-spaced event stream: each observation holds until "
+    "the next same-type event that day, so its weight is the inter-"
+    "arrival gap in integer MICROSECONDS — the metrics/finance "
+    "semantics a plain AVG gets wrong whenever sampling is bursty. "
+    "DECIMAL(value) x BIGINT(gap) products summed exactly (order-free "
+    "in any reduction order); the only float is the final fixed-shape "
+    "rounded ratio. One (type, day)-keyed lead window + one aggregate "
+    "= one exchange over the fact; each day's last observation closes "
+    "the integral (no gap, weight 0) but still counts in n_events.",
+    tags=("relational", "timeseries", "twap", "window"),
+)
+def events_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    day = F.date_trunc("day", "ts")
+    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        day.alias("day"),
+        _dec("value").alias("v"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias(
+            "dt_us"
+        ),
+    )
+    return (
+        seq.filter(F.col("dt_us").isNotNull())
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum(F.col("v") * F.col("dt_us")).alias("wsum"),
+            F.sum("dt_us").cast("bigint").alias("tspan_us"),
+            (F.count("*") + 1).cast("bigint").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("day").alias("day_us"),
+            "n_events",
+            "tspan_us",
+            F.round(
+                F.col("wsum").cast("double") / F.col("tspan_us"), 6
+            ).alias("twap"),
+        )
+    )

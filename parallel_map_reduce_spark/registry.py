@@ -87,7 +87,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_ab_conversion",
     "events_session_metrics",
     "lineitem_column_profile",
-    "events_seasonal_hourly",
     "events_trend_ols",
     "events_value_ewma",
     "events_value_holt",
@@ -96,6 +95,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_trend_anomalies",
     "events_type_transitions",
     "events_touch_attribution",
+    "events_value_twap",
     # dedup: round-4 never-checked + new rounds 5/6 (the lossless
     # prefix-filtered exact similarity join is a round-6 addition)
     "dedup_jaccard_prefix",

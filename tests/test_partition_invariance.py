@@ -33,6 +33,8 @@ ENTRIES = [
     # float is a fixed-shape rounded ratio / DECIMAL-cast sum
     "events_type_transitions",
     "events_touch_attribution",
+    # DECIMAL(value) x BIGINT(gap) products summed exactly
+    "events_value_twap",
 ]
 
 
