@@ -58,36 +58,3 @@ def validate(df: DataFrame, checks: list[tuple[str, F.Column]]) -> DataFrame:
 
 def orders_quality_report(orders: DataFrame) -> DataFrame:
     return validate(orders, _orders_checks())
-
-
-def referential_integrity(
-    edges: list[tuple[str, DataFrame, str, DataFrame, str]],
-) -> DataFrame:
-    """(fk, n_child, n_orphans) per foreign-key edge: cross-table
-    referential validation, the check single-table constraint suites
-    cannot express. Each edge is one LEFT ANTI join of the child's key
-    column against the parent's distinct primary keys — the shuffle (if
-    any) is keyed on the FK, dims broadcast themselves, and the output
-    is |edges| metadata rows. A NULL foreign key never matches a parent
-    and therefore counts as an orphan (the NOT EXISTS convention —
-    deliberately not NOT IN, whose null semantics silently hide
-    violations)."""
-    outs = []
-    for name, child, ccol, parent, pcol in edges:
-        keys = child.select(F.col(ccol).alias("k"))
-        pk = parent.select(F.col(pcol).alias("k")).distinct()
-        orphans = keys.join(pk, "k", "left_anti")
-        row = (
-            keys.agg(F.count(F.lit(1)).cast("bigint").alias("n_child"))
-            .crossJoin(
-                orphans.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_orphans")
-                )
-            )
-            .select(F.lit(name).alias("fk"), "n_child", "n_orphans")
-        )
-        outs.append(row)
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out

@@ -480,86 +480,3 @@ def curation_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = spark.read.parquet(ensure_lsh_edges(spark, sf_dir))
     return C.leakage_guarded_split(docs, pairs)
-
-
-@register(
-    "star_referential_integrity",
-    oracle="""
-SELECT 'orders.o_custkey->customer' AS fk,
-       (SELECT COUNT(*) FROM orders)::BIGINT AS n_child,
-       (SELECT COUNT(*) FROM orders o
-        WHERE NOT EXISTS (SELECT 1 FROM customer c
-                          WHERE c.c_custkey = o.o_custkey))::BIGINT AS n_orphans
-UNION ALL
-SELECT 'lineitem.l_orderkey->orders',
-       (SELECT COUNT(*) FROM lineitem),
-       (SELECT COUNT(*) FROM lineitem l
-        WHERE NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_orderkey = l.l_orderkey))
-UNION ALL
-SELECT 'lineitem.l_partkey->part',
-       (SELECT COUNT(*) FROM lineitem),
-       (SELECT COUNT(*) FROM lineitem l
-        WHERE NOT EXISTS (SELECT 1 FROM part p
-                          WHERE p.p_partkey = l.l_partkey))
-UNION ALL
-SELECT 'lineitem.l_suppkey->supplier',
-       (SELECT COUNT(*) FROM lineitem),
-       (SELECT COUNT(*) FROM lineitem l
-        WHERE NOT EXISTS (SELECT 1 FROM supplier s
-                          WHERE s.s_suppkey = l.l_suppkey))
-UNION ALL
-SELECT 'customer.c_nationkey->nation',
-       (SELECT COUNT(*) FROM customer),
-       (SELECT COUNT(*) FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM nation n
-                          WHERE n.n_nationkey = c.c_nationkey))
-UNION ALL
-SELECT 'supplier.s_nationkey->nation',
-       (SELECT COUNT(*) FROM supplier),
-       (SELECT COUNT(*) FROM supplier s
-        WHERE NOT EXISTS (SELECT 1 FROM nation n
-                          WHERE n.n_nationkey = s.s_nationkey))
-UNION ALL
-SELECT 'nation.n_regionkey->region',
-       (SELECT COUNT(*) FROM nation),
-       (SELECT COUNT(*) FROM nation n
-        WHERE NOT EXISTS (SELECT 1 FROM region r
-                          WHERE r.r_regionkey = n.n_regionkey))
-""",
-    doc="Cross-table referential-integrity audit over the full star "
-    "schema (7 FK edges): each edge is a LEFT ANTI join of the child "
-    "FK column against the parent's distinct keys — the cross-table "
-    "check single-table constraint suites cannot express, and the "
-    "pre-flight a 100 TB join pipeline runs before trusting its dims. "
-    "FK-keyed shuffles only; dims broadcast; output is 7 metadata "
-    "rows. NULL FKs count as orphans (NOT EXISTS convention). "
-    "operators/quality_checks.py:referential_integrity.",
-    tags=("curation", "quality", "validation", "join"),
-)
-def star_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.quality_checks import referential_integrity
-
-    t = {
-        n: load_table(spark, sf_dir, n)
-        for n in (
-            "orders",
-            "lineitem",
-            "customer",
-            "supplier",
-            "part",
-            "nation",
-            "region",
-        )
-    }
-    return referential_integrity(
-        [
-            ("orders.o_custkey->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
-            ("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
-            ("lineitem.l_partkey->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
-            ("lineitem.l_suppkey->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
-            ("customer.c_nationkey->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
-            ("supplier.s_nationkey->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
-            ("nation.n_regionkey->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
-        ]
-    )

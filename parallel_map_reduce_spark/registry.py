@@ -83,6 +83,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "orders_cdc_merge",
     "orders_cdc_diff",
     "customer_segment_nation_mi",
+    "customer_segment_nation_chi2",
     "events_ab_conversion",
     "events_session_metrics",
     "lineitem_column_profile",
@@ -106,10 +107,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     # events / streaming-batch: never-checked + family anchors +
     # round-6 PSI drift monitor
     "events_drift_psi",
-    # curation anchors + new rounds 5/6 (weighted sampling); session-2
-    # round 7 adds the cross-table FK audit
+    # curation anchors + new rounds 5/6 (weighted sampling)
     "curation_weighted_sample",
-    "star_referential_integrity",
     # curation — new round 7: leakage-guarded split over the shared LSH
     # candidate-edge artifact
     "curation_leakage_split",
