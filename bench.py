@@ -240,6 +240,20 @@ def _paired_baseline(spark, specs, sf_dir: str) -> dict:
     return out
 
 
+def _mem_gb(mem: str) -> float:
+    """Parse a JVM memory string ('24g', '16384m', '1t', bare bytes)
+    into GiB; unrecognized values parse as 0 (advisor r7: '16384m'
+    previously parsed to 0 and silently dropped the 512x notch)."""
+    mem = mem.strip().lower()
+    mult = {"k": 1.0 / (1024 * 1024), "m": 1.0 / 1024, "g": 1.0, "t": 1024.0}
+    try:
+        if mem and mem[-1] in mult:
+            return float(mem[:-1]) * mult[mem[-1]]
+        return float(mem) / (1024**3)  # bare bytes
+    except ValueError:
+        return 0.0
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     if base.startswith("sf"):
@@ -330,16 +344,25 @@ def main() -> int:
     # 512x (~3.3 GB of text) extends the curve past the page-cache
     # regime (VERDICT r6 task 7); generation is cached on disk across
     # runs, so only the first-ever bench pays it.
-    scale_factors = tuple(
-        int(x)
-        for x in os.environ.get("SPARK_GRAFT_SCALE_FACTORS", "1,8,64,512").split(",")
-    )
+    # Tolerant env parse (advisor r7): a malformed entry (trailing
+    # comma, stray space) warns and is skipped instead of killing the
+    # whole bench deliverable with a ValueError.
+    scale_factors = []
+    for x in os.environ.get("SPARK_GRAFT_SCALE_FACTORS", "1,8,64,512").split(","):
+        try:
+            scale_factors.append(int(x.strip()))
+        except ValueError:
+            if x.strip():
+                print(
+                    f"bench: ignoring malformed SPARK_GRAFT_SCALE_FACTORS entry {x!r}",
+                    file=sys.stderr,
+                )
+    scale_factors = tuple(scale_factors)
     # A JVM OOM kills the whole session (not just the query), so the
     # 512x notch only runs when the driver heap can hold its posting
     # arrays — a too-small SPARK_GRAFT_DRIVER_MEM drops it rather than
     # risking the entire bench deliverable.
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g").lower()
-    mem_gb = int(mem[:-1]) if mem.endswith("g") and mem[:-1].isdigit() else 0
+    mem_gb = _mem_gb(os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     if mem_gb < 16:
         scale_factors = tuple(f for f in scale_factors if f <= 64)
     scale_curve: dict[str, float] = {}

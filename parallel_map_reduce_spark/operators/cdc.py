@@ -103,13 +103,19 @@ def snapshot_diff(
     # Prefix-rename each side (fresh attribute ids) — the two snapshots
     # usually share lineage (new = merge(old, feed)), and dataset
     # aliases cannot disambiguate a self-join through that lineage.
+    # Marker names start with a DOUBLE underscore so no prefixed payload
+    # column can collide: every renamed payload column starts '_o_'/
+    # '_n_' (single underscore), so '_o_' + c can never equal
+    # '__o_present__' for any c (advisor r7: a payload column literally
+    # named 'present' also renamed to '_o_present' and broke the
+    # classification).
     o = old.select(
         [F.col(c).alias(f"_o_{c}") for c in old.columns]
-        + [F.lit(True).alias("_o_present")]
+        + [F.lit(True).alias("__o_present__")]
     )
     n = new.select(
         [F.col(c).alias(f"_n_{c}") for c in old.columns]
-        + [F.lit(True).alias("_n_present")]
+        + [F.lit(True).alias("__n_present__")]
     )
     cond = [
         F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}")) for k in key_cols
@@ -121,8 +127,8 @@ def snapshot_diff(
     # the join is eqNullSafe, so a key whose columns are all NULL can
     # legitimately exist on both sides and must classify as 'U'/
     # unchanged, never 'I'.
-    o_present = F.col("_o_present").isNotNull()
-    n_present = F.col("_n_present").isNotNull()
+    o_present = F.col("__o_present__").isNotNull()
+    n_present = F.col("__n_present__").isNotNull()
     op = (
         F.when(~o_present, F.lit("I"))
         .when(~n_present, F.lit("D"))

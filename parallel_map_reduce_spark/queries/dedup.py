@@ -102,22 +102,6 @@ lsh_pairs AS (
 )"""
 
 
-def _lsh_edges_path(sf_dir: str) -> str:
-    import hashlib
-    import os
-    import tempfile
-
-    docs_path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        mtime = int(os.path.getmtime(docs_path))
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(
-        f"lsh_edges:{os.path.abspath(sf_dir)}:{mtime}".encode()
-    ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), "pmrs_lsh_edges", key)
-
-
 def ensure_lsh_edges(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the MinHash-LSH candidate-pair edge list as a SHARED
     parquet artifact (built once per sf_dir, keyed by source mtime) —
@@ -131,18 +115,19 @@ def ensure_lsh_edges(spark: SparkSession, sf_dir: str) -> str:
     (LSH_PAIRS_CTES) stay valid unchanged. At 100 TB this is the
     standard shape: candidate edges are an expensive corpus-derived
     intermediate that MANY consumers read — write once, bucket/serve
-    many."""
-    import os
+    many. Built into a unique temp dir and atomically renamed into
+    place (sources/artifact_cache.py) so concurrent builders never
+    interleave writes and a same-second source regen never serves
+    stale."""
+    from ..sources.artifact_cache import ensure_artifact, source_key
 
-    path = _lsh_edges_path(sf_dir)
-    marker = os.path.join(path, "_BUILT")
-    if not os.path.exists(marker):
-        D.minhash_lsh_candidates(
+    return ensure_artifact(
+        "pmrs_lsh_edges",
+        source_key("lsh_edges", sf_dir, "documents.parquet"),
+        lambda tmp: D.minhash_lsh_candidates(
             load_table(spark, sf_dir, "documents")
-        ).write.mode("overwrite").parquet(path)
-        with open(marker, "w") as f:
-            f.write("ok")
-    return path
+        ).write.mode("overwrite").parquet(tmp),
+    )
 
 
 @register(

@@ -8,15 +8,14 @@ breaks; no rounding slop needed.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
 from ..registry import register
+from ..sources.artifact_cache import ensure_artifact, source_key
 from ..sources.catalog import load_table
 
 _QUERY_MOD = 50  # query set = vec_id % 50 == 0
@@ -50,32 +49,20 @@ def _pretrained_cents(spark: SparkSession, sf_dir: str, k: int = S.IVF_K) -> Dat
     return S._centroid_df(spark, _CENTS_MEMO[key])
 
 
-def _ivf_index_path(sf_dir: str) -> str:
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        mtime = int(os.path.getmtime(emb_path))
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}".encode()
-    ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), "pmrs_ivf_index", key)
-
-
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the persisted IVF index for sf_dir if absent; return its
-    path. Keyed by source mtime so regenerated testdata invalidates."""
-    path = _ivf_index_path(sf_dir)
-    marker = os.path.join(path, "_BUILT")
-    if not os.path.exists(marker):
-        S.write_ivf_index(
+    path. Atomic publish + ns-mtime key via sources/artifact_cache.py
+    (concurrent builders never interleave; same-second source regen
+    invalidates)."""
+    return ensure_artifact(
+        "pmrs_ivf_index",
+        source_key("ivf", sf_dir, "embeddings.parquet"),
+        lambda tmp: S.write_ivf_index(
             load_table(spark, sf_dir, "embeddings"),
-            path,
+            tmp,
             cents=_pretrained_cents(spark, sf_dir),
-        )
-        with open(marker, "w") as f:
-            f.write("ok")
-    return path
+        ),
+    )
 
 
 @register(
@@ -417,29 +404,19 @@ def _pretrained_pq_books(spark: SparkSession, sf_dir: str) -> list[list[list[flo
     return _PQ_MEMO[key]
 
 
-def _pq_index_path(sf_dir: str) -> str:
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        mtime = int(os.path.getmtime(emb_path))
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(f"pq:{os.path.abspath(sf_dir)}:{mtime}".encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), "pmrs_pq_index", key)
-
-
 def _ensure_pq_index(
     spark: SparkSession, sf_dir: str, books: list[list[list[float]]]
 ) -> str:
     """Build the persisted PQ code store for sf_dir if absent (same
-    build-once/serve-many split as _ensure_ivf_index; keyed by source
-    mtime so regenerated testdata invalidates)."""
-    path = _pq_index_path(sf_dir)
-    marker = os.path.join(path, "_BUILT")
-    if not os.path.exists(marker):
-        S.write_pq_index(load_table(spark, sf_dir, "embeddings"), path, books)
-        with open(marker, "w") as f:
-            f.write("ok")
-    return path
+    build-once/serve-many split as _ensure_ivf_index; atomic publish +
+    ns-mtime key via sources/artifact_cache.py)."""
+    return ensure_artifact(
+        "pmrs_pq_index",
+        source_key("pq", sf_dir, "embeddings.parquet"),
+        lambda tmp: S.write_pq_index(
+            load_table(spark, sf_dir, "embeddings"), tmp, books
+        ),
+    )
 
 
 @register(
@@ -478,37 +455,23 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_index_path(sf_dir: str) -> str:
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        mtime = int(os.path.getmtime(emb_path))
-    except OSError:
-        mtime = 0
-    key = hashlib.md5(
-        # v2: the artifact gained its centroid-partitioned normalized
-        # vector half (re-rank store); stale code-only indexes rebuild
-        f"ivfpq-v2:{os.path.abspath(sf_dir)}:{mtime}".encode()
-    ).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), "pmrs_ivfpq_index", key)
-
-
 def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the persisted IVFPQ index (centroid_id-partitioned PQ code
     store) for sf_dir if absent — the same build-once/serve-many split
-    as the IVF and flat-PQ indexes, keyed by source mtime."""
-    path = _ivfpq_index_path(sf_dir)
-    marker = os.path.join(path, "_BUILT")
-    if not os.path.exists(marker):
-        emb = load_table(spark, sf_dir, "embeddings")
-        S.write_ivfpq_index(
-            emb,
-            path,
+    as the IVF and flat-PQ indexes; atomic publish + ns-mtime key via
+    sources/artifact_cache.py. Key tag v2: the artifact gained its
+    centroid-partitioned normalized vector half (re-rank store); stale
+    code-only indexes rebuild."""
+    return ensure_artifact(
+        "pmrs_ivfpq_index",
+        source_key("ivfpq-v2", sf_dir, "embeddings.parquet"),
+        lambda tmp: S.write_ivfpq_index(
+            load_table(spark, sf_dir, "embeddings"),
+            tmp,
             _pretrained_pq_books(spark, sf_dir),
             _pretrained_cents(spark, sf_dir),
-        )
-        with open(marker, "w") as f:
-            f.write("ok")
-    return path
+        ),
+    )
 
 
 @register(

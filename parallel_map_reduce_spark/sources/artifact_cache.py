@@ -1,0 +1,83 @@
+"""Atomic publish for cached derived artifacts (/tmp parquet stores).
+
+Several query families serve from build-once/serve-many artifacts
+(LSH candidate edges, IVF/PQ/IVFPQ indexes, bucketed graph edges).
+The original check-then-build pattern had two races the advisor
+flagged:
+
+- two concurrent processes can both see the artifact missing and run
+  overlapping ``mode("overwrite")`` writes into the SAME directory —
+  torn output that both then serve;
+- a cache key of ``int(mtime)`` (1 s resolution) lets a source
+  regenerated within the same second silently serve a stale artifact
+  while the DuckDB oracle computes live — a gate hash mismatch with
+  no local repro.
+
+Fix here: build into a UNIQUE temp directory and ``os.rename`` it
+into place (atomic on POSIX within one filesystem — /tmp to /tmp).
+Losing a publish race is fine: the loser's rename fails because the
+destination exists, it discards its build and serves the winner's
+(both builds are deterministic functions of the same source). Keys
+use nanosecond mtime + file size, so same-second regeneration
+invalidates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+_MARKER = "_BUILT"
+
+
+def source_key(tag: str, sf_dir: str, source_file: str) -> str:
+    """Cache key for an artifact derived from one source parquet file:
+    nanosecond mtime + size, so a regenerated source never collides
+    even within the same second."""
+    p = os.path.join(sf_dir, source_file)
+    try:
+        st = os.stat(p)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        stamp = "absent"
+    return hashlib.md5(
+        f"{tag}:{os.path.abspath(sf_dir)}:{stamp}".encode()
+    ).hexdigest()[:12]
+
+
+def artifact_path(family: str, key: str) -> str:
+    return os.path.join(tempfile.gettempdir(), family, key)
+
+
+def ensure_artifact(
+    family: str, key: str, build: Callable[[str], None]
+) -> str:
+    """Return the published artifact directory for (family, key),
+    building it first if absent. ``build(tmp_dir)`` must write the
+    complete artifact into ``tmp_dir``; publication is one atomic
+    rename, so readers only ever see absent or complete."""
+    final = artifact_path(family, key)
+    if os.path.exists(os.path.join(final, _MARKER)):
+        return final
+    parent = os.path.dirname(final)
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(parent, f".build-{key}-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+    try:
+        build(tmp)
+        with open(os.path.join(tmp, _MARKER), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            # Lost the publish race (destination exists): serve the
+            # winner's identical artifact, drop ours.
+            if not os.path.exists(os.path.join(final, _MARKER)):
+                raise
+    finally:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+    return final

@@ -70,9 +70,14 @@ def read_manifest_documents(spark: SparkSession, manifest_path: str) -> DataFram
         mp = F.create_map(
             *[x for p, i in id_map for x in (F.lit(p), F.lit(i))]
         )
+        # Drop rows whose percent-encoded input_file_name() URI missed
+        # the map (filenames with spaces / non-ASCII): the broadcast-
+        # join branch below drops such rows via its inner join, and the
+        # two branches must have identical semantics — NULL doc_ids
+        # must never flow into downstream groupBys (advisor r7).
         return raw.select(
             mp[F.col("path")].cast("bigint").alias("doc_id"), "text"
-        )
+        ).filter(F.col("doc_id").isNotNull())
     # Large (or pathological duplicate-path) manifests: a million-entry
     # expression literal would bloat the plan — keep the id table as a
     # small dim and broadcast-join it (no shuffle of text blobs either).

@@ -217,6 +217,23 @@ def test_snapshot_diff_empty_on_identical(spark):
     assert snapshot_diff(snap, snap, ["k"]).count() == 0  # null-safe compare
 
 
+def test_snapshot_diff_payload_column_named_present(spark):
+    """A payload column literally named 'present' must not collide with
+    the operator's internal presence markers (advisor r7: it renamed to
+    '_o_present', colliding with the old marker name — now the markers
+    are '__o_present__', unreachable by any '_o_'+c rename)."""
+    from parallel_map_reduce_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, True), (2, False)], "k INT, present BOOLEAN"
+    )
+    new = spark.createDataFrame(
+        [(1, False), (3, True)], "k INT, present BOOLEAN"
+    )
+    d = {r["k"]: (r["op"], r["present"]) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert d == {1: ("U", False), 2: ("D", False), 3: ("I", True)}
+
+
 def test_column_profile_invariants(spark, sf_dir):
     from parallel_map_reduce_spark.registry import all_queries
 
