@@ -28,6 +28,56 @@ PR_ITERS = 5
 PR_CKPT_EVERY = 8
 
 
+def _graph_nodes(edges: DataFrame) -> DataFrame:
+    """Distinct (node) over both endpoints, materialized (node-sized)."""
+    return (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _pagerank_loop(
+    out_edges: DataFrame,
+    nodes: DataFrame,
+    iters: int,
+    ckpt_every: int,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Shared superstep loop over a static (src, dst, deg) table.
+
+    ``symmetric=True`` asserts every node has at least one IN-edge
+    (true by construction for symmetrized edge lists, where each node
+    appears as both src and dst), which makes the per-round LEFT join
+    back onto the node set redundant: the contribution aggregate
+    already covers every node, so each superstep is exactly one
+    rank-vector join against the static edge table plus one node-keyed
+    aggregate — no third exchange. Values are identical to the general
+    path (the left join's COALESCE arm never fires on such graphs;
+    pinned in tests/test_graph.py)."""
+    n = nodes.count()  # scalar metadata, not a data collect
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iters):
+        contrib = (
+            out_edges.join(ranks, out_edges.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_rank = (
+            F.lit((1.0 - DAMPING) / n)
+            + F.lit(DAMPING) * F.coalesce("contrib", F.lit(0.0))
+        ).alias("rank")
+        if symmetric:
+            ranks = contrib.select("node", new_rank)
+        else:
+            ranks = nodes.join(contrib, "node", "left").select("node", new_rank)
+        if ckpt_every and (i + 1) % ckpt_every == 0 and i + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def pagerank(
     edges: DataFrame, iters: int = PR_ITERS, ckpt_every: int = PR_CKPT_EVERY
 ) -> DataFrame:
@@ -44,38 +94,33 @@ def pagerank(
     # Loop-invariant: (src, dst, deg) never changes across supersteps,
     # so join it ONCE and materialize — each iteration then joins only
     # the node-sized rank vector against this static table. At cluster
-    # scale this is also the table to pre-bucket by src so supersteps
-    # shuffle ranks, never edges.
+    # scale this is the table to pre-bucket by src (pagerank_prepared +
+    # layout.write_bucketed) so supersteps shuffle ranks, never edges.
     out_edges = (
         edges.join(deg, "src")
         .select("src", "dst", "deg")
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n = nodes.count()  # scalar metadata, not a data collect
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for i in range(iters):
-        contrib = (
-            out_edges.join(ranks, out_edges.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            (
-                F.lit((1.0 - DAMPING) / n)
-                + F.lit(DAMPING) * F.coalesce("contrib", F.lit(0.0))
-            ).alias("rank"),
-        )
-        if ckpt_every and (i + 1) % ckpt_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return _pagerank_loop(out_edges, _graph_nodes(edges), iters, ckpt_every)
+
+
+def pagerank_prepared(
+    out_edges: DataFrame,
+    iters: int = PR_ITERS,
+    ckpt_every: int = PR_CKPT_EVERY,
+    symmetric: bool = False,
+) -> DataFrame:
+    """PageRank served from a PRE-MATERIALIZED static (src, dst, deg)
+    table — the 100 TB serving shape: the caller writes the edge table
+    once, hash-BUCKETED on src (layout.write_bucketed), and every
+    superstep's edges⋈ranks join then satisfies its edge-side
+    distribution from the bucket layout — the exchanges that remain
+    move only node-sized rank vectors, never edges. The degree join is
+    paid at write time, not per run. Same fixed-iteration semantics as
+    ``pagerank`` (values equal to double-sum round-off; pinned in
+    tests/test_graph.py)."""
+    nodes = _graph_nodes(out_edges)
+    return _pagerank_loop(out_edges, nodes, iters, ckpt_every, symmetric=symmetric)
 
 
 def customer_supplier_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
@@ -185,12 +230,19 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     the edge list is joined from its checkpointed static table (never
     recomputed, never re-shuffled wider than the join)."""
     edges = edges.localCheckpoint(eager=True)
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    return _lpa_loop(edges, _graph_nodes(edges), iters)
+
+
+def _lpa_loop(
+    edges: DataFrame, nodes: DataFrame, iters: int, symmetric: bool = False
+) -> DataFrame:
+    """Shared LPA superstep loop over a static (src, dst, ...) table.
+
+    ``symmetric=True`` asserts every node has an in-neighbor (true for
+    symmetrized edge lists), collapsing the per-round LEFT join back
+    onto the node set: the argmax already covers every node, and the
+    isolated-node COALESCE arm can never fire. Values identical to the
+    general path on such graphs (pinned in tests/test_graph.py)."""
     labels = nodes.withColumn("label", F.col("node"))
     for _ in range(iters):
         counts = (
@@ -204,7 +256,22 @@ def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
                 "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
             ).alias("new_label")
         )
-        labels = nodes.join(winner, "node", "left").select(
-            "node", F.coalesce("new_label", F.col("node")).alias("label")
-        )
+        if symmetric:
+            labels = winner.select("node", F.col("new_label").alias("label"))
+        else:
+            labels = nodes.join(winner, "node", "left").select(
+                "node", F.coalesce("new_label", F.col("node")).alias("label")
+            )
     return labels
+
+
+def label_propagation_prepared(
+    edges: DataFrame, iters: int = LPA_ITERS, symmetric: bool = False
+) -> DataFrame:
+    """Label propagation served from a PRE-MATERIALIZED static edge
+    table — same serving shape as ``pagerank_prepared``: the caller
+    writes the (symmetrized) edge list once, hash-bucketed on src, and
+    each round's edges⋈labels join satisfies its edge-side
+    distribution from the bucket layout; only label-sized frames move.
+    Same fixed-round semantics as ``label_propagation``."""
+    return _lpa_loop(edges, _graph_nodes(edges), iters, symmetric=symmetric)

@@ -15,6 +15,43 @@ from ..operators import graph as G
 from ..registry import register
 from ..sources.catalog import load_table
 
+
+def _bucketed_graph_table(spark: SparkSession, sf_dir: str, name, build_edges) -> DataFrame:
+    """The static (src, dst, deg) superstep table for a graph family,
+    written ONCE per session as a 16-bucket hash-bucketed table on
+    ``src`` (operators/layout.py:write_bucketed) and served from the
+    catalog thereafter — VERDICT r7 task 1: with the edge side's
+    distribution satisfied by the bucket layout, every PageRank/LPA
+    superstep join exchanges only the node-sized rank/label vector,
+    never the edges, and the degree join is paid at write time. This is
+    the 100 TB iterative-graph layout (same write-once/serve-many split
+    as the LSH edge artifact and the ANN index stores); the per-session
+    rewrite mirrors bucketed_orders_revenue (in-memory catalog). The
+    path is pid-scoped so concurrent processes never interleave writes
+    into one directory."""
+    import os
+    import re
+    import tempfile
+
+    tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    table = f"pmrs_b_{name}_{tag}"
+    if not spark.catalog.tableExists(table):
+        from ..operators.layout import write_bucketed
+
+        path = os.path.join(
+            tempfile.gettempdir(), "pmrs_bucketed_graph", f"{tag}-{os.getpid()}", name
+        )
+        edges = build_edges()
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        write_bucketed(
+            edges.join(deg, "src").select("src", "dst", "deg"),
+            table,
+            "src",
+            16,
+            path=path,
+        )
+    return spark.table(table)
+
 _EDGES_CTE = """
 pairs AS (
     SELECT DISTINCT 'c:' || o_custkey AS a, 's:' || l_suppkey AS b
@@ -61,22 +98,37 @@ FROM pr{G.PR_ITERS} p CROSS JOIN nn
     doc=f"PageRank ({G.PR_ITERS} synchronous iterations, damping "
     f"{G.DAMPING}) over the symmetrized customer-supplier trade graph — "
     "iterative numeric propagation as a driver loop of join+group-by "
-    "rounds with localCheckpoint keeping plans flat (same superstep "
-    "discipline as connected_components). Oracle = the identical "
-    "update unrolled into chained SQL CTEs; ranks scaled by N and "
-    "rounded to 6 dp on both sides (float round-off is ~1e-12). "
-    "operators/graph.py:pagerank.",
+    "supersteps served from the SHARED bucketed (src, dst, deg) edge "
+    "table (_bucketed_graph_table): the edge side of every superstep "
+    "join reads its bucket layout, so the exchanges that remain move "
+    "only node-sized rank vectors; symmetric=True elides the per-round "
+    "left join (symmetrized graphs have no contribution-less nodes). "
+    "Oracle = the identical update unrolled into chained SQL CTEs; "
+    "ranks scaled by N and rounded to 6 dp on both sides (float "
+    "round-off is ~1e-12). operators/graph.py:pagerank_prepared.",
     tags=("graph", "iterative", "custom-operator"),
 )
 def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = G.customer_supplier_edges(
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
-    ranks = G.pagerank(edges)
-    n = ranks.count()  # == node count; scalar for the output scaling
+    out_edges = _bucketed_trade_edges(spark, sf_dir)
+    ranks = G.pagerank_prepared(out_edges, symmetric=True)
+    # Node count for the output scaling: every node of the symmetrized
+    # graph appears as src, so this is a node-sized distinct over the
+    # bucketed table — NOT a full pipeline execution.
+    n = out_edges.select("src").distinct().count()
     return ranks.select(
         "node", F.round(F.col("rank") * n, 6).alias("rank_scaled")
+    )
+
+
+def _bucketed_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bucketed_graph_table(
+        spark,
+        sf_dir,
+        "trade_edges",
+        lambda: G.customer_supplier_edges(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+        ),
     )
 
 
@@ -168,20 +220,18 @@ SELECT node, label AS community FROM lp{G.LPA_ITERS}
     "synchronous rounds, most-frequent-neighbor-label update, ties to "
     "the smallest label) over the symmetrized customer-supplier trade "
     "graph — the integer-exact sibling of pagerank's numeric "
-    "propagation: same driver superstep loop, same checkpointed static "
-    "edge table, per-round exchanges carry only label-sized frames. "
+    "propagation: same driver superstep loop, same SHARED bucketed "
+    "edge table (the pagerank entry's artifact — written once, served "
+    "twice), per-round exchanges carry only label-sized frames. "
     "Total-order tie-breaks make the output deterministic, so the "
     "oracle is the identical update unrolled into chained CTEs (no "
     "rounding slop at all — labels are strings). "
-    "operators/graph.py:label_propagation.",
+    "operators/graph.py:label_propagation_prepared.",
     tags=("graph", "iterative", "community", "custom-operator"),
 )
 def trade_graph_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = G.customer_supplier_edges(
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
-    return G.label_propagation(edges).select(
+    out_edges = _bucketed_trade_edges(spark, sf_dir)
+    return G.label_propagation_prepared(out_edges, symmetric=True).select(
         "node", F.col("label").alias("community")
     )
 
@@ -210,20 +260,26 @@ FROM lp{G.LPA_ITERS}
     "candidate graph — near-duplicate CLUSTERS rather than pairs, the "
     "document-side sibling of the trade-graph LPA entry. Served from "
     "the SHARED persisted edge artifact (queries/dedup.py:"
-    "ensure_lsh_edges), so the superstep loop starts from a parquet "
-    "scan of |edges| rows; integer doc-id labels keep the update "
+    "ensure_lsh_edges), symmetrized and re-bucketed ONCE on src "
+    "(_bucketed_graph_table) so each superstep join exchanges only the "
+    "label vector; integer doc-id labels keep the update "
     "integer-exact, and the oracle replays the identical rounds as "
     "unrolled CTEs over the same LSH-pair SQL the pair/triangle "
-    "oracles use. operators/graph.py:label_propagation.",
+    "oracles use. operators/graph.py:label_propagation_prepared.",
     tags=("graph", "dedup", "iterative", "community", "custom-operator"),
 )
 def neardup_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import ensure_lsh_edges
+    def _sym_lsh_edges() -> DataFrame:
+        from .dedup import ensure_lsh_edges
 
-    pairs = spark.read.parquet(ensure_lsh_edges(spark, sf_dir))
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    return G.label_propagation(edges).select(
+        pairs = spark.read.parquet(ensure_lsh_edges(spark, sf_dir))
+        return pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ).union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+
+    edges = _bucketed_graph_table(spark, sf_dir, "neardup_edges", _sym_lsh_edges)
+    return G.label_propagation_prepared(edges, symmetric=True).select(
         F.col("node").alias("doc_id"), F.col("label").alias("community")
     )

@@ -78,3 +78,87 @@ def test_label_propagation_separates_disjoint_cliques(spark):
     got = {r.node: r.label for r in label_propagation(edges, iters=4).collect()}
     assert {got["a1"], got["a2"], got["a3"]} == {"a1"}
     assert {got["b1"], got["b2"], got["b3"]} == {"b1"}
+
+
+def _random_sym_edges(spark, n_nodes=40, seed=7):
+    """Deterministic symmetrized random edge list (no Spark rand())."""
+    import random
+
+    rng = random.Random(seed)
+    pairs = {
+        tuple(sorted(rng.sample(range(n_nodes), 2))) for _ in range(3 * n_nodes)
+    }
+    rows = [(f"n{a}", f"n{b}") for a, b in pairs]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    return df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_pagerank_prepared_symmetric_equals_general(spark):
+    """pagerank_prepared(symmetric=True) over a pre-materialized
+    (src, dst, deg) table must produce the same ranks as the general
+    path to float round-off — the left-join COALESCE arm never fires
+    on a symmetrized graph and the superstep arithmetic is unchanged;
+    the only difference is double-sum reassociation under the changed
+    source partitioning (last-ulp, absorbed by the registry entry's
+    6 dp rounding)."""
+    from parallel_map_reduce_spark.operators.graph import pagerank_prepared
+
+    edges = _random_sym_edges(spark)
+    base = {r.node: r.rank for r in pagerank(edges).collect()}
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    out_edges = edges.join(deg, "src").select("src", "dst", "deg")
+    prep = {r.node: r.rank for r in pagerank_prepared(out_edges, symmetric=True).collect()}
+    assert set(prep) == set(base)
+    for k, v in base.items():
+        assert abs(prep[k] - v) <= 1e-12 * max(abs(v), 1e-30), (k, prep[k], v)
+
+
+def test_lpa_prepared_symmetric_equals_general(spark):
+    from parallel_map_reduce_spark.operators.graph import (
+        label_propagation,
+        label_propagation_prepared,
+    )
+
+    edges = _random_sym_edges(spark, seed=11)
+    base = {r.node: r.label for r in label_propagation(edges).collect()}
+    prep = {
+        r.node: r.label
+        for r in label_propagation_prepared(edges, symmetric=True).collect()
+    }
+    assert prep == base
+
+
+def test_bucketed_superstep_join_has_no_edge_side_exchange(spark, sf_dir, tmp_path):
+    """The VERDICT r7 task-1 property: with the (src, dst, deg) table
+    bucketed on src, a superstep join planned as SMJ (broadcast
+    disabled) satisfies the edge side's distribution from the bucket
+    layout — the ONLY hash exchanges in a one-iteration plan are the
+    node-sized rank-vector shuffle into the join and the node-keyed
+    contribution aggregate; the bucketed scan feeds the join directly."""
+    from parallel_map_reduce_spark.operators.graph import pagerank_prepared
+    from parallel_map_reduce_spark.operators.layout import write_bucketed
+
+    edges = _random_sym_edges(spark, seed=13)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    write_bucketed(
+        edges.join(deg, "src").select("src", "dst", "deg"),
+        "pmrs_test_graph_edges",
+        "src",
+        8,
+        path=str(tmp_path / "edges"),
+    )
+    out_edges = spark.table("pmrs_test_graph_edges")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        df = pagerank_prepared(out_edges, iters=1, symmetric=True)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS pmrs_test_graph_edges")
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert "Bucketed: true" in plan, plan
+    # Exactly 2 hash exchanges: ranks into the join, contributions into
+    # the aggregate — and neither sits on the bucketed-scan side.
+    assert plan.count("Exchange hashpartitioning") == 2, plan
