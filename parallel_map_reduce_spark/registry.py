@@ -43,12 +43,18 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #   3. Every family keeps at least one in-window representative.
 #   4. Slow entries (live streaming drains) sit at the END of the
 #      window; un-gated drains stay at the registry tail.
-# Round-7 window: the three oracle-backed live drains registered after
-# the r6 drain block froze rotate IN (streaming_inverted_index /
-# streaming_cdc_apply / streaming_neardup_lsh — VERDICT r6 task 3),
-# event_value_quantiles_approx takes the approx family's rows-only
-# slot from event_users_hll_rollup (task 8), and the round's new
-# entries rotate in per rule 2. Full displacement log: GATE_HISTORY.md.
+# Round-8 window (VERDICT r7 task 6 — widen the rows-only rotation):
+# the three rows-only slots cycle from last round's occupants (all got
+# their r7 ran-row: event_value_quantiles_approx, similarity_ivfpq_
+# topk, streaming_ivfpq_index) to three never-driver-checked entries:
+# similarity_two_stage_ivf_topk, embedding_semantic_dedup,
+# text_bpe_vocabulary. The window keeps its 47-oracle-backed floor —
+# the task's "≤2 never-checked after r8" is arithmetically
+# incompatible with that floor (7 never-checked, 3 rows-only slots),
+# so the tail clears over r8-r10 at 3 slots/round; 4 remain after r8
+# (embedding_pca_whitened, similarity_pq_topk,
+# event_type_user_overlap_hll, documents_quality_logreg).
+# Full displacement log: GATE_HISTORY.md.
 GATE_PRIORITY: tuple[str, ...] = (
     # core (reference parity) — permanent
     "inverted_index",
@@ -71,9 +77,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # aggregate maintenance)
     "events_user_skew_report",
     "events_incremental_agg_merge",
-    # approx family representative (rows-only by design; hll_rollup ran
-    # r6 — the GK-quantile sibling takes the slot this round)
-    "event_value_quantiles_approx",
+    # approx/ML family rows-only slot (rotation: hll_rollup r6,
+    # gk-quantiles r7; the SemDeDup planted-group entry takes r8)
+    "embedding_semantic_dedup",
     # relational — new round 7: WOE/IV feature scoring (the MI/chi2
     # contingency family's credit-scoring sibling)
     "orders_priority_woe_iv",
@@ -101,9 +107,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_jaccard_prefix",
     # dedup — new round 7: exact-substring (span-level) duplication
     "dedup_repeated_substrings",
-    # similarity — new round 7: the composed IVFPQ serving path
-    # (rows-only by design; contracts in tests/test_similarity.py)
-    "similarity_ivfpq_topk",
+    # similarity rows-only slot (rotation: ivfpq_topk ran r7; the
+    # two-stage IVF serving path — also a HEADLINE member — takes r8)
+    "similarity_two_stage_ivf_topk",
     # events / streaming-batch: never-checked + family anchors +
     # round-6 PSI drift monitor
     "events_drift_psi",
@@ -125,12 +131,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_doc_similarity",
     "text_novelty_ngrams",
     "text_cms_heavy_hitters",
-    # live streaming drains — the three r6-registered oracle-backed ones
-    # (incl. the streaming flagship); last on purpose
+    # text rows-only slot (rotation: streaming_ivfpq_index ran r7; the
+    # BPE merge-sequence entry takes r8)
+    "text_bpe_vocabulary",
+    # live streaming drains — oracle-backed, last on purpose
     "streaming_inverted_index",
     "streaming_cdc_apply",
     "streaming_neardup_lsh",
-    "streaming_ivfpq_index",
 )
 
 

@@ -67,6 +67,7 @@ def ensure_artifact(
     os.makedirs(parent, exist_ok=True)
     tmp = os.path.join(parent, f".build-{key}-{os.getpid()}-{uuid.uuid4().hex[:8]}")
     try:
+        os.makedirs(tmp, exist_ok=True)
         build(tmp)
         with open(os.path.join(tmp, _MARKER), "w") as f:
             f.write("ok")
