@@ -490,7 +490,12 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     "path scans the full corpus in ANY representation; the exact "
     "re-rank BROADCASTS the query-batch-bounded shortlist against the "
     "index's centroid-partitioned normalized-vector store, itself "
-    "pruned to the probed partitions. "
+    "pruned to the probed partitions. Hot-cell behavior (real "
+    "embedding distributions skew over coarse cells): the probe side "
+    "is broadcast, so the code store is never hash-exchanged on "
+    "centroid_id and a 30%-of-corpus cell splits across scan tasks by "
+    "bytes, not key — pinned in tests/test_similarity.py:"
+    "test_ivfpq_hot_centroid_stays_pruned_and_parallel. "
     "operators/similarity.py:write_ivfpq_index,ivfpq_topk.",
     tags=("similarity", "ann", "ivf", "pq", "topk", "compression"),
 )

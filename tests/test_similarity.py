@@ -482,3 +482,72 @@ def test_ivfpq_recall_floor_and_partition_pruning(spark, emb, pq_books, ivfpq_in
 
     again = ivfpq_topk(emb.repartition(7), ivfpq_index, qf, pq_books, k=K).collect()
     assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_ivfpq_hot_centroid_stays_pruned_and_parallel(spark, tmp_path):
+    """Skew resilience of the IVFPQ store (VERDICT r7 task 7): real
+    embedding distributions are NOT uniform over coarse cells, so one
+    centroid partition can hold 30%+ of the corpus. Serving must then
+    still (a) prune the scan to probed partitions, and (b) never
+    collapse the hot cell onto one reducer — which the plan guarantees
+    structurally: the probe side is BROADCAST, so the code store is
+    never hash-exchanged on the skewed centroid_id key, and the hot
+    cell's rows arrive in multiple independently-scannable parquet
+    files whose task fan-out is byte-driven (maxPartitionBytes), not
+    key-driven."""
+    import glob
+    import random
+
+    from parallel_map_reduce_spark.operators.similarity import (
+        ivf_assignments,
+        ivfpq_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+        write_ivfpq_index,
+    )
+
+    rng = random.Random(42)
+    dim = 16
+    rows = []
+    for i in range(400):
+        if i % 10 < 4:  # 40% of vectors in one tight cluster
+            v = [1.0 + 0.01 * rng.uniform(-1, 1)] + [
+                0.01 * rng.uniform(-1, 1) for _ in range(dim - 1)
+            ]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+
+    cents = train_ivf_centroids(emb, 8)
+    books = train_pq_codebooks(emb)
+    counts = {
+        r.centroid_id: r.n
+        for r in ivf_assignments(emb, cents=cents)
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    hot_cell, hot_n = max(counts.items(), key=lambda kv: kv[1])
+    assert hot_n >= 0.3 * 400, f"planted hot cell only {hot_n}/400"
+
+    path = str(tmp_path / "ivfpq_hot")
+    write_ivfpq_index(emb, path, books, cents)
+    # The hot cell exists as an ordinary parquet partition directory:
+    # its task fan-out at read time is BYTE-driven (maxPartitionBytes
+    # splits files/row-groups), never key-driven — at test scale AQE
+    # coalesces the KB-sized build to one file, which is itself
+    # splittable by row group at real sizes.
+    hot_files = glob.glob(f"{path}/codes/centroid_id={hot_cell}/*.parquet")
+    assert len(hot_files) >= 1
+
+    qf = F.col("vec_id") % 100 == 0  # queries 0/100/200/300: all hot
+    df = ivfpq_topk(emb, path, qf, books, k=5)
+    out = df.collect()
+    assert len(out) > 0 and len({r.query_id for r in out}) == 4
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    # The skew guarantee: no exchange keyed on the hot column anywhere
+    # in the serving plan — the only joins broadcast the query side.
+    assert "Exchange hashpartitioning(centroid_id" not in plan, plan
+    assert "CartesianProduct" not in plan
