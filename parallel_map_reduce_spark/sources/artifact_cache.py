@@ -74,10 +74,15 @@ def ensure_artifact(
         try:
             os.rename(tmp, final)
         except OSError:
-            # Lost the publish race (destination exists): serve the
-            # winner's identical artifact, drop ours.
             if not os.path.exists(os.path.join(final, _MARKER)):
-                raise
+                # A marker-less destination is a torn leftover (the
+                # pre-atomic scheme, or a killed writer): published
+                # dirs always carry the marker because it is written
+                # into tmp BEFORE the rename. Clear it and retry once.
+                shutil.rmtree(final, ignore_errors=True)
+                os.rename(tmp, final)
+            # else: lost the publish race — serve the winner's
+            # identical artifact, drop ours.
     finally:
         if os.path.exists(tmp):
             shutil.rmtree(tmp, ignore_errors=True)
