@@ -16,40 +16,64 @@ from ..registry import register
 from ..sources.catalog import load_table
 
 
-def _bucketed_graph_table(spark: SparkSession, sf_dir: str, name, build_edges) -> DataFrame:
+GRAPH_BUCKETS = 16
+
+
+def _bucketed_graph_table(
+    spark: SparkSession, sf_dir: str, name, build_edges, source_files
+) -> DataFrame:
     """The static (src, dst, deg) superstep table for a graph family,
-    written ONCE per session as a 16-bucket hash-bucketed table on
-    ``src`` (operators/layout.py:write_bucketed) and served from the
-    catalog thereafter — VERDICT r7 task 1: with the edge side's
-    distribution satisfied by the bucket layout, every PageRank/LPA
-    superstep join exchanges only the node-sized rank/label vector,
-    never the edges, and the degree join is paid at write time. This is
-    the 100 TB iterative-graph layout (same write-once/serve-many split
-    as the LSH edge artifact and the ANN index stores); the per-session
-    rewrite mirrors bucketed_orders_revenue (in-memory catalog). The
-    path is pid-scoped so concurrent processes never interleave writes
-    into one directory."""
+    built ONCE per source version as a 16-bucket hash-bucketed file set
+    on ``src`` (operators/layout.py:write_bucketed into an atomically
+    published cache dir — sources/artifact_cache.py) and REGISTERED in
+    each session's catalog over those cached files via bucketed DDL —
+    VERDICT r7 task 1: with the edge side's distribution satisfied by
+    the bucket layout, every PageRank/LPA superstep join exchanges only
+    the node-sized rank/label vector, never the edges; the degree join
+    and the bucket shuffle are paid once at write time and amortize
+    over every session (the same write-once/serve-many split as the
+    LSH edge artifact and the ANN index stores). Bucket identity of a
+    re-registered file set is carried by the writer's file-name bucket
+    suffixes; join-content equality of the re-registered table is
+    pinned in tests/test_graph.py."""
     import os
     import re
-    import tempfile
+
+    from ..sources.artifact_cache import ensure_artifact, source_key
 
     tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
     table = f"pmrs_b_{name}_{tag}"
-    if not spark.catalog.tableExists(table):
-        from ..operators.layout import write_bucketed
+    if spark.catalog.tableExists(table):
+        return spark.table(table)
+    from ..operators.layout import write_bucketed
 
-        path = os.path.join(
-            tempfile.gettempdir(), "pmrs_bucketed_graph", f"{tag}-{os.getpid()}", name
-        )
+    def build(tmp: str) -> None:
         edges = build_edges()
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        build_table = f"{table}_build_{os.getpid()}"
         write_bucketed(
             edges.join(deg, "src").select("src", "dst", "deg"),
-            table,
+            build_table,
             "src",
-            16,
-            path=path,
+            GRAPH_BUCKETS,
+            path=tmp,
         )
+        # Drop only the catalog entry; the external files stay and are
+        # atomically published by ensure_artifact.
+        spark.sql(f"DROP TABLE `{build_table}`")
+
+    path = ensure_artifact(
+        "pmrs_bucketed_graph", source_key(name, sf_dir, source_files), build
+    )
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in spark.read.parquet(path).schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS `{table}` ({cols}) USING parquet "
+        f"CLUSTERED BY (src) SORTED BY (src) INTO {GRAPH_BUCKETS} BUCKETS "
+        f"LOCATION '{path}'"
+    )
     return spark.table(table)
 
 _EDGES_CTE = """
@@ -129,6 +153,7 @@ def _bucketed_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "orders"),
             load_table(spark, sf_dir, "lineitem"),
         ),
+        ["orders.parquet", "lineitem.parquet"],
     )
 
 
@@ -279,7 +304,9 @@ def neardup_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
 
-    edges = _bucketed_graph_table(spark, sf_dir, "neardup_edges", _sym_lsh_edges)
+    edges = _bucketed_graph_table(
+        spark, sf_dir, "neardup_edges", _sym_lsh_edges, ["documents.parquet"]
+    )
     return G.label_propagation_prepared(edges, symmetric=True).select(
         F.col("node").alias("doc_id"), F.col("label").alias("community")
     )

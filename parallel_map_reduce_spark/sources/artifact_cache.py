@@ -34,18 +34,21 @@ from collections.abc import Callable
 _MARKER = "_BUILT"
 
 
-def source_key(tag: str, sf_dir: str, source_file: str) -> str:
-    """Cache key for an artifact derived from one source parquet file:
-    nanosecond mtime + size, so a regenerated source never collides
-    even within the same second."""
-    p = os.path.join(sf_dir, source_file)
-    try:
-        st = os.stat(p)
-        stamp = f"{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        stamp = "absent"
+def source_key(tag: str, sf_dir: str, source_file: str | list[str]) -> str:
+    """Cache key for an artifact derived from one or more source
+    parquet files: nanosecond mtime + size per file, so a regenerated
+    source never collides even within the same second."""
+    files = [source_file] if isinstance(source_file, str) else list(source_file)
+    stamps = []
+    for f in files:
+        p = os.path.join(sf_dir, f)
+        try:
+            st = os.stat(p)
+            stamps.append(f"{f}={st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            stamps.append(f"{f}=absent")
     return hashlib.md5(
-        f"{tag}:{os.path.abspath(sf_dir)}:{stamp}".encode()
+        f"{tag}:{os.path.abspath(sf_dir)}:{';'.join(stamps)}".encode()
     ).hexdigest()[:12]
 
 

@@ -162,3 +162,45 @@ def test_bucketed_superstep_join_has_no_edge_side_exchange(spark, sf_dir, tmp_pa
     # Exactly 2 hash exchanges: ranks into the join, contributions into
     # the aggregate — and neither sits on the bucketed-scan side.
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_bucketed_ddl_reregistration_preserves_buckets_and_content(spark, tmp_path):
+    """Cross-session serving contract for _bucketed_graph_table: a
+    bucketed file set written by one session and RE-REGISTERED over the
+    same files via CLUSTERED BY DDL (in-memory catalog, new session)
+    must (a) join-match the original frame row-for-row and (b) still
+    satisfy the join's edge-side distribution from the bucket layout —
+    bucket identity rides the writer's file-name suffixes."""
+    from parallel_map_reduce_spark.operators.layout import write_bucketed
+
+    edges = _random_sym_edges(spark, seed=17)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    out = edges.join(deg, "src").select("src", "dst", "deg")
+    path = str(tmp_path / "edges")
+    write_bucketed(out, "pmrs_test_ddl_build", "src", 8, path=path)
+    spark.sql("DROP TABLE pmrs_test_ddl_build")  # external: files stay
+
+    spark.sql(
+        "CREATE TABLE pmrs_test_ddl_serve (src STRING, dst STRING, deg BIGINT) "
+        "USING parquet CLUSTERED BY (src) SORTED BY (src) INTO 8 BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    try:
+        t = spark.table("pmrs_test_ddl_serve")
+        probe = edges.select("src").distinct().withColumn("r", F.lit(1.0))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        j = t.join(probe, "src")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        got = sorted(map(tuple, j.select("src", "dst", "deg").collect()))
+        want = sorted(map(tuple, out.join(probe, "src").select("src", "dst", "deg").collect()))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE pmrs_test_ddl_serve")
+    assert got == want and len(got) > 0
+    assert "Bucketed: true" in plan
+    assert plan.count("SortMergeJoin") == 1
+    # one exchange only — the probe side; the bucketed scan feeds the
+    # join directly
+    assert plan.count("Exchange hashpartitioning") == 1, plan
