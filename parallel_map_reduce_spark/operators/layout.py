@@ -176,6 +176,53 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def ensure_bucketed_table(
+    spark,
+    table: str,
+    family: str,
+    key: str,
+    build_df,
+    bucket_col: str,
+    n_buckets: int = 16,
+) -> "DataFrame":
+    """Cross-session bucketed serving table: the bucketed file set is
+    built ONCE per (family, key) into the atomic artifact cache
+    (sources/artifact_cache.py) and re-registered in each session's
+    in-memory catalog via CLUSTERED BY DDL over the cached files —
+    bucket identity rides the writer's file-name bucket suffixes, so a
+    re-registered table joins exchange-free on its bucket column
+    exactly like the session that wrote it (content + layout equality
+    pinned in tests/test_graph.py). The write-time shuffle amortizes
+    over every SESSION, not just every query in one session.
+
+    ``build_df`` is a zero-arg callable returning the DataFrame to
+    bucket; it only runs on a cache miss."""
+    if spark.catalog.tableExists(table):
+        return spark.table(table)
+    import os
+
+    from ..sources.artifact_cache import ensure_artifact
+
+    def build(tmp: str) -> None:
+        build_table = f"{table}_build_{os.getpid()}"
+        write_bucketed(build_df(), build_table, bucket_col, n_buckets, path=tmp)
+        # Drop only the catalog entry; the external files stay and are
+        # atomically published by ensure_artifact.
+        spark.sql(f"DROP TABLE `{build_table}`")
+
+    path = ensure_artifact(family, key, build)
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in spark.read.parquet(path).schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS `{table}` ({cols}) USING parquet "
+        f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+    return spark.table(table)
+
+
 def bucketed_equijoin(
     spark,
     left_table: str,

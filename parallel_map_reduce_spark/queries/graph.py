@@ -39,42 +39,25 @@ def _bucketed_graph_table(
     import os
     import re
 
-    from ..sources.artifact_cache import ensure_artifact, source_key
+    from ..operators.layout import ensure_bucketed_table
+    from ..sources.artifact_cache import source_key
 
     tag = re.sub(r"[^a-z0-9]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
-    table = f"pmrs_b_{name}_{tag}"
-    if spark.catalog.tableExists(table):
-        return spark.table(table)
-    from ..operators.layout import write_bucketed
 
-    def build(tmp: str) -> None:
+    def out_edges() -> DataFrame:
         edges = build_edges()
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-        build_table = f"{table}_build_{os.getpid()}"
-        write_bucketed(
-            edges.join(deg, "src").select("src", "dst", "deg"),
-            build_table,
-            "src",
-            GRAPH_BUCKETS,
-            path=tmp,
-        )
-        # Drop only the catalog entry; the external files stay and are
-        # atomically published by ensure_artifact.
-        spark.sql(f"DROP TABLE `{build_table}`")
+        return edges.join(deg, "src").select("src", "dst", "deg")
 
-    path = ensure_artifact(
-        "pmrs_bucketed_graph", source_key(name, sf_dir, source_files), build
+    return ensure_bucketed_table(
+        spark,
+        f"pmrs_b_{name}_{tag}",
+        "pmrs_bucketed_graph",
+        source_key(name, sf_dir, source_files),
+        out_edges,
+        "src",
+        GRAPH_BUCKETS,
     )
-    cols = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in spark.read.parquet(path).schema.fields
-    )
-    spark.sql(
-        f"CREATE TABLE IF NOT EXISTS `{table}` ({cols}) USING parquet "
-        f"CLUSTERED BY (src) SORTED BY (src) INTO {GRAPH_BUCKETS} BUCKETS "
-        f"LOCATION '{path}'"
-    )
-    return spark.table(table)
 
 _EDGES_CTE = """
 pairs AS (

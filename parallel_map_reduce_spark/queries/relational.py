@@ -1810,29 +1810,35 @@ GROUP BY o.o_orderpriority
 def bucketed_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import re as _re
-    import tempfile as _tempfile
 
-    from ..operators.layout import bucketed_equijoin, write_bucketed
+    from ..operators.layout import bucketed_equijoin, ensure_bucketed_table
+    from ..sources.artifact_cache import source_key
 
     tag = _re.sub(r"[^a-z0-9]+", "_", _os.path.basename(sf_dir.rstrip("/")).lower())
     ot, lt = f"pmrs_b_orders_{tag}", f"pmrs_b_lineitem_{tag}"
-    root = _os.path.join(_tempfile.gettempdir(), "pmrs_bucketed", tag)
-    if not spark.catalog.tableExists(ot):
-        write_bucketed(
-            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
-            ot,
-            "o_orderkey",
-            path=_os.path.join(root, "orders"),
-        )
-    if not spark.catalog.tableExists(lt):
-        write_bucketed(
-            load_table(spark, sf_dir, "lineitem").select(
-                "l_orderkey", "l_extendedprice", "l_discount"
-            ),
-            lt,
-            "l_orderkey",
-            path=_os.path.join(root, "lineitem"),
-        )
+    # Cross-session layout: the bucketed file sets are built once per
+    # source version and re-registered per session via DDL (same
+    # write-once/serve-many split as the graph edge artifact).
+    ensure_bucketed_table(
+        spark,
+        ot,
+        "pmrs_bucketed_rel",
+        source_key("b_orders", sf_dir, "orders.parquet"),
+        lambda: load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        "o_orderkey",
+    )
+    ensure_bucketed_table(
+        spark,
+        lt,
+        "pmrs_bucketed_rel",
+        source_key("b_lineitem", sf_dir, "lineitem.parquet"),
+        lambda: load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        "l_orderkey",
+    )
     j = bucketed_equijoin(spark, ot, lt, "o_orderkey", "l_orderkey")
     return j.groupBy("o_orderpriority").agg(
         F.round(
