@@ -35,6 +35,14 @@ ENTRIES = [
     "events_touch_attribution",
     # DECIMAL(value) x BIGINT(gap) products summed exactly
     "events_value_twap",
+    # round 8: LPA over the bucketed edge artifact is integer-exact
+    # (BIGINT neighbor-label counts, total-order min_by tie-breaks) —
+    # community labels must not depend on shuffle partitioning.
+    # PageRank is deliberately absent: raw ranks are float sums (the
+    # registry entry's 6 dp rounding is the gate's contract, not bit
+    # identity).
+    "trade_graph_communities_lpa",
+    "neardup_communities_lpa",
 ]
 
 
