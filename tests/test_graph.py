@@ -185,11 +185,16 @@ def test_bucketed_ddl_reregistration_preserves_buckets_and_content(spark, tmp_pa
         "USING parquet CLUSTERED BY (src) SORTED BY (src) INTO 8 BUCKETS "
         f"LOCATION '{path}'"
     )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         t = spark.table("pmrs_test_ddl_serve")
         probe = edges.select("src").distinct().withColumn("r", F.lit(1.0))
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # Pin shuffle partitions to the bucket count so the probe's
+        # distinct lands already bucket-compatible — the single-exchange
+        # assertion must not depend on ambient session conf.
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         j = t.join(probe, "src")
         plan = j._jdf.queryExecution().executedPlan().toString()
         got = sorted(map(tuple, j.select("src", "dst", "deg").collect()))
@@ -197,6 +202,7 @@ def test_bucketed_ddl_reregistration_preserves_buckets_and_content(spark, tmp_pa
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.sql("DROP TABLE pmrs_test_ddl_serve")
     assert got == want and len(got) > 0
     assert "Bucketed: true" in plan
