@@ -195,12 +195,18 @@ def _reference_workdir() -> str | None:
     return workdir
 
 
-def _time_reference_binary(binpath: str, workdir: str, mappers: int, reducers: int) -> float:
+def _time_reference_binary(
+    binpath: str,
+    workdir: str,
+    mappers: int,
+    reducers: int,
+    manifest: str = "manifest.txt",
+) -> float:
     import subprocess
 
     t0 = time.perf_counter()
     r = subprocess.run(
-        [binpath, str(mappers), str(reducers), "manifest.txt"],
+        [binpath, str(mappers), str(reducers), manifest],
         cwd=workdir,
         capture_output=True,
     )
@@ -208,6 +214,22 @@ def _time_reference_binary(binpath: str, workdir: str, mappers: int, reducers: i
     if r.returncode != 0:
         raise RuntimeError(f"reference binary rc={r.returncode}: {r.stderr[:200]}")
     return secs
+
+
+def _int_list_env(name: str, default: str) -> list[int]:
+    """Tolerant comma-separated int env parse: malformed entries warn
+    and are skipped instead of killing the whole bench deliverable."""
+    out = []
+    for x in os.environ.get(name, default).split(","):
+        try:
+            out.append(int(x.strip()))
+        except ValueError:
+            if x.strip():
+                print(
+                    f"bench: ignoring malformed {name} entry {x!r}",
+                    file=sys.stderr,
+                )
+    return out
 
 
 def _paired_baseline(spark, specs, sf_dir: str) -> dict:
@@ -309,9 +331,11 @@ def _scaled_reference_manifest(factor: int) -> str | None:
 
 
 def _scaled_files_dir(factor: int) -> str:
-    import tempfile
+    # Must equal the publish destination ensure_artifact renames into —
+    # the manifest's pre-computed absolute paths point here.
+    from parallel_map_reduce_spark.sources.artifact_cache import artifact_path
 
-    return os.path.join(tempfile.gettempdir(), "pmrs_scaled_files", f"x{factor}")
+    return artifact_path("pmrs_scaled_files", f"x{factor}")
 
 
 def _paired_baseline_scaled(spark, factors: tuple[int, ...]) -> dict:
@@ -321,7 +345,6 @@ def _paired_baseline_scaled(spark, factors: tuple[int, ...]) -> dict:
     (410 MB), where the architectures actually diverge. Same
     interleaving discipline as _paired_baseline; file materialization
     is a cached build step outside every timed window."""
-    import subprocess
     import tempfile
 
     binpath = _ensure_reference_binary()
@@ -333,14 +356,7 @@ def _paired_baseline_scaled(spark, factors: tuple[int, ...]) -> dict:
     from parallel_map_reduce_spark.sources.text_manifest import read_manifest_documents
 
     def run_cpp(m: int, r: int, manifest: str, scratch: str) -> float:
-        t0 = time.perf_counter()
-        res = subprocess.run(
-            [binpath, str(m), str(r), manifest], cwd=scratch, capture_output=True
-        )
-        secs = time.perf_counter() - t0
-        if res.returncode != 0:
-            raise RuntimeError(f"ref binary rc={res.returncode}: {res.stderr[:200]}")
-        return secs
+        return _time_reference_binary(binpath, scratch, m, r, manifest=manifest)
 
     def run_flagship(manifest: str) -> float:
         # The same end-to-end shape reference_corpus_index benches at
@@ -357,7 +373,8 @@ def _paired_baseline_scaled(spark, factors: tuple[int, ...]) -> dict:
 
     import resource
 
-    fd_limit = resource.getrlimit(resource.RLIMIT_NOFILE)[0]
+    raw_limit = resource.getrlimit(resource.RLIMIT_NOFILE)[0]
+    fd_limit = float("inf") if raw_limit == resource.RLIM_INFINITY else raw_limit
     pairs = int(os.environ.get("SPARK_GRAFT_BASELINE_SCALE_PAIRS", "2"))
     out: dict = {}
     for factor in factors:
@@ -372,8 +389,10 @@ def _paired_baseline_scaled(spark, factors: tuple[int, ...]) -> dict:
             # under ulimit 20,000, unraisable in this container). That
             # ceiling is an architectural finding, recorded as a note;
             # the flagship side — which streams files through tasks —
-            # is still timed at such factors.
-            n_entries = 355 * factor
+            # is still timed at such factors. Entry count comes from
+            # the manifest itself (first line), not a hardcoded 355.
+            with open(manifest) as mf:
+                n_entries = int(mf.readline())
             cpp_ok = n_entries + 64 < fd_limit
             scratch = os.path.join(
                 tempfile.gettempdir(), "pmrs_ref_run", f"x{factor}-{os.getpid()}"
@@ -517,17 +536,7 @@ def main() -> int:
     # Tolerant env parse (advisor r7): a malformed entry (trailing
     # comma, stray space) warns and is skipped instead of killing the
     # whole bench deliverable with a ValueError.
-    scale_factors = []
-    for x in os.environ.get("SPARK_GRAFT_SCALE_FACTORS", "1,8,64,512").split(","):
-        try:
-            scale_factors.append(int(x.strip()))
-        except ValueError:
-            if x.strip():
-                print(
-                    f"bench: ignoring malformed SPARK_GRAFT_SCALE_FACTORS entry {x!r}",
-                    file=sys.stderr,
-                )
-    scale_factors = tuple(scale_factors)
+    scale_factors = tuple(_int_list_env("SPARK_GRAFT_SCALE_FACTORS", "1,8,64,512"))
     # A JVM OOM kills the whole session (not just the query), so the
     # 512x notch only runs when the driver heap can hold its posting
     # arrays — a too-small SPARK_GRAFT_DRIVER_MEM drops it rather than
@@ -601,8 +610,9 @@ def main() -> int:
     # collect_list holds 363k-entry arrays). build_postings_chunked
     # bounds every collected array at chunk_size, so the curve should
     # stay linear at bounded memory — the measured witness for the
-    # 100 TB claim. Factors beyond 512x only run with a >=16g heap
-    # (same guard as the main curve).
+    # 100 TB claim. Below a 16g heap the default knee factors (512,
+    # 1024) are all skipped — loudly, so a missing curve in the
+    # committed artifact is attributable.
     chunked_curve: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_SCALE_CURVE", "1") != "0" and not sys.argv[1:]:
         from parallel_map_reduce_spark.operators.inverted_index import (
@@ -613,14 +623,16 @@ def main() -> int:
             scaled_reference_corpus,
         )
 
-        chunked_factors = []
-        for x in os.environ.get("SPARK_GRAFT_CHUNKED_FACTORS", "512,1024").split(","):
-            try:
-                chunked_factors.append(int(x.strip()))
-            except ValueError:
-                pass
+        chunked_factors = _int_list_env("SPARK_GRAFT_CHUNKED_FACTORS", "512,1024")
         if mem_gb < 16:
+            dropped = [f for f in chunked_factors if f > 64]
             chunked_factors = [f for f in chunked_factors if f <= 64]
+            if dropped:
+                print(
+                    f"bench: chunked_curve factors {dropped} skipped "
+                    f"(driver heap {mem_gb:.0f}g < 16g)",
+                    file=sys.stderr,
+                )
         for factor in chunked_factors:
             try:
                 docs = scaled_reference_corpus(spark, factor)  # cached build
@@ -647,12 +659,7 @@ def main() -> int:
         paired = _paired_baseline(spark, specs, sf_dir)
         # Same pairing at 8x/64x corpus scale — where the architectures
         # diverge (VERDICT r7 task 2); skipped only by explicit env.
-        scale_pairs = []
-        for x in os.environ.get("SPARK_GRAFT_PAIRED_SCALE_FACTORS", "8,32,64").split(","):
-            try:
-                scale_pairs.append(int(x.strip()))
-            except ValueError:
-                pass
+        scale_pairs = _int_list_env("SPARK_GRAFT_PAIRED_SCALE_FACTORS", "8,32,64")
         if os.environ.get("SPARK_GRAFT_PAIRED_SCALE", "1") != "0" and scale_pairs:
             paired.update(_paired_baseline_scaled(spark, tuple(scale_pairs)))
     spark.stop()

@@ -99,6 +99,14 @@ def snapshot_diff(
     bucketed by key (operators/layout.py) make this exchange-free; the
     struct compare is a scan-speed projection.
     """
+    # A snapshot column named like op_col would duplicate in the output
+    # (classification + payload both named 'op') — same defect class as
+    # the presence-marker collision below; fail loudly instead.
+    if op_col in old.columns:
+        raise ValueError(
+            f"op_col {op_col!r} collides with a snapshot column; pass a "
+            "different op_col"
+        )
     payload = [c for c in old.columns if c not in key_cols]
     # Prefix-rename each side (fresh attribute ids) — the two snapshots
     # usually share lineage (new = merge(old, feed)), and dataset

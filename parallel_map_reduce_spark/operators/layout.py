@@ -184,7 +184,7 @@ def ensure_bucketed_table(
     build_df,
     bucket_col: str,
     n_buckets: int = 16,
-) -> "DataFrame":
+) -> str:
     """Cross-session bucketed serving table: the bucketed file set is
     built ONCE per (family, key) into the atomic artifact cache
     (sources/artifact_cache.py) and re-registered in each session's
@@ -196,31 +196,53 @@ def ensure_bucketed_table(
     over every SESSION, not just every query in one session.
 
     ``build_df`` is a zero-arg callable returning the DataFrame to
-    bucket; it only runs on a cache miss."""
-    if spark.catalog.tableExists(table):
-        return spark.table(table)
+    bucket; it only runs on a cache miss.
+
+    Two hardening details (review findings, round 8): the SOURCE KEY is
+    part of the registered table name, so a source regenerated
+    mid-process gets a fresh table rather than a stale tableExists hit
+    (and two sf_dirs sharing a basename cannot collide); and the DDL's
+    column list comes from a ``_SCHEMA`` sidecar written at build time
+    from the DataFrame's own schema — an EMPTY build writes zero
+    parquet files, which would make read-time schema inference fail
+    forever on a published artifact."""
     import os
 
     from ..sources.artifact_cache import ensure_artifact
 
+    table = f"{table}_{key}"
+    if spark.catalog.tableExists(table):
+        return table
+
     def build(tmp: str) -> None:
+        df = build_df()
         build_table = f"{table}_build_{os.getpid()}"
-        write_bucketed(build_df(), build_table, bucket_col, n_buckets, path=tmp)
+        write_bucketed(df, build_table, bucket_col, n_buckets, path=tmp)
         # Drop only the catalog entry; the external files stay and are
         # atomically published by ensure_artifact.
         spark.sql(f"DROP TABLE `{build_table}`")
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        with open(os.path.join(tmp, "_SCHEMA"), "w") as f:
+            f.write(cols)
 
     path = ensure_artifact(family, key, build)
-    cols = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in spark.read.parquet(path).schema.fields
-    )
+    schema_file = os.path.join(path, "_SCHEMA")
+    if os.path.exists(schema_file):
+        with open(schema_file) as f:
+            cols = f.read()
+    else:  # pre-sidecar artifact: infer from the (non-empty) files
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in spark.read.parquet(path).schema.fields
+        )
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS `{table}` ({cols}) USING parquet "
         f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
         f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
     )
-    return spark.table(table)
+    return table
 
 
 def bucketed_equijoin(

@@ -49,14 +49,16 @@ def _bucketed_graph_table(
         deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
         return edges.join(deg, "src").select("src", "dst", "deg")
 
-    return ensure_bucketed_table(
-        spark,
-        f"pmrs_b_{name}_{tag}",
-        "pmrs_bucketed_graph",
-        source_key(name, sf_dir, source_files),
-        out_edges,
-        "src",
-        GRAPH_BUCKETS,
+    return spark.table(
+        ensure_bucketed_table(
+            spark,
+            f"pmrs_b_{name}_{tag}",
+            "pmrs_bucketed_graph",
+            source_key(name, sf_dir, source_files),
+            out_edges,
+            "src",
+            GRAPH_BUCKETS,
+        )
     )
 
 _EDGES_CTE = """

@@ -1815,13 +1815,13 @@ def bucketed_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.artifact_cache import source_key
 
     tag = _re.sub(r"[^a-z0-9]+", "_", _os.path.basename(sf_dir.rstrip("/")).lower())
-    ot, lt = f"pmrs_b_orders_{tag}", f"pmrs_b_lineitem_{tag}"
     # Cross-session layout: the bucketed file sets are built once per
     # source version and re-registered per session via DDL (same
-    # write-once/serve-many split as the graph edge artifact).
-    ensure_bucketed_table(
+    # write-once/serve-many split as the graph edge artifact); the
+    # returned names carry the source key.
+    ot = ensure_bucketed_table(
         spark,
-        ot,
+        f"pmrs_b_orders_{tag}",
         "pmrs_bucketed_rel",
         source_key("b_orders", sf_dir, "orders.parquet"),
         lambda: load_table(spark, sf_dir, "orders").select(
@@ -1829,9 +1829,9 @@ def bucketed_orders_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "o_orderkey",
     )
-    ensure_bucketed_table(
+    lt = ensure_bucketed_table(
         spark,
-        lt,
+        f"pmrs_b_lineitem_{tag}",
         "pmrs_bucketed_rel",
         source_key("b_lineitem", sf_dir, "lineitem.parquet"),
         lambda: load_table(spark, sf_dir, "lineitem").select(

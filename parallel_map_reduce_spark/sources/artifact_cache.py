@@ -81,9 +81,16 @@ def ensure_artifact(
                 # A marker-less destination is a torn leftover (the
                 # pre-atomic scheme, or a killed writer): published
                 # dirs always carry the marker because it is written
-                # into tmp BEFORE the rename. Clear it and retry once.
+                # into tmp BEFORE the rename. Clear it and retry once;
+                # if the retry ALSO hits an existing destination, a
+                # concurrent builder published between our rmtree and
+                # rename — serve theirs if it carries the marker.
                 shutil.rmtree(final, ignore_errors=True)
-                os.rename(tmp, final)
+                try:
+                    os.rename(tmp, final)
+                except OSError:
+                    if not os.path.exists(os.path.join(final, _MARKER)):
+                        raise
             # else: lost the publish race — serve the winner's
             # identical artifact, drop ours.
     finally:

@@ -282,3 +282,46 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ensure_bucketed_table_handles_empty_build(spark, tmp_path):
+    """Review finding (r8): an EMPTY bucketed build writes zero parquet
+    files, so read-time schema inference would fail forever on the
+    published artifact. The _SCHEMA sidecar (written from the build
+    DataFrame's own schema) must make the empty table registrable and
+    queryable — an LSH edge set with no candidate pairs is a legitimate
+    corpus outcome, not an error."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.operators.layout import ensure_bucketed_table
+
+    empty = (
+        spark.range(1)
+        .filter(F.col("id") < 0)
+        .select(
+            F.col("id").cast("string").alias("src"),
+            F.col("id").cast("string").alias("dst"),
+            F.col("id").alias("deg"),
+        )
+    )
+    name = ensure_bucketed_table(
+        spark, "pmrs_test_empty", "pmrs_test_bucketed_empty", "k0", lambda: empty, "src", 4
+    )
+    try:
+        t = spark.table(name)
+        assert t.count() == 0
+        assert [f.name for f in t.schema.fields] == ["src", "dst", "deg"]
+        # a second session-equivalent registration path: drop the
+        # catalog entry and re-register from the cached artifact
+        spark.sql(f"DROP TABLE `{name}`")
+        name2 = ensure_bucketed_table(
+            spark, "pmrs_test_empty", "pmrs_test_bucketed_empty", "k0",
+            lambda: (_ for _ in ()).throw(AssertionError("must not rebuild")),
+            "src", 4,
+        )
+        assert spark.table(name2).count() == 0
+    finally:
+        import shutil
+
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        shutil.rmtree("/tmp/pmrs_test_bucketed_empty", ignore_errors=True)

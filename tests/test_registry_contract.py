@@ -144,6 +144,16 @@ def test_bench_stdout_line_fits_driver_tail_buffer():
         "sf": 0.1,
         "set_version": HEADLINE_SET_VERSION,
         "queries": {n: 99999.999 for n in HEADLINE},
+        # every ratio key main() can emit (1x + the paired-at-scale
+        # factors) — the worst case must include ALL of them or a
+        # ratio-bearing run can overflow unpinned and drop the
+        # per-query map from the driver-captured line
         "flagship_vs_reference_ratio": 99999.999,
+        "flagship_vs_reference_ratio_x8": 99999.999,
+        "flagship_vs_reference_ratio_x32": 99999.999,
+        "flagship_vs_reference_ratio_x64": 99999.999,
+        "flagship_vs_reference_parallel_ratio_x8": 99999.999,
+        "flagship_vs_reference_parallel_ratio_x32": 99999.999,
+        "flagship_vs_reference_parallel_ratio_x64": 99999.999,
     }
     assert len(json.dumps(worst)) <= STDOUT_BUDGET
