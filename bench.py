@@ -110,13 +110,37 @@ HEADLINE = (
     "curation_leakage_split",
 )
 
-# A change to HEADLINE membership makes round-over-round totals
-# non-comparable; the stdout summary and BENCH_DETAIL both carry this
-# set identifier so totals are only compared within the same set
-# (advisor r6: regressions must not be absorbable by silent set drift).
+# A change to HEADLINE membership OR to the measurement basis makes
+# round-over-round totals non-comparable; the stdout summary and
+# BENCH_DETAIL both carry this set identifier so totals are only
+# compared within the same (set, basis) pair (advisor r6: regressions
+# must not be absorbable by silent set drift).
+# Basis history: rounds 1-8 timed `.count()` per query — WRONG in the
+# plan sense (VERDICT r8, verified empirically): Catalyst prunes
+# unreferenced aggregate payload out of a count plan, so the flagship's
+# terminal collect_list/sort_array never executed in the timed window.
+# Round 9 on times a noop-sink write of every output column
+# (_materialize below); r9 totals are NOT comparable to r1-r8.
+BENCH_BASIS = "noop-sink-e2e"
 import hashlib as _hashlib
 
-HEADLINE_SET_VERSION = _hashlib.md5("\n".join(HEADLINE).encode()).hexdigest()[:8]
+HEADLINE_SET_VERSION = _hashlib.md5(
+    ("\n".join(HEADLINE) + "|basis=" + BENCH_BASIS).encode()
+).hexdigest()[:8]
+
+
+def _materialize(df) -> None:
+    """Execute ``df`` COMPLETELY: push every output column through the
+    noop v2 sink (rows consumed executor-side, nothing written, nothing
+    returned to the driver). ``.count()`` is NOT full execution —
+    Catalyst prunes columns a count never references, dropping e.g. the
+    flagship's terminal ``collect_list``/``sort_array`` payload from
+    the optimized count plan (VERDICT r8, probe-verified). A v2 write
+    consumes ALL columns, so nothing is prunable; the timed window
+    therefore pays exactly the work the query claims to do.
+    tests/test_bench_contract.py pins both the pruning fact and that no
+    timed window in this file calls .count()."""
+    df.write.format("noop").mode("overwrite").save()
 
 # Scale-curve notches run n=2 back-to-back and commit the min — one
 # bad host window must not put a 5x outlier into the committed curve
@@ -232,26 +256,49 @@ def _int_list_env(name: str, default: str) -> list[int]:
     return out
 
 
-def _paired_baseline(spark, specs, sf_dir: str) -> dict:
+def _flagship_e2e(spark, manifest: str, out_dir: str) -> float:
+    """Time the flagship END-TO-END on ``manifest``: scan → inverted
+    index → per-letter ordered formatted rows → 26-way letter-
+    partitioned text write. The C++ binary formats and fprintf's 26
+    letter files as part of every timed run (src/tema1.cpp:236-309);
+    rounds 1-8 timed the flagship side with ``.count()``, which both
+    skipped that terminal stage entirely AND let Catalyst prune the
+    collect_list payload (VERDICT r8 tasks 1-2). This pays the same
+    complete job on both sides: all bytes formatted and written
+    through the production partitioned sink."""
+    from parallel_map_reduce_spark.operators.inverted_index import (
+        format_index_rows,
+        inverted_index,
+        rank_within_letter,
+    )
+    from parallel_map_reduce_spark.sources.text_manifest import (
+        read_manifest_documents,
+    )
+
+    t0 = time.perf_counter()
+    idx = inverted_index(read_manifest_documents(spark, manifest))
+    rows = format_index_rows(rank_within_letter(idx))
+    rows.write.mode("overwrite").partitionBy("letter").text(out_dir)
+    return time.perf_counter() - t0
+
+
+def _paired_baseline(spark) -> dict:
     """Interleave C++ reference runs with the repo flagship in one
     window; return {} if the reference toolchain/corpus is absent."""
     binpath = _ensure_reference_binary()
     workdir = _reference_workdir()
     if binpath is None or workdir is None:
         return {}
-    spec = specs.get("reference_corpus_index")
-    if spec is None:
-        return {}
     pairs = int(os.environ.get("SPARK_GRAFT_BASELINE_PAIRS", "3"))
+    manifest = os.path.join(workdir, "manifest.txt")
+    flag_out = os.path.join(workdir, "flagship_out")
     cpp_seq: list[float] = []
     cpp_par: list[float] = []
     flagship: list[float] = []
     try:
         for _ in range(pairs):
             cpp_seq.append(_time_reference_binary(binpath, workdir, 1, 1))
-            t0 = time.perf_counter()
-            spec.build(spark, sf_dir).count()
-            flagship.append(time.perf_counter() - t0)
+            flagship.append(_flagship_e2e(spark, manifest, flag_out))
             cpp_par.append(_time_reference_binary(binpath, workdir, 4, 4))
     except Exception as e:  # noqa: BLE001
         print(f"bench: paired baseline ERROR: {e}", file=sys.stderr)
@@ -275,16 +322,26 @@ def _paired_baseline(spark, specs, sf_dir: str) -> dict:
 
 
 def _mem_gb(mem: str) -> float:
-    """Parse a JVM memory string ('24g', '16384m', '1t', bare bytes)
-    into GiB; unrecognized values parse as 0 (advisor r7: '16384m'
-    previously parsed to 0 and silently dropped the 512x notch)."""
-    mem = mem.strip().lower()
+    """Parse a JVM memory string ('24g', '16gb', '16384m', '1t', bare
+    bytes) into GiB; unrecognized values parse as 0 WITH a stderr
+    warning (advisor r8: '16gb' previously parsed to 0 silently and
+    dropped the 512x notch — the same silent-drop class the r7
+    '16384m' fix targeted)."""
+    raw = mem
+    mem = mem.strip().lower().replace(" ", "")
     mult = {"k": 1.0 / (1024 * 1024), "m": 1.0 / 1024, "g": 1.0, "t": 1024.0}
+    if len(mem) >= 2 and mem.endswith("b") and mem[-2] in mult:
+        mem = mem[:-1]  # '16gb' -> '16g'
     try:
         if mem and mem[-1] in mult:
             return float(mem[:-1]) * mult[mem[-1]]
         return float(mem) / (1024**3)  # bare bytes
     except ValueError:
+        print(
+            f"bench: unparseable memory string {raw!r} — treating as 0g, "
+            "which SKIPS the >64x scale-curve notches",
+            file=sys.stderr,
+        )
         return 0.0
 
 
@@ -302,10 +359,19 @@ def _scaled_reference_manifest(factor: int) -> str | None:
 
     if not os.path.exists(REF_MANIFEST):
         return None
-    from parallel_map_reduce_spark.sources.artifact_cache import ensure_artifact
+    from parallel_map_reduce_spark.sources.artifact_cache import (
+        ensure_artifact,
+        source_key,
+    )
     from parallel_map_reduce_spark.sources.text_manifest import parse_manifest
 
     base_paths = parse_manifest(REF_MANIFEST)
+    # Staleness key covers the SOURCE files, not just the factor
+    # (advisor r8): a regenerated reference corpus must invalidate the
+    # replicated file set like every other cached artifact. source_key
+    # is ns-mtime + size per file; paths are absolute so the sf_dir
+    # argument is the filesystem root.
+    cache_key = f"x{factor}-{source_key('scaled_ref', '/', [REF_MANIFEST] + base_paths)}"
 
     def build(tmp: str) -> None:
         entries = []
@@ -319,23 +385,23 @@ def _scaled_reference_manifest(factor: int) -> str | None:
                 entries.append(dst)
         # Manifest paths point at the FINAL location (tmp is renamed
         # over it on publish).
-        final = _scaled_files_dir(factor)
+        final = _scaled_files_dir(cache_key)
         with open(os.path.join(tmp, "manifest.txt"), "w") as f:
             f.write(f"{len(entries)}\n")
             for e in entries:
                 f.write(os.path.join(final, os.path.basename(e)) + "\n")
 
     return os.path.join(
-        ensure_artifact("pmrs_scaled_files", f"x{factor}", build), "manifest.txt"
+        ensure_artifact("pmrs_scaled_files", cache_key, build), "manifest.txt"
     )
 
 
-def _scaled_files_dir(factor: int) -> str:
+def _scaled_files_dir(cache_key: str) -> str:
     # Must equal the publish destination ensure_artifact renames into —
     # the manifest's pre-computed absolute paths point here.
     from parallel_map_reduce_spark.sources.artifact_cache import artifact_path
 
-    return artifact_path("pmrs_scaled_files", f"x{factor}")
+    return artifact_path("pmrs_scaled_files", cache_key)
 
 
 def _paired_baseline_scaled(spark, factors: tuple[int, ...]) -> dict:
@@ -350,26 +416,9 @@ def _paired_baseline_scaled(spark, factors: tuple[int, ...]) -> dict:
     binpath = _ensure_reference_binary()
     if binpath is None:
         return {}
-    from pyspark.sql import functions as F
-
-    from parallel_map_reduce_spark.operators.inverted_index import inverted_index
-    from parallel_map_reduce_spark.sources.text_manifest import read_manifest_documents
 
     def run_cpp(m: int, r: int, manifest: str, scratch: str) -> float:
         return _time_reference_binary(binpath, scratch, m, r, manifest=manifest)
-
-    def run_flagship(manifest: str) -> float:
-        # The same end-to-end shape reference_corpus_index benches at
-        # 1x: manifest scan -> inverted index -> formatted rows.
-        t0 = time.perf_counter()
-        idx = inverted_index(read_manifest_documents(spark, manifest))
-        idx.select(
-            "word",
-            F.col("df").cast("bigint"),
-            F.array_join("postings", " "),
-            "letter",
-        ).count()
-        return time.perf_counter() - t0
 
     import resource
 
@@ -401,10 +450,11 @@ def _paired_baseline_scaled(spark, factors: tuple[int, ...]) -> dict:
             cpp_seq: list[float] = []
             cpp_par: list[float] = []
             flagship: list[float] = []
+            flag_out = os.path.join(scratch, "flagship_out")
             for _ in range(pairs):
                 if cpp_ok:
                     cpp_seq.append(run_cpp(1, 1, manifest, scratch))
-                flagship.append(run_flagship(manifest))
+                flagship.append(_flagship_e2e(spark, manifest, flag_out))
                 if cpp_ok:
                     cpp_par.append(run_cpp(4, 4, manifest, scratch))
             out[f"paired_x{factor}_flagship_runs"] = [round(x, 3) for x in flagship]
@@ -499,14 +549,14 @@ def main() -> int:
             for _ in range(n_runs):
                 t0 = time.perf_counter()
                 df = specs[name].build(spark, sf_dir)
-                n = df.count()  # full execution, no driver-side row transfer
+                _materialize(df)  # full execution of EVERY output column
                 runs.append(time.perf_counter() - t0)
             best = min(runs)
             med = sorted(runs)[len(runs) // 2]
             timings[name] = round(best, 3)
             medians[name] = round(med, 3)
             all_runs[name] = [round(r, 3) for r in runs]
-            print(f"bench: {name} {best:.2f}s median {med:.2f}s ({n} rows)", file=sys.stderr)
+            print(f"bench: {name} {best:.2f}s median {med:.2f}s", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             medians[name] = -1.0
@@ -560,13 +610,13 @@ def main() -> int:
                 runs_f = []
                 for _ in range(_CURVE_RUNS):
                     t0 = time.perf_counter()
-                    n = inverted_index(docs).count()
+                    _materialize(inverted_index(docs))
                     runs_f.append(time.perf_counter() - t0)
                 secs = min(runs_f)
                 scale_curve[f"x{factor}"] = round(secs, 3)
                 print(
                     f"bench: scale_curve x{factor} {secs:.2f}s "
-                    f"(runs {[round(r, 2) for r in runs_f]}, {n} words)",
+                    f"(runs {[round(r, 2) for r in runs_f]})",
                     file=sys.stderr,
                 )
             except Exception as e:  # noqa: BLE001
@@ -591,13 +641,13 @@ def main() -> int:
                 runs_d = []
                 for _ in range(_CURVE_RUNS):
                     t0 = time.perf_counter()
-                    n = exact_dup_groups(docs).count()
+                    _materialize(exact_dup_groups(docs))
                     runs_d.append(time.perf_counter() - t0)
                 secs = min(runs_d)
                 dedup_curve[f"x{factor}"] = round(secs, 3)
                 print(
                     f"bench: dedup_curve x{factor} {secs:.2f}s "
-                    f"(runs {[round(r, 2) for r in runs_d]}, {n} groups)",
+                    f"(runs {[round(r, 2) for r in runs_d]})",
                     file=sys.stderr,
                 )
             except Exception as e:  # noqa: BLE001
@@ -639,13 +689,13 @@ def main() -> int:
                 runs_c = []
                 for _ in range(_CURVE_RUNS):
                     t0 = time.perf_counter()
-                    n = build_postings_chunked(doc_word_pairs(docs)).count()
+                    _materialize(build_postings_chunked(doc_word_pairs(docs)))
                     runs_c.append(time.perf_counter() - t0)
                 secs = min(runs_c)
                 chunked_curve[f"x{factor}"] = round(secs, 3)
                 print(
                     f"bench: chunked_curve x{factor} {secs:.2f}s "
-                    f"(runs {[round(r, 2) for r in runs_c]}, {n} chunks)",
+                    f"(runs {[round(r, 2) for r in runs_c]})",
                     file=sys.stderr,
                 )
             except Exception as e:  # noqa: BLE001
@@ -656,7 +706,7 @@ def main() -> int:
     # only noise-immune form of the driver's 2x-of-baseline metric).
     paired: dict = {}
     if os.environ.get("SPARK_GRAFT_PAIRED_BASELINE", "1") != "0" and not sys.argv[1:]:
-        paired = _paired_baseline(spark, specs, sf_dir)
+        paired = _paired_baseline(spark)
         # Same pairing at 8x/64x corpus scale — where the architectures
         # diverge (VERDICT r7 task 2); skipped only by explicit env.
         scale_pairs = _int_list_env("SPARK_GRAFT_PAIRED_SCALE_FACTORS", "8,32,64")
@@ -677,6 +727,7 @@ def main() -> int:
         "n_runs": n_runs,
         "sf": sf,
         "set_version": HEADLINE_SET_VERSION,
+        "basis": BENCH_BASIS,
         "queries": timings,
         "queries_median": medians,
         "queries_runs": all_runs,

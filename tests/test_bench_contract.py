@@ -1,0 +1,105 @@
+"""Bench-methodology contract (VERDICT r8 task 1).
+
+Rounds 1-8 timed every headline query with ``.count()`` under the
+comment "full execution". That was false in the plan sense: Catalyst
+prunes columns a count never references, so the flagship's terminal
+``collect_list``/``sort_array`` payload was absent from the optimized
+count plan — the timed window did not contain the work the numbers
+were attributed to. These tests pin BOTH facts permanently:
+
+1. the pruning is real (a count-shaped plan over the inverted index
+   drops collect_list — if a future Spark version stops pruning, the
+   assertion documents that the old basis would have been fine);
+2. bench.py never times a ``.count()`` again: every
+   ``time.perf_counter()`` window in the file materializes through the
+   noop sink (all columns consumed) or a real write.
+"""
+
+from __future__ import annotations
+
+import inspect
+import re
+
+from pyspark.sql import functions as F
+
+import bench
+from parallel_map_reduce_spark.operators.inverted_index import inverted_index
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id"), F.col("text")
+    )
+
+
+def test_count_plan_prunes_terminal_payload(spark, sf_dir):
+    """The judge's r8 probe, pinned: the optimized plan of
+    count(inverted_index(docs)) contains neither collect_list nor
+    sort_array — counting is NOT full execution of this query."""
+    idx = inverted_index(_docs(spark, sf_dir))
+    count_plan = (
+        idx.groupBy()
+        .count()
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "collect_list" not in count_plan, (
+        "Catalyst no longer prunes aggregate payload under count(); "
+        "the .count() basis would be full execution again — update "
+        "bench.py's basis notes if acting on this"
+    )
+    # The full-output plan retains the payload (what the noop write
+    # executes: a v2 write consumes every column, nothing is prunable).
+    full_plan = idx._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" in full_plan
+    assert "sort_array" in full_plan
+
+
+def test_noop_materialization_executes_full_plan(spark, sf_dir):
+    """_materialize must run end-to-end (noop sink: no output path, no
+    driver transfer) and raise on a genuinely failing plan — a silent
+    no-op would time nothing."""
+    import pytest
+
+    idx = inverted_index(_docs(spark, sf_dir))
+    bench._materialize(idx)  # executes; any failure propagates
+    bad = idx.withColumn("boom", F.raise_error(F.lit("forced")))
+    with pytest.raises(Exception, match="forced"):
+        bench._materialize(bad)
+
+
+def test_no_timed_window_in_bench_uses_count():
+    """Extract every `t0 = time.perf_counter()` ... `- t0` window from
+    bench.py's source and assert none calls .count() — the pruning
+    defect cannot silently return. The paired-baseline flagship side
+    must run the end-to-end job (format + 26-way letter write), and the
+    headline loop must go through _materialize."""
+    src = inspect.getsource(bench)
+    windows = re.findall(
+        r"t0 = time\.perf_counter\(\)(.*?)time\.perf_counter\(\) - t0",
+        src,
+        re.S,
+    )
+    assert windows, "expected timed windows in bench.py"
+    for w in windows:
+        assert ".count()" not in w, f"timed window uses .count():\n{w}"
+    assert "_materialize(" in inspect.getsource(bench.main)
+    e2e = inspect.getsource(bench._flagship_e2e)
+    assert "format_index_rows" in e2e and 'partitionBy("letter")' in e2e
+    for fn in (bench._paired_baseline, bench._paired_baseline_scaled):
+        assert "_flagship_e2e(" in inspect.getsource(fn)
+
+
+def test_set_version_carries_measurement_basis():
+    """Totals are only comparable within one (HEADLINE, basis) pair;
+    the basis string must participate in the set-version hash so the
+    r9 re-basing shows up as a version change, not a silent regression
+    or win."""
+    import hashlib
+
+    expected = hashlib.md5(
+        ("\n".join(bench.HEADLINE) + "|basis=" + bench.BENCH_BASIS).encode()
+    ).hexdigest()[:8]
+    assert bench.HEADLINE_SET_VERSION == expected
+    assert bench.BENCH_BASIS == "noop-sink-e2e"
