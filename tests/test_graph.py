@@ -128,6 +128,46 @@ def test_lpa_prepared_symmetric_equals_general(spark):
     assert prep == base
 
 
+def test_lpa_superstep_pays_one_exchange_per_round(spark, tmp_path):
+    """VERDICT r8 task 5: the per-round (node, label) count and the
+    node-keyed argmax must satisfy their distribution from ONE shared
+    hash(node) exchange — hash(node) covers ClusteredDistribution
+    (node, label) because the partitioning keys are a subset of the
+    grouping keys (the SCD2 superset-key discipline). Served from the
+    bucketed edge table (the gate entries' shape) with broadcast off
+    and shuffle partitions pinned to the bucket count, a 4-round
+    symmetric plan carries exactly 5 hash exchanges: the initial label
+    frame into the first join, then ONE repartition per round — the
+    pre-fix plan paid 2 aggregate exchanges per round on top."""
+    from parallel_map_reduce_spark.operators.graph import (
+        label_propagation_prepared,
+    )
+    from parallel_map_reduce_spark.operators.layout import write_bucketed
+
+    edges = _random_sym_edges(spark, seed=23)
+    write_bucketed(
+        edges, "pmrs_test_lpa_edges", "src", 8, path=str(tmp_path / "edges")
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        df = label_propagation_prepared(
+            spark.table("pmrs_test_lpa_edges"), iters=4, symmetric=True
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.sql("DROP TABLE IF EXISTS pmrs_test_lpa_edges")
+    assert plan.count("Exchange hashpartitioning") == 5, plan
+    # the single per-round exchange is the explicit repartition; the
+    # two aggregates never insert their own
+    assert plan.count("REPARTITION_BY_COL") == 4, plan
+
+
 def test_bucketed_superstep_join_has_no_edge_side_exchange(spark, sf_dir, tmp_path):
     """The VERDICT r7 task-1 property: with the (src, dst, deg) table
     bucketed on src, a superstep join planned as SMJ (broadcast
