@@ -306,3 +306,106 @@ def test_python_datasource_manifest_streams_incrementally(spark):
         map(tuple, text_manifest.read_manifest_documents(spark, manifest).collect())
     )
     assert got == want
+
+
+def _write_manifest(tmp_path, names_and_texts):
+    import os
+
+    paths = []
+    for name, text in names_and_texts:
+        p = tmp_path / name
+        p.write_text(text, encoding="utf-8")
+        paths.append(str(p))
+    man = tmp_path / "MANIFEST"  # outside the corpus naming scheme
+    man.write_text(f"{len(paths)}\n" + "\n".join(paths) + "\n")
+    return str(man)
+
+
+def test_manifest_attributes_special_character_filenames(spark, tmp_path):
+    """VERDICT r8 finding 4: input_file_name() yields a percent-encoded
+    URI, so files with spaces/non-ASCII/'+'/'%' in their names used to
+    miss the id map and SILENTLY vanish. The _uri_keys aliases must
+    attribute every one of them, with manifest-order ids intact."""
+    from parallel_map_reduce_spark.sources.text_manifest import (
+        read_manifest_documents,
+    )
+
+    corpus = [
+        ("plain.txt", "alpha"),
+        ("with space.txt", "bravo"),
+        ("naïve_über.txt", "charlie"),
+        ("plus+sign.txt", "delta"),
+        ("percent%20literal.txt", "echo"),
+    ]
+    man = _write_manifest(tmp_path, corpus)
+    rows = sorted(
+        map(tuple, read_manifest_documents(spark, man).collect())
+    )
+    assert rows == [
+        (1, "alpha"),
+        (2, "bravo"),
+        (3, "charlie"),
+        (4, "delta"),
+        (5, "echo"),
+    ], rows
+
+
+def test_manifest_raises_on_uri_ambiguous_paths(spark, tmp_path):
+    """Two distinct files whose raw/encoded forms collide ('a b' vs a
+    literal 'a%20b') cannot be attributed — the source must fail loudly
+    naming the colliding key, never mis-assign or drop."""
+    import pytest
+
+    from parallel_map_reduce_spark.sources.text_manifest import (
+        read_manifest_documents,
+    )
+
+    man = _write_manifest(
+        tmp_path, [("a b.txt", "one"), ("a%20b.txt", "two")]
+    )
+    with pytest.raises(ValueError, match="ambiguous after URI encoding"):
+        read_manifest_documents(spark, man)
+
+
+def test_manifest_directory_fastpath_keeps_hidden_files(spark, tmp_path):
+    """Advisor r8 (medium), found to be worse on probing: Hadoop's
+    hidden-file filter drops '_'/'.'-prefixed files from EVERY
+    spark.read.text scan — explicit path lists included, not just the
+    one-readdir fast path. Such manifests must serve through the
+    Python DataSource twin (direct open(), no Hadoop listing) and lose
+    nothing. A >256-file flat manifest containing one of each hidden
+    prefix must still produce every document with manifest-order ids."""
+    from parallel_map_reduce_spark.sources.text_manifest import (
+        _scan_paths,
+        read_manifest_documents,
+    )
+
+    corpus = [(f"f{i:04d}.txt", f"word{i}") for i in range(258)]
+    corpus.append(("_underscore.txt", "hiddenone"))
+    corpus.append((".dotfile.txt", "hiddentwo"))
+    man = _write_manifest(tmp_path, corpus)
+
+    from parallel_map_reduce_spark.sources.text_manifest import parse_manifest
+
+    paths = parse_manifest(man)
+    assert _scan_paths(paths) == paths  # fast path must decline
+
+    rows = {r.doc_id: r.text for r in read_manifest_documents(spark, man).collect()}
+    assert len(rows) == 260
+    assert rows[259] == "hiddenone" and rows[260] == "hiddentwo"
+
+
+def test_manifest_directory_fastpath_still_engages_on_plain_corpora(tmp_path):
+    """The 5x scan-setup win must survive the hidden-file guard: a flat
+    >256-file corpus with ordinary names still collapses to one
+    directory path."""
+    from parallel_map_reduce_spark.sources.text_manifest import (
+        _scan_paths,
+        parse_manifest,
+    )
+
+    corpus = [(f"g{i:04d}.txt", "x") for i in range(257)]
+    man = _write_manifest(tmp_path, corpus)
+    paths = parse_manifest(man)
+    scan = _scan_paths(paths)
+    assert scan != paths and len(scan) == 1  # directory mode
