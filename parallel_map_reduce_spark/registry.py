@@ -43,17 +43,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #   3. Every family keeps at least one in-window representative.
 #   4. Slow entries (live streaming drains) sit at the END of the
 #      window; un-gated drains stay at the registry tail.
-# Round-8 window (VERDICT r7 task 6 — widen the rows-only rotation):
-# the three rows-only slots cycle from last round's occupants (all got
-# their r7 ran-row: event_value_quantiles_approx, similarity_ivfpq_
-# topk, streaming_ivfpq_index) to three never-driver-checked entries:
-# similarity_two_stage_ivf_topk, embedding_semantic_dedup,
-# text_bpe_vocabulary. The window keeps its 47-oracle-backed floor —
-# the task's "≤2 never-checked after r8" is arithmetically
-# incompatible with that floor (7 never-checked, 3 rows-only slots),
-# so the tail clears over r8-r10 at 3 slots/round; 4 remain after r8
-# (embedding_pca_whitened, similarity_pq_topk,
-# event_type_user_overlap_hll, documents_quality_logreg).
+# Round-9 window (VERDICT r8 task 4 — continue the rows-only rotation
+# on schedule): the three rows-only slots cycle from last round's
+# occupants (all got their r8 ran-row: similarity_two_stage_ivf_topk,
+# embedding_semantic_dedup, text_bpe_vocabulary) to three of the four
+# remaining never-driver-checked entries: embedding_pca_whitened,
+# similarity_pq_topk, event_type_user_overlap_hll. The window keeps
+# its 47-oracle-backed floor; after r9 exactly ONE never-checked entry
+# remains (documents_quality_logreg — takes a slot in r10).
 # Full displacement log: GATE_HISTORY.md.
 GATE_PRIORITY: tuple[str, ...] = (
     # core (reference parity) — permanent
@@ -78,8 +75,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_user_skew_report",
     "events_incremental_agg_merge",
     # approx/ML family rows-only slot (rotation: hll_rollup r6,
-    # gk-quantiles r7; the SemDeDup planted-group entry takes r8)
-    "embedding_semantic_dedup",
+    # gk-quantiles r7, SemDeDup r8; the PCA-whitening entry takes r9)
+    "embedding_pca_whitened",
     # relational — new round 7: WOE/IV feature scoring (the MI/chi2
     # contingency family's credit-scoring sibling)
     "orders_priority_woe_iv",
@@ -107,9 +104,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_jaccard_prefix",
     # dedup — new round 7: exact-substring (span-level) duplication
     "dedup_repeated_substrings",
-    # similarity rows-only slot (rotation: ivfpq_topk ran r7; the
-    # two-stage IVF serving path — also a HEADLINE member — takes r8)
-    "similarity_two_stage_ivf_topk",
+    # similarity rows-only slot (rotation: ivfpq_topk r7, two_stage_ivf
+    # r8; the PQ-ADC exhaustive baseline takes r9)
+    "similarity_pq_topk",
     # events / streaming-batch: never-checked + family anchors +
     # round-6 PSI drift monitor
     "events_drift_psi",
@@ -131,9 +128,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_doc_similarity",
     "text_novelty_ngrams",
     "text_cms_heavy_hitters",
-    # text rows-only slot (rotation: streaming_ivfpq_index ran r7; the
-    # BPE merge-sequence entry takes r8)
-    "text_bpe_vocabulary",
+    # rows-only slot (rotation: streaming_ivfpq_index r7, BPE r8; the
+    # HLL set-overlap entry takes r9 — text keeps three oracle-backed
+    # representatives above)
+    "event_type_user_overlap_hll",
     # live streaming drains — oracle-backed, last on purpose
     "streaming_inverted_index",
     "streaming_cdc_apply",
