@@ -210,9 +210,24 @@ def ensure_bucketed_table(
 
     from ..sources.artifact_cache import ensure_artifact
 
+    base = table
     table = f"{table}_{key}"
     if spark.catalog.tableExists(table):
         return table
+    # Advisor r8: without eviction, each source regeneration leaves the
+    # prior key's registration behind, growing the session catalog
+    # unboundedly. Superseded same-prefix registrations are dropped
+    # here — DDL-only; a dropped key re-registers from its (still
+    # LRU-cached) artifact in one CREATE TABLE if it is ever served
+    # again. The artifact DIRS themselves are LRU-bounded by
+    # sources/artifact_cache._prune_family.
+    for t in spark.catalog.listTables():
+        if (
+            t.name.startswith(f"{base}_")
+            and t.name != table
+            and "_build_" not in t.name  # in-flight writer temp tables
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
 
     def build(tmp: str) -> None:
         df = build_df()

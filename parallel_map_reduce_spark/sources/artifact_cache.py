@@ -33,6 +33,40 @@ from collections.abc import Callable
 
 _MARKER = "_BUILT"
 
+# Advisor r8: per-source-version artifacts (bucketed graph edges, LSH
+# candidate stores, scaled corpora) otherwise accumulate unboundedly in
+# /tmp across regenerations. Each family keeps its most-recently-USED
+# keys (the marker file is touched on every cache hit, so recency is
+# access time, not publish time); older keys are removed after a fresh
+# publish. Trade-off, documented: a concurrent process serving an
+# artifact older than the newest KEEP keys could see its files vanish
+# mid-read — with KEEP=8 that needs eight newer source versions
+# published while the reader is mid-query, which does not happen in
+# any supported workflow (one driver process per round).
+_FAMILY_KEEP = int(os.environ.get("SPARK_GRAFT_ARTIFACT_KEEP", "8"))
+
+
+def _prune_family(parent: str) -> None:
+    """Remove all but the _FAMILY_KEEP most-recently-used published
+    artifacts under ``parent``; in-flight .build-* temp dirs are never
+    touched (their builder cleans them)."""
+    try:
+        entries = os.listdir(parent)
+    except OSError:
+        return
+    published = []
+    for e in entries:
+        if e.startswith(".build-"):
+            continue
+        marker = os.path.join(parent, e, _MARKER)
+        try:
+            published.append((os.stat(marker).st_mtime_ns, os.path.join(parent, e)))
+        except OSError:
+            continue
+    published.sort(reverse=True)
+    for _, d in published[_FAMILY_KEEP:]:
+        shutil.rmtree(d, ignore_errors=True)
+
 
 def source_key(tag: str, sf_dir: str, source_file: str | list[str]) -> str:
     """Cache key for an artifact derived from one or more source
@@ -64,7 +98,12 @@ def ensure_artifact(
     complete artifact into ``tmp_dir``; publication is one atomic
     rename, so readers only ever see absent or complete."""
     final = artifact_path(family, key)
-    if os.path.exists(os.path.join(final, _MARKER)):
+    marker = os.path.join(final, _MARKER)
+    if os.path.exists(marker):
+        try:
+            os.utime(marker)  # recency for the family LRU
+        except OSError:
+            pass
         return final
     parent = os.path.dirname(final)
     os.makedirs(parent, exist_ok=True)
@@ -96,4 +135,5 @@ def ensure_artifact(
     finally:
         if os.path.exists(tmp):
             shutil.rmtree(tmp, ignore_errors=True)
+    _prune_family(parent)
     return final

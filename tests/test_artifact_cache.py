@@ -77,3 +77,65 @@ def test_source_key_changes_within_one_second(tmp_path):
     src.write_text("bb")  # same second; different mtime_ns and size
     k2 = source_key("t", str(tmp_path), "documents.parquet")
     assert k1 != k2
+
+
+def test_family_lru_prunes_beyond_keep():
+    """Advisor r8: per-source-version artifacts must not accumulate
+    unboundedly. After publishing KEEP+3 keys, only the KEEP
+    most-recently-used survive — and a cache HIT refreshes recency, so
+    a hot old key outlives colder newer ones."""
+    import time
+
+    from parallel_map_reduce_spark.sources import artifact_cache as ac
+
+    keep = ac._FAMILY_KEEP
+    keys = [f"lru{i:02d}" for i in range(keep + 3)]
+    for k in keys:
+        ensure_artifact(FAM, k, _build)
+        time.sleep(0.01)  # distinct marker mtimes
+    fam_dir = os.path.dirname(artifact_path(FAM, keys[0]))
+    alive = {e for e in os.listdir(fam_dir)}
+    assert len(alive) == keep
+    # the newest KEEP keys survive, the oldest 3 are gone
+    assert set(keys[-keep:]) == alive
+    # a HIT on the oldest survivor refreshes its recency past a new
+    # publish wave
+    hot = keys[-keep]
+    ensure_artifact(FAM, hot, _build)  # hit: touches marker
+    time.sleep(0.01)
+    for i in range(keep - 1):
+        ensure_artifact(FAM, f"wave{i:02d}", _build)
+        time.sleep(0.01)
+    assert os.path.exists(artifact_path(FAM, hot))
+
+
+def test_bucketed_table_registration_drops_superseded_keys(spark, tmp_path):
+    """Advisor r8 (layout): each regenerated source registers a fresh
+    `{table}_{key}` — superseded same-prefix registrations must leave
+    the catalog on the next registration instead of accumulating."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.operators.layout import ensure_bucketed_table
+
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("src"), F.col("id").alias("v")
+    )
+    t1 = ensure_bucketed_table(
+        spark, "pmrs_test_evict", "pmrs_test_cache", "kold", lambda: df, "src", 4
+    )
+    assert spark.catalog.tableExists(t1)
+    t2 = ensure_bucketed_table(
+        spark, "pmrs_test_evict", "pmrs_test_cache", "knew", lambda: df, "src", 4
+    )
+    try:
+        assert spark.catalog.tableExists(t2)
+        assert not spark.catalog.tableExists(t1), "superseded key not dropped"
+        # re-registration of the evicted key works from its cached artifact
+        t1b = ensure_bucketed_table(
+            spark, "pmrs_test_evict", "pmrs_test_cache", "kold", lambda: df, "src", 4
+        )
+        assert spark.catalog.tableExists(t1b)
+        assert spark.table(t1b).count() == 100
+    finally:
+        for t in (t1, t2):
+            spark.sql(f"DROP TABLE IF EXISTS `{t}`")
