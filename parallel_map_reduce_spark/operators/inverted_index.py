@@ -58,9 +58,21 @@ def build_postings_chunked(pairs: DataFrame, chunk_size: int = POSTINGS_CHUNK_SI
     chunk_size; chunks are contiguous doc-id ranges, so concatenating a
     word's chunks in chunk order reproduces the exact ascending posting
     list (tests/test_inverted_index.py pins this equivalence).
-    """
+
+    Memory discipline (round 9 — found the moment the bench started
+    materializing honestly): ``collect_list`` gets NO benefit from
+    map-side partial aggregation — every (word, doc_id) pair is
+    distinct, so partial buffers repackage the map task's entire input
+    into JVM object arrays (ObjectHashAggregate) for zero byte
+    reduction; at 1024x corpus scale those per-task buffers OOM a 24g
+    heap that the post-shuffle arrays themselves fit easily. The
+    explicit repartition on the grouping keys makes the aggregate run
+    COMPLETE-mode after the exchange: raw fixed-width rows shuffle
+    (same bytes the partial arrays would have), and each task builds
+    only its own partition's bounded arrays, exactly once."""
     return (
         pairs.withColumn("chunk", (F.col("doc_id") / F.lit(chunk_size)).cast("bigint"))
+        .repartition("word", "chunk")
         .groupBy("word", "chunk")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("postings_chunk"))
         .withColumn("chunk_df", F.size("postings_chunk"))
