@@ -308,8 +308,15 @@ def ngram_jaccard_pairs(
     # self-product (explode), bounded by cap² per shingle — skew is
     # bounded by construction, not just mitigated.
     if df_cap is not None:
-        postings = sh.groupBy("shingle").agg(
-            F.sort_array(F.collect_list("doc_id")).alias("ds")
+        # repartition-first: complete-mode aggregate after the exchange —
+        # map-side partial collect_list has zero combine benefit on
+        # distinct (shingle, doc_id) pairs and buffers each task's whole
+        # input as JVM object arrays (the 1024x OOM shape found when the
+        # bench started materializing honestly; see build_postings).
+        postings = (
+            sh.repartition("shingle")
+            .groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         )
         postings = postings.filter(F.size("ds") <= df_cap)
         pair_arr = F.flatten(

@@ -32,12 +32,20 @@ from .tokenize import doc_word_pairs
 def build_postings(pairs: DataFrame) -> DataFrame:
     """(word, doc_id) distinct pairs → (word, postings ASC, df, letter).
 
-    One hash-aggregate with partial map-side combine; ``sort_array`` gives
-    the reference's ascending posting order (src/tema1.cpp:227) without a
-    per-group sort shuffle.
-    """
+    One word-keyed exchange; ``sort_array`` gives the reference's
+    ascending posting order (src/tema1.cpp:227) without a per-group
+    sort shuffle. The explicit repartition on the grouping key runs the
+    aggregate COMPLETE-mode after the exchange (same discipline as
+    ``build_postings_chunked``, and the same exchange count): map-side
+    partial ``collect_list`` would repackage each task's entire input
+    into JVM object buffers for zero combine benefit — the pairs are
+    distinct, so partials never shrink anything — which is the memory
+    shape that OOM'd the chunked formulation at 1024x the moment the
+    bench started materializing honestly. Raw fixed-width rows shuffle
+    instead; each task builds only its own partition's arrays, once."""
     return (
-        pairs.groupBy("word")
+        pairs.repartition("word")
+        .groupBy("word")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
         .withColumn("df", F.size("postings"))
         .withColumn("letter", F.substring("word", 1, 1))
