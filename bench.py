@@ -503,11 +503,7 @@ def _sf_from_dir(sf_dir: str) -> float:
     return -1.0
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    names = sys.argv[1:] or list(HEADLINE)
-
+def _make_session(cpus: str):
     spark = (
         SparkSession.builder.appName("bench")
         .master(f"local[{cpus}]")
@@ -524,6 +520,50 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _revive(spark, cpus: str):
+    """Return a LIVE session: probe with a 1-row job and rebuild the
+    whole JVM if it is gone. In local mode one executor OOM kills the
+    single JVM, and the first honest-basis bench run proved the blast
+    radius: the x1024 chunked notch died and every downstream section —
+    both remaining curves, all four paired baselines, the final stdout
+    JSON line — was lost with it. Each section now passes through this
+    guard so one dead notch costs one ERROR entry, not the round's
+    whole bench deliverable. The probe runs OUTSIDE every timed
+    window."""
+    try:
+        spark.range(1).count()
+        return spark
+    except Exception:  # noqa: BLE001
+        print(
+            "bench: session JVM is dead — rebuilding for the remaining "
+            "sections",
+            file=sys.stderr,
+        )
+        try:
+            spark.stop()
+        except Exception:  # noqa: BLE001
+            pass
+        # Clear every cached handle to the dead gateway; getOrCreate()
+        # would otherwise hand back a session wired to a dead JVM.
+        from pyspark import SparkContext
+
+        SparkContext._active_spark_context = None
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        return _make_session(cpus)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    names = sys.argv[1:] or list(HEADLINE)
+
+    spark = _make_session(cpus)
     # Untimed warmup: absorb executor-thread spin-up, codegen compiler
     # init, and shuffle machinery into setup instead of the first query.
     from pyspark.sql import functions as F
@@ -543,6 +583,7 @@ def main() -> int:
             print(f"bench: unknown query {name!r}, skipping", file=sys.stderr)
             continue
         runs: list[float] = []
+        spark = _revive(spark, cpus)
         try:
             # first run pays JIT/codegen warmup; min is the stable engine
             # cost the gate compares, median the noise-aware companion.
@@ -603,6 +644,7 @@ def main() -> int:
 
         for factor in scale_factors:
             try:
+                spark = _revive(spark, cpus)
                 docs = scaled_reference_corpus(spark, factor)  # cached build
                 # n=2 back-to-back, commit the min (VERDICT r7 task 4):
                 # this host shows up to 4-5x same-code swings across
@@ -637,6 +679,7 @@ def main() -> int:
 
         for factor in scale_factors:
             try:
+                spark = _revive(spark, cpus)
                 docs = scaled_reference_corpus(spark, factor)  # cached build
                 runs_d = []
                 for _ in range(_CURVE_RUNS):
@@ -685,6 +728,7 @@ def main() -> int:
                 )
         for factor in chunked_factors:
             try:
+                spark = _revive(spark, cpus)
                 docs = scaled_reference_corpus(spark, factor)  # cached build
                 runs_c = []
                 for _ in range(_CURVE_RUNS):
@@ -706,11 +750,13 @@ def main() -> int:
     # only noise-immune form of the driver's 2x-of-baseline metric).
     paired: dict = {}
     if os.environ.get("SPARK_GRAFT_PAIRED_BASELINE", "1") != "0" and not sys.argv[1:]:
+        spark = _revive(spark, cpus)
         paired = _paired_baseline(spark)
         # Same pairing at 8x/64x corpus scale — where the architectures
         # diverge (VERDICT r7 task 2); skipped only by explicit env.
         scale_pairs = _int_list_env("SPARK_GRAFT_PAIRED_SCALE_FACTORS", "8,32,64")
         if os.environ.get("SPARK_GRAFT_PAIRED_SCALE", "1") != "0" and scale_pairs:
+            spark = _revive(spark, cpus)
             paired.update(_paired_baseline_scaled(spark, tuple(scale_pairs)))
     spark.stop()
 

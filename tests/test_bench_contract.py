@@ -103,3 +103,42 @@ def test_set_version_carries_measurement_basis():
     ).hexdigest()[:8]
     assert bench.HEADLINE_SET_VERSION == expected
     assert bench.BENCH_BASIS == "noop-sink-e2e"
+
+
+def test_revive_rebuilds_a_dead_jvm_session():
+    """The first honest-basis bench run lost every section downstream
+    of one executor OOM (local mode: one JVM). _revive must hand back a
+    working session after the JVM dies. Runs in a subprocess so the
+    deliberate JVM kill cannot touch the shared test session."""
+    import subprocess
+    import sys as _sys
+
+    code = """
+import sys
+sys.path.insert(0, {repo!r})
+import bench
+spark = bench._make_session('2')
+assert bench._revive(spark, '2') is spark  # live session passes through
+try:
+    spark.sparkContext._jvm.java.lang.System.exit(1)
+except Exception:
+    pass
+spark2 = bench._revive(spark, '2')
+assert spark2 is not spark
+assert spark2.range(5).count() == 5
+bench._materialize(spark2.range(3))
+spark2.stop()
+print('REVIVED_OK')
+""".format(repo=__import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+    r = subprocess.run(
+        [_sys.executable, "-c", code], capture_output=True, timeout=240, text=True
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "REVIVED_OK" in r.stdout
+
+
+def test_every_bench_section_passes_through_revive():
+    """Each section boundary in main() must probe the session so one
+    dead notch costs one ERROR entry, not the whole deliverable."""
+    src = inspect.getsource(bench.main)
+    assert src.count("_revive(spark, cpus)") >= 6
