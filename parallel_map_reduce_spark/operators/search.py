@@ -135,7 +135,17 @@ def bm25_topk_multi(
 
     spark = docs.sparkSession
     ow = ordered_words(docs)
-    dl = ow.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # Materialized: dl is referenced twice (corpus stats + the per-doc
+    # join), and each re-expansion replays the whole tokenization scan
+    # upstream — with the checkpoint the corpus is tokenized twice (dl
+    # + tf, different filters), not three times. The frame is one row
+    # per document; exactly the index-side statistic a serving stack
+    # persists.
+    dl = (
+        ow.groupBy("doc_id")
+        .agg(F.count("*").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
     corpus = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     # BM25 treats repeated query terms as weight-1 (standard qtf=1 form);
     # dedupe per query so the score is a set function of the query.

@@ -671,9 +671,16 @@ def doc_similarity_tfidf(
     bit-reproducible on any engine.
     """
     w = tfidf(docs).filter(F.col("df") <= df_cap)
+    # Materialized because it is referenced THREE ways below (norms +
+    # both self-join sides): without the checkpoint each reference
+    # re-expands the whole tfidf subplan — measured 15 Exchanges for
+    # this query vs 6 with it (the triangle_counts discipline). The
+    # frame is the capped vector space itself (|doc × surviving term|
+    # rows), exactly what any at-scale pairwise-similarity run would
+    # persist before the self-join.
     w = w.select(
         "doc_id", "word", F.round("tfidf", 4).cast("decimal(18,4)").alias("w")
-    )
+    ).localCheckpoint(eager=True)
     norms = w.groupBy("doc_id").agg(
         F.round(F.sum(F.col("w") * F.col("w")), 2).cast("double").alias("norm2")
     )
