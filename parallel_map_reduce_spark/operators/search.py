@@ -85,7 +85,14 @@ def bm25_scores(
     Lucene-style always-positive form); score rounded to 4 dp (ln is
     not correctly-rounded across libms — both engines round)."""
     ow = ordered_words(docs)
-    dl = ow.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # Materialized for the same reason as bm25_topk_multi: dl feeds the
+    # corpus stats AND the per-doc join, and each re-expansion replays
+    # the tokenization scan.
+    dl = (
+        ow.groupBy("doc_id")
+        .agg(F.count("*").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
     corpus = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
