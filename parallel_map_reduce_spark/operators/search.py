@@ -122,48 +122,51 @@ def bm25_scores(
     )
 
 
-def bm25_topk_multi(
-    docs: DataFrame,
+def corpus_term_frequencies(docs: DataFrame) -> DataFrame:
+    """(word, doc_id, tf): the full-vocabulary term-frequency table —
+    the persistable half of a BM25 index (write it hash-bucketed on
+    ``word`` so query-term IN-filters bucket-prune the scan)."""
+    return (
+        ordered_words(docs)
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_lengths(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl): per-document token counts — the other persistable
+    index-side statistic (corpus N/avgdl derive from it at read time)."""
+    return ordered_words(docs).groupBy("doc_id").agg(F.count("*").alias("dl"))
+
+
+def bm25_rank_batch(
+    tf: DataFrame,
+    dl: DataFrame,
     queries: dict[str, tuple[str, ...]],
     k: int = 5,
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """(query, doc_id, score, rank): BM25 top-k documents for a BATCH of
-    queries served from ONE statistics build — the retrieval serving
-    shape: index-side stats (tf/df/dl/corpus) are computed once and the
-    query batch rides in as a broadcast (query, word) table, so adding
-    queries never adds corpus passes. Per-term scores are rounded to
-    8 dp and summed as DECIMAL(18,8) (the PSI/MI discipline), making
-    the per-(query, doc) reduction order-free — unlike single-query
-    BM25 there are |terms| summands here, so float-sum ordering is a
-    real hazard, not a theoretical one. Ties: score desc, doc_id asc."""
+    """Shared batch-ranking core over index-side statistics: ``tf`` =
+    (word, doc_id, tf) covering at least the query terms, ``dl`` =
+    (doc_id, dl). Per-term scores are rounded to 8 dp and summed as
+    DECIMAL(18,8) (the PSI/MI discipline), making the per-(query, doc)
+    reduction order-free — with several terms per query, float-sum
+    ordering is a real hazard. Ties: score desc, doc_id asc."""
     from pyspark.sql import Window
 
-    spark = docs.sparkSession
-    ow = ordered_words(docs)
-    # Materialized: dl is referenced twice (corpus stats + the per-doc
-    # join), and each re-expansion replays the whole tokenization scan
-    # upstream — with the checkpoint the corpus is tokenized twice (dl
-    # + tf, different filters), not three times. The frame is one row
-    # per document; exactly the index-side statistic a serving stack
-    # persists.
-    dl = (
-        ow.groupBy("doc_id")
-        .agg(F.count("*").alias("dl"))
-        .localCheckpoint(eager=True)
-    )
+    spark = tf.sparkSession
     corpus = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     # BM25 treats repeated query terms as weight-1 (standard qtf=1 form);
     # dedupe per query so the score is a set function of the query.
     q_rows = sorted({(qid, t) for qid, ts in queries.items() for t in ts})
     qt = spark.createDataFrame(q_rows, "query STRING, word STRING")
     all_terms = sorted({t for _, t in q_rows})
-    tf = (
-        ow.filter(F.col("word").isin(*all_terms))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
-    )
+    # On a word-bucketed index table this IN-filter reaches the scan and
+    # bucket-prunes it (SelectedBucketsCount in the plan — pinned in
+    # tests/test_search.py): serving touches only the query terms'
+    # buckets, never the whole index.
+    tf = tf.filter(F.col("word").isin(*all_terms))
     df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(qt), "word")
@@ -190,3 +193,36 @@ def bm25_topk_multi(
         .filter(F.col("rank") <= k)
         .select("query", "doc_id", "score", "rank")
     )
+
+
+def bm25_topk_multi(
+    docs: DataFrame,
+    queries: dict[str, tuple[str, ...]],
+    k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(query, doc_id, score, rank): BM25 top-k documents for a BATCH
+    of queries from ONE statistics build over ``docs`` — the build-and-
+    serve-in-one-job shape. The production twin serves the same ranking
+    from a PERSISTED word-bucketed index artifact
+    (queries/search.py:search_bm25_served ->
+    ``bm25_rank_batch(index_tf, index_dl, ...)``), where the corpus is
+    never re-tokenized per batch.
+
+    dl is checkpointed: it feeds the corpus stats and the per-doc join,
+    and each re-expansion would replay the tokenization scan — with it
+    the corpus is tokenized twice (dl + tf, different filters)."""
+    ow = ordered_words(docs)
+    dl = (
+        ow.groupBy("doc_id")
+        .agg(F.count("*").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    tf = (
+        ow.filter(F.col("word").isin(*all_terms))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    return bm25_rank_batch(tf, dl, queries, k=k, k1=k1, b=b)

@@ -91,7 +91,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_session_metrics",
     "lineitem_column_profile",
     "events_trend_ols",
-    "events_value_ewma",
     "events_value_holt",
     # events — new round 7: OLS-residual anomaly screen, Markov
     # transition matrix, last-touch revenue attribution
@@ -118,9 +117,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     # graph: anchor + round-4 never-checked + new round 6 (LPA)
     "trade_graph_communities_lpa",
     "neardup_communities_lpa",
-    # search / multimodal anchors; round 7 swaps in the multi-query
-    # BM25 serving entry (search_bm25's formula lives on inside it)
+    # search / multimodal anchors; round 7 swapped in the multi-query
+    # BM25 serving entry; round 9 ADDS the persisted-index serving twin
+    # (oracle-backed — it displaces events_value_ewma, the window's
+    # longest-green events representative, per rule 2; the events
+    # family keeps 12 in-window entries)
     "search_bm25_multi",
+    "search_bm25_served",
     # text — new round 5 (distributed cumulative-distinct curve) +
     # round 6 (sparse tf-idf cosine join, n-gram novelty, CMS sketch)
     "funnel_capped_windows",

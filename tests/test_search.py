@@ -47,3 +47,35 @@ def test_bm25_rare_term_outranks_common(spark):
     )
     scores = {r.doc_id: r.score for r in bm25_scores(docs, ("common", "rare")).collect()}
     assert scores[1] > scores[2] == scores[3] == scores[4]
+
+
+def test_bm25_served_equals_fresh_build_and_bucket_prunes(spark, sf_dir):
+    """The persisted-index serving path must return EXACTLY the fresh
+    build's ranking (same DECIMAL per-term reduction → bit-identical
+    scores), and its tf scans must bucket-prune to the query terms'
+    buckets — the point of paying the word-bucketed layout at write
+    time (SelectedBucketsCount strictly below the bucket count)."""
+    import re
+
+    from parallel_map_reduce_spark.queries.search import (
+        BM25_QUERY_BATCH,
+        _MULTI_K,
+        _bm25_index_tables,
+    )
+    from parallel_map_reduce_spark.operators import search as SE
+    from parallel_map_reduce_spark.sources.catalog import load_table
+
+    tf, dl = _bm25_index_tables(spark, sf_dir)
+    served = SE.bm25_rank_batch(tf, dl, BM25_QUERY_BATCH, k=_MULTI_K)
+    fresh = SE.bm25_topk_multi(
+        load_table(spark, sf_dir, "documents"), BM25_QUERY_BATCH, k=_MULTI_K
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    counts = [
+        int(m) for m in re.findall(r"SelectedBucketsCount: (\d+) out of", plan)
+    ]
+    assert counts, "index tf scan is not bucket-pruned:\n" + plan
+    assert all(c < 16 for c in counts), counts
