@@ -911,8 +911,14 @@ def repeated_substring_spans(
       1. positional L-gram hashes — a pure projection over the cleaned
          word array (slice + array_join + md5 per start position; the
          gram STRING never leaves the projection, only its hash);
-      2. hash-keyed count -> repeated hashes (partial-aggregated);
-      3. equi-join positions back on the hash;
+      2. ONE hash-keyed exchange feeding a window count over ``hv`` —
+         each position row learns its gram's corpus-wide occurrence
+         count in place (no second scan, no join-back: the older
+         groupBy-then-join shape scanned and re-hashed the corpus
+         twice and broadcast the repeated-hash set, which is unbounded
+         at corpus scale — the window form's state is one counter per
+         hv group);
+      3. filter to ``n_occ >= min_occ``;
       4. gaps-and-islands merge of overlapping [pos, pos+L-1] windows
          per document (one doc-keyed window).
     All integer/md5-exact, so an external engine reproduces every span
@@ -943,13 +949,11 @@ def repeated_substring_spans(
         )
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "hv")
     )
-    repeated = (
-        grams.groupBy("hv")
-        .agg(F.count("*").alias("n_occ"))
+    hits = (
+        grams.withColumn("n_occ", F.count("*").over(Window.partitionBy("hv")))
         .filter(F.col("n_occ") >= min_occ)
-        .select("hv")
+        .select("doc_id", "pos")
     )
-    hits = grams.join(repeated, "hv").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_max_end = F.max(F.col("pos") + F.lit(L - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -125,6 +125,11 @@ def lsh_ann_topk(emb: DataFrame, query_filter: F.Column, k: int = 10, dim: int =
         F.col("bucket").alias("q_bucket"),
     )
     # Distinct candidate pairs (a pair may collide in several bands).
+    # One exchange serves both the pair-dedup and the top-k window:
+    # hash-partitioning on query_id alone satisfies the (query_id,
+    # vec_id) aggregate's clustered-distribution requirement (subset of
+    # the grouping keys) AND the rank window's, so dropDuplicates and
+    # row_number share the same shuffle instead of exchanging twice.
     cand = (
         exploded.join(
             F.broadcast(q),
@@ -133,6 +138,7 @@ def lsh_ann_topk(emb: DataFrame, query_filter: F.Column, k: int = 10, dim: int =
             & (F.col("query_id") != F.col("vec_id")),
         )
         .select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "nrm")
+        .repartition("query_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
     scored = cand.withColumn(
