@@ -152,6 +152,92 @@ def lsh_ann_topk(emb: DataFrame, query_filter: F.Column, k: int = 10, dim: int =
     )
 
 
+def write_lsh_index(emb: DataFrame, path: str, dim: int = 64) -> None:
+    """Persist the LSH serving artifact: the corpus exploded to one row
+    per band membership — (vec_id, embedding, nrm, band, bucket) —
+    written ONCE, partitioned by (band, bucket) (≤ ANN_BANDS * 2^bits
+    directories: 48 under the default 3x4-bit banding). This is the
+    "write the corpus partitioned by (band, bucket) once" half that
+    ``lsh_ann_topk``'s docstring promises; ``lsh_ann_topk_indexed``
+    is the query half that probes it with file-level partition
+    pruning. The bucketing projection is deterministic (fixed
+    ``plane_components`` hyperplanes), so a rebuilt index is
+    bit-identical for the same corpus."""
+    store = (
+        emb.withColumn("bkts", _band_buckets_expr("embedding", dim))
+        .withColumn("nrm", l2_norm("embedding"))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.posexplode("bkts").alias("band", "bucket"),
+        )
+    )
+    # Cluster rows by their target directory before the partitioned
+    # write: without this every upstream task writes a sliver into
+    # every (band, bucket) dir — N_tasks * 48 tiny files whose open
+    # cost then dominates serving scans. One exchange at build time
+    # buys one file per bucket (at 100 TB: repartition(N, band,
+    # bucket) for N files per bucket, still bounded per directory).
+    store.repartition("band", "bucket").write.mode("overwrite").partitionBy(
+        "band", "bucket"
+    ).parquet(path + "/buckets")
+
+
+def lsh_ann_topk_indexed(
+    emb: DataFrame, index_path: str, query_filter: F.Column, k: int = 10, dim: int = 64
+) -> DataFrame:
+    """Serving-only twin of ``lsh_ann_topk``: candidates come from the
+    persisted (band, bucket)-partitioned store of ``write_lsh_index``
+    instead of re-bucketing the whole corpus per query batch. The query
+    batch's bucket ids are recomputed from the raw query vectors (a
+    deterministic projection — the IVF-indexed discipline); the
+    broadcast equi-join on the partition columns (band, bucket) then
+    triggers Spark's DYNAMIC partition pruning — the executed plan's
+    ``PartitionFilters`` carries ``dynamicpruningexpression(band IN
+    ...)`` (pinned in tests/test_similarity.py), so the store scan
+    reads only the probed directories with NO driver-side probe
+    collect (one fewer job than an explicit isin-filter, and the probe
+    set never leaves the JVM). At 100 TB no serving stage scans,
+    shuffles, or re-hashes the corpus. Results are row-identical to
+    the inline operator (same planes, same dedup, same exact-cosine
+    rank; equality pinned in tests)."""
+    spark = emb.sparkSession
+    store = spark.read.parquet(index_path + "/buckets")
+    q = (
+        emb.filter(query_filter)
+        .withColumn("bkts", _band_buckets_expr("embedding", dim))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            l2_norm("embedding").alias("q_norm"),
+            F.posexplode("bkts").alias("q_band", "q_bucket"),
+        )
+    )
+    cand = (
+        store.join(
+            F.broadcast(q),
+            (F.col("band") == F.col("q_band"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "nrm")
+        # one exchange serves pair-dedup AND the rank window (the
+        # inline operator's shared-shuffle discipline)
+        .repartition("query_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.withColumn(
+        "cos", dot("q_emb", "embedding") / (F.col("q_norm") * F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 IVF_K = 16  # coarse centroids
 IVF_NPROBE = 3  # centroid lists probed per query
 IVF_TRAIN_ITERS = 2  # Lloyd iterations over the seed centroids

@@ -106,6 +106,42 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, F.col("vec_id") % _QUERY_MOD == 0, k=_K)
 
 
+def _lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted (band, bucket)-partitioned LSH store for a corpus
+    version — built once into the atomic artifact cache (ns-mtime
+    source key), reused by every later session/query batch; the same
+    build-vs-serve split as the IVF/IVFPQ/BM25 indexes."""
+    return ensure_artifact(
+        "pmrs_lsh_index",
+        source_key("lsh", sf_dir, "embeddings.parquet"),
+        lambda tmp: S.write_lsh_index(load_table(spark, sf_dir, "embeddings"), tmp),
+    )
+
+
+@register(
+    "similarity_ann_lsh_served",
+    oracle=None,  # same rows as similarity_ann_lsh (equality pinned in
+    # tests/test_similarity.py); LSH plane dots aren't reasonably
+    # SQL-expressible, so the driver records rows-only.
+    doc="The production twin of similarity_ann_lsh — the promise in its "
+    "doc ('bucket once, probe one partition per query') made real: "
+    "candidates come from a PERSISTED (band, bucket)-partitioned "
+    "parquet store (built once per corpus version, atomic artifact "
+    "cache), and the query batch's bucket ids — recomputed from the "
+    "raw query vectors, a deterministic projection — prune the scan to "
+    "the probed directories (PartitionFilters pinned in tests). "
+    "Serving never re-buckets or full-scans the corpus; results are "
+    "row-identical to the inline operator. "
+    "operators/similarity.py:lsh_ann_topk_indexed.",
+    tags=("similarity", "ann", "lsh", "serving", "index"),
+)
+def similarity_ann_lsh_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_ann_topk_indexed(
+        emb, _lsh_index_dir(spark, sf_dir), F.col("vec_id") % _QUERY_MOD == 0, k=_K
+    )
+
+
 @register(
     "embedding_neardup_pairs",
     oracle=f"""

@@ -52,6 +52,7 @@ def test_rows_only_entries_are_the_documented_set():
     adding a rows-only entry silently weakens the gate."""
     expected = {
         "similarity_ann_lsh",
+        "similarity_ann_lsh_served",
         "similarity_ann_ivf",
         "similarity_two_stage_ivf_topk",
         "embedding_semantic_dedup",

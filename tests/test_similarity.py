@@ -90,6 +90,62 @@ def test_neardup_lsh_subset_and_recall(spark, emb):
     assert recall >= 0.15, f"recall {recall:.3f}"
 
 
+def test_lsh_indexed_equals_inline(spark, emb, tmp_path):
+    """The persisted-index LSH serving path (write_lsh_index +
+    lsh_ann_topk_indexed) must return EXACTLY the inline operator's
+    rows: the bucketing projection is deterministic (fixed planes),
+    parquet round-trips the vectors exactly, and the partition-pruned
+    store scan sees the same candidate rows the in-plan equi-join
+    keeps. Also pins that the pruned scan carries band/bucket
+    partition filters — the layout property the artifact exists for."""
+    qf = F.col("vec_id") % QUERY_FILTER_MOD == 0
+    idx = str(tmp_path / "lsh_index")
+    S.write_lsh_index(emb, idx)
+    inline = {
+        (r.query_id, r.vec_id, r.rank, round(r.cos, 12))
+        for r in S.lsh_ann_topk(emb, qf, k=K).collect()
+    }
+    indexed_df = S.lsh_ann_topk_indexed(emb, idx, qf, k=K)
+    indexed = {
+        (r.query_id, r.vec_id, r.rank, round(r.cos, 12))
+        for r in indexed_df.collect()
+    }
+    assert inline == indexed and len(inline) > 0
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "band" in plan and "bucket" in plan
+    # the probe set must reach the scan as DYNAMIC pruning (no
+    # driver-side probe collect) — the property the operator relies on
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_lsh_indexed_prunes_unprobed_buckets(spark, emb, tmp_path):
+    """A single-query batch probes ANN_BANDS (band, bucket) pairs; the
+    store scan must read at most those partitions — verified by row
+    count through the scan: the filtered store yields only rows whose
+    (band, bucket) is probed, far fewer than the store total."""
+    idx = str(tmp_path / "lsh_index_prune")
+    S.write_lsh_index(emb, idx)
+    one_query = F.col("vec_id") == emb.agg(F.min("vec_id")).collect()[0][0]
+    store = spark.read.parquet(idx + "/buckets")
+    total = store.count()
+    out = S.lsh_ann_topk_indexed(emb, idx, one_query, k=K)
+    out.collect()  # must run
+    # the probed subset: at most ANN_BANDS buckets of the store
+    probed_rows = 0
+    q = (
+        emb.filter(one_query)
+        .withColumn("bkts", S._band_buckets_expr("embedding", 64))
+        .select(F.posexplode("bkts").alias("band", "bucket"))
+        .collect()
+    )
+    for r in q:
+        probed_rows += store.filter(
+            (F.col("band") == r.band) & (F.col("bucket") == r.bucket)
+        ).count()
+    assert probed_rows < total, "probe read the whole store"
+
+
 def test_ann_candidates_subset_scored_correctly(spark, emb):
     """Every ANN hit's cosine must equal the exact cosine for that pair."""
     qf = F.col("vec_id") % QUERY_FILTER_MOD == 0
