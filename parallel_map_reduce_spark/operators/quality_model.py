@@ -33,6 +33,23 @@ a single partial+final aggregation producing k+1 decimal sums. The
 fact table is featurized once (``persist()``); 100 TB corpora would
 materialize the feature frame as parquet and reuse it across epochs
 and models.
+
+Why NOT Newton/IRLS (evaluated round 9, rejected on measurement):
+the obvious "fewer driver round-trips" fix — per-step Hessian
+sufficient stats (X^T diag(sigma') X, 15 extra decimal sums) and a
+5x5 driver solve — converges only LINEARLY here, not quadratically:
+the fast sigmoid's curvature term sigma'(z) = 0.5/(1+|z|)^2 has a
+kink at 0 and 1/z^2 tails, so far-from-optimum steps are barely
+better than gradient steps (~45 Newton iterations to reach the
+ridge-regularized optimum on the sf0.01 corpus vs the 40 GD steps
+used here — no job-count win). The weak labels are also linearly
+separable, so WITHOUT a ridge term the optimum is at infinity and
+the fixed iteration count doubles as the regularizer. Likewise,
+re-expressing the weights as a broadcast 1-row frame to reuse
+codegen across iterations measured SLOWER (createDataFrame +
+broadcast per step ~0.7-1.0 s vs ~0.35 s to re-plan with literal
+weights). Batch GD at a fixed iteration count is the measured
+optimum for this shape.
 """
 
 from __future__ import annotations
