@@ -917,7 +917,12 @@ def repeated_substring_spans(
          groupBy-then-join shape scanned and re-hashed the corpus
          twice and broadcast the repeated-hash set, which is unbounded
          at corpus scale — the window form's state is one counter per
-         hv group);
+         hv group). Skew trade-off, stated honestly: a boilerplate
+         gram repeated k times puts k rows in one window partition —
+         a spill-backed straggler at extreme k, vs the broadcast
+         form's executor/driver OOM (stragglers degrade, broadcasts
+         die). Corpora with known mega-hot boilerplate should strip
+         it upstream (``passage_dedup_clean`` exists for exactly that);
       3. filter to ``n_occ >= min_occ``;
       4. gaps-and-islands merge of overlapping [pos, pos+L-1] windows
          per document (one doc-keyed window).
