@@ -152,6 +152,23 @@ def _materialize(df) -> None:
 # (r7: x64 recorded 22 s where adjacent windows measured 4.4-4.7 s).
 _CURVE_RUNS = int(os.environ.get("SPARK_GRAFT_CURVE_RUNS", "2"))
 
+
+def _contention_probe() -> float:
+    """Fixed single-threaded pure-Python workload, in seconds. This box
+    (shared-host VM) swings 2-4x across bench windows with NO code
+    change (BASELINE.md noise note); the probe series — taken at
+    section boundaries, OUTSIDE every timed window — makes each
+    committed window self-describing: a window whose probes run 1.5-2x
+    another window's is host contention, not a code regression, and
+    its per-query deltas should be read accordingly."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += (i * i) & 1023
+    if x < 0:  # pragma: no cover — keeps the loop from being elided
+        print(x, file=sys.stderr)
+    return time.perf_counter() - t0
+
 # Hard cap on the final stdout JSON line. The driver keeps a ~2 KB tail
 # of stdout; leave headroom for the trailing newline and any buffering
 # slop. tests/test_registry_contract.py asserts the HEADLINE set's line
@@ -576,6 +593,7 @@ def main() -> int:
     spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
 
     specs = all_queries()
+    probes: dict[str, float] = {"start": round(_contention_probe(), 3)}
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -618,6 +636,8 @@ def main() -> int:
         import gc
 
         gc.collect()
+
+    probes["after_headline"] = round(_contention_probe(), 3)
 
     # Scale curve (BENCH_DETAIL only, never stdout): the reference's own
     # 355-doc workload replicated 1x/8x/64x with distinct doc ids
@@ -751,6 +771,8 @@ def main() -> int:
                 chunked_curve[f"x{factor}"] = -1.0
                 print(f"bench: chunked_curve x{factor} ERROR: {e}", file=sys.stderr)
 
+    probes["after_curves"] = round(_contention_probe(), 3)
+
     # Paired flagship-vs-reference ratio, same process window (task: the
     # only noise-immune form of the driver's 2x-of-baseline metric).
     paired: dict = {}
@@ -764,6 +786,7 @@ def main() -> int:
             spark = _revive(spark, cpus)
             paired.update(_paired_baseline_scaled(spark, tuple(scale_pairs)))
     spark.stop()
+    probes["end"] = round(_contention_probe(), 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_median = round(sum(t for t in medians.values() if t >= 0), 3)
@@ -785,6 +808,11 @@ def main() -> int:
         "reference_corpus_scale_curve": scale_curve,
         "exact_dedup_scale_curve": dedup_curve,
         "chunked_index_scale_curve": chunked_curve,
+        # Host-contention probes at section boundaries (outside every
+        # timed window): compare ACROSS committed windows — a window
+        # whose probes run materially slower than another's measured
+        # the host, not the code.
+        "host_probe_s": probes,
         **paired,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")

@@ -142,3 +142,22 @@ def test_every_bench_section_passes_through_revive():
     dead notch costs one ERROR entry, not the whole deliverable."""
     src = inspect.getsource(bench.main)
     assert src.count("_revive(spark, cpus)") >= 6
+
+
+def test_contention_probe_is_fixed_work_and_recorded():
+    """The host-contention probe must be deterministic fixed work (no
+    data/env dependence) and every committed BENCH_DETAIL must carry
+    the probe series — the interpretation key for cross-window deltas
+    on this 2-4x-noisy host."""
+    import inspect
+
+    import bench
+
+    p = bench._contention_probe()
+    assert 0 < p < 30  # sane even under extreme contention
+    src = inspect.getsource(bench.main)
+    assert src.count("_contention_probe()") >= 4, (
+        "main() must probe at section boundaries (start/headline/"
+        "curves/end)"
+    )
+    assert '"host_probe_s": probes' in src
