@@ -539,6 +539,14 @@ def _make_session(cpus: str):
         # full-array inverted index, which needs >8g of executor heap in
         # local mode. Headline queries are unaffected (they fit in 8g).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Commit-protocol v2 (task outputs promoted directly; O(1) job
+        # commit instead of a rename per partition dir). Measured on the
+        # paired flagship e2e at 1x: 3.35 -> 2.09 s — the v1 job-commit
+        # rename storm was ~60% of the 26-way partitioned text write,
+        # pure protocol overhead the C++ binary (fprintf, no committer)
+        # never pays. Semantics of the written bytes are identical; v2's
+        # weaker failure atomicity is irrelevant to a bench scratch dir.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
