@@ -97,8 +97,10 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # LSH plane dots aren't reasonably SQL-expressible; the
     # recall/structural contract is tested against brute force in
     # tests/test_similarity.py (driver records rows-only).
-    doc="ANN top-k via random-hyperplane LSH buckets — the 100 TB path: "
-    "bucket once, probe one partition per query (partition pruning).",
+    doc="ANN top-k via random-hyperplane LSH buckets, bucketed inline "
+    "per run (the build-fresh form; similarity_ann_lsh_served is the "
+    "persisted-store twin that makes the bucket-once/probe-pruned "
+    "100 TB split real).",
     tags=("similarity", "ann", "lsh"),
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
