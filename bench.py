@@ -153,6 +153,13 @@ def _materialize(df) -> None:
 _CURVE_RUNS = int(os.environ.get("SPARK_GRAFT_CURVE_RUNS", "2"))
 
 
+def _probe_chunk(_: int) -> int:
+    x = 0
+    for i in range(2_000_000):
+        x += (i * i) & 1023
+    return x
+
+
 def _contention_probe() -> float:
     """Fixed single-threaded pure-Python workload, in seconds. This box
     (shared-host VM) swings 2-4x across bench windows with NO code
@@ -162,12 +169,33 @@ def _contention_probe() -> float:
     another window's is host contention, not a code regression, and
     its per-query deltas should be read accordingly."""
     t0 = time.perf_counter()
-    x = 0
-    for i in range(2_000_000):
-        x += (i * i) & 1023
-    if x < 0:  # pragma: no cover — keeps the loop from being elided
-        print(x, file=sys.stderr)
+    _probe_chunk(0)
     return time.perf_counter() - t0
+
+
+_PROBE_WORKERS = 8
+
+
+def _contention_probe_parallel() -> float:
+    """The same fixed workload fanned over 8 forked processes; wall
+    time ≈ the scalar probe on an idle box, and inflates under host
+    CPU steal. This is the probe that matters here: measured windows
+    with FLAT scalar probes (0.16-0.24 s) have shown uniformly
+    1.3-2x-inflated Spark timings — the guest's single thread runs
+    clean while its 32-way parallelism is being stolen (first
+    documented r6, reproduced r9). Returns -1.0 if multiprocessing is
+    unavailable rather than killing the bench."""
+    try:
+        from multiprocessing import get_context
+
+        ctx = get_context("fork")
+        t0 = time.perf_counter()
+        with ctx.Pool(_PROBE_WORKERS) as pool:
+            pool.map(_probe_chunk, range(_PROBE_WORKERS))
+        return time.perf_counter() - t0
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: parallel probe unavailable: {e}", file=sys.stderr)
+        return -1.0
 
 # Hard cap on the final stdout JSON line. The driver keeps a ~2 KB tail
 # of stdout; leave headroom for the trailing newline and any buffering
@@ -601,7 +629,10 @@ def main() -> int:
     spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
 
     specs = all_queries()
-    probes: dict[str, float] = {"start": round(_contention_probe(), 3)}
+    probes: dict[str, float] = {
+        "start": round(_contention_probe(), 3),
+        "start_par": round(_contention_probe_parallel(), 3),
+    }
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -646,6 +677,7 @@ def main() -> int:
         gc.collect()
 
     probes["after_headline"] = round(_contention_probe(), 3)
+    probes["after_headline_par"] = round(_contention_probe_parallel(), 3)
 
     # Scale curve (BENCH_DETAIL only, never stdout): the reference's own
     # 355-doc workload replicated 1x/8x/64x with distinct doc ids
@@ -780,6 +812,7 @@ def main() -> int:
                 print(f"bench: chunked_curve x{factor} ERROR: {e}", file=sys.stderr)
 
     probes["after_curves"] = round(_contention_probe(), 3)
+    probes["after_curves_par"] = round(_contention_probe_parallel(), 3)
 
     # Paired flagship-vs-reference ratio, same process window (task: the
     # only noise-immune form of the driver's 2x-of-baseline metric).
@@ -795,6 +828,7 @@ def main() -> int:
             paired.update(_paired_baseline_scaled(spark, tuple(scale_pairs)))
     spark.stop()
     probes["end"] = round(_contention_probe(), 3)
+    probes["end_par"] = round(_contention_probe_parallel(), 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_median = round(sum(t for t in medians.values() if t >= 0), 3)
