@@ -870,6 +870,14 @@ def main() -> int:
         "n_runs": n_runs,
         "sf": sf,
         "set_version": HEADLINE_SET_VERSION,
+        # Worst parallel host-contention probe of the window (idle
+        # ≈ 0.27-0.35 s on this box): lets a reader of the captured
+        # stdout line alone flag a steal-inflated window — windows at
+        # 55-59 s have been measured with the same code that runs
+        # 44 s quiet (BASELINE.md). -1.0 = probe unavailable.
+        "probe_par_max": max(
+            (v for k, v in probes.items() if k.endswith("_par")), default=-1.0
+        ),
         "queries": timings,
     }
     for k in (
