@@ -90,6 +90,34 @@ def test_neardup_lsh_subset_and_recall(spark, emb):
     assert recall >= 0.15, f"recall {recall:.3f}"
 
 
+def test_pretrained_sidecar_artifacts_roundtrip_bitexact(spark, sf_dir, emb):
+    """The persisted training sidecars (PQ codebooks, IVF centroids)
+    must load back BIT-IDENTICAL to fresh training: the json dump is
+    repr-based (shortest round-trip) and training is deterministic, so
+    a fresh process serving from the sidecar computes exactly what an
+    in-process-trained session computes. Clears the memos to force the
+    disk path."""
+    from parallel_map_reduce_spark.queries import similarity as QS
+
+    QS._PQ_MEMO.clear()
+    books_loaded = QS._pretrained_pq_books(spark, sf_dir)
+    books_fresh = S.train_pq_codebooks(emb)
+    assert books_loaded == books_fresh
+
+    QS._CENTS_MEMO.clear()
+    loaded = {
+        (r.centroid_id, tuple(r.c_emb))
+        for r in QS._pretrained_cents(spark, sf_dir).collect()
+    }
+    fresh = {
+        (r.centroid_id, tuple(float(x) for x in r.c_emb))
+        for r in S.train_ivf_centroids(emb, S.IVF_K)
+        .select("centroid_id", "c_emb")
+        .collect()
+    }
+    assert loaded == fresh and len(loaded) == S.IVF_K
+
+
 def test_lsh_indexed_equals_inline(spark, emb, tmp_path):
     """The persisted-index LSH serving path (write_lsh_index +
     lsh_ann_topk_indexed) must return EXACTLY the inline operator's
