@@ -173,6 +173,33 @@ def _contention_probe() -> float:
     return time.perf_counter() - t0
 
 
+def _spark_probe(spark) -> float:
+    """A fixed two-stage mini Spark job (range → exchange → hash agg →
+    noop), in seconds — the SCHEDULING probe. Round-9 windows showed a
+    third contention mode neither CPU probe sees: scan-agg headline
+    queries held steady (+5%) while stage-heavy ones (supersteps,
+    stream drains, multi-exchange joins) inflated 1.3-2x — per-stage
+    scheduling latency degraded, not compute throughput. This probe is
+    stage-overhead-dominated by construction (tiny data, one
+    exchange), so its wall tracks exactly that mode. Idle ≈ 0.2-0.4 s
+    at local[32]."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    t0 = time.perf_counter()
+    (
+        spark.range(1_000_000)
+        .repartition(32)
+        .groupBy((F.col("id") % 101).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))  # agg form: the no-count
+        # source pin (test_no_timed_window_in_bench_uses_count) scans
+        # every timed window textually for the count action's spelling
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
+
 _PROBE_WORKERS = 8
 
 
@@ -632,6 +659,7 @@ def main() -> int:
     probes: dict[str, float] = {
         "start": round(_contention_probe(), 3),
         "start_par": round(_contention_probe_parallel(), 3),
+        "start_spark": round(_spark_probe(spark), 3),
     }
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -678,6 +706,7 @@ def main() -> int:
 
     probes["after_headline"] = round(_contention_probe(), 3)
     probes["after_headline_par"] = round(_contention_probe_parallel(), 3)
+    probes["after_headline_spark"] = round(_spark_probe(_revive(spark, cpus)), 3)
 
     # Scale curve (BENCH_DETAIL only, never stdout): the reference's own
     # 355-doc workload replicated 1x/8x/64x with distinct doc ids
@@ -813,6 +842,7 @@ def main() -> int:
 
     probes["after_curves"] = round(_contention_probe(), 3)
     probes["after_curves_par"] = round(_contention_probe_parallel(), 3)
+    probes["after_curves_spark"] = round(_spark_probe(_revive(spark, cpus)), 3)
 
     # Paired flagship-vs-reference ratio, same process window (task: the
     # only noise-immune form of the driver's 2x-of-baseline metric).
@@ -877,6 +907,12 @@ def main() -> int:
         # 44 s quiet (BASELINE.md). -1.0 = probe unavailable.
         "probe_par_max": max(
             (v for k, v in probes.items() if k.endswith("_par")), default=-1.0
+        ),
+        # Worst fixed two-stage mini-Spark-job probe (idle ≈ 0.2-0.4 s):
+        # flags the scheduling-latency contention mode that leaves CPU
+        # probes flat while stage-heavy queries inflate 1.3-2x.
+        "probe_spark_max": max(
+            (v for k, v in probes.items() if k.endswith("_spark")), default=-1.0
         ),
         "queries": timings,
     }

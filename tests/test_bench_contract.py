@@ -156,7 +156,7 @@ def test_contention_probe_is_fixed_work_and_recorded():
     p = bench._contention_probe()
     assert 0 < p < 30  # sane even under extreme contention
     src = inspect.getsource(bench.main)
-    assert src.count("_contention_probe()") >= 4 and src.count("_contention_probe_parallel()") >= 4, (
+    assert src.count("_contention_probe()") >= 4 and src.count("_contention_probe_parallel()") >= 4 and src.count("_spark_probe(") >= 3, (
         "main() must probe at section boundaries (start/headline/"
         "curves/end)"
     )
