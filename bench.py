@@ -181,8 +181,10 @@ def _spark_probe(spark) -> float:
     stream drains, multi-exchange joins) inflated 1.3-2x — per-stage
     scheduling latency degraded, not compute throughput. This probe is
     stage-overhead-dominated by construction (tiny data, one
-    exchange), so its wall tracks exactly that mode. Idle ≈ 0.2-0.4 s
-    at local[32]."""
+    exchange), so its wall tracks exactly that mode. Warm readings
+    under the degraded round-9 window: 0.74-1.0 s at local[32]; no
+    quiet-window reading exists yet, so compare the series ACROSS
+    windows rather than against an absolute floor."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     t0 = time.perf_counter()
@@ -656,6 +658,9 @@ def main() -> int:
     spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
 
     specs = all_queries()
+    _spark_probe(spark)  # discard one: first use pays noop-writer +
+    # codegen init (~2 s) regardless of host state; the recorded series
+    # must measure scheduling latency, not one-time shape warmup
     probes: dict[str, float] = {
         "start": round(_contention_probe(), 3),
         "start_par": round(_contention_probe_parallel(), 3),
@@ -908,9 +913,11 @@ def main() -> int:
         "probe_par_max": max(
             (v for k, v in probes.items() if k.endswith("_par")), default=-1.0
         ),
-        # Worst fixed two-stage mini-Spark-job probe (idle ≈ 0.2-0.4 s):
-        # flags the scheduling-latency contention mode that leaves CPU
-        # probes flat while stage-heavy queries inflate 1.3-2x.
+        # Worst fixed two-stage mini-Spark-job probe: flags the
+        # scheduling-latency contention mode that leaves CPU probes
+        # flat while stage-heavy queries inflate 1.3-2x. Cross-window
+        # comparison only (0.74-1.0 s warm under the degraded r9
+        # window; no quiet reading recorded yet).
         "probe_spark_max": max(
             (v for k, v in probes.items() if k.endswith("_spark")), default=-1.0
         ),
