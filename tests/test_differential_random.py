@@ -398,3 +398,55 @@ def test_cdc_merge_matches_python_replay(spark):
         for r in merge_changes(snap, feed, ["k"]).collect()
     }
     assert got == want
+
+
+def test_repeated_substring_spans_match_python_replica(spark):
+    """Span detector vs a loop-style replica on a randomized small-vocab
+    corpus (tiny vocabulary → dense gram collisions → many overlapping,
+    adjacent and singleton islands; plus empty and shorter-than-L
+    docs). Covers the round-9 window-count rewrite on shapes the
+    planted fixture doesn't contain: multi-span docs, islands touching
+    end-of-doc, adjacent-but-not-overlapping windows (pos ==
+    prev_end + 1 must MERGE, per the gaps-and-islands contract)."""
+    from parallel_map_reduce_spark.operators.dedup import repeated_substring_spans
+
+    L, MIN_OCC = 3, 2
+    rng = random.Random(SEED + 7)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = []
+    for doc_id in range(1, 61):
+        n = rng.choice([0, 1, L - 1, L] + [rng.randint(L, 40)] * 4)
+        docs.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+
+    # pure-Python replica (gram strings instead of md5 — equal iff the
+    # hashes are, at test sizes)
+    grams: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        for i in range(len(toks) - L + 1):
+            grams.setdefault(" ".join(toks[i : i + L]), []).append((doc_id, i + 1))
+    hits: dict[int, list[int]] = {}
+    for positions in grams.values():
+        if len(positions) >= MIN_OCC:
+            for doc_id, pos in positions:
+                hits.setdefault(doc_id, []).append(pos)
+    want = set()
+    for doc_id, poss in hits.items():
+        poss.sort()
+        start, prev_end, n_win = None, None, 0
+        for p in poss:  # ascending -> p + L - 1 is nondecreasing
+            if start is None or p > prev_end + 1:
+                if start is not None:
+                    want.add((doc_id, start, prev_end, n_win))
+                start, n_win = p, 0
+            prev_end = p + L - 1
+            n_win += 1
+        if start is not None:
+            want.add((doc_id, start, prev_end, n_win))
+
+    df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows)
+        for r in repeated_substring_spans(df, L=L, min_occ=MIN_OCC).collect()
+    }
+    assert got == want and len(want) > 10
