@@ -379,9 +379,51 @@ def documents_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation", "quality", "model", "training", "iterative"),
 )
 def documents_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.quality_model import train_and_score
+    stats, weights = _pretrained_quality_model(spark, sf_dir)
+    from ..operators import quality_model as QM
 
-    return train_and_score(load_table(spark, sf_dir, "documents"))
+    feat = QM.doc_quality_features(load_table(spark, sf_dir, "documents"))
+    return QM.score_logreg(QM.standardize(feat, stats), weights)
+
+
+def _pretrained_quality_model(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, tuple[float, float]], list[float]]:
+    """Trained quality model (feature stats + weights) for a corpus
+    version — the PQ-books/IVF-centroids sidecar discipline applied to
+    the classifier: training (featurize + 40 GD jobs, ~20 s) runs ONCE
+    per corpus version and publishes 13 floats through the atomic
+    artifact cache; every later process scores from the sidecar.
+    Training is bit-deterministic (rounded-DECIMAL gradient sums) and
+    JSON float round-trips are repr-based and bit-exact, so cached and
+    fresh scores are identical (pinned in tests/test_quality_model.py)."""
+    import json
+    import os
+
+    from ..operators import quality_model as QM
+    from ..sources.artifact_cache import ensure_artifact, source_key
+
+    def build(tmp: str) -> None:
+        feat = QM.doc_quality_features(
+            load_table(spark, sf_dir, "documents")
+        ).persist()
+        try:
+            stats = QM.feature_stats(feat)
+            weights = QM.train_logreg(QM.standardize(feat, stats))
+        finally:
+            feat.unpersist(blocking=False)
+        with open(os.path.join(tmp, "model.json"), "w") as f:
+            json.dump({"stats": stats, "weights": weights}, f)
+
+    mdir = ensure_artifact(
+        "pmrs_quality_model",
+        source_key("qlogreg", sf_dir, "documents.parquet"),
+        build,
+    )
+    with open(os.path.join(mdir, "model.json")) as f:
+        m = json.load(f)
+    stats = {c: (mu, sd) for c, (mu, sd) in m["stats"].items()}
+    return stats, [float(w) for w in m["weights"]]
 
 
 @register(

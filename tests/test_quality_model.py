@@ -85,3 +85,21 @@ def test_model_separates_weak_label(std_feat):
     assert sum(pos) / len(pos) > sum(neg) / len(neg) + 0.3
     acc = sum(1 for r in scored if r.pred == int(r.label)) / len(scored)
     assert acc >= 0.9
+
+
+def test_sidecar_model_scores_equal_fresh_training(spark, sf_dir):
+    """The registry entry serves from the persisted model sidecar
+    (queries/curation.py:_pretrained_quality_model); its scored rows
+    must be BIT-IDENTICAL to end-to-end train_and_score — training is
+    deterministic and the JSON float round-trip is repr-exact."""
+    from parallel_map_reduce_spark.operators.quality_model import train_and_score
+    from parallel_map_reduce_spark.queries.curation import documents_quality_logreg
+
+    fresh = {
+        tuple(r)
+        for r in train_and_score(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    cached = {tuple(r) for r in documents_quality_logreg(spark, sf_dir).collect()}
+    assert cached == fresh and len(cached) > 0
