@@ -446,7 +446,21 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_pca_whitened(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.arrow_ops import pca_whiten
 
-    return pca_whiten(load_table(spark, sf_dir, "embeddings"), k=8)
+    df = pca_whiten(load_table(spark, sf_dir, "embeddings"), k=8)
+    # Driver finding r9: the raw ARRAY<DOUBLE> ``comps`` column crashed
+    # the gate's pandas canonicalizer (``unhashable type: 'list'``) —
+    # registry convention (registry.py:12) requires arrays rendered as
+    # space-joined strings. ``+ 0.0`` canonicalizes -0.0 before the
+    # fixed-6dp format so the rendering is reduction-order stable.
+    return df.select(
+        "vec_id",
+        F.array_join(
+            F.transform(
+                "comps", lambda c: F.format_string("%.6f", c + F.lit(0.0))
+            ),
+            " ",
+        ).alias("comps"),
+    )
 
 
 _PQ_MEMO: dict[str, list[list[list[float]]]] = {}

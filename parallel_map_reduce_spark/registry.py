@@ -43,15 +43,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #   3. Every family keeps at least one in-window representative.
 #   4. Slow entries (live streaming drains) sit at the END of the
 #      window; un-gated drains stay at the registry tail.
-# Round-9 window (VERDICT r8 task 4 — continue the rows-only rotation
-# on schedule): the three rows-only slots cycle from last round's
-# occupants (all got their r8 ran-row: similarity_two_stage_ivf_topk,
-# embedding_semantic_dedup, text_bpe_vocabulary) to three of the four
-# remaining never-driver-checked entries: embedding_pca_whitened,
-# similarity_pq_topk, event_type_user_overlap_hll. The window keeps
-# its 47-oracle-backed floor; after r9 exactly ONE never-checked entry
-# remains (documents_quality_logreg — takes a slot in r10).
-# Full displacement log: GATE_HISTORY.md.
+# Round-10 window (VERDICT r9 tasks 1+3): similarity_pq_topk and
+# event_type_user_overlap_hll rotate OUT (both got their r9 ran-row);
+# documents_quality_logreg — the LAST never-driver-checked entry —
+# rotates IN, and the second freed slot goes to oracle-backed
+# trade_graph_pagerank (graph family regains its pagerank
+# representative; the oracle floor rises 47 -> 48).
+# embedding_pca_whitened STAYS: its r9 row was a driver-canonicalizer
+# crash (raw ARRAY<DOUBLE> output, fixed this round by rendering comps
+# as a space-joined string per the convention above) and it needs its
+# first CLEAN driver row. Full displacement log: GATE_HISTORY.md.
 GATE_PRIORITY: tuple[str, ...] = (
     # core (reference parity) — permanent
     "inverted_index",
@@ -75,7 +76,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_user_skew_report",
     "events_incremental_agg_merge",
     # approx/ML family rows-only slot (rotation: hll_rollup r6,
-    # gk-quantiles r7, SemDeDup r8; the PCA-whitening entry takes r9)
+    # gk-quantiles r7, SemDeDup r8; PCA-whitening r9 — kept for r10 to
+    # earn its first CLEAN driver row after the r9 rendering fix)
     "embedding_pca_whitened",
     # relational — new round 7: WOE/IV feature scoring (the MI/chi2
     # contingency family's credit-scoring sibling)
@@ -103,9 +105,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_jaccard_prefix",
     # dedup — new round 7: exact-substring (span-level) duplication
     "dedup_repeated_substrings",
-    # similarity rows-only slot (rotation: ivfpq_topk r7, two_stage_ivf
-    # r8; the PQ-ADC exhaustive baseline takes r9)
-    "similarity_pq_topk",
+    # curation rows-only slot (rotation: the PQ-ADC baseline got its r9
+    # ran-row; the quality classifier — the last never-driver-checked
+    # entry, de-risked by its r9 model sidecar — takes r10)
+    "documents_quality_logreg",
     # events / streaming-batch: never-checked + family anchors +
     # round-6 PSI drift monitor
     "events_drift_psi",
@@ -131,10 +134,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_doc_similarity",
     "text_novelty_ngrams",
     "text_cms_heavy_hitters",
-    # rows-only slot (rotation: streaming_ivfpq_index r7, BPE r8; the
-    # HLL set-overlap entry takes r9 — text keeps three oracle-backed
-    # representatives above)
-    "event_type_user_overlap_hll",
+    # oracle-backed slot (r10: the HLL set-overlap entry got its r9
+    # ran-row and rotates out; pagerank — green r6 at both SFs — rejoins
+    # so the graph family carries its superstep representative and the
+    # window's oracle floor rises to 48)
+    "trade_graph_pagerank",
     # live streaming drains — oracle-backed, last on purpose
     "streaming_inverted_index",
     "streaming_cdc_apply",

@@ -1,0 +1,74 @@
+"""tools/parity.py must be at least as strict as the driver's gate.
+
+Round-9 shipping defect: `embedding_pca_whitened` returned a raw
+ARRAY<DOUBLE> column; parity.py's rows-only path just counted rows and
+printed OK, while the driver's pandas-based canonicalizer crashed with
+``TypeError: unhashable type: 'list'`` before it could record even a
+row count (CORRECTNESS_r09.json). These tests pin that parity.py's
+canonicalization now reproduces the driver's failure mode on the
+pre-fix shape, and accepts the fixed (string-rendered) shape.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import pytest
+
+_PARITY = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "parity.py",
+)
+
+
+def _load_parity():
+    spec = importlib.util.spec_from_file_location("pmrs_tools_parity", _PARITY)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_driver_canon_crashes_on_raw_array_cells():
+    """The exact r9 failure: list cells are unhashable for pandas'
+    multi-column sort factorization — the driver crashed, so the local
+    replica must too."""
+    parity = _load_parity()
+    rows = [(1, [0.1, 0.2]), (2, [0.3, 0.4])]
+    with pytest.raises(TypeError):
+        parity._driver_canon(rows, ["vec_id", "comps"])
+
+
+def test_driver_canon_accepts_rendered_arrays_and_is_order_insensitive():
+    parity = _load_parity()
+    a = parity._driver_canon(
+        [(1, "0.100000 0.200000"), (2, "0.300000 0.400000")],
+        ["vec_id", "comps"],
+    )
+    b = parity._driver_canon(
+        [(2, "0.300000 0.400000"), (1, "0.100000 0.200000")],
+        ["vec_id", "comps"],
+    )
+    assert a == b
+
+
+def test_fixed_pca_entry_passes_driver_canon(spark, sf_dir):
+    """End-to-end on the real entry: the r10 rendering fix must make
+    the exact frame the driver collects canonicalizable."""
+    from parallel_map_reduce_spark.queries.similarity import (
+        embedding_pca_whitened,
+    )
+
+    parity = _load_parity()
+    df = embedding_pca_whitened(spark, sf_dir)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint",
+        "string",
+    ] or all(
+        not f.dataType.simpleString().startswith(("array", "map", "struct"))
+        for f in df.schema.fields
+    )
+    rows = [tuple(r) for r in df.limit(50).collect()]
+    assert rows, "pca entry returned no rows"
+    assert parity._driver_canon(rows, df.columns)

@@ -121,15 +121,43 @@ SKIP_PREFIX = "streaming_"  # live drains execute on build; covered elsewhere
 
 
 @pytest.fixture(scope="module")
-def plans(spark, sf_dir):
+def frames(spark, sf_dir):
     out = {}
     for name, spec in all_queries().items():
         if name.startswith(SKIP_PREFIX):
             continue
-        out[name] = (
-            spec.build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        )
+        out[name] = spec.build(spark, sf_dir)
     return out
+
+
+@pytest.fixture(scope="module")
+def plans(frames):
+    return {
+        name: df._jdf.queryExecution().executedPlan().toString()
+        for name, df in frames.items()
+    }
+
+
+def test_no_raw_complex_output_columns(frames):
+    """Driver finding r9: an entry returning a raw ARRAY<DOUBLE> column
+    crashed the gate's pandas canonicalizer (``unhashable type:
+    'list'``) before it could even count rows — and the local parity
+    tool's looser rows-only path let it ship. The registry's own
+    convention (registry.py:12) says arrays are rendered as
+    space-joined strings; enforce it mechanically for EVERY registered
+    entry: no top-level ARRAY/MAP/STRUCT column may reach the driver.
+    (Live streaming drains are excluded from this module's build
+    fixture for cost; their gated members are oracle-backed, and any
+    new one goes through tools/parity.py, whose canonicalization now
+    matches the driver's.)"""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, df in frames.items():
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"raw complex output columns (render as strings): {bad}"
 
 
 def test_no_unexpected_cartesian_or_nlj(plans):

@@ -36,6 +36,25 @@ def _normalize(v):
     return str(v)
 
 
+def _driver_canon(rows: list[tuple], colnames: list[str]) -> str:
+    """The driver's own canonicalization shape (CORRECTNESS gate):
+    rows -> pandas DataFrame, columns sorted BY NAME, ``sort_values``
+    over all columns, then a hash over the stringified frame. Kept
+    deliberately pandas-based so any cell type pandas cannot factorize
+    (list, dict, ndarray) raises HERE exactly as it does in the gate."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=colnames)
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+    h = hashlib.sha256()
+    for r in pdf.itertuples(index=False):
+        h.update("|".join(_normalize(v) for v in r).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
 def value_hash(rows: list[tuple], colnames: list[str]) -> str:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     canon = sorted("|".join(_normalize(r[i]) for i in order) for r in rows)
@@ -79,6 +98,20 @@ def main() -> int:
             print(f"  {name:35s} SPARK ERROR: {str(e)[:200]}")
             continue
         if spec.oracle is None:
+            # Replicate the DRIVER's canonicalization even when there is
+            # no oracle to compare against: the driver canonicalizes
+            # rows-only results through pandas sort_values, which
+            # CRASHES on unhashable cell types (list/dict from raw
+            # ARRAY/MAP columns). Round 9 shipped exactly that class
+            # because this path used to just count rows — a local
+            # ALL-OK for a frame the driver could not even canonicalize.
+            try:
+                _driver_canon(srows, scols)
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                print(f"  {name:35s} CANON ERROR (driver would crash): "
+                      f"{type(e).__name__}: {str(e)[:120]}")
+                continue
             print(f"  {name:35s} rows-only: {len(srows):7d} rows "
                   f"({time.time()-t0:5.1f}s)")
             if not srows:
