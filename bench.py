@@ -711,7 +711,10 @@ def main() -> int:
 
     probes["after_headline"] = round(_contention_probe(), 3)
     probes["after_headline_par"] = round(_contention_probe_parallel(), 3)
-    probes["after_headline_spark"] = round(_spark_probe(_revive(spark, cpus)), 3)
+    # Reassign before probing (advisor r9): discarding _revive's return
+    # would orphan a freshly-built JVM if the prior section killed ours.
+    spark = _revive(spark, cpus)
+    probes["after_headline_spark"] = round(_spark_probe(spark), 3)
 
     # Scale curve (BENCH_DETAIL only, never stdout): the reference's own
     # 355-doc workload replicated 1x/8x/64x with distinct doc ids
@@ -847,7 +850,8 @@ def main() -> int:
 
     probes["after_curves"] = round(_contention_probe(), 3)
     probes["after_curves_par"] = round(_contention_probe_parallel(), 3)
-    probes["after_curves_spark"] = round(_spark_probe(_revive(spark, cpus)), 3)
+    spark = _revive(spark, cpus)  # reassign: do not orphan a revived JVM
+    probes["after_curves_spark"] = round(_spark_probe(spark), 3)
 
     # Paired flagship-vs-reference ratio, same process window (task: the
     # only noise-immune form of the driver's 2x-of-baseline metric).

@@ -207,12 +207,23 @@ def ensure_bucketed_table(
     parquet files, which would make read-time schema inference fail
     forever on a published artifact."""
     import os
+    import re
 
-    from ..sources.artifact_cache import ensure_artifact
+    from ..sources.artifact_cache import artifact_path, ensure_artifact
 
     base = table
     table = f"{table}_{key}"
     if spark.catalog.tableExists(table):
+        # Advisor r9: a serving hit that skips ensure_artifact never
+        # refreshes the _BUILT marker's mtime, so the family LRU
+        # (artifact_cache._prune_family) could evict the parquet files
+        # backing a still-registered, actively-served table after
+        # enough newer publishes. Touch the marker so registered
+        # tables participate in access recency.
+        try:
+            os.utime(os.path.join(artifact_path(family, key), "_BUILT"))
+        except OSError:
+            pass
         return table
     # Advisor r8: without eviction, each source regeneration leaves the
     # prior key's registration behind, growing the session catalog
@@ -221,12 +232,15 @@ def ensure_bucketed_table(
     # LRU-cached) artifact in one CREATE TABLE if it is ever served
     # again. The artifact DIRS themselves are LRU-bounded by
     # sources/artifact_cache._prune_family.
+    # Advisor r9: a bare prefix match can drop a live registration of a
+    # DIFFERENT base that textually extends this one (e.g. bases
+    # `..._sf0_1` vs `..._sf0_1_bak`). Match the exact superseded shape
+    # instead: this base plus ONE underscore-free key segment (keys are
+    # 12-hex source_keys; an extending base's names always interpose an
+    # extra `_`-bearing suffix before their own key).
+    superseded = re.compile(re.escape(base) + r"_[0-9a-z]+$")
     for t in spark.catalog.listTables():
-        if (
-            t.name.startswith(f"{base}_")
-            and t.name != table
-            and "_build_" not in t.name  # in-flight writer temp tables
-        ):
+        if superseded.fullmatch(t.name) and t.name != table:
             spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
 
     def build(tmp: str) -> None:

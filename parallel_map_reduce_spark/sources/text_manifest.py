@@ -50,8 +50,9 @@ def _scan_paths(paths: list[str]) -> list[str]:
     holds (e.g. the manifest itself) produce rows whose path misses the
     id map and are dropped by the same join/filter that drops
     unmatched-URI rows, so both scan modes yield identical documents.
-    Duplicate manifest entries keep the explicit list (a directory scan
-    reads each file once and cannot replicate rows). Manifest files
+    Callers dedupe their path list first (replication of duplicate
+    manifest entries is the id JOIN's job, not the scan's); a list
+    that still carries duplicates keeps the explicit form. Manifest files
     whose basename starts with '_' or '.' also keep the explicit list:
     Hadoop's directory listing HIDES such files (advisor r8 — the
     directory mode would silently drop those documents while the
@@ -121,10 +122,15 @@ def read_manifest_documents(spark: SparkSession, manifest_path: str) -> DataFram
     # Map normalized absolute path (raw + URI-encoded forms) -> 1-based
     # manifest id. A scanned row carries exactly ONE of the forms, so
     # alias keys never double-match; duplicate manifest ENTRIES (same
-    # path, several ids) are legitimate replication and keep all their
-    # rows. Two DIFFERENT paths whose forms collide (a literal 'a%20b'
-    # file next to an 'a b' file) cannot be attributed unambiguously —
-    # fail loudly naming the key rather than mis-assign ids.
+    # path, several ids) are legitimate replication — the file is
+    # SCANNED once (paths dedupe below; Spark's file scan yields one
+    # row per path LISTING, so an un-deduped duplicate would n^2 under
+    # the replicating join — advisor r9, pinned in
+    # tests/test_sources_sinks.py) and the id join fans the single row
+    # out to one row per manifest entry. Two DIFFERENT paths whose
+    # forms collide (a literal 'a%20b' file next to an 'a b' file)
+    # cannot be attributed unambiguously — fail loudly naming the key
+    # rather than mis-assign ids.
     id_map: list[tuple[str, int]] = []
     key_owner: dict[str, str] = {}
     for i, p in enumerate(paths):
@@ -138,7 +144,7 @@ def read_manifest_documents(spark: SparkSession, manifest_path: str) -> DataFram
                 )
             id_map.append((k, i + 1))
     raw = (
-        spark.read.text(_scan_paths(paths), wholetext=True)
+        spark.read.text(_scan_paths(list(dict.fromkeys(paths))), wholetext=True)
         # input_file_name() yields a URI like file:///root/x.txt — strip
         # the scheme AND all leading slashes, re-anchor with exactly one.
         .withColumn(

@@ -139,3 +139,69 @@ def test_bucketed_table_registration_drops_superseded_keys(spark, tmp_path):
     finally:
         for t in (t1, t2):
             spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+
+
+def test_supersede_eviction_never_crosses_bases(spark):
+    """Advisor r9 (layout): eviction used a bare name-prefix match, so
+    a base that textually EXTENDS another (`..._sf0_1` vs
+    `..._sf0_1_bak`) could have its live registration dropped by the
+    shorter base's supersede sweep. Eviction must match exactly
+    base + one underscore-free key segment."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.operators.layout import ensure_bucketed_table
+
+    df = spark.range(10).select(
+        F.col("id").cast("string").alias("src"), F.col("id").alias("v")
+    )
+    t_ext = ensure_bucketed_table(
+        spark, "pmrs_test_ev2_bak", "pmrs_test_cache", "kext", lambda: df, "src", 4
+    )
+    t_short = ensure_bucketed_table(
+        spark, "pmrs_test_ev2", "pmrs_test_cache", "kshort", lambda: df, "src", 4
+    )
+    try:
+        assert spark.catalog.tableExists(t_short)
+        assert spark.catalog.tableExists(t_ext), (
+            "extending base's registration dropped by the shorter base's sweep"
+        )
+    finally:
+        for t in (t_ext, t_short):
+            spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+
+
+def test_bucketed_serving_hit_refreshes_family_lru(spark):
+    """Advisor r9 (layout): the tableExists early-return skipped
+    ensure_artifact, so serving hits never refreshed the _BUILT
+    marker's mtime and the family LRU could prune the files backing a
+    still-registered table. A hit must bump marker recency."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.operators.layout import ensure_bucketed_table
+    from parallel_map_reduce_spark.sources.artifact_cache import artifact_path
+
+    df = spark.range(10).select(
+        F.col("id").cast("string").alias("src"), F.col("id").alias("v")
+    )
+    name = ensure_bucketed_table(
+        spark, "pmrs_test_lru_hit", "pmrs_test_cache", "klru", lambda: df, "src", 4
+    )
+    marker = os.path.join(artifact_path("pmrs_test_cache", "klru"), "_BUILT")
+    try:
+        before = os.stat(marker).st_mtime_ns
+        time.sleep(0.01)
+        ensure_bucketed_table(
+            spark,
+            "pmrs_test_lru_hit",
+            "pmrs_test_cache",
+            "klru",
+            lambda: (_ for _ in ()).throw(AssertionError("must not rebuild")),
+            "src",
+            4,
+        )
+        assert os.stat(marker).st_mtime_ns > before, "hit did not touch marker"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")

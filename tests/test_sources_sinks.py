@@ -350,6 +350,32 @@ def test_manifest_attributes_special_character_filenames(spark, tmp_path):
     ], rows
 
 
+def test_manifest_duplicate_entries_yield_one_row_per_entry(spark, tmp_path):
+    """Advisor r9: a duplicated manifest entry means legitimate
+    replication — exactly ONE row per manifest id. Spark's file scan
+    yields one row per path LISTING, so the un-deduped explicit list
+    joined against n id rows used to produce n^2 copies (measured: 3
+    listings x 3 ids = 9 rows). The scan must dedupe and let the id
+    join alone replicate."""
+    from parallel_map_reduce_spark.sources.text_manifest import (
+        read_manifest_documents,
+    )
+
+    (tmp_path / "dup.txt").write_text("hello dup")
+    (tmp_path / "other.txt").write_text("solo")
+    man = tmp_path / "manifest.txt"
+    man.write_text("4\ndup.txt\nother.txt\ndup.txt\ndup.txt\n")
+    rows = sorted(
+        map(tuple, read_manifest_documents(spark, str(man)).collect())
+    )
+    assert rows == [
+        (1, "hello dup"),
+        (2, "solo"),
+        (3, "hello dup"),
+        (4, "hello dup"),
+    ], rows
+
+
 def test_manifest_raises_on_uri_ambiguous_paths(spark, tmp_path):
     """Two distinct files whose raw/encoded forms collide ('a b' vs a
     literal 'a%20b') cannot be attributed — the source must fail loudly
