@@ -347,16 +347,23 @@ def _flagship_e2e(spark, manifest: str, out_dir: str) -> float:
     through the production partitioned sink."""
     from parallel_map_reduce_spark.operators.inverted_index import (
         format_index_rows,
+        index_order_partitions,
         inverted_index,
         rank_within_letter,
     )
     from parallel_map_reduce_spark.sources.text_manifest import (
+        manifest_total_bytes,
         read_manifest_documents,
     )
 
     t0 = time.perf_counter()
+    # Size-adaptive terminal ordering (driver-side stat metadata): a
+    # megabyte-scale corpus skips the range-boundary sampling job and
+    # the second shuffle — one final task orders/formats/writes, the
+    # same terminal stage shape the C++ binary runs. No-op from 8x up.
+    n_order = index_order_partitions(manifest_total_bytes(manifest))
     idx = inverted_index(read_manifest_documents(spark, manifest))
-    rows = format_index_rows(rank_within_letter(idx))
+    rows = format_index_rows(rank_within_letter(idx, n_order))
     rows.write.mode("overwrite").partitionBy("letter").text(out_dir)
     return time.perf_counter() - t0
 

@@ -45,10 +45,10 @@ def main(argv: list[str] | None = None) -> int:
     if not os.path.exists(args.input_file):
         ap.error(f"input file {args.input_file!r} not found")
 
-    from .operators.inverted_index import inverted_index
+    from .operators.inverted_index import index_order_partitions, inverted_index
     from .session import get_spark
     from .sinks.text_sink import write_letter_files
-    from .sources.text_manifest import read_manifest_documents
+    from .sources.text_manifest import manifest_total_bytes, read_manifest_documents
 
     from pyspark.sql import SparkSession
 
@@ -65,7 +65,13 @@ def main(argv: list[str] | None = None) -> int:
     # change output (the M×R-determinism contract).
     if args.mappers < docs.rdd.getNumPartitions():
         docs = docs.coalesce(args.mappers)
-    write_letter_files(inverted_index(docs), args.out)
+    write_letter_files(
+        inverted_index(docs),
+        args.out,
+        order_partitions=index_order_partitions(
+            manifest_total_bytes(args.input_file)
+        ),
+    )
     if not preexisting:  # don't tear down a caller-owned session
         spark.stop()
     return 0

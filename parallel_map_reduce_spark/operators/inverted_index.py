@@ -106,7 +106,23 @@ def postings_from_chunks(chunked: DataFrame) -> DataFrame:
     )
 
 
-def rank_within_letter(index: DataFrame) -> DataFrame:
+SMALL_CORPUS_BYTES = 32 * 1024 * 1024
+
+
+def index_order_partitions(total_input_bytes: int | None) -> int | None:
+    """Partition-count hint for ``rank_within_letter`` from the SOURCE
+    size (driver-side stat metadata — free). ``None`` keeps the
+    scale-out range partitioning; ``1`` takes the small-corpus
+    single-task ordered path. The threshold sits between the paired
+    bench's 1x corpus (6.4 MB, where Spark's fixed per-stage costs are
+    the whole measurement) and its 8x corpus (51 MB, where parallel
+    ordering already wins) — a no-op at every at-scale factor."""
+    if total_input_bytes is not None and 0 < total_input_bytes <= SMALL_CORPUS_BYTES:
+        return 1
+    return None
+
+
+def rank_within_letter(index: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Order rows df DESC, word ASC within each letter partition
     (reference compare_complete_map, src/tema1.cpp:110-115,234).
 
@@ -120,10 +136,23 @@ def rank_within_letter(index: DataFrame) -> DataFrame:
     the reference's row order (pinned by tests/test_sink_order.py on the
     partitioned layout; the single-file parity sink independently
     re-sorts and does not rely on it).
-    """
-    return index.repartitionByRange(
-        F.asc("letter"), F.desc("df"), F.asc("word")
-    ).sortWithinPartitions(F.asc("letter"), F.desc("df"), F.asc("word"))
+
+    ``num_partitions=1`` (callers pass ``index_order_partitions(bytes)``
+    when they know the source size) swaps the range exchange for a
+    ``coalesce(1)`` + in-partition sort: on a corpus measured in
+    megabytes the range path's boundary-sampling job plus one more
+    shuffle ARE the cost — the rows themselves are trivial. coalesce is
+    a narrow dependency, so the upstream scan stays parallel and the
+    single final task aggregates, sorts, formats, and writes exactly
+    once — the same single-threaded terminal stage the reference binary
+    runs at this scale. Row order is identical by construction (total
+    order either way; pinned in tests/test_inverted_index.py)."""
+    order = (F.asc("letter"), F.desc("df"), F.asc("word"))
+    if num_partitions == 1:
+        return index.coalesce(1).sortWithinPartitions(*order)
+    if num_partitions is not None:
+        return index.repartitionByRange(num_partitions, *order).sortWithinPartitions(*order)
+    return index.repartitionByRange(*order).sortWithinPartitions(*order)
 
 
 def format_index_rows(index: DataFrame) -> DataFrame:

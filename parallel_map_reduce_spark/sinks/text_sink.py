@@ -22,12 +22,21 @@ from pyspark.sql import functions as F
 from ..operators.inverted_index import format_index_rows, rank_within_letter
 
 
-def write_letter_files(index: DataFrame, out_dir: str, single_file: bool = True) -> None:
+def write_letter_files(
+    index: DataFrame,
+    out_dir: str,
+    single_file: bool = True,
+    order_partitions: int | None = None,
+) -> None:
     """Write ``{letter}.txt`` files with rows ordered df DESC, word ASC.
 
     index: (word, postings, df, letter) as produced by ``inverted_index``.
+    order_partitions: optional hint for the terminal ordering exchange
+    (``index_order_partitions(source_bytes)``) — ``1`` collapses a
+    megabyte-scale corpus's ordering to one task with no range-sampling
+    job; identical rows either way.
     """
-    rows = format_index_rows(rank_within_letter(index))
+    rows = format_index_rows(rank_within_letter(index, order_partitions))
     os.makedirs(out_dir, exist_ok=True)
     if not single_file:
         rows.write.mode("overwrite").partitionBy("letter").text(out_dir)

@@ -41,6 +41,20 @@ def parse_manifest(manifest_path: str) -> list[str]:
     return [p if os.path.isabs(p) else os.path.join(base, p) for p in paths]
 
 
+def manifest_total_bytes(manifest_path: str) -> int:
+    """Total corpus size from driver-side stat metadata (one stat per
+    manifest entry — the same listing cost the scan pays anyway). Used
+    as the size hint for ``index_order_partitions``; missing files
+    count 0 and surface as scan errors later, not here."""
+    total = 0
+    for p in parse_manifest(manifest_path):
+        try:
+            total += os.stat(p).st_size
+        except OSError:
+            pass
+    return total
+
+
 def _scan_paths(paths: list[str]) -> list[str]:
     """The path list handed to ``spark.read.text``: for LARGE manifests
     whose files all sit flat in one directory, return the directory
@@ -143,22 +157,47 @@ def read_manifest_documents(spark: SparkSession, manifest_path: str) -> DataFram
                     f"names both {owner!r} and {ap!r}"
                 )
             id_map.append((k, i + 1))
-    raw = (
-        spark.read.text(_scan_paths(list(dict.fromkeys(paths))), wholetext=True)
-        # input_file_name() yields a URI like file:///root/x.txt — strip
-        # the scheme AND all leading slashes, re-anchor with exactly one.
-        .withColumn(
-            "path", F.concat(F.lit("/"), F.regexp_replace(F.input_file_name(), "^file:/*", ""))
+    scan = _scan_paths(list(dict.fromkeys(paths)))
+    # Above spark.sql.sources.parallelPartitionDiscovery.threshold
+    # (default 32) paths, relation creation runs the file LISTING as a
+    # distributed Spark job — built for object-store layouts where
+    # driver-side listing crawls; for an explicit local-fs manifest it
+    # charges a whole job launch to stat a few hundred files (measured
+    # 1.37 s -> 0.17 s on the 355-file flagship corpus). Raise the
+    # threshold for THIS relation build only (listing happens eagerly
+    # inside read.text) and restore, so genuinely huge globbed reads
+    # elsewhere in the session keep the distributed path.
+    _KEY = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    old_thr = spark.conf.get(_KEY, None)
+    spark.conf.set(_KEY, str(max(64, len(scan) + 1)))
+    try:
+        raw = (
+            spark.read.text(scan, wholetext=True)
+            # input_file_name() yields a URI like file:///root/x.txt — strip
+            # the scheme AND all leading slashes, re-anchor with exactly one.
+            .withColumn(
+                "path", F.concat(F.lit("/"), F.regexp_replace(F.input_file_name(), "^file:/*", ""))
+            )
+            .withColumnRenamed("value", "text")
         )
-        .withColumnRenamed("value", "text")
-    )
+    finally:
+        if old_thr is None:
+            spark.conf.unset(_KEY)
+        else:
+            spark.conf.set(_KEY, old_thr)
     if len(id_map) <= 1000 and len({p for p, _ in id_map}) == len(id_map):
         # Small manifest (the parity corpora): the id table rides into
         # the plan as a map literal — a scan-side projection with no
         # broadcast exchange or join stage at all (measured ~0.3 s off
-        # the 355-file flagship; same doc ids by construction).
-        mp = F.create_map(
-            *[x for p, i in id_map for x in (F.lit(p), F.lit(i))]
+        # the 355-file flagship; same doc ids by construction). Built
+        # as ONE parsed SQL expression: create_map over 2n F.lit()
+        # columns pays 2n py4j round-trips (~0.4 s for 355 files,
+        # pure driver overhead re-paid on every plan build).
+        def _esc(s: str) -> str:
+            return s.replace("\\", "\\\\").replace("'", "\\'")
+
+        mp = F.expr(
+            "map(" + ",".join(f"'{_esc(p)}',{i}" for p, i in id_map) + ")"
         )
         # Drop rows whose input_file_name() missed the map — with the
         # _uri_keys aliases that is only directory-scan extras (e.g.

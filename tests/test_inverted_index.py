@@ -129,3 +129,29 @@ def test_chunked_postings_reassemble(spark, sf_dir):
         for r in postings_from_chunks(build_postings_chunked(pairs, chunk_size=7)).collect()
     }
     assert full == reassembled and len(full) > 0
+
+
+def test_single_partition_order_path_identical_rows(spark, docs):
+    """rank_within_letter(num_partitions=1) — the small-corpus path
+    that skips the range-boundary sampling job — must produce the
+    exact same total order as the scale-out range partitioning."""
+    idx = inverted_index(docs)
+    ranged = [
+        (r.letter, r.line) for r in format_index_rows(rank_within_letter(idx)).collect()
+    ]
+    single = [
+        (r.letter, r.line)
+        for r in format_index_rows(rank_within_letter(idx, 1)).collect()
+    ]
+    assert single == ranged and len(single) == 27
+
+
+def test_single_partition_order_path_plan_shape(spark, docs):
+    """The num_partitions=1 path must pay exactly ONE exchange (the
+    word-keyed aggregate) — no RangePartitioning, no sampling, just a
+    narrow coalesce into the final ordering task."""
+    df = format_index_rows(rank_within_letter(inverted_index(docs), 1))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "Coalesce" in plan, plan

@@ -336,6 +336,14 @@ def test_manifest_attributes_special_character_filenames(spark, tmp_path):
         ("naïve_über.txt", "charlie"),
         ("plus+sign.txt", "delta"),
         ("percent%20literal.txt", "echo"),
+        # SQL-literal metacharacter: the id map rides into the plan as
+        # ONE parsed map(...) expression (r10 — 2n F.lit py4j calls were
+        # ~0.4 s/plan), so a quote name pins its escaping. (A literal
+        # backslash filename is rejected upstream by Hadoop Path inside
+        # spark.read.text itself — PATH_NOT_FOUND — so it cannot reach
+        # the map; pre-existing reader limitation, not an attribution
+        # gap.)
+        ("it's quoted.txt", "foxtrot"),
     ]
     man = _write_manifest(tmp_path, corpus)
     rows = sorted(
@@ -347,6 +355,7 @@ def test_manifest_attributes_special_character_filenames(spark, tmp_path):
         (3, "charlie"),
         (4, "delta"),
         (5, "echo"),
+        (6, "foxtrot"),
     ], rows
 
 
