@@ -51,7 +51,13 @@ HEADLINE = (
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "similarity_topk_bruteforce",
-    "similarity_ann_lsh",
+    # round-10 rotation (VERDICT r9 task 6): the persisted LSH store's
+    # serving entry — at its pruning-effective 20-query batch, where
+    # DPP actually skips directories and serving beats inline
+    # re-bucketing (lsh_serving_notch: 1.37 vs 1.73 s) — replaces the
+    # inline build-per-batch form; the inline operator keeps its
+    # registry entry, equality pytests, and the notch's b400 row.
+    "similarity_ann_lsh_served",
     "text_tfidf",
     "streaming_hourly_tumbling",
     "multimodal_image_features",
@@ -855,6 +861,44 @@ def main() -> int:
                 chunked_curve[f"x{factor}"] = -1.0
                 print(f"bench: chunked_curve x{factor} ERROR: {e}", file=sys.stderr)
 
+    # LSH serving notch (VERDICT r9 task 6): the persisted (band,
+    # bucket)-partitioned ANN store only beats inline re-bucketing when
+    # dynamic partition pruning actually skips directories — HEADLINE's
+    # 400-query batch probes all 48 buckets, so the store is
+    # cost-neutral there. Time inline vs served at BOTH batch sizes
+    # (b20 = vec_id%1000, prunes; b400 = vec_id%50, probes everything)
+    # so the crossover is a committed artifact, not a claim. Store
+    # build is a cached artifact OUTSIDE the timed window (that is the
+    # point of a serving index).
+    lsh_notch: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_LSH_NOTCH", "1") != "0" and not sys.argv[1:]:
+        try:
+            from parallel_map_reduce_spark.operators import similarity as _S
+            from parallel_map_reduce_spark.queries.similarity import _lsh_index_dir
+            from parallel_map_reduce_spark.sources.catalog import load_table
+
+            spark = _revive(spark, cpus)
+            _idx_dir = _lsh_index_dir(spark, sf_dir)  # cached build, untimed
+            _emb = load_table(spark, sf_dir, "embeddings")
+            for _label, _mod in (("b20", 1000), ("b400", 50)):
+                _pred = F.col("vec_id") % _mod == 0
+                for _form, _build in (
+                    ("inline", lambda: _S.lsh_ann_topk(_emb, _pred, k=10)),
+                    (
+                        "served",
+                        lambda: _S.lsh_ann_topk_indexed(_emb, _idx_dir, _pred, k=10),
+                    ),
+                ):
+                    runs_l = []
+                    for _ in range(_CURVE_RUNS):
+                        t0 = time.perf_counter()
+                        _materialize(_build())
+                        runs_l.append(time.perf_counter() - t0)
+                    lsh_notch[f"{_form}_{_label}"] = round(min(runs_l), 3)
+            print(f"bench: lsh_serving_notch {lsh_notch}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: lsh_serving_notch ERROR: {e}", file=sys.stderr)
+
     probes["after_curves"] = round(_contention_probe(), 3)
     probes["after_curves_par"] = round(_contention_probe_parallel(), 3)
     spark = _revive(spark, cpus)  # reassign: do not orphan a revived JVM
@@ -896,6 +940,7 @@ def main() -> int:
         "reference_corpus_scale_curve": scale_curve,
         "exact_dedup_scale_curve": dedup_curve,
         "chunked_index_scale_curve": chunked_curve,
+        "lsh_serving_notch": lsh_notch,
         # Host-contention probes at section boundaries (outside every
         # timed window): compare ACROSS committed windows — a window
         # whose probes run materially slower than another's measured

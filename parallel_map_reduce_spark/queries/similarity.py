@@ -156,14 +156,21 @@ def _lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
     "raw query vectors, a deterministic projection — prune the scan to "
     "the probed directories (PartitionFilters pinned in tests). "
     "Serving never re-buckets or full-scans the corpus; results are "
-    "row-identical to the inline operator. "
-    "operators/similarity.py:lsh_ann_topk_indexed.",
+    "row-identical to the inline operator. Batch size is the "
+    "PRUNING-EFFECTIVE one (vec_id % 1000 — 20 queries at sf0.1): a "
+    "400-query batch probes all 48 (band, bucket) directories, which "
+    "erases the store's point (measured cost-neutral, r9 "
+    "PARITY_SF0.1.md addendum 2); at 20 queries DPP skips most of the "
+    "store and serving beats inline re-bucketing (bench "
+    "lsh_serving_notch: served 1.37 s vs inline 1.73 s) — the "
+    "production shape, where query batches are tiny against the "
+    "corpus. operators/similarity.py:lsh_ann_topk_indexed.",
     tags=("similarity", "ann", "lsh", "serving", "index"),
 )
 def similarity_ann_lsh_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_ann_topk_indexed(
-        emb, _lsh_index_dir(spark, sf_dir), F.col("vec_id") % _QUERY_MOD == 0, k=_K
+        emb, _lsh_index_dir(spark, sf_dir), F.col("vec_id") % 1000 == 0, k=_K
     )
 
 
