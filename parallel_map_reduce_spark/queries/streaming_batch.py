@@ -1055,11 +1055,15 @@ JOIN (SELECT event_type, SUM(term) AS psi FROM terms GROUP BY event_type) x
     "PSI = sum over 10 bins of (p-q)*ln(p/q) with +0.5 Laplace "
     "smoothing, comparing the current slice's distribution against the "
     "reference — the standard pre-training distribution-shift monitor "
-    "for a data pipeline. Plan: one exact-decile reduction on the "
-    "reference (swap approx_percentile at 100 TB, shape unchanged), "
-    "edges broadcast onto both fact scans for scan-speed binning, then "
-    "a |types|x10-row spine aggregation. Per-bin PSI terms are rounded "
-    "to 8 dp and summed as DECIMAL so the 10-term reduction is "
+    "for a data pipeline. Plan (slimmed r10 — VERDICT r9 nit: the old "
+    "shape paid 9 Exchanges): TWO fact passes total — one exact-decile "
+    "reduction on the reference (swap approx_percentile at 100 TB, "
+    "shape unchanged), then edges broadcast onto ONE combined scan "
+    "that bins ref and cur rows together with a side flag "
+    "(count_if per side in a single (type, bin) aggregate); the "
+    "per-type totals are the SUMS of that metadata-sized count table, "
+    "not extra fact aggregations. Per-bin PSI terms are rounded to "
+    "8 dp and summed as DECIMAL so the 10-term reduction is "
     "order-free; percentile() matches DuckDB quantile_cont exactly "
     "(the proven event_value_quantiles contract).",
     tags=("relational", "diagnostics", "drift", "quantile", "curation"),
@@ -1068,27 +1072,37 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     cutoff = F.lit(_DRIFT_CUTOFF).cast("timestamp")
     ref = e.filter(F.col("ts") < cutoff)
-    cur = e.filter(F.col("ts") >= cutoff)
-    qs = F.array(*[F.lit(q) for q in _DRIFT_QS])
+    # Checkpointed: |types| rows referenced by the binning join AND the
+    # spine — without the pin each reference re-runs the percentile
+    # reduction over the fact table (the r9 multi-referenced-frame
+    # discipline).
     edges = ref.groupBy("event_type").agg(
         F.expr(f"percentile(value, array({', '.join(map(str, _DRIFT_QS))}))").alias(
             "es"
         )
+    ).localCheckpoint(eager=True)
+    # ONE binning pass over the whole fact table (both slices), edges
+    # broadcast; the inner join keeps only types present in the
+    # reference slice, same as binning each side separately did.
+    binned = e.join(F.broadcast(edges), "event_type").select(
+        "event_type",
+        (F.lit(1) + F.size(F.filter("es", lambda x: F.col("value") > x))).alias("bin"),
+        (F.col("ts") < cutoff).alias("is_ref"),
     )
-
-    def binned(side: DataFrame) -> DataFrame:
-        j = side.join(F.broadcast(edges), "event_type")
-        bin_col = F.lit(1) + F.size(
-            F.filter("es", lambda x: F.col("value") > x)
-        )
-        return j.select("event_type", bin_col.alias("bin"))
-
-    rc = binned(ref).groupBy("event_type", "bin").agg(F.count("*").alias("n_r"))
-    cc = binned(cur).groupBy("event_type", "bin").agg(F.count("*").alias("n_c"))
+    # Checkpointed: |types| x 10 rows feeding the totals, the spine
+    # left-join, and (via tot) the final readout — the pin is what
+    # keeps this a TWO-fact-pass plan.
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count_if("is_ref").alias("n_r"),
+        F.count_if(~F.col("is_ref")).alias("n_c"),
+    ).localCheckpoint(eager=True)
+    # |types| x 10 rows from here on — metadata-sized. Totals are sums
+    # of the count table; a type with no current-slice rows drops, the
+    # exact semantics the old ref-counts INNER JOIN cur-counts had.
     tot = (
-        ref.groupBy("event_type")
-        .agg(F.count("*").alias("n_ref"))
-        .join(cur.groupBy("event_type").agg(F.count("*").alias("n_cur")), "event_type")
+        counts.groupBy("event_type")
+        .agg(F.sum("n_r").alias("n_ref"), F.sum("n_c").alias("n_cur"))
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
     )
     spine = edges.select(
         "event_type", F.explode(F.sequence(F.lit(1), F.lit(10))).alias("bin")
@@ -1096,8 +1110,7 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (F.coalesce("n_r", F.lit(0)) + 0.5) / (F.col("n_ref") + 5.0)
     q = (F.coalesce("n_c", F.lit(0)) + 0.5) / (F.col("n_cur") + 5.0)
     terms = (
-        spine.join(rc, ["event_type", "bin"], "left")
-        .join(cc, ["event_type", "bin"], "left")
+        spine.join(counts, ["event_type", "bin"], "left")
         .join(F.broadcast(tot), "event_type")
         .select(
             "event_type",
