@@ -1959,9 +1959,19 @@ JOIN freq fb ON fb.l_partkey = part_b
 )
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = items.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    # ONE fact pass, was three (r10 plan slim): collect_set
+    # already dedupes within the order, so the separate distinct
+    # exchange was redundant — and the distinct-items frame was
+    # referenced twice (baskets + part frequencies), re-running it.
+    # Baskets (|orders| rows, arrays bounded by the basket cap) are
+    # checkpointed; frequencies now EXPLODE the checkpointed baskets
+    # (each part appears once per basket, so the count is the same
+    # distinct-orders-per-part) instead of re-scanning the fact.
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=True)
     )
     pair_structs = F.flatten(
         F.transform(
@@ -1979,7 +1989,11 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("support"))
         .filter(F.col("support") >= 2)
     )
-    freq = items.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("n"))
+    freq = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
     fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_orders_a"))
     fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_orders_b"))
     return (
