@@ -1110,7 +1110,7 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (F.coalesce("n_r", F.lit(0)) + 0.5) / (F.col("n_ref") + 5.0)
     q = (F.coalesce("n_c", F.lit(0)) + 0.5) / (F.col("n_cur") + 5.0)
     terms = (
-        spine.join(counts, ["event_type", "bin"], "left")
+        spine.join(F.broadcast(counts), ["event_type", "bin"], "left")
         .join(F.broadcast(tot), "event_type")
         .select(
             "event_type",
@@ -1119,7 +1119,7 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     psi = terms.groupBy("event_type").agg(F.sum("term").alias("psi_dec"))
     return (
-        tot.join(psi, "event_type")
+        tot.join(F.broadcast(psi), "event_type")
         .select(
             "event_type",
             F.col("n_ref").cast("bigint").alias("n_ref"),
