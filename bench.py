@@ -972,8 +972,9 @@ def main() -> int:
         # Worst fixed two-stage mini-Spark-job probe: flags the
         # scheduling-latency contention mode that leaves CPU probes
         # flat while stage-heavy queries inflate 1.3-2x. Cross-window
-        # comparison only (0.74-1.0 s warm under the degraded r9
-        # window; no quiet reading recorded yet).
+        # comparison only. Reference readings: 0.34-0.81 s across the
+        # quiet committed r9/r10 windows; 1.0-4.1 s measured at
+        # contended boundaries.
         "probe_spark_max": max(
             (v for k, v in probes.items() if k.endswith("_spark")), default=-1.0
         ),

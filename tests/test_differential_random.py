@@ -450,3 +450,43 @@ def test_repeated_substring_spans_match_python_replica(spark):
         for r in repeated_substring_spans(df, L=L, min_occ=MIN_OCC).collect()
     }
     assert got == want and len(want) > 10
+
+
+def test_manifest_reader_matches_python_reference(spark, tmp_path):
+    """Seeded-random manifest corpora vs a trivial Python reference:
+    random filenames drawn from a pool including URI-encoding hazards
+    (spaces, '%', '+', non-ASCII, quotes), random duplicate manifest
+    entries, random sizes — the reader must return EXACTLY one row per
+    manifest entry with 1-based ids in manifest order, regardless of
+    scan mode, id-map branch, or duplicate replication (the r10 n^2
+    class)."""
+    import os
+    import random
+
+    from parallel_map_reduce_spark.sources.text_manifest import (
+        read_manifest_documents,
+    )
+
+    rng = random.Random(20260815)
+    name_pool = []
+    stems = ["plain", "with space", "pct%20lit", "plus+s", "naïve", "it's q"]
+    for i in range(40):
+        name_pool.append(f"{rng.choice(stems)}_{i}.txt")
+    bodies = {}
+    for n in name_pool:
+        bodies[n] = "w" + " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta"])
+            for _ in range(rng.randint(1, 30))
+        )
+        (tmp_path / n).write_text(bodies[n])
+    # manifest: 60 entries, ~1/3 duplicates
+    entries = [rng.choice(name_pool) for _ in range(60)]
+    man = tmp_path / "manifest.txt"
+    man.write_text(
+        f"{len(entries)}\n" + "".join(str(tmp_path / e) + "\n" for e in entries)
+    )
+    want = [(i + 1, bodies[e]) for i, e in enumerate(entries)]
+    got = sorted(
+        map(tuple, read_manifest_documents(spark, str(man)).collect())
+    )
+    assert got == sorted(want)
