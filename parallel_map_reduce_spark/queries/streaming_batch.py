@@ -552,8 +552,14 @@ GROUP BY a.cohort_day, a.day_n, s.cohort_size
 )
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    first_seen = e.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    # Checkpointed: the first-activity table is referenced by BOTH the
+    # cohort sizes and the activity join — without the pin each
+    # reference re-runs the user-keyed fact aggregation (the r9
+    # multi-referenced-frame discipline; 2 fact passes -> 1).
+    first_seen = (
+        e.groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+        .localCheckpoint(eager=True)
     )
     sizes = first_seen.groupBy("cohort_day").agg(
         F.count("*").alias("cohort_size")
