@@ -423,10 +423,14 @@ def lm_perplexity_scores(docs: DataFrame) -> DataFrame:
     are one division + one pow on that exact sum, rounded to 4 dp —
     the q14 discipline."""
     staged = docs.select("doc_id", _clean_words_arr().alias("words"))
+    # Checkpointed (vocab-sized): the unigram table is referenced by
+    # the V scalar AND the context join — without the pin each
+    # reference re-runs the word aggregation over the corpus.
     unic = (
         staged.select(F.explode("words").alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("cw"))
+        .localCheckpoint(eager=True)
     )
     voc = unic.agg(F.count("*").cast("bigint").alias("v"))
     grams = staged.select(

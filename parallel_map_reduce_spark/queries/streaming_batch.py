@@ -499,9 +499,15 @@ GROUP BY d.event_type
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # Checkpointed (|types| rows): ``dev`` is referenced by BOTH the
+    # MAD reduction and the final readout, and each reference would
+    # otherwise re-run the median reduction too. The deviations frame
+    # itself is deliberately NOT pinned — it is fact-sized, and its
+    # recompute is a scan + broadcast join, which keeps this the
+    # 3-fact-pass minimum exact-percentile MAD (median, MAD, readout).
     med = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
-    )
+    ).localCheckpoint(eager=True)
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "d", F.abs(F.col("value") - F.col("med"))
     )
