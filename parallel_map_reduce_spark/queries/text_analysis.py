@@ -665,3 +665,83 @@ LIMIT {T.CMS_TOPN}
 )
 def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.cms_heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
+_LEN_BUCKETS = (  # (upper-exclusive bound, label) — integer-exact, no libm
+    (1, "0"),
+    (16, "1-15"),
+    (64, "16-63"),
+    (256, "64-255"),
+    (1024, "256-1023"),
+)
+_LEN_TOP_LABEL = "1024+"
+
+
+def _len_bucket_case_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} < {ub} THEN '{label}'" for ub, label in _LEN_BUCKETS
+    )
+    return f"CASE {whens} ELSE '{_LEN_TOP_LABEL}' END"
+
+
+@register(
+    "documents_length_histogram",
+    oracle=f"""
+WITH counted AS (
+    SELECT lang,
+           len(list_filter(string_split_regex(text, '[ \t\n]+'),
+                           x -> length(x) > 0))::BIGINT AS n
+    FROM documents
+),
+g AS (
+    SELECT lang, {_len_bucket_case_sql('n')} AS bucket,
+           COUNT(*)::BIGINT AS n_docs, SUM(n)::BIGINT AS total_tokens
+    FROM counted GROUP BY 1, 2
+),
+t AS (SELECT lang, SUM(n_docs) AS lang_docs FROM g GROUP BY 1)
+SELECT g.lang, g.bucket, g.n_docs, g.total_tokens,
+       CAST(ROUND(g.n_docs * 1.0 / t.lang_docs, 4) AS DOUBLE) AS share
+FROM g JOIN t USING (lang)
+""",
+    doc="Context-length planning histogram: per (lang, power-of-2-ish "
+    "token-length bucket) document count, token mass, and within-lang "
+    "share — the table a training pipeline reads before choosing "
+    "sequence length, packing strategy, and per-language sampling "
+    "(curation_pack_bins' planning input). Buckets use EXPLICIT "
+    "integer boundaries (no floor(log2) libm boundary risk); token "
+    "count is the whitespace tokenizer shared with text_token_counts, "
+    "so the two entries agree by construction. Plan: ONE fact pass — "
+    "scan-speed projection to (lang, n), one (lang, bucket) aggregate "
+    "(map-side combinable, |langs| x 6 groups); lang totals are SUMS "
+    "of the checkpointed metadata-sized histogram, broadcast back for "
+    "shares. At 100 TB the fact is touched once, everything after is "
+    "metadata.",
+    tags=("text", "curation", "histogram", "llm-pipeline", "planning"),
+)
+def documents_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(
+        F.filter(F.split("text", T.TOKEN_SPLIT_REGEX), lambda x: F.length(x) > 0)
+    ).cast("bigint")
+    bucket = F.lit(_LEN_TOP_LABEL)
+    for ub, label in reversed(_LEN_BUCKETS):
+        bucket = F.when(n < ub, F.lit(label)).otherwise(bucket)
+    # Checkpointed (|langs| x 6 rows): referenced by the lang totals
+    # AND the share readout — the multi-referenced-frame discipline.
+    g = (
+        docs.select("lang", n.alias("n"), bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = g.groupBy("lang").agg(F.sum("n_docs").alias("lang_docs"))
+    return g.join(F.broadcast(t), "lang").select(
+        "lang",
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("n_docs") / F.col("lang_docs"), 4).alias("share"),
+    )

@@ -128,8 +128,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "search_bm25_multi",
     "search_bm25_served",
     # text — new round 5 (distributed cumulative-distinct curve) +
-    # round 6 (sparse tf-idf cosine join, n-gram novelty, CMS sketch)
-    "funnel_capped_windows",
+    # round 6 (sparse tf-idf cosine join, n-gram novelty, CMS sketch);
+    # round 10 adds the context-length planning histogram (rule 2 —
+    # oracle-backed, displaces funnel_capped_windows, green r6-r10 and
+    # the longest-green non-core member; the streaming_batch module
+    # keeps 13+ in-window representatives)
+    "documents_length_histogram",
     "multimodal_image_resize",
     "text_doc_similarity",
     "text_novelty_ngrams",
