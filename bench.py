@@ -368,15 +368,100 @@ def _flagship_e2e(spark, manifest: str, out_dir: str) -> float:
     # the second shuffle — one final task orders/formats/writes, the
     # same terminal stage shape the C++ binary runs. No-op from 8x up.
     n_order = index_order_partitions(manifest_total_bytes(manifest))
-    idx = inverted_index(read_manifest_documents(spark, manifest))
+    idx = inverted_index(read_manifest_documents(spark, manifest), n_order)
     rows = format_index_rows(rank_within_letter(idx, n_order))
     rows.write.mode("overwrite").partitionBy("letter").text(out_dir)
     return time.perf_counter() - t0
 
 
+# Probe-gated pairing (VERDICT r10 task 1): the round-10 DRIVER window
+# committed a 1x ratio of 2.299 while three quiet builder windows read
+# 1.42-1.65 — same code, 5x-hotter probes. A paired ratio is only
+# evidence when the window around it was quiet, so each pair now
+# carries ADJACENT probe readings; a pair whose surrounding probes
+# exceed the pinned quiet thresholds is recorded as discarded and
+# re-run (capped retries, short backoff to let the burst pass). The
+# committed ratio comes from QUIET pairs; if the whole window stays
+# hot past the retry cap, the ratio falls back to best-of-ALL attempts
+# and the artifact says so ("paired_quiet": false) — an honest hot
+# number beats a silent one. Thresholds are ~2x the quiet-window
+# readings in BASELINE.md (par idle 0.27-0.35 s, spark quiet
+# 0.34-0.81 s), env-overridable for future host changes.
+_QUIET_PAR = float(os.environ.get("SPARK_GRAFT_QUIET_PAR", "0.9"))
+_QUIET_SPARK = float(os.environ.get("SPARK_GRAFT_QUIET_SPARK", "1.6"))
+_PAIR_RETRIES = int(os.environ.get("SPARK_GRAFT_PAIR_RETRIES", "6"))
+_PAIR_BACKOFF_S = float(os.environ.get("SPARK_GRAFT_PAIR_BACKOFF_S", "10"))
+
+
+def _window_probes(spark) -> dict:
+    """One par + one spark probe reading, as a dict for the attempt log.
+    The scalar CPU probe is deliberately omitted: both documented
+    contention modes (CPU steal, scheduling latency) leave it flat."""
+    return {
+        "par": round(_contention_probe_parallel(), 3),
+        "spark": round(_spark_probe(spark), 3),
+    }
+
+
+def _probes_quiet(*readings: dict) -> bool:
+    return all(
+        r["par"] <= _QUIET_PAR and r["spark"] <= _QUIET_SPARK for r in readings
+    )
+
+
+# Scale-curve notches get the same treatment (VERDICT r10 task 8): the
+# r10 driver window's chunked x1024→x2048 step read 2.2x-for-2x-data
+# where adjacent-minima windows read 1.965x. Each notch runs its
+# _CURVE_RUNS batch inside a probed window; a hot window earns up to
+# _NOTCH_RETRIES extra batches after a backoff. The committed number is
+# still the min over ALL runs (a min only improves with more samples);
+# the companion detail records every window's probes so a reader can
+# see whether the committed notch came from a quiet window.
+_NOTCH_RETRIES = int(os.environ.get("SPARK_GRAFT_NOTCH_RETRIES", "2"))
+
+
+def _probe_gated_notch(spark, build, label: str) -> tuple[float, dict]:
+    """Run one curve notch (build() → noop-materialize, _CURVE_RUNS per
+    window) with probe-gated retry windows. Returns (min_seconds,
+    detail) where detail carries per-window runs + adjacent probes."""
+    runs: list[float] = []
+    windows: list[dict] = []
+    quiet_seen = False
+    for window_i in range(1 + _NOTCH_RETRIES):
+        if window_i > 0:
+            time.sleep(_PAIR_BACKOFF_S)
+        before = _window_probes(spark)
+        these: list[float] = []
+        for _ in range(_CURVE_RUNS):
+            t0 = time.perf_counter()
+            _materialize(build())
+            these.append(time.perf_counter() - t0)
+        after = _window_probes(spark)
+        is_quiet = _probes_quiet(before, after)
+        windows.append(
+            {
+                "runs": [round(r, 3) for r in these],
+                "probe_before": before,
+                "probe_after": after,
+                "quiet": is_quiet,
+            }
+        )
+        runs.extend(these)
+        if is_quiet:
+            quiet_seen = True
+            break
+        print(
+            f"bench: {label} window {window_i} HOT "
+            f"(probes {before}|{after}) — retrying",
+            file=sys.stderr,
+        )
+    return min(runs), {"windows": windows, "quiet": quiet_seen}
+
+
 def _paired_baseline(spark) -> dict:
     """Interleave C++ reference runs with the repo flagship in one
-    window; return {} if the reference toolchain/corpus is absent."""
+    window, gating each pair on adjacent host-contention probes;
+    return {} if the reference toolchain/corpus is absent."""
     binpath = _ensure_reference_binary()
     workdir = _reference_workdir()
     if binpath is None or workdir is None:
@@ -384,17 +469,53 @@ def _paired_baseline(spark) -> dict:
     pairs = int(os.environ.get("SPARK_GRAFT_BASELINE_PAIRS", "3"))
     manifest = os.path.join(workdir, "manifest.txt")
     flag_out = os.path.join(workdir, "flagship_out")
-    cpp_seq: list[float] = []
-    cpp_par: list[float] = []
-    flagship: list[float] = []
+    quiet: list[tuple[float, float, float]] = []
+    hot: list[tuple[float, float, float]] = []
+    attempts: list[dict] = []
     try:
-        for _ in range(pairs):
-            cpp_seq.append(_time_reference_binary(binpath, workdir, 1, 1))
-            flagship.append(_flagship_e2e(spark, manifest, flag_out))
-            cpp_par.append(_time_reference_binary(binpath, workdir, 4, 4))
+        # One untimed warmup e2e: the partitioned text writer + commit
+        # protocol pay one-time init (~4-5 s) on their first use in a
+        # session; without this the first pair's flagship reading is
+        # warmup, not the engine (measured 7.09 s first vs 2.35 s
+        # second in an otherwise quiet window).
+        _flagship_e2e(spark, manifest, flag_out)
+        for attempt in range(pairs + _PAIR_RETRIES):
+            if len(quiet) >= pairs:
+                break
+            if hot and attempt > 0:
+                time.sleep(_PAIR_BACKOFF_S)  # let the burst pass
+            before = _window_probes(spark)
+            seq = _time_reference_binary(binpath, workdir, 1, 1)
+            flag = _flagship_e2e(spark, manifest, flag_out)
+            par = _time_reference_binary(binpath, workdir, 4, 4)
+            after = _window_probes(spark)
+            is_quiet = _probes_quiet(before, after)
+            (quiet if is_quiet else hot).append((seq, flag, par))
+            attempts.append(
+                {
+                    "cpp_seq": round(seq, 3),
+                    "flagship": round(flag, 3),
+                    "cpp_par": round(par, 3),
+                    "probe_before": before,
+                    "probe_after": after,
+                    "quiet": is_quiet,
+                }
+            )
+            print(
+                f"bench: paired attempt {attempt} "
+                f"{'QUIET' if is_quiet else 'HOT (discarded)'} "
+                f"seq={seq:.2f} flag={flag:.2f} par={par:.2f} "
+                f"probes={before}|{after}",
+                file=sys.stderr,
+            )
     except Exception as e:  # noqa: BLE001
         print(f"bench: paired baseline ERROR: {e}", file=sys.stderr)
-        return {}
+        if not quiet and not hot:
+            return {}
+    used = quiet or hot  # all-hot window: honest fallback, flagged below
+    cpp_seq = [u[0] for u in used]
+    flagship = [u[1] for u in used]
+    cpp_par = [u[2] for u in used]
     out = {
         "flagship_vs_reference_ratio": round(min(flagship) / min(cpp_seq), 3),
         "paired_flagship_runs": [round(x, 3) for x in flagship],
@@ -403,9 +524,14 @@ def _paired_baseline(spark) -> dict:
         "flagship_vs_reference_parallel_ratio": round(
             min(flagship) / min(cpp_par), 3
         ),
+        "paired_quiet": bool(quiet),
+        "paired_discarded": len(hot) if quiet else 0,
+        "paired_attempts": attempts,
+        "paired_quiet_thresholds": {"par": _QUIET_PAR, "spark": _QUIET_SPARK},
     }
     print(
-        "bench: paired ratio (flagship/C++ seq, best-of-interleaved) "
+        "bench: paired ratio (flagship/C++ seq, best-of-quiet-interleaved"
+        f"{'' if quiet else ', NO QUIET WINDOW — all-attempts fallback'}) "
         f"{out['flagship_vs_reference_ratio']}  flagship={out['paired_flagship_runs']} "
         f"cpp_seq={out['paired_cpp_seq_runs']} cpp_par={out['paired_cpp_par_runs']}",
         file=sys.stderr,
@@ -539,17 +665,52 @@ def _paired_baseline_scaled(spark, factors: tuple[int, ...]) -> dict:
                 tempfile.gettempdir(), "pmrs_ref_run", f"x{factor}-{os.getpid()}"
             )
             os.makedirs(scratch, exist_ok=True)
-            cpp_seq: list[float] = []
-            cpp_par: list[float] = []
-            flagship: list[float] = []
+            # Probe-gated like the 1x pairing (VERDICT r10 tasks 1+8),
+            # with a smaller retry budget — at-scale pairs cost tens of
+            # seconds each, and the at-scale ratios sit far enough from
+            # their bars that one quiet pair settles them.
+            scale_retries = int(
+                os.environ.get("SPARK_GRAFT_SCALE_PAIR_RETRIES", "2")
+            )
+            quiet: list[tuple[float | None, float, float | None]] = []
+            hot: list[tuple[float | None, float, float | None]] = []
+            attempts: list[dict] = []
             flag_out = os.path.join(scratch, "flagship_out")
-            for _ in range(pairs):
-                if cpp_ok:
-                    cpp_seq.append(run_cpp(1, 1, manifest, scratch))
-                flagship.append(_flagship_e2e(spark, manifest, flag_out))
-                if cpp_ok:
-                    cpp_par.append(run_cpp(4, 4, manifest, scratch))
+            for attempt in range(pairs + scale_retries):
+                if len(quiet) >= pairs:
+                    break
+                if hot and attempt > 0:
+                    time.sleep(_PAIR_BACKOFF_S)
+                before = _window_probes(spark)
+                seq = run_cpp(1, 1, manifest, scratch) if cpp_ok else None
+                flag = _flagship_e2e(spark, manifest, flag_out)
+                par = run_cpp(4, 4, manifest, scratch) if cpp_ok else None
+                after = _window_probes(spark)
+                is_quiet = _probes_quiet(before, after)
+                (quiet if is_quiet else hot).append((seq, flag, par))
+                attempts.append(
+                    {
+                        "cpp_seq": None if seq is None else round(seq, 3),
+                        "flagship": round(flag, 3),
+                        "cpp_par": None if par is None else round(par, 3),
+                        "probe_before": before,
+                        "probe_after": after,
+                        "quiet": is_quiet,
+                    }
+                )
+                print(
+                    f"bench: paired x{factor} attempt {attempt} "
+                    f"{'QUIET' if is_quiet else 'HOT (discarded)'} "
+                    f"flag={flag:.2f} probes={before}|{after}",
+                    file=sys.stderr,
+                )
+            used = quiet or hot
+            cpp_seq = [u[0] for u in used if u[0] is not None]
+            flagship = [u[1] for u in used]
+            cpp_par = [u[2] for u in used if u[2] is not None]
             out[f"paired_x{factor}_flagship_runs"] = [round(x, 3) for x in flagship]
+            out[f"paired_x{factor}_quiet"] = bool(quiet)
+            out[f"paired_x{factor}_attempts"] = attempts
             if cpp_ok:
                 out[f"flagship_vs_reference_ratio_x{factor}"] = round(
                     min(flagship) / min(cpp_seq), 3
@@ -751,6 +912,7 @@ def main() -> int:
     if mem_gb < 16:
         scale_factors = tuple(f for f in scale_factors if f <= 64)
     scale_curve: dict[str, float] = {}
+    curve_detail: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_SCALE_CURVE", "1") != "0" and not sys.argv[1:]:
         from parallel_map_reduce_spark.operators.inverted_index import inverted_index
         from parallel_map_reduce_spark.sources.scaled_corpus import (
@@ -761,19 +923,20 @@ def main() -> int:
             try:
                 spark = _revive(spark, cpus)
                 docs = scaled_reference_corpus(spark, factor)  # cached build
-                # n=2 back-to-back, commit the min (VERDICT r7 task 4):
-                # this host shows up to 4-5x same-code swings across
-                # windows; a single-run notch inherits all of it.
-                runs_f = []
-                for _ in range(_CURVE_RUNS):
-                    t0 = time.perf_counter()
-                    _materialize(inverted_index(docs))
-                    runs_f.append(time.perf_counter() - t0)
-                secs = min(runs_f)
+                # Probe-gated windows of _CURVE_RUNS runs, commit the
+                # min (VERDICT r7 task 4 + r10 task 8): this host shows
+                # up to 4-5x same-code swings across windows; a
+                # single-run notch inherits all of it.
+                secs, nd = _probe_gated_notch(
+                    spark,
+                    lambda: inverted_index(docs),
+                    f"scale_curve x{factor}",
+                )
                 scale_curve[f"x{factor}"] = round(secs, 3)
+                curve_detail[f"index_x{factor}"] = nd
                 print(
                     f"bench: scale_curve x{factor} {secs:.2f}s "
-                    f"(runs {[round(r, 2) for r in runs_f]})",
+                    f"(quiet={nd['quiet']})",
                     file=sys.stderr,
                 )
             except Exception as e:  # noqa: BLE001
@@ -796,16 +959,16 @@ def main() -> int:
             try:
                 spark = _revive(spark, cpus)
                 docs = scaled_reference_corpus(spark, factor)  # cached build
-                runs_d = []
-                for _ in range(_CURVE_RUNS):
-                    t0 = time.perf_counter()
-                    _materialize(exact_dup_groups(docs))
-                    runs_d.append(time.perf_counter() - t0)
-                secs = min(runs_d)
+                secs, nd = _probe_gated_notch(
+                    spark,
+                    lambda: exact_dup_groups(docs),
+                    f"dedup_curve x{factor}",
+                )
                 dedup_curve[f"x{factor}"] = round(secs, 3)
+                curve_detail[f"dedup_x{factor}"] = nd
                 print(
                     f"bench: dedup_curve x{factor} {secs:.2f}s "
-                    f"(runs {[round(r, 2) for r in runs_d]})",
+                    f"(quiet={nd['quiet']})",
                     file=sys.stderr,
                 )
             except Exception as e:  # noqa: BLE001
@@ -845,16 +1008,16 @@ def main() -> int:
             try:
                 spark = _revive(spark, cpus)
                 docs = scaled_reference_corpus(spark, factor)  # cached build
-                runs_c = []
-                for _ in range(_CURVE_RUNS):
-                    t0 = time.perf_counter()
-                    _materialize(build_postings_chunked(doc_word_pairs(docs)))
-                    runs_c.append(time.perf_counter() - t0)
-                secs = min(runs_c)
+                secs, nd = _probe_gated_notch(
+                    spark,
+                    lambda: build_postings_chunked(doc_word_pairs(docs)),
+                    f"chunked_curve x{factor}",
+                )
                 chunked_curve[f"x{factor}"] = round(secs, 3)
+                curve_detail[f"chunked_x{factor}"] = nd
                 print(
                     f"bench: chunked_curve x{factor} {secs:.2f}s "
-                    f"(runs {[round(r, 2) for r in runs_c]})",
+                    f"(quiet={nd['quiet']})",
                     file=sys.stderr,
                 )
             except Exception as e:  # noqa: BLE001
@@ -940,6 +1103,10 @@ def main() -> int:
         "reference_corpus_scale_curve": scale_curve,
         "exact_dedup_scale_curve": dedup_curve,
         "chunked_index_scale_curve": chunked_curve,
+        # Per-notch probe windows (VERDICT r10 task 8): every committed
+        # curve number above carries its adjacent probe readings here,
+        # so a hot-window notch is attributable from the artifact alone.
+        "scale_curve_detail": curve_detail,
         "lsh_serving_notch": lsh_notch,
         # Host-contention probes at section boundaries (outside every
         # timed window): compare ACROSS committed windows — a window
@@ -982,6 +1149,11 @@ def main() -> int:
     }
     for k in (
         "flagship_vs_reference_ratio",
+        "paired_quiet",
+        "paired_discarded",
+        "paired_x8_quiet",
+        "paired_x32_quiet",
+        "paired_x64_quiet",
         "flagship_vs_reference_ratio_x8",
         "flagship_vs_reference_ratio_x32",
         "flagship_vs_reference_ratio_x64",

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from .tokenize import doc_word_pairs
 
 
-def build_postings(pairs: DataFrame) -> DataFrame:
+def build_postings(pairs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """(word, doc_id) distinct pairs → (word, postings ASC, df, letter).
 
     One word-keyed exchange; ``sort_array`` gives the reference's
@@ -42,10 +42,23 @@ def build_postings(pairs: DataFrame) -> DataFrame:
     distinct, so partials never shrink anything — which is the memory
     shape that OOM'd the chunked formulation at 1024x the moment the
     bench started materializing honestly. Raw fixed-width rows shuffle
-    instead; each task builds only its own partition's arrays, once."""
+    instead; each task builds only its own partition's arrays, once.
+
+    ``num_partitions`` sizes the exchange explicitly; callers on a
+    megabyte-scale corpus pass ``index_order_partitions(bytes)`` (=1)
+    so the shuffle lands directly in ONE partition — a single-partition
+    output satisfies any clustering, so the downstream coalesce(1)
+    ordering path becomes a no-op instead of funneling 32 shuffle
+    partitions through it (measured 1.80 → 1.59 s on the paired 1x
+    flagship, interleaved same-window). Grouping semantics and row
+    content are identical at any partition count (M×R determinism)."""
+    part = (
+        pairs.repartition(num_partitions, "word")
+        if num_partitions
+        else pairs.repartition("word")
+    )
     return (
-        pairs.repartition("word")
-        .groupBy("word")
+        part.groupBy("word")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
         .withColumn("df", F.size("postings"))
         .withColumn("letter", F.substring("word", 1, 1))
@@ -169,11 +182,13 @@ def format_index_rows(index: DataFrame) -> DataFrame:
     )
 
 
-def inverted_index(docs: DataFrame) -> DataFrame:
+def inverted_index(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Full flagship pipeline: documents → inverted index (unordered).
 
     Stage layout mirrors the reference's two barriers (SURVEY.md §3.4):
     scan→tokenize→normalize→filter→partial-dedup | exchange | final dedup
     + groupBy-collect | exchange(letter) | sort+format.
+    ``num_partitions`` passes through to ``build_postings`` (small-corpus
+    single-partition exchange; see there).
     """
-    return build_postings(doc_word_pairs(docs))
+    return build_postings(doc_word_pairs(docs), num_partitions)
