@@ -534,7 +534,8 @@ wv AS (
            CAST(round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 4)
                 AS DECIMAL(18,4)) AS w
     FROM tf t JOIN dfc d USING (word) CROSS JOIN n
-    WHERE d.df <= {T.DOC_SIM_DF_CAP}
+    WHERE d.df <= greatest({T.DOC_SIM_DF_CAP},
+                           ({T.DOC_SIM_DF_CAP_PCT} * n.n_docs + 99) // 100)
 ),
 norms AS (
     SELECT doc_id, CAST(round(SUM(w * w), 2) AS DOUBLE) AS norm2
@@ -555,10 +556,13 @@ WHERE round(d.dot / (sqrt(na.norm2) * sqrt(nb.norm2)), 6) >= {T.DOC_SIM_MIN_COS}
 """,
     doc="Sparse all-pairs tf-idf cosine similarity via term-keyed "
     "inverted-index self-join (Elsayed et al., ACL'08): pairs scored "
-    f"only on shared terms, vector space pruned to df <= "
-    f"{T.DOC_SIM_DF_CAP} so per-term join fan-out is capped and the "
-    "dense corpus-squared product never exists. DECIMAL dot/norm "
-    "sums are order-free exact; 2-dp rounding keeps the "
+    "only on shared terms, vector space pruned to df <= "
+    f"greatest({T.DOC_SIM_DF_CAP}, ceil({T.DOC_SIM_DF_CAP_PCT}% of "
+    "n_docs)) — the cap scales with the corpus (integer ceil-div, so "
+    "both engines derive the identical bound) while staying a "
+    "vanishing fraction of docs, so per-term join fan-out is capped "
+    "and the dense corpus-squared product never exists. DECIMAL "
+    "dot/norm sums are order-free exact; 2-dp rounding keeps the "
     "decimal-to-double conversion bit-exact cross-engine. "
     "operators/text_analysis.py:doc_similarity_tfidf.",
     tags=("text", "similarity-join", "tfidf"),
