@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Real image/audio decode libraries are not in this container, so the
-decode step is STUBBED (``decode_image``/``decode_audio`` raise
-``NotImplementedError``) — but the Spark-side plumbing is real and
-tested: binary columns, Arrow-batched ``mapInPandas`` with an explicit
-output schema, and deterministic fake feature extraction
-(``fake_image_features``) whose arithmetic derives only from the byte
-payload, so an external oracle can verify the pipeline end to end.
+Image METADATA decode is REAL: ``parse_image_header`` (imagehdr.py,
+pure stdlib) reads width/height/channels from PNG/GIF/BMP/JPEG magic
+bytes, and ``multimodal_image_features`` runs it over a committed
+binary fixture of real image files (refdata/image_fixture.parquet,
+tools/gen_image_fixture.py). Full PIXEL decode and audio decode remain
+STUBBED (``decode_image_pixels``/``decode_audio`` raise
+``NotImplementedError`` — PIL/opencv/soundfile are not in this
+container); those paths keep deterministic length-derived fakes
+(``fake_image_features``) whose arithmetic an external SQL oracle can
+reproduce, so the Arrow plumbing stays verified end to end either way.
 
 At 100 TB: payloads stay opaque ``binary`` columns in parquet;
 ``mapInPandas`` processes Arrow batches (no per-row Python overhead);
@@ -20,6 +23,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+from .imagehdr import parse_image_header
+
 IMAGE_FEATURES_SCHEMA = (
     "doc_id BIGINT, n_bytes BIGINT, width BIGINT, height BIGINT, "
     "channels BIGINT, aspect DOUBLE"
@@ -32,9 +37,19 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def decode_image(data: bytes):
-    """Real image decode — STUB: image libs (PIL/opencv) are not in this
-    environment. The pipeline uses ``fake_image_features`` instead."""
-    raise NotImplementedError("image decoding requires PIL/opencv (not installed)")
+    """Header-level image decode — REAL, stdlib-only: (fmt, width,
+    height, channels) parsed from PNG/GIF/BMP/JPEG magic bytes
+    (imagehdr.py). Raises ValueError for unrecognized payloads."""
+    hdr = parse_image_header(data)
+    if hdr is None:
+        raise ValueError("unrecognized image payload (not PNG/GIF/BMP/JPEG)")
+    return hdr
+
+
+def decode_image_pixels(data: bytes):
+    """Full pixel decode — STUB: pixel codecs (PIL/opencv) are not in
+    this environment; header metadata (``decode_image``) is real."""
+    raise NotImplementedError("pixel decoding requires PIL/opencv (not installed)")
 
 
 def decode_audio(data: bytes):
@@ -51,11 +66,23 @@ def fake_image_features(data: bytes) -> tuple[int, int, int, int, float]:
     return n, width, height, 3, width / height
 
 
+def image_features(data: bytes) -> tuple[int, int, int, int, float]:
+    """(n_bytes, width, height, channels, aspect): REAL header parse for
+    recognized image payloads; length-derived deterministic fake for
+    anything else (keeps the plumbing entries that feed text bytes
+    through this path oracle-checkable)."""
+    hdr = parse_image_header(data)
+    if hdr is None:
+        return fake_image_features(data)
+    _, width, height, channels = hdr
+    return len(data), width, height, channels, width / height
+
+
 def image_features_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body: (doc_id, payload binary) → IMAGE_FEATURES_SCHEMA.
     Operates on whole Arrow batches; Python cost is one vectorized pass."""
     for pdf in batches:
-        feats = pdf["payload"].map(fake_image_features)
+        feats = pdf["payload"].map(image_features)
         out = pd.DataFrame(
             feats.tolist(),
             columns=["n_bytes", "width", "height", "channels", "aspect"],

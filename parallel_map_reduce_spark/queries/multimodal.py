@@ -26,24 +26,48 @@ def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
 
+# Committed binary fixture of REAL image files (PNG/GIF/BMP/JPEG built
+# by stdlib struct/zlib — tools/gen_image_fixture.py), one per doc_id,
+# with the encode-time dimensions stored as exp_* columns. The Spark
+# side PARSES the bytes (multimodal/imagehdr.py); the oracle reads the
+# exp_* record of what was encoded — an independent check of the parse.
+_IMAGE_FIXTURE_PARQUET = "/root/repo/refdata/image_fixture.parquet"
+
+
+def _image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fixture = spark.read.parquet(_IMAGE_FIXTURE_PARQUET).select("doc_id", "payload")
+    # Inner join scopes the fixture (doc_id 0..4999) to the sf's docs.
+    return fixture.join(docs, "doc_id")
+
+
 @register(
     "multimodal_image_features",
-    oracle="""
-WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    oracle=f"""
+WITH f AS (
+    SELECT doc_id, octet_length(payload) AS n, exp_width, exp_height,
+           exp_channels
+    FROM read_parquet('{_IMAGE_FIXTURE_PARQUET}')
+    WHERE doc_id IN (SELECT doc_id FROM documents)
+)
 SELECT doc_id, n::BIGINT AS n_bytes,
-       (n % 640 + 1)::BIGINT AS width,
-       (n % 480 + 1)::BIGINT AS height,
-       3::BIGINT AS channels,
-       CAST(n % 640 + 1 AS DOUBLE) / (n % 480 + 1) AS aspect
-FROM b
+       exp_width::BIGINT AS width,
+       exp_height::BIGINT AS height,
+       exp_channels::BIGINT AS channels,
+       CAST(exp_width AS DOUBLE) / exp_height AS aspect
+FROM f
 """,
-    doc="Image-decode pipeline plumbing: binary payload → Arrow-batched "
-    "mapInPandas → typed features (decode itself stubbed; see "
-    "multimodal/codec.py).",
+    doc="REAL image-metadata decode: committed PNG/GIF/BMP/JPEG payloads "
+    "(refdata/image_fixture.parquet) → Arrow-batched mapInPandas parsing "
+    "width/height/channels from magic bytes (multimodal/imagehdr.py, "
+    "stdlib struct/zlib). The oracle reads the encode-time dimensions "
+    "recorded by the fixture generator, so parity verifies the parse "
+    "against an independent record. Pixel-level decode stays stubbed "
+    "(no PIL in this environment; multimodal/codec.py).",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _with_payload(spark, sf_dir).mapInPandas(
+    return _image_payloads(spark, sf_dir).mapInPandas(
         image_features_map, schema=IMAGE_FEATURES_SCHEMA
     )
 
@@ -116,17 +140,15 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_curation_filter",
-    oracle="""
-WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
-img AS (
-    SELECT doc_id,
-           CAST(n % 640 + 1 AS DOUBLE) / (n % 480 + 1) AS aspect
-    FROM b
+    oracle=f"""
+WITH img AS (
+    SELECT doc_id, CAST(exp_width AS DOUBLE) / exp_height AS aspect
+    FROM read_parquet('{_IMAGE_FIXTURE_PARQUET}')
 ),
 txt AS (
     SELECT doc_id,
            len(list_filter(string_split_regex(text, '[ \t\n]+'), x -> len(x) > 0))::BIGINT AS n_tokens
-    FROM b
+    FROM documents
 )
 SELECT i.doc_id, t.n_tokens, i.aspect
 FROM img i JOIN txt t ON t.doc_id = i.doc_id
