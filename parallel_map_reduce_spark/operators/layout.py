@@ -222,9 +222,15 @@ def ensure_bucketed_table(
         # tables participate in access recency.
         try:
             os.utime(os.path.join(artifact_path(family, key), "_BUILT"))
+            return table
         except OSError:
-            pass
-        return table
+            # Advisor r10: a missing marker IS the eviction signal —
+            # the family LRU already removed the artifact files, so
+            # the registration points at parquet that is gone and
+            # every query on it would fail at scan time. Drop the
+            # stale registration and fall through to the
+            # ensure_artifact rebuild below.
+            spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     # Advisor r8: without eviction, each source regeneration leaves the
     # prior key's registration behind, growing the session catalog
     # unboundedly. Superseded same-prefix registrations are dropped

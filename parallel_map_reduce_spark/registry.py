@@ -38,21 +38,33 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # round:
 #   1. The 10 core entries (SURVEY §2.1 reference-parity bar) are
 #      permanent.
-#   2. Every entry ADDED this round rotates IN immediately, displacing
-#      the entries with the longest green hash-match history.
+#   2. Every entry ADDED or semantically CHANGED this round rotates IN
+#      immediately.
 #   3. Every family keeps at least one in-window representative.
 #   4. Slow entries (live streaming drains) sit at the END of the
 #      window; un-gated drains stay at the registry tail.
-# Round-10 window (VERDICT r9 tasks 1+3): similarity_pq_topk and
-# event_type_user_overlap_hll rotate OUT (both got their r9 ran-row);
-# documents_quality_logreg — the LAST never-driver-checked entry —
-# rotates IN, and the second freed slot goes to oracle-backed
-# trade_graph_pagerank (graph family regains its pagerank
-# representative; the oracle floor rises 47 -> 48).
-# embedding_pca_whitened STAYS: its r9 row was a driver-canonicalizer
-# crash (raw ARRAY<DOUBLE> output, fixed this round by rendering comps
-# as a space-joined string per the convention above) and it needs its
-# first CLEAN driver row. Full displacement log: GATE_HISTORY.md.
+#   5. STALENESS rotation (r11 on, VERDICT r10 task 7): with every
+#      entry driver-evidenced at least once, displacement priority
+#      inverts — the slots not held by rules 1/2/4 go OLDEST-driver-
+#      evidence-first (per CORRECTNESS_r*.json), displacing the
+#      members with the longest consecutive green streaks.
+# Round-11 window: 13 stalest rotate IN — similarity_ann_lsh_served
+# (the one entry with no driver row ever, rows-only by design) and 12
+# r02-evidence oracle-backed entries (events windowing/JSON/session
+# block, embedding near-dup pairs, brute-force top-k, text scan-speed
+# block, tfidf) — plus multimodal_image_features under rule 2 (real
+# header decode replaced the length-derived fake this round;
+# multimodal_curation_filter, already in no round's window, gets its
+# check via the full parity runs). OUT: 14 longest-green r6-era
+# members (q4_priority_order_check, bucketed_orders_revenue,
+# orders_status_scd2, basket_part_pairs, events_user_skew_report,
+# events_incremental_agg_merge, orders_cdc_diff,
+# customer_segment_nation_mi, customer_segment_nation_chi2,
+# events_ab_conversion, events_session_metrics,
+# lineitem_column_profile, events_trend_ols, events_value_holt) —
+# relational keeps orders_cdc_merge + orders_priority_woe_iv,
+# timeseries keeps events_trend_anomalies/events_value_twap. Full
+# displacement log: GATE_HISTORY.md.
 GATE_PRIORITY: tuple[str, ...] = (
     # core (reference parity) — permanent
     "inverted_index",
@@ -65,84 +77,63 @@ GATE_PRIORITY: tuple[str, ...] = (
     "doc_stats",
     "inverted_index_chunked",
     "documents_provenance",
-    # relational — new round 6 (TPC-H pattern representative + bucketed
-    # co-located join layout + SCD2 dimension-history build)
-    "q4_priority_order_check",
-    "bucketed_orders_revenue",
-    "orders_status_scd2",
-    "basket_part_pairs",
-    # events — new round 6 (skew pre-flight diagnostics, incremental
-    # aggregate maintenance)
-    "events_user_skew_report",
-    "events_incremental_agg_merge",
+    # rule 2 — changed this round: corpus-scaled df cap (task 3) and
+    # real image-metadata decode over the committed fixture (task 5)
+    "text_doc_similarity",
+    "multimodal_image_features",
+    # rule 5 — stalest first: never driver-gated (rows-only by design:
+    # the LSH store's serving path; equality-vs-brute-force pytests
+    # carry its exactness)
+    "similarity_ann_lsh_served",
+    # rule 5 — last driver evidence r02: events windowing / JSON /
+    # sessionization block
+    "events_sessionized",
+    "events_hourly_tumbling",
+    "events_sliding_windows",
+    "events_json_props",
+    "events_json_typed",
+    # rule 5 — r02: embedding near-dup pair join + exact ANN baseline
+    "embedding_neardup_pairs",
+    "similarity_topk_bruteforce",
+    # rule 5 — r02: text scan-speed block + tfidf
+    "text_fingerprints",
+    "text_winnowing_fingerprints",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_tfidf",
     # approx/ML family rows-only slot (rotation: hll_rollup r6,
-    # gk-quantiles r7, SemDeDup r8; PCA-whitening r9 — kept for r10 to
-    # earn its first CLEAN driver row after the r9 rendering fix)
+    # gk-quantiles r7, SemDeDup r8; PCA-whitening r9-r10)
     "embedding_pca_whitened",
-    # relational — new round 7: WOE/IV feature scoring (the MI/chi2
-    # contingency family's credit-scoring sibling)
+    # relational reps (rule 3): WOE/IV scoring + lakehouse CDC MERGE
     "orders_priority_woe_iv",
-    # relational / events — new late round 6: lakehouse CDC MERGE,
-    # information-theoretic column profiling, grouped OLS trend and
-    # exact finite-window EWMA (operators/cdc.py, timeseries.py)
     "orders_cdc_merge",
-    "orders_cdc_diff",
-    "customer_segment_nation_mi",
-    "customer_segment_nation_chi2",
-    "events_ab_conversion",
-    "events_session_metrics",
-    "lineitem_column_profile",
-    "events_trend_ols",
-    "events_value_holt",
-    # events — new round 7: OLS-residual anomaly screen, Markov
-    # transition matrix, last-touch revenue attribution
+    # events/timeseries reps (rule 3)
     "events_trend_anomalies",
     "events_type_transitions",
     "events_touch_attribution",
     "events_value_twap",
-    # dedup: round-4 never-checked + new rounds 5/6 (the lossless
-    # prefix-filtered exact similarity join is a round-6 addition)
+    # dedup reps
     "dedup_jaccard_prefix",
-    # dedup — new round 7: exact-substring (span-level) duplication
     "dedup_repeated_substrings",
-    # curation rows-only slot (rotation: the PQ-ADC baseline got its r9
-    # ran-row; the quality classifier — the last never-driver-checked
-    # entry, de-risked by its r9 model sidecar — takes r10)
+    # curation rows-only slot (the distributed-GD quality classifier,
+    # first driver row r10)
     "documents_quality_logreg",
-    # events / streaming-batch: never-checked + family anchors +
-    # round-6 PSI drift monitor
+    # events / streaming-batch PSI drift monitor
     "events_drift_psi",
-    # curation anchors + new rounds 5/6 (weighted sampling)
+    # curation anchors
     "curation_weighted_sample",
-    # curation — new round 7: leakage-guarded split over the shared LSH
-    # candidate-edge artifact
     "curation_leakage_split",
-    # graph: anchor + round-4 never-checked + new round 6 (LPA)
+    # graph reps
     "trade_graph_communities_lpa",
     "neardup_communities_lpa",
-    # search / multimodal anchors; round 7 swapped in the multi-query
-    # BM25 serving entry; round 9 ADDS the persisted-index serving twin
-    # (oracle-backed — it displaces events_value_ewma, the window's
-    # longest-green events representative, per rule 2; the events
-    # family keeps 12 in-window entries)
+    "trade_graph_pagerank",
+    # search / multimodal anchors
     "search_bm25_multi",
     "search_bm25_served",
-    # text — new round 5 (distributed cumulative-distinct curve) +
-    # round 6 (sparse tf-idf cosine join, n-gram novelty, CMS sketch);
-    # round 10 adds the context-length planning histogram (rule 2 —
-    # oracle-backed, displaces funnel_capped_windows, green r6-r10 and
-    # the longest-green non-core member; the streaming_batch module
-    # keeps 13+ in-window representatives)
     "documents_length_histogram",
     "multimodal_image_resize",
-    "text_doc_similarity",
     "text_novelty_ngrams",
     "text_cms_heavy_hitters",
-    # oracle-backed slot (r10: the HLL set-overlap entry got its r9
-    # ran-row and rotates out; pagerank — green r6 at both SFs — rejoins
-    # so the graph family carries its superstep representative and the
-    # window's oracle floor rises to 48)
-    "trade_graph_pagerank",
     # live streaming drains — oracle-backed, last on purpose
     "streaming_inverted_index",
     "streaming_cdc_apply",

@@ -325,3 +325,44 @@ def test_ensure_bucketed_table_handles_empty_build(spark, tmp_path):
 
         spark.sql(f"DROP TABLE IF EXISTS `{name}`")
         shutil.rmtree("/tmp/pmrs_test_bucketed_empty", ignore_errors=True)
+
+
+def test_bucketed_table_rebuilds_after_artifact_eviction(spark, sf_dir, tmp_path):
+    """Advisor r10: a registered serving table whose backing artifact
+    the family LRU evicted must NOT be returned dangling — the missing
+    _BUILT marker is the eviction signal, and the serving hit must drop
+    the stale registration and rebuild through ensure_artifact."""
+    import shutil
+
+    from parallel_map_reduce_spark.operators.layout import ensure_bucketed_table
+    from parallel_map_reduce_spark.sources.artifact_cache import artifact_path
+
+    family, key = "pmrs_test_evict", "cafe0123beef"
+    builds = []
+
+    def build_df():
+        builds.append(1)
+        return spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+
+    try:
+        t1 = ensure_bucketed_table(
+            spark, "t_evict_demo", family, key, build_df, "k", n_buckets=4
+        )
+        assert spark.table(t1).count() == 100 and builds == [1]
+        # Serving hit with the artifact intact: no rebuild.
+        assert ensure_bucketed_table(
+            spark, "t_evict_demo", family, key, build_df, "k", n_buckets=4
+        ) == t1 and builds == [1]
+        # Simulate LRU eviction of the backing files.
+        shutil.rmtree(artifact_path(family, key))
+        t2 = ensure_bucketed_table(
+            spark, "t_evict_demo", family, key, build_df, "k", n_buckets=4
+        )
+        assert builds == [1, 1], "eviction must trigger a rebuild"
+        assert spark.table(t2).count() == 100, "rebuilt table must serve"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_evict_demo_" + key)
+        shutil.rmtree(artifact_path(family, key), ignore_errors=True)
+        shutil.rmtree(artifact_path(family, ""), ignore_errors=True)

@@ -25,10 +25,15 @@ def test_every_entry_documented_and_tagged():
 # Oracles for the reference's OWN text corpus must read those raw files
 # directly — there is no catalog view of them, and the driver's gate
 # hash-matched these entries in round 2, proving its DuckDB resolves the
-# paths. Everything else must go through the pre-registered views.
+# paths. The committed image fixture (refdata/image_fixture.parquet,
+# round 11) is the same class: a repo-committed sidecar with no catalog
+# view, carrying the encode-time dimensions the real-decode entries are
+# checked against. Everything else must go through the views.
 RAW_PATH_ORACLES = {
     "manifest_inverted_index",
     "reference_corpus_index",
+    "multimodal_image_features",
+    "multimodal_curation_filter",
 }
 
 
