@@ -11,6 +11,16 @@ Conventions to keep the hash compare stable across engines:
   differ in the last ulps between engines / reduction orders);
 - arrays are rendered as space-joined strings;
 - timestamps used as group keys are truncated/cast identically.
+
+``build`` is NOT guaranteed lazy (advisor r10): entries that pin a
+multi-referenced intermediate do so with ``localCheckpoint(eager=True)``
+— the only form that truncates lineage so the subplan is not re-expanded
+per reference — which executes that sub-job at DataFrame-construction
+time. Plan-inspection tooling that only wants ``explain`` output must
+budget for those builds running real jobs (tools/plan_audit.py and
+tests/test_plan_lint.py already do), and long-lived callers should drop
+DataFrame references between builds so the ContextCleaner can reclaim
+the checkpoint blocks (bench.py's per-query gc nudge).
 """
 
 from __future__ import annotations

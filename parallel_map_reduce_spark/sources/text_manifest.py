@@ -15,10 +15,15 @@ corpora; ``sources.catalog`` is the scale path.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+# Serializes the parallelPartitionDiscovery.threshold set/restore in
+# read_manifest_documents (see there).
+_DISCOVERY_THRESHOLD_LOCK = threading.Lock()
 
 DOCUMENTS_SCHEMA = StructType(
     [
@@ -168,23 +173,31 @@ def read_manifest_documents(spark: SparkSession, manifest_path: str) -> DataFram
     # inside read.text) and restore, so genuinely huge globbed reads
     # elsewhere in the session keep the distributed path.
     _KEY = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    old_thr = spark.conf.get(_KEY, None)
-    spark.conf.set(_KEY, str(max(64, len(scan) + 1)))
-    try:
-        raw = (
-            spark.read.text(scan, wholetext=True)
-            # input_file_name() yields a URI like file:///root/x.txt — strip
-            # the scheme AND all leading slashes, re-anchor with exactly one.
-            .withColumn(
-                "path", F.concat(F.lit("/"), F.regexp_replace(F.input_file_name(), "^file:/*", ""))
+    # The set/restore is a session-GLOBAL conf mutation; a concurrent
+    # manifest read on another thread of the same session could observe
+    # the temporary value or have it restored mid-build (advisor r10).
+    # The process-wide lock serializes exactly this critical section —
+    # listing happens eagerly inside read.text, so the window is short;
+    # other session users are unaffected unless they read this conf.
+    with _DISCOVERY_THRESHOLD_LOCK:
+        old_thr = spark.conf.get(_KEY, None)
+        spark.conf.set(_KEY, str(max(64, len(scan) + 1)))
+        try:
+            raw = (
+                spark.read.text(scan, wholetext=True)
+                # input_file_name() yields a URI like file:///root/x.txt —
+                # strip the scheme AND all leading slashes, re-anchor with
+                # exactly one.
+                .withColumn(
+                    "path", F.concat(F.lit("/"), F.regexp_replace(F.input_file_name(), "^file:/*", ""))
+                )
+                .withColumnRenamed("value", "text")
             )
-            .withColumnRenamed("value", "text")
-        )
-    finally:
-        if old_thr is None:
-            spark.conf.unset(_KEY)
-        else:
-            spark.conf.set(_KEY, old_thr)
+        finally:
+            if old_thr is None:
+                spark.conf.unset(_KEY)
+            else:
+                spark.conf.set(_KEY, old_thr)
     if len(id_map) <= 1000 and len({p for p, _ in id_map}) == len(id_map):
         # Small manifest (the parity corpora): the id table rides into
         # the plan as a map literal — a scan-side projection with no
@@ -192,12 +205,23 @@ def read_manifest_documents(spark: SparkSession, manifest_path: str) -> DataFram
         # the 355-file flagship; same doc ids by construction). Built
         # as ONE parsed SQL expression: create_map over 2n F.lit()
         # columns pays 2n py4j round-trips (~0.4 s for 355 files,
-        # pure driver overhead re-paid on every plan build).
-        def _esc(s: str) -> str:
-            return s.replace("\\", "\\\\").replace("'", "\\'")
-
+        # pure driver overhead re-paid on every plan build). Keys ride
+        # as decode(unhex('<hex>'),'UTF-8') — hex has NO SQL-literal
+        # meaning for ANY path byte (advisor r10: the previous
+        # hand-rolled quote/backslash escaper silently trusted every
+        # other character class), each key folds to a string constant
+        # (deterministic foldable children), so the whole map()
+        # constant-folds to one Literal exactly like before — and the
+        # hex form even parses faster (3.8 ms vs 10.3 ms at 355
+        # entries). F.lit(dict) would be cleaner still but raises
+        # UNSUPPORTED_FEATURE.LITERAL_TYPE on this PySpark build.
         mp = F.expr(
-            "map(" + ",".join(f"'{_esc(p)}',{i}" for p, i in id_map) + ")"
+            "map("
+            + ",".join(
+                f"decode(unhex('{p.encode('utf-8').hex()}'),'UTF-8'),{i}"
+                for p, i in id_map
+            )
+            + ")"
         )
         # Drop rows whose input_file_name() missed the map — with the
         # _uri_keys aliases that is only directory-scan extras (e.g.
