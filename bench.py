@@ -367,10 +367,24 @@ def _flagship_e2e(spark, manifest: str, out_dir: str) -> float:
     # megabyte-scale corpus skips the range-boundary sampling job and
     # the second shuffle — one final task orders/formats/writes, the
     # same terminal stage shape the C++ binary runs. No-op from 8x up.
+    # The same size rule turns AQE off for the run: adaptive
+    # re-optimization triggers per stage and is pure latency on a
+    # two-stage megabyte-scale job (measured 1.478 -> 1.398 interleaved
+    # at 1x); at 8x+ the corpus passes the threshold and AQE stays on.
     n_order = index_order_partitions(manifest_total_bytes(manifest))
-    idx = inverted_index(read_manifest_documents(spark, manifest), n_order)
-    rows = format_index_rows(rank_within_letter(idx, n_order))
-    rows.write.mode("overwrite").partitionBy("letter").text(out_dir)
+    _AQE = "spark.sql.adaptive.enabled"
+    old_aqe = spark.conf.get(_AQE, None)
+    try:
+        if n_order == 1:
+            spark.conf.set(_AQE, "false")
+        idx = inverted_index(read_manifest_documents(spark, manifest), n_order)
+        rows = format_index_rows(rank_within_letter(idx, n_order))
+        rows.write.mode("overwrite").partitionBy("letter").text(out_dir)
+    finally:
+        if old_aqe is None:
+            spark.conf.unset(_AQE)
+        else:
+            spark.conf.set(_AQE, old_aqe)
     return time.perf_counter() - t0
 
 

@@ -60,8 +60,12 @@ def build_postings(pairs: DataFrame, num_partitions: int | None = None) -> DataF
     return (
         part.groupBy("word")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
-        .withColumn("df", F.size("postings"))
-        .withColumn("letter", F.substring("word", 1, 1))
+        .select(
+            "word",
+            "postings",
+            F.size("postings").alias("df"),
+            F.substring("word", 1, 1).alias("letter"),
+        )
     )
 
 

@@ -84,6 +84,8 @@ def doc_word_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.split(F.col(text_col), TOKEN_SPLIT_REGEX), lambda t: clean_word_col(t)
     )
     words_arr = F.array_distinct(F.filter(cleaned, lambda w: F.length(w) > 0))
+    # One select, word first (callers key on word); a second reordering
+    # select would pay another plan node + py4j round trip for nothing.
     return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(words_arr).alias("word")
-    ).select("word", "doc_id")
+        F.explode(words_arr).alias("word"), F.col(id_col).alias("doc_id")
+    )

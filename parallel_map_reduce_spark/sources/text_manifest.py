@@ -111,6 +111,18 @@ def _uri_keys(path: str) -> list[str]:
     return [path] if q == path else [path, q]
 
 
+# (session app id, manifest path, staleness fingerprint) -> documents
+# DataFrame. A DataFrame is an immutable logical plan, so handing the
+# same one back is exactly the file-listing reuse a catalog-registered
+# table gets from Spark's own cached InMemoryFileIndex — relation
+# creation re-lists and re-stats the corpus on every spark.read.text
+# call (~0.2 s at 355 files), pure metadata work the tasks then redo
+# none of. Staleness rides the fingerprint: any file's ns-mtime/size
+# change (or a manifest edit) misses the cache. Bounded: one manifest
+# corpus per process in practice; capped at 8 entries FIFO regardless.
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def read_manifest_documents(spark: SparkSession, manifest_path: str) -> DataFrame:
     """documents(doc_id BIGINT, text STRING) with 1-based manifest-order ids.
 
@@ -120,7 +132,28 @@ def read_manifest_documents(spark: SparkSession, manifest_path: str) -> DataFram
     partition-dependent and would not be stable across parallelism, the
     exact property the reference checker verifies).
     """
+    from .artifact_cache import source_key
+
     paths = parse_manifest(manifest_path)
+    fingerprint = source_key("manifest_docs", "/", [manifest_path] + paths)
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 — dead/odd session: skip caching
+        app_id = ""
+    cache_key = (app_id, os.path.abspath(manifest_path), fingerprint)
+    if app_id and cache_key in _RELATION_CACHE:
+        return _RELATION_CACHE[cache_key]
+    df = _build_manifest_documents(spark, manifest_path, paths)
+    if app_id:
+        while len(_RELATION_CACHE) >= 8:
+            _RELATION_CACHE.pop(next(iter(_RELATION_CACHE)))
+        _RELATION_CACHE[cache_key] = df
+    return df
+
+
+def _build_manifest_documents(
+    spark: SparkSession, manifest_path: str, paths: list[str]
+) -> DataFrame:
     if any(os.path.basename(p).startswith(("_", ".")) for p in paths):
         # Hadoop's hidden-file filter drops '_'/'.'-prefixed files from
         # EVERY spark.read.text scan — explicit path lists included
