@@ -161,3 +161,73 @@ def test_contention_probe_is_fixed_work_and_recorded():
         "curves/end)"
     )
     assert '"host_probe_s": probes' in src
+
+
+def test_probes_quiet_thresholds():
+    """The quiet gate applies BOTH thresholds to EVERY reading."""
+    q = {"par": 0.3, "spark": 0.6}
+    hot_par = {"par": 5.0, "spark": 0.6}
+    hot_spark = {"par": 0.3, "spark": 4.1}
+    assert bench._probes_quiet(q, q)
+    assert not bench._probes_quiet(q, hot_par)
+    assert not bench._probes_quiet(hot_spark, q)
+
+
+def test_probe_gated_notch_retries_hot_windows(spark, monkeypatch):
+    """A hot window must earn a retry batch; the committed value is the
+    min over ALL runs and the detail records every window's probes."""
+    calls = {"n": 0}
+
+    def fake_probes(_spark):
+        calls["n"] += 1
+        # First window reads hot (probe call pairs 1+2), second quiet.
+        hot = calls["n"] <= 2
+        return {"par": 5.0 if hot else 0.2, "spark": 0.5}
+
+    monkeypatch.setattr(bench, "_window_probes", fake_probes)
+    monkeypatch.setattr(bench, "_PAIR_BACKOFF_S", 0.0)
+    builds = {"n": 0}
+
+    def build():
+        builds["n"] += 1
+        return spark.range(10)
+
+    secs, detail = bench._probe_gated_notch(spark, build, "test-notch")
+    assert secs > 0
+    assert len(detail["windows"]) == 2, "hot first window must retry"
+    assert detail["windows"][0]["quiet"] is False
+    assert detail["windows"][1]["quiet"] is True
+    assert detail["quiet"] is True
+    assert builds["n"] == 2 * bench._CURVE_RUNS
+
+
+def test_paired_summary_keys_fit_stdout_budget():
+    """The stdout line with every r11 paired/probe key present must
+    still fit the driver's tail-capture budget."""
+    import json
+
+    summary = {
+        "metric": "headline_total",
+        "value": 50.336,
+        "unit": "sec",
+        "value_median": 54.886,
+        "n_runs": 3,
+        "sf": 0.1,
+        "set_version": bench.HEADLINE_SET_VERSION,
+        "probe_par_max": 0.737,
+        "probe_spark_max": 0.929,
+        "queries": {name: 3.016 for name in bench.HEADLINE},
+        "flagship_vs_reference_ratio": 1.656,
+        "paired_quiet": True,
+        "paired_discarded": 0,
+        "paired_x8_quiet": True,
+        "paired_x32_quiet": True,
+        "paired_x64_quiet": True,
+        "flagship_vs_reference_ratio_x8": 0.259,
+        "flagship_vs_reference_ratio_x32": 0.137,
+        "flagship_vs_reference_parallel_ratio_x8": 0.847,
+        "flagship_vs_reference_parallel_ratio_x32": 0.463,
+        "flagship_vs_reference_parallel_ratio_x64": 0.463,
+        "flagship_vs_reference_ratio_x64": 0.137,
+    }
+    assert len(json.dumps(summary)) <= bench.STDOUT_BUDGET
