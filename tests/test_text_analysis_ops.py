@@ -230,3 +230,21 @@ def test_novelty_planted_copy_chain(spark):
     assert got[2].novelty == 0.0 and got[2].n_grams == got[1].n_grams
     assert got[3].novelty == 1.0
     assert got[4].n_grams == 0 and got[4].novelty is None
+
+
+def test_doc_similarity_nonvacuous_at_every_tested_sf(spark):
+    """VERDICT r10 task 3: an oracle match on an EMPTY result proves
+    nothing. The corpus-scaled df cap must yield pairs at every sf the
+    harness tests — pin both scales so a future cap change cannot
+    silently re-introduce the vacuous match."""
+    from parallel_map_reduce_spark.operators.text_analysis import (
+        doc_similarity_tfidf,
+    )
+    from parallel_map_reduce_spark.sources.catalog import load_table
+
+    for sf_dir, lo, hi in (
+        ("/root/testdata/sf0.01", 1, 50_000),
+        ("/root/testdata/sf0.1", 1, 500_000),
+    ):
+        n = doc_similarity_tfidf(load_table(spark, sf_dir, "documents")).count()
+        assert lo <= n <= hi, f"{sf_dir}: {n} pairs (vacuous or degenerate)"
