@@ -792,6 +792,13 @@ def _make_session(cpus: str):
         # never pays. Semantics of the written bytes are identical; v2's
         # weaker failure atomicity is irrelevant to a bench scratch dir.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # JVM unified logging writes to STDOUT by default, and a
+        # GC-pressure warning ('[gc,alloc] ... Retried waiting for
+        # GCLocker') was observed interleaving with the bench's
+        # one-JSON-line stdout contract during a heap-stressed x512
+        # notch — the exact failure class that cost round 3 its bench
+        # deliverable. Route JVM logs off stdout for the bench session.
+        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
