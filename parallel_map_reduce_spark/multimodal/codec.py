@@ -1,14 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image METADATA decode is REAL: ``parse_image_header`` (imagehdr.py,
-pure stdlib) reads width/height/channels from PNG/GIF/BMP/JPEG magic
-bytes, and ``multimodal_image_features`` runs it over a committed
-binary fixture of real image files (refdata/image_fixture.parquet,
-tools/gen_image_fixture.py). Full PIXEL decode and audio decode remain
-STUBBED (``decode_image_pixels``/``decode_audio`` raise
-``NotImplementedError`` — PIL/opencv/soundfile are not in this
-container); those paths keep deterministic length-derived fakes
-(``fake_image_features``) whose arithmetic an external SQL oracle can
+Image and audio METADATA decode are REAL: ``parse_image_header``
+(imagehdr.py, pure stdlib) reads width/height/channels from
+PNG/GIF/BMP/JPEG magic bytes, ``parse_wav_header`` (audiohdr.py) reads
+sample rate/channels/frame count from RIFF/WAVE chunks, and the
+``multimodal_image_features`` / ``multimodal_audio_features`` entries
+run them over committed binary fixtures of real files
+(refdata/{image,audio}_fixture.parquet, tools/gen_*_fixture.py). Full
+PIXEL/SAMPLE decode remains STUBBED (``decode_image_pixels``/
+``decode_audio`` raise ``NotImplementedError`` — PIL/opencv/soundfile
+are not in this container); non-media payload paths keep deterministic
+length-derived fakes whose arithmetic an external SQL oracle can
 reproduce, so the Arrow plumbing stays verified end to end either way.
 
 At 100 TB: payloads stay opaque ``binary`` columns in parquet;
@@ -23,6 +25,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+from .audiohdr import parse_wav_header
 from .imagehdr import parse_image_header
 
 IMAGE_FEATURES_SCHEMA = (
@@ -32,7 +35,7 @@ IMAGE_FEATURES_SCHEMA = (
 
 AUDIO_FEATURES_SCHEMA = (
     "doc_id BIGINT, n_bytes BIGINT, n_frames BIGINT, sample_rate BIGINT, "
-    "duration_s DOUBLE"
+    "channels BIGINT, duration_s DOUBLE"
 )
 
 
@@ -52,9 +55,20 @@ def decode_image_pixels(data: bytes):
     raise NotImplementedError("pixel decoding requires PIL/opencv (not installed)")
 
 
+def decode_audio_header(data: bytes):
+    """Header-level audio decode — REAL, stdlib-only: (sample_rate,
+    channels, bits, n_frames) parsed from the RIFF/WAVE container
+    (audiohdr.py). Raises ValueError for non-WAV payloads."""
+    hdr = parse_wav_header(data)
+    if hdr is None:
+        raise ValueError("unrecognized audio payload (not PCM WAV)")
+    return hdr
+
+
 def decode_audio(data: bytes):
-    """Real audio decode — STUB (no soundfile/librosa in environment)."""
-    raise NotImplementedError("audio decoding requires an audio codec library")
+    """Sample-level audio decode — STUB (no soundfile/librosa in this
+    environment); header metadata (``decode_audio_header``) is real."""
+    raise NotImplementedError("audio sample decoding requires an audio codec library")
 
 
 def fake_image_features(data: bytes) -> tuple[int, int, int, int, float]:
@@ -91,20 +105,30 @@ def image_features_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield out
 
 
+def audio_features(data: bytes) -> tuple[int, int, int, int, float]:
+    """(n_bytes, n_frames, sample_rate, channels, duration_s): REAL
+    RIFF/fmt/data header parse for WAV payloads; the legacy
+    length-derived fake (channels fixed at 1) for anything else, so
+    non-audio bytes still flow through the plumbing deterministically."""
+    hdr = parse_wav_header(data)
+    if hdr is None:
+        n = len(data)
+        frames = n // 1024 + 1
+        return n, frames, 16000, 1, frames * 1024 / 16000.0
+    sample_rate, channels, _bits, n_frames = hdr
+    return len(data), n_frames, sample_rate, channels, n_frames / sample_rate
+
+
 def audio_features_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body: (doc_id, payload binary) → AUDIO_FEATURES_SCHEMA.
-    Fake frame-sampling: 1024-byte frames at a nominal 16 kHz rate."""
+    Operates on whole Arrow batches; Python cost is one vectorized pass."""
     for pdf in batches:
-        n = pdf["payload"].map(len)
+        feats = pdf["payload"].map(audio_features)
         out = pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].values,
-                "n_bytes": n.values,
-                "n_frames": (n // 1024 + 1).values,
-                "sample_rate": 16000,
-                "duration_s": ((n // 1024 + 1) * 1024 / 16000.0).values,
-            }
+            feats.tolist(),
+            columns=["n_bytes", "n_frames", "sample_rate", "channels", "duration_s"],
         )
+        out.insert(0, "doc_id", pdf["doc_id"].values)
         yield out
 
 

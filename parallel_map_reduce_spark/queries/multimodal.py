@@ -72,22 +72,42 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Committed WAV fixture — same discipline as the image fixture above:
+# real PCM files built by stdlib struct (tools/gen_audio_fixture.py),
+# encode-time parameters recorded as exp_* columns the oracle reads.
+_AUDIO_FIXTURE_PARQUET = "/root/repo/refdata/audio_fixture.parquet"
+
+
 @register(
     "multimodal_audio_features",
-    oracle="""
-WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    oracle=f"""
+WITH f AS (
+    SELECT doc_id, octet_length(payload) AS n, exp_sample_rate,
+           exp_channels, exp_n_frames
+    FROM read_parquet('{_AUDIO_FIXTURE_PARQUET}')
+    WHERE doc_id IN (SELECT doc_id FROM documents)
+)
 SELECT doc_id, n::BIGINT AS n_bytes,
-       (n // 1024 + 1)::BIGINT AS n_frames,
-       16000::BIGINT AS sample_rate,
-       CAST((n // 1024 + 1) * 1024 AS DOUBLE) / 16000.0 AS duration_s
-FROM b
+       exp_n_frames::BIGINT AS n_frames,
+       exp_sample_rate::BIGINT AS sample_rate,
+       exp_channels::BIGINT AS channels,
+       CAST(exp_n_frames AS DOUBLE) / exp_sample_rate AS duration_s
+FROM f
 """,
-    doc="Audio frame-sampling plumbing: binary payload → mapInPandas → "
-    "frame counts/duration (decode stubbed).",
+    doc="REAL audio-metadata decode: committed PCM WAV payloads "
+    "(refdata/audio_fixture.parquet) → Arrow-batched mapInPandas "
+    "parsing sample rate/channels/frame count from the RIFF/fmt/data "
+    "chunks (multimodal/audiohdr.py, stdlib struct; builder validated "
+    "against the stdlib wave module). The oracle reads the encode-time "
+    "record written by the fixture generator, so parity verifies the "
+    "parse independently. Sample-level decode stays stubbed (no audio "
+    "libs in this environment; multimodal/codec.py).",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _with_payload(spark, sf_dir).mapInPandas(
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fixture = spark.read.parquet(_AUDIO_FIXTURE_PARQUET).select("doc_id", "payload")
+    return fixture.join(docs, "doc_id").mapInPandas(
         audio_features_map, schema=AUDIO_FEATURES_SCHEMA
     )
 

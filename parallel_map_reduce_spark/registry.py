@@ -88,9 +88,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "inverted_index_chunked",
     "documents_provenance",
     # rule 2 — changed this round: corpus-scaled df cap (task 3) and
-    # real image-metadata decode over the committed fixture (task 5)
+    # real image/audio metadata decode over committed fixtures (task 5
+    # + its audio extension; audio displaces curation_weighted_sample,
+    # green r6-r11 — curation stays covered by curation_leakage_split)
     "text_doc_similarity",
     "multimodal_image_features",
+    "multimodal_audio_features",
     # rule 5 — stalest first: never driver-gated (rows-only by design:
     # the LSH store's serving path; equality-vs-brute-force pytests
     # carry its exactness)
@@ -130,8 +133,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "documents_quality_logreg",
     # events / streaming-batch PSI drift monitor
     "events_drift_psi",
-    # curation anchors
-    "curation_weighted_sample",
+    # curation anchor
     "curation_leakage_split",
     # graph reps
     "trade_graph_communities_lpa",

@@ -1,0 +1,120 @@
+"""WAV header codec: build→parse round trips cross-checked against the
+stdlib ``wave`` module (the spec, not our builder), malformed-input
+rejection, fixture self-consistency, and the Arrow path computing TRUE
+audio metadata (the round-11 image-decode discipline applied to audio).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import pytest
+
+from parallel_map_reduce_spark.multimodal.audiohdr import (
+    build_wav,
+    parse_wav_header,
+)
+
+FIXTURE = "/root/repo/refdata/audio_fixture.parquet"
+
+
+@pytest.mark.parametrize(
+    ("rate", "ch", "frames"),
+    [(8000, 1, 1), (16000, 1, 100), (22050, 2, 50), (44100, 2, 333)],
+)
+def test_build_parse_roundtrip_and_stdlib_wave_agreement(rate, ch, frames):
+    payload = build_wav(rate, ch, frames, sample_byte=7)
+    assert parse_wav_header(payload) == (rate, ch, 16, frames)
+    w = wave.open(io.BytesIO(payload))
+    assert (w.getframerate(), w.getnchannels(), w.getsampwidth() * 8, w.getnframes()) == (
+        rate,
+        ch,
+        16,
+        frames,
+    )
+
+
+def test_hand_built_wav_bytes():
+    """Parse a WAV assembled by hand (not via build_wav), with an extra
+    LIST chunk before data — the parser must walk chunks, not assume
+    fixed offsets."""
+    fmt = struct.pack("<HHIIHH", 1, 2, 12000, 12000 * 4, 4, 16)
+    data = b"\x00" * 40  # 10 frames of 2ch 16-bit
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert parse_wav_header(payload) == (12000, 2, 16, 10)
+
+
+@pytest.mark.parametrize(
+    "junk",
+    [
+        b"",
+        b"RIFF",
+        b"RIFF\x00\x00\x00\x00WAVE",  # no chunks
+        b"RIFF\x00\x00\x00\x00AVI ",  # not WAVE
+        b"not audio at all",
+        # non-PCM format code must be rejected, not misreported
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        + b"data" + struct.pack("<I", 0),
+    ],
+)
+def test_malformed_rejected(junk):
+    assert parse_wav_header(junk) is None
+
+
+def test_fixture_parse_matches_encode_record():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(FIXTURE)
+    for d, payload, sr, ch, nf in zip(
+        t["doc_id"].to_pylist(),
+        t["payload"].to_pylist(),
+        t["exp_sample_rate"].to_pylist(),
+        t["exp_channels"].to_pylist(),
+        t["exp_n_frames"].to_pylist(),
+    ):
+        assert parse_wav_header(payload) == (sr, ch, 16, nf), d
+
+
+def test_fixture_generator_is_deterministic():
+    import pyarrow.parquet as pq
+
+    from tools.gen_audio_fixture import fixture_row
+
+    t = pq.read_table(FIXTURE).slice(0, 64)
+    for d, payload, sr, ch, nf in zip(
+        t["doc_id"].to_pylist(),
+        t["payload"].to_pylist(),
+        t["exp_sample_rate"].to_pylist(),
+        t["exp_channels"].to_pylist(),
+        t["exp_n_frames"].to_pylist(),
+    ):
+        assert fixture_row(d) == (payload, sr, ch, nf)
+
+
+def test_map_in_pandas_true_audio_metadata(spark):
+    from parallel_map_reduce_spark.queries.multimodal import (
+        multimodal_audio_features,
+    )
+
+    from tools.gen_audio_fixture import fixture_row
+
+    rows = (
+        multimodal_audio_features(spark, "/root/testdata/sf0.001")
+        .orderBy("doc_id")
+        .limit(8)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        payload, sr, ch, nf = fixture_row(r.doc_id)
+        assert (r.sample_rate, r.channels, r.n_frames) == (sr, ch, nf)
+        assert r.n_bytes == len(payload)
+        assert r.duration_s == nf / sr

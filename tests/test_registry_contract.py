@@ -33,6 +33,7 @@ RAW_PATH_ORACLES = {
     "manifest_inverted_index",
     "reference_corpus_index",
     "multimodal_image_features",
+    "multimodal_audio_features",
     "multimodal_curation_filter",
 }
 
