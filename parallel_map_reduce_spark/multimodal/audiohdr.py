@@ -53,19 +53,78 @@ def parse_wav_header(data: bytes):
     return (sample_rate, channels, bits, data_size // block_align)
 
 
+def extract_wav_data(data: bytes):
+    """(sample_rate, channels, bits, data_chunk_bytes) for a PCM WAV,
+    or ``None`` — the raw interleaved sample bytes, exactly as stored.
+    For PCM the data chunk IS the samples (no entropy coding), so full
+    sample decode needs only this slice plus a dtype reinterpretation
+    (codec.py:decode_wav_samples does int16)."""
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        return None
+    data = bytes(data)
+    hdr = parse_wav_header(data)
+    if hdr is None:
+        return None
+    sample_rate, channels, bits, _n_frames = hdr
+    i, n = 12, len(data)
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        (size,) = struct.unpack("<I", data[i + 4 : i + 8])
+        if cid == b"data":
+            return sample_rate, channels, bits, data[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    return None
+
+
+def decode_wav_samples(data: bytes):
+    """REAL sample decode for 16-bit PCM WAV: (sample_rate, channels,
+    int16 numpy array of shape (n_frames, channels)). Raises ValueError
+    for non-PCM/non-16-bit payloads — those need codec libraries."""
+    import numpy as np
+
+    ext = extract_wav_data(data)
+    if ext is None:
+        raise ValueError("not a parseable PCM WAV")
+    sample_rate, channels, bits, body = ext
+    if bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (got {bits})")
+    frames = len(body) // (2 * channels)
+    arr = np.frombuffer(body[: frames * 2 * channels], dtype="<i2")
+    return sample_rate, channels, arr.reshape(frames, channels)
+
+
+def wave_sample(frame: int, channel: int, base: int) -> int:
+    """The audio fixture's deterministic int16 waveform: a zigzag ramp
+    the generator evaluates WITHOUT parsing any payload (pure integer
+    arithmetic), so expected sample statistics derive from this formula
+    while the Spark side must walk the RIFF container to match."""
+    return ((base * 31 + frame * 7 + channel * 13) % 4001) - 2000
+
+
 def build_wav(
     sample_rate: int,
     channels: int,
     n_frames: int,
     bits: int = 16,
     sample_byte: int = 0,
+    pattern: int | None = None,
 ) -> bytes:
-    """Fully valid PCM WAV: RIFF header + fmt + data chunk of constant
-    ``sample_byte`` bytes (deterministic; a real player would render
-    silence/DC)."""
+    """Fully valid PCM WAV: RIFF header + fmt + data chunk. Default:
+    constant ``sample_byte`` bytes (DC). With ``pattern=base`` (16-bit
+    only) the data chunk carries the ``wave_sample`` zigzag waveform,
+    interleaved little-endian int16."""
     block_align = channels * bits // 8
     byte_rate = sample_rate * block_align
-    data = bytes([sample_byte % 256]) * (n_frames * block_align)
+    if pattern is None:
+        data = bytes([sample_byte % 256]) * (n_frames * block_align)
+    else:
+        if bits != 16:
+            raise ValueError("pattern waveform requires 16-bit samples")
+        data = b"".join(
+            struct.pack("<h", wave_sample(f, ch, pattern))
+            for f in range(n_frames)
+            for ch in range(channels)
+        )
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
     out = b"WAVE"
     out += b"fmt " + struct.pack("<I", len(fmt)) + fmt

@@ -1,17 +1,16 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image and audio METADATA decode are REAL: ``parse_image_header``
-(imagehdr.py, pure stdlib) reads width/height/channels from
-PNG/GIF/BMP/JPEG magic bytes, ``parse_wav_header`` (audiohdr.py) reads
-sample rate/channels/frame count from RIFF/WAVE chunks, and the
-``multimodal_image_features`` / ``multimodal_audio_features`` entries
-run them over committed binary fixtures of real files
-(refdata/{image,audio}_fixture.parquet, tools/gen_*_fixture.py). Full
-PIXEL/SAMPLE decode remains STUBBED (``decode_image_pixels``/
-``decode_audio`` raise ``NotImplementedError`` — PIL/opencv/soundfile
-are not in this container); non-media payload paths keep deterministic
-length-derived fakes whose arithmetic an external SQL oracle can
-reproduce, so the Arrow plumbing stays verified end to end either way.
+Image and audio METADATA decode are REAL (imagehdr.py / audiohdr.py,
+pure stdlib), and so are PNG/GIF/BMP PIXEL decode (pixeldec.py: zlib
+inflate + unfilter / LZW / raw BGR), the nearest-neighbor RESIZE over
+those pixels, and PCM WAV SAMPLE decode (audiohdr.py raw int16 frames)
+— all running over committed binary fixtures of real files
+(refdata/*_fixture.parquet, tools/gen_*_fixture.py). The only decodes
+still stubbed are the ones a stdlib genuinely cannot do: JPEG pixels
+(libjpeg-class Huffman+DCT) and compressed-audio codecs — callers skip
+or raise on those, and the fixtures mark them. Non-media payload paths
+keep deterministic length-derived fallbacks so plumbing entries stay
+oracle-checkable on arbitrary bytes.
 
 At 100 TB: payloads stay opaque ``binary`` columns in parquet;
 ``mapInPandas`` processes Arrow batches (no per-row Python overhead);
@@ -21,12 +20,15 @@ balance, never by collect.
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
-from .audiohdr import parse_wav_header
+from .audiohdr import decode_wav_samples, parse_wav_header
 from .imagehdr import parse_image_header
+from . import pixeldec
 
 IMAGE_FEATURES_SCHEMA = (
     "doc_id BIGINT, n_bytes BIGINT, width BIGINT, height BIGINT, "
@@ -50,9 +52,11 @@ def decode_image(data: bytes):
 
 
 def decode_image_pixels(data: bytes):
-    """Full pixel decode — STUB: pixel codecs (PIL/opencv) are not in
-    this environment; header metadata (``decode_image``) is real."""
-    raise NotImplementedError("pixel decoding requires PIL/opencv (not installed)")
+    """Full pixel decode — REAL for PNG/GIF/BMP (pixeldec.py, stdlib
+    zlib/struct): (fmt, width, height, channels, row-major pixel
+    bytes). Raises ValueError for JPEG and unrecognized payloads —
+    baseline JPEG entropy decode needs libjpeg-class machinery."""
+    return pixeldec.decode_image_pixels(data)
 
 
 def decode_audio_header(data: bytes):
@@ -66,9 +70,11 @@ def decode_audio_header(data: bytes):
 
 
 def decode_audio(data: bytes):
-    """Sample-level audio decode — STUB (no soundfile/librosa in this
-    environment); header metadata (``decode_audio_header``) is real."""
-    raise NotImplementedError("audio sample decoding requires an audio codec library")
+    """Sample-level audio decode — REAL for 16-bit PCM WAV (the data
+    chunk IS the samples): (sample_rate, channels, int16 ndarray of
+    shape (n_frames, channels)). Raises ValueError for compressed
+    codecs — those genuinely need audio libraries."""
+    return decode_wav_samples(data)
 
 
 def fake_image_features(data: bytes) -> tuple[int, int, int, int, float]:
@@ -133,54 +139,104 @@ def audio_features_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 
 RESIZE_SCHEMA = (
-    "doc_id BIGINT, width BIGINT, height BIGINT, out_width BIGINT, "
-    "out_height BIGINT, out_pixels BIGINT"
+    "doc_id BIGINT, fmt STRING, width BIGINT, height BIGINT, "
+    "channels BIGINT, out_width BIGINT, out_height BIGINT, "
+    "resized_crc32 BIGINT"
 )
 
 RESIZE_TARGET = 256
 
-VIDEO_FRAMES_SCHEMA = "doc_id BIGINT, frame_idx BIGINT, byte_offset BIGINT"
-
-VIDEO_FRAME_BYTES = 64
-VIDEO_SAMPLE_EVERY = 3
-
 
 def resize_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: fake resize-to-fit RESIZE_TARGET on the longest
-    edge, aspect preserved, integer arithmetic (so an external SQL oracle
-    reproduces it). A real implementation swaps the arithmetic for
-    PIL.Image.thumbnail on the decoded payload — the batch shape, schema,
-    and partitioning are identical."""
+    """mapInPandas body: REAL decode + resize. Each payload is pixel-
+    decoded (pixeldec.py: PNG inflate+unfilter / GIF LZW / BMP raw),
+    nearest-neighbor-resized to fit RESIZE_TARGET on the long edge, and
+    reported with the CRC-32 of the resized pixel bytes — the checksum
+    an independent implementation of decode+resize must reproduce.
+    Undecodable payloads (JPEG pixels need libjpeg) are skipped, the
+    batch shape stays one-in/at-most-one-out per row."""
     for pdf in batches:
-        n = pdf["payload"].map(len)
-        w = n % 640 + 1
-        h = n % 480 + 1
-        long_edge = pd.concat([w, h], axis=1).max(axis=1)
-        out_w = (w * RESIZE_TARGET) // long_edge
-        out_h = (h * RESIZE_TARGET) // long_edge
+        rows: list[tuple] = []
+        for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"].values):
+            try:
+                fmt, w, h, ch, px = pixeldec.decode_image_pixels(payload)
+            except ValueError:
+                continue
+            out_w, out_h = pixeldec.fit_dims(w, h, RESIZE_TARGET)
+            resized = pixeldec.resize_nearest(px, w, h, ch, out_w, out_h)
+            crc = zlib.crc32(resized) & 0xFFFFFFFF
+            rows.append((doc_id, fmt, w, h, ch, out_w, out_h, crc))
         yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].values,
-                "width": w.values,
-                "height": h.values,
-                "out_width": out_w.values,
-                "out_height": out_h.values,
-                "out_pixels": (out_w * out_h * 3).values,
-            }
+            rows,
+            columns=[
+                "doc_id",
+                "fmt",
+                "width",
+                "height",
+                "channels",
+                "out_width",
+                "out_height",
+                "resized_crc32",
+            ],
         )
 
 
+VIDEO_FRAMES_SCHEMA = (
+    "doc_id BIGINT, frame_idx BIGINT, byte_offset BIGINT, "
+    "frame_crc32 BIGINT"
+)
+
+VIDEO_SAMPLE_EVERY = 3
+
+
 def video_frames_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body, one→many: sample every VIDEO_SAMPLE_EVERY-th
-    frame of a fake VIDEO_FRAME_BYTES-per-frame payload. Demonstrates the
-    row-expanding UDF shape (frame extraction) with bounded memory — one
-    output batch per input batch, rows proportional to sampled frames."""
+    """mapInPandas body, one→many: REAL frame sampling. Each payload's
+    RIFF chunk tree is walked (videohdr.py:parse_avi — LIST hdrl for
+    geometry, LIST movi for frame placement); every VIDEO_SAMPLE_EVERY-th
+    DIB frame is pixel-decoded (bottom-up BGR → RGB) and reported with
+    its container byte offset and the CRC-32 of the decoded pixels.
+    Non-AVI payloads are skipped. Row-expanding with bounded memory:
+    one output batch per input batch, rows ∝ sampled frames."""
+    from .videohdr import decode_frame_pixels, parse_avi
+
     for pdf in batches:
-        ids, idxs, offs = [], [], []
+        rows: list[tuple] = []
         for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"].values):
-            n_frames = len(payload) // VIDEO_FRAME_BYTES + 1
-            for i in range(0, n_frames, VIDEO_SAMPLE_EVERY):
-                ids.append(doc_id)
-                idxs.append(i)
-                offs.append(i * VIDEO_FRAME_BYTES)
-        yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "byte_offset": offs})
+            parsed = parse_avi(payload)
+            if parsed is None:
+                continue
+            width, height, _usec, frames = parsed
+            for fi in range(0, len(frames), VIDEO_SAMPLE_EVERY):
+                off, size = frames[fi]
+                rgb = decode_frame_pixels(payload[off : off + size], width, height)
+                rows.append((doc_id, fi, off, zlib.crc32(rgb) & 0xFFFFFFFF))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "byte_offset", "frame_crc32"]
+        )
+
+
+AUDIO_LOUDNESS_SCHEMA = (
+    "doc_id BIGINT, n_samples BIGINT, peak BIGINT, sum_sq BIGINT, "
+    "rms DOUBLE"
+)
+
+
+def audio_loudness_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: REAL sample decode. int16 PCM frames come out
+    of the RIFF data chunk (audiohdr.py:decode_wav_samples); loudness
+    stats are exact integers (peak = max |s|, sum_sq = Σ s² in int64)
+    so an independent record reproduces them bit-for-bit; rms is the
+    one fixed-shape float (sqrt of a ratio of exact ints)."""
+    for pdf in batches:
+        rows: list[tuple] = []
+        for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"].values):
+            _rate, _ch, samples = decode_wav_samples(payload)
+            flat = samples.astype(np.int64).ravel()
+            n = int(flat.size)
+            peak = int(np.abs(flat).max(initial=0))
+            sum_sq = int(np.dot(flat, flat))
+            rms = float((sum_sq / n) ** 0.5) if n else 0.0
+            rows.append((doc_id, n, peak, sum_sq, rms))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_samples", "peak", "sum_sq", "rms"]
+        )

@@ -131,6 +131,40 @@ def parse_image_header(data: bytes):
 # builders (fixture generation + parser tests)
 
 
+def pattern_byte(x: int, y: int, c: int, base: int) -> int:
+    """The fixture's deterministic pixel pattern: a position-dependent
+    ramp the generator can evaluate WITHOUT decoding any payload, so
+    expected resized bytes derive from this formula while the Spark
+    side must inflate/unfilter/LZW-decode the actual files to match."""
+    return (base + 3 * x + 5 * y + 17 * c) % 256
+
+
+def _png_filter_row(
+    raw: bytes, prev: bytes | None, spp: int, ft: int
+) -> bytes:
+    """Apply PNG filter ``ft`` to one raw scanline (encode side)."""
+    n = len(raw)
+    out = bytearray(n)
+    for i in range(n):
+        a = raw[i - spp] if i >= spp else 0
+        b = prev[i] if prev is not None else 0
+        c = prev[i - spp] if prev is not None and i >= spp else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out[i] = (raw[i] - pred) & 0xFF
+    return bytes(out)
+
+
 def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
     return (
         struct.pack(">I", len(payload))
@@ -140,13 +174,37 @@ def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
     )
 
 
-def build_png(width: int, height: int, channels: int = 3, pixel: int = 0) -> bytes:
-    """Fully decodable PNG: real IHDR/IDAT/IEND with correct CRCs and a
-    zlib-compressed image of constant ``pixel`` bytes."""
+def build_png(
+    width: int,
+    height: int,
+    channels: int = 3,
+    pixel: int = 0,
+    pattern: int | None = None,
+) -> bytes:
+    """Fully decodable PNG: real IHDR/IDAT/IEND with correct CRCs.
+    Default: constant ``pixel`` bytes, filter 0 everywhere (the shape
+    test_png_is_decodable_bytes pins). With ``pattern=base`` the image
+    carries ``pattern_byte`` pixels and row ``y`` is encoded with
+    filter type ``y % 5`` — every unfilter path in pixeldec.py is
+    exercised by the committed fixture."""
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    row = b"\x00" + bytes([pixel % 256]) * (width * channels)
-    idat = zlib.compress(row * height, 6)
+    if pattern is None:
+        raw_scan = b"\x00" + bytes([pixel % 256]) * (width * channels)
+        idat = zlib.compress(raw_scan * height, 6)
+    else:
+        scan = bytearray()
+        prev: bytes | None = None
+        for y in range(height):
+            raw = bytes(
+                pattern_byte(x, y, c, pattern)
+                for x in range(width)
+                for c in range(channels)
+            )
+            ft = y % 5
+            scan += bytes([ft]) + _png_filter_row(raw, prev, channels, ft)
+            prev = raw
+        idat = zlib.compress(bytes(scan), 6)
     return (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)
@@ -155,10 +213,11 @@ def build_png(width: int, height: int, channels: int = 3, pixel: int = 0) -> byt
     )
 
 
-def build_gif(width: int, height: int) -> bytes:
+def build_gif(width: int, height: int, pattern: int | None = None) -> bytes:
     """Valid GIF89a: 2-entry palette, LZW data via the legal (if
-    inefficient) clear-code-before-every-pixel encoding of an all-zero
-    image."""
+    inefficient) clear-code-before-every-pixel encoding. Default image
+    is all palette-index 0; with ``pattern=base`` the image is the
+    checkerboard ``(x + y + base) % 2`` over the black/white palette."""
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", width, height)
     out += b"\xf0\x00\x00"  # GCT flag, 2-entry palette, bg 0, no aspect
@@ -166,12 +225,13 @@ def build_gif(width: int, height: int) -> bytes:
     out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
     out += b"\x02"  # LZW minimum code size
     # Codes are 3 bits wide (min size 2 -> initial width 3): clear=4,
-    # end=5. Emit clear, then one pixel-0 code per pixel, then end.
+    # end=5. Emit clear, then one palette-index code per pixel, then end.
     bits = []
     bits.append((4, 3))
-    for _ in range(width * height):
+    for p in range(width * height):
+        idx = 0 if pattern is None else (p % width + p // width + pattern) % 2
         bits.append((4, 3))  # re-clear keeps the code width fixed at 3
-        bits.append((0, 3))
+        bits.append((idx, 3))
     bits.append((5, 3))
     acc = n_acc = 0
     data = bytearray()
@@ -191,11 +251,24 @@ def build_gif(width: int, height: int) -> bytes:
     return bytes(out)
 
 
-def build_bmp(width: int, height: int, pixel: int = 0) -> bytes:
-    """Uncompressed 24-bit BMP with 4-byte-aligned rows."""
-    row_raw = bytes([pixel % 256]) * (width * 3)
-    pad = (-len(row_raw)) % 4
-    rows = (row_raw + b"\x00" * pad) * height
+def build_bmp(
+    width: int, height: int, pixel: int = 0, pattern: int | None = None
+) -> bytes:
+    """Uncompressed 24-bit BMP with 4-byte-aligned rows (bottom-up,
+    BGR). With ``pattern=base`` pixel (x, y) carries ``pattern_byte``
+    values in RGB semantics, stored in the file's BGR order."""
+    pad = (-(width * 3)) % 4
+    if pattern is None:
+        rows = (bytes([pixel % 256]) * (width * 3) + b"\x00" * pad) * height
+    else:
+        body = bytearray()
+        for y in range(height - 1, -1, -1):  # file rows run bottom-up
+            for x in range(width):
+                body += bytes(
+                    pattern_byte(x, y, c, pattern) for c in (2, 1, 0)  # BGR
+                )
+            body += b"\x00" * pad
+        rows = bytes(body)
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 14 + 40)
     return header + info + rows

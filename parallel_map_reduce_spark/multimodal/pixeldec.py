@@ -1,0 +1,316 @@
+"""Stdlib PIXEL decoders: full image decode for PNG / GIF / BMP from
+raw bytes — no PIL/opencv, only ``zlib`` + ``struct`` — plus an
+integer nearest-neighbor resize.
+
+This closes the last image stub in codec.py (rounds ≤11 kept pixel
+decode behind ``NotImplementedError``): the three formats whose
+committed fixture files are fully decodable get REAL decoders here.
+JPEG stays header-only by design — baseline JPEG needs libjpeg-class
+Huffman+DCT and the fixture's JPEGs carry no real entropy segment
+(imagehdr.py:build_jpeg) — so ``decode_image_pixels`` raises
+``ValueError`` for it, and callers (codec.py:resize_map) skip those
+rows. Reference basis: the public PNG (RFC 2083), GIF89a, and BMP
+specifications; no reference-repo counterpart exists
+(``/root/reference`` is text-only — this is north-star scope).
+
+Decoder contract: ``decode_image_pixels(data)`` returns
+``(fmt, width, height, channels, pixels)`` where ``pixels`` is
+row-major, channel-interleaved ``bytes`` of length
+``width*height*channels``. Palette formats (GIF, palette PNG)
+dereference to RGB (channels == 3); BMP's stored BGR order is swapped
+to RGB so all formats share one pixel semantics.
+
+Scale shape: decode runs inside Arrow ``mapInPandas`` batches
+(codec.py) — per-row Python cost is the codec itself, which is the
+irreducible cost of any pixel pipeline; at 100 TB the balance knobs
+are payload-size salting and batch size, not the decoder.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .imagehdr import _PNG_MAGIC
+
+# ---------------------------------------------------------------------------
+# PNG — RFC 2083: chunk walk, zlib inflate, per-row unfilter, palette deref.
+
+# color type -> samples per pixel as STORED (palette stores 1 index).
+_PNG_RAW_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, spp: int) -> bytearray:
+    """Reverse PNG row filters (types 0-4). 8-bit depth only, so the
+    'bytes per pixel' distance a, b, c predictors use equals ``spp``."""
+    stride = width * spp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline data does not match declared dimensions")
+    out = bytearray(stride * height)
+    prev_start = -1  # start index of previous reconstructed row, or -1
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        o = y * stride
+        if ft == 0:  # None
+            out[o : o + stride] = row
+        elif ft == 1:  # Sub
+            for i in range(stride):
+                left = out[o + i - spp] if i >= spp else 0
+                out[o + i] = (row[i] + left) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                out[o + i] = (row[i] + up) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = out[o + i - spp] if i >= spp else 0
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                out[o + i] = (row[i] + ((left + up) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = out[o + i - spp] if i >= spp else 0
+                b = out[prev_start + i] if prev_start >= 0 else 0
+                c = out[prev_start + i - spp] if prev_start >= 0 and i >= spp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out[o + i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft} is invalid")
+        prev_start = o
+    return out
+
+
+def decode_png_pixels(data: bytes):
+    """(width, height, channels, pixels) for an 8-bit non-interlaced
+    PNG of color type 0/2/3/4/6; palette images dereference to RGB."""
+    if not data.startswith(_PNG_MAGIC) or data[12:16] != b"IHDR":
+        raise ValueError("not a PNG")
+    width, height = struct.unpack(">II", data[16:24])
+    bit_depth, color_type, comp, filt, interlace = data[24:29]
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth} (8 only)")
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    spp = _PNG_RAW_SAMPLES.get(color_type)
+    if spp is None:
+        raise ValueError(f"invalid PNG color type {color_type}")
+    idat = bytearray()
+    palette = None
+    off = 8
+    while off + 12 <= len(data):
+        (ln,) = struct.unpack(">I", data[off : off + 4])
+        ctype = data[off + 4 : off + 8]
+        payload = data[off + 8 : off + 8 + ln]
+        if ctype == b"IDAT":
+            idat += payload
+        elif ctype == b"PLTE":
+            palette = payload
+        elif ctype == b"IEND":
+            break
+        off += 12 + ln
+    if not idat:
+        raise ValueError("PNG has no IDAT")
+    raw = zlib.decompress(bytes(idat))
+    pixels = _png_unfilter(raw, width, height, spp)
+    if color_type == 3:
+        if palette is None or len(palette) % 3:
+            raise ValueError("palette PNG without a valid PLTE")
+        pal = np.frombuffer(palette, np.uint8).reshape(-1, 3)
+        idx = np.frombuffer(bytes(pixels), np.uint8)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return width, height, 3, pal[idx].tobytes()
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    return width, height, channels, bytes(pixels)
+
+
+# ---------------------------------------------------------------------------
+# GIF — GIF89a: LZW-decode the first image, dereference the palette.
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """Generic GIF LZW decoder (variable code width, LSB-first)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset_table():
+        nonlocal table, code_size, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        next_code = end + 1
+
+    code_size = min_code_size + 1
+    next_code = end + 1
+    reset_table()
+    acc = n_bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << n_bits
+        n_bits += 8
+        while n_bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            n_bits -= code_size
+            if code == clear:
+                reset_table()
+                prev = None
+                continue
+            if code == end:
+                return bytes(out[:n_pixels])
+            if code < next_code:  # clear/end handled above, so a real entry
+                entry = table[code]
+            elif code == next_code and prev is not None:  # KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+            if len(out) >= n_pixels:
+                return bytes(out[:n_pixels])
+    raise ValueError("GIF LZW stream ended before the image was complete")
+
+
+def decode_gif_pixels(data: bytes):
+    """(width, height, 3, rgb_pixels) for a non-interlaced full-frame
+    GIF87a/89a first image."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        palette = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+            pos += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                palette = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if (left, top, iw, ih) != (0, 0, width, height):
+                raise ValueError("partial-frame GIF not supported")
+            if palette is None:
+                raise ValueError("GIF with no palette")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos]:
+                n = data[pos]
+                lzw += data[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            idx = np.frombuffer(
+                _gif_lzw_decode(min_code, bytes(lzw), width * height), np.uint8
+            )
+            if len(idx) != width * height:
+                raise ValueError("GIF pixel count mismatch")
+            pal = np.frombuffer(palette, np.uint8).reshape(-1, 3)
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                raise ValueError("GIF palette index out of range")
+            return width, height, 3, pal[idx].tobytes()
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+# ---------------------------------------------------------------------------
+# BMP — uncompressed 24-bit BITMAPINFOHEADER, bottom-up or top-down.
+
+
+def decode_bmp_pixels(data: bytes):
+    """(width, height, 3, rgb_pixels) for an uncompressed 24-bit BMP."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pixel_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise ValueError("BMP core headers not supported for pixel decode")
+    width = struct.unpack("<i", data[18:22])[0]
+    raw_height = struct.unpack("<i", data[22:26])[0]
+    bpp = struct.unpack("<H", data[28:30])[0]
+    compression = struct.unpack("<I", data[30:34])[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    height = abs(raw_height)
+    stride = (width * 3 + 3) & ~3
+    need = pixel_off + stride * height
+    if width <= 0 or height == 0 or len(data) < need:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(data[pixel_off:need], np.uint8).reshape(height, stride)
+    img = rows[:, : width * 3].reshape(height, width, 3)
+    if raw_height > 0:  # bottom-up storage
+        img = img[::-1]
+    return width, height, 3, img[:, :, ::-1].tobytes()  # BGR -> RGB
+
+
+# ---------------------------------------------------------------------------
+# dispatch + resize
+
+
+def decode_image_pixels(data: bytes):
+    """(fmt, width, height, channels, pixels) for PNG/GIF/BMP payloads.
+    Raises ValueError for anything else — including JPEG, whose pixel
+    decode needs libjpeg-class machinery (header parse via imagehdr)."""
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        raise ValueError("payload is not bytes")
+    data = bytes(data)
+    try:
+        if data.startswith(_PNG_MAGIC):
+            return ("png",) + decode_png_pixels(data)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return ("gif",) + decode_gif_pixels(data)
+        if data[:2] == b"BM":
+            return ("bmp",) + decode_bmp_pixels(data)
+    except (IndexError, struct.error, zlib.error) as exc:
+        # Truncated/corrupt containers surface as one error type.
+        raise ValueError(f"corrupt image payload: {exc}") from exc
+    raise ValueError("no stdlib pixel decoder for this payload")
+
+
+def fit_dims(width: int, height: int, target: int) -> tuple[int, int]:
+    """Aspect-preserving fit of the long edge to ``target`` with the
+    exact integer arithmetic the fixture generator mirrors:
+    ``out = edge * target // long_edge`` (floored, never below 1)."""
+    long_edge = max(width, height)
+    return (
+        max(1, width * target // long_edge),
+        max(1, height * target // long_edge),
+    )
+
+
+def resize_nearest(
+    pixels: bytes, width: int, height: int, channels: int, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resample with the floor mapping
+    ``src = out_index * in_edge // out_edge`` — pure integer arithmetic,
+    so an independent implementation reproduces it byte-for-byte."""
+    arr = np.frombuffer(pixels, np.uint8).reshape(height, width, channels)
+    ys = (np.arange(out_h, dtype=np.int64) * height) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * width) // out_w
+    return arr[ys][:, xs].tobytes()

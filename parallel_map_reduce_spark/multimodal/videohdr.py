@@ -1,0 +1,169 @@
+"""Stdlib AVI (RIFF) video codec: build and parse real AVI containers
+with uncompressed 24-bit DIB frames — pure ``struct``, no ffmpeg.
+
+Completes the multimodal decode set (imagehdr/pixeldec for images,
+audiohdr for audio): ``multimodal_video_frames`` previously sampled a
+FAKE fixed-64-byte-frame layout; with this module the committed
+fixture holds real AVI files (tools/gen_video_fixture.py) and the
+Spark side walks the actual RIFF chunk tree — LIST hdrl → avih for
+geometry/timing, LIST movi → '00db' chunks for frame placement — then
+pixel-decodes each sampled frame (bottom-up BGR DIB rows, the BMP
+layout). Public basis: the Microsoft AVI RIFF spec; the reference repo
+has no video path (north-star scope).
+
+Parser contract: ``parse_avi(data)`` returns
+``(width, height, usec_per_frame, frames)`` where ``frames`` is a list
+of ``(byte_offset, size)`` into ``data`` for each stored frame, or
+``None`` when the payload is not a parseable AVI.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .imagehdr import pattern_byte
+
+
+def parse_avi(data: bytes):
+    """(width, height, usec_per_frame, [(frame_offset, size), ...]) or
+    ``None``. Offsets point at the frame's DIB bytes inside ``data``."""
+    if not isinstance(data, (bytes, bytearray, memoryview)):
+        return None
+    data = bytes(data)
+    if len(data) < 24 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    geom = None  # (width, height, usec_per_frame)
+    frames: list[tuple[int, int]] = []
+    i, n = 12, len(data)
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        (size,) = struct.unpack("<I", data[i + 4 : i + 8])
+        body_at = i + 8
+        if cid == b"LIST" and size >= 4:
+            ltype = data[body_at : body_at + 4]
+            if ltype == b"hdrl":
+                # First subchunk must be avih (56-byte main header).
+                j = body_at + 4
+                while j + 8 <= body_at + size:
+                    scid = data[j : j + 4]
+                    (ssize,) = struct.unpack("<I", data[j + 4 : j + 8])
+                    if scid == b"avih" and ssize >= 40:
+                        usec, _rate, _pad, _flags = struct.unpack(
+                            "<IIII", data[j + 8 : j + 24]
+                        )
+                        width, height = struct.unpack(
+                            "<II", data[j + 40 : j + 48]
+                        )
+                        geom = (width, height, usec)
+                        break
+                    j += 8 + ssize + (ssize & 1)
+            elif ltype == b"movi":
+                j = body_at + 4
+                while j + 8 <= body_at + size:
+                    scid = data[j : j + 4]
+                    (ssize,) = struct.unpack("<I", data[j + 4 : j + 8])
+                    # Stream-0 video chunks: uncompressed ('db') or
+                    # compressed ('dc') frames.
+                    if scid[2:4] in (b"db", b"dc"):
+                        frames.append((j + 8, ssize))
+                    j += 8 + ssize + (ssize & 1)
+        i += 8 + size + (size & 1)
+    if geom is None or not frames:
+        return None
+    width, height, usec = geom
+    if width == 0 or height == 0 or usec == 0:
+        return None
+    return width, height, usec, frames
+
+
+def decode_frame_pixels(frame: bytes, width: int, height: int) -> bytes:
+    """RGB pixel bytes of one uncompressed DIB frame (bottom-up BGR
+    rows padded to 4 bytes — the BMP pixel-array layout without the
+    file headers)."""
+    import numpy as np
+
+    stride = (width * 3 + 3) & ~3
+    if len(frame) < stride * height:
+        raise ValueError("truncated DIB frame")
+    rows = np.frombuffer(frame[: stride * height], np.uint8).reshape(height, stride)
+    img = rows[:, : width * 3].reshape(height, width, 3)[::-1]  # bottom-up
+    return img[:, :, ::-1].tobytes()  # BGR -> RGB
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _list(ltype: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", ltype + body)
+
+
+def build_frame(width: int, height: int, frame_idx: int, base: int) -> bytes:
+    """One DIB frame (bottom-up BGR, 4-byte row padding) carrying the
+    ``pattern_byte`` ramp keyed by ``base + 29*frame_idx``."""
+    fbase = (base + 29 * frame_idx) % 256
+    pad = (-(width * 3)) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):
+        for x in range(width):
+            body += bytes(pattern_byte(x, y, c, fbase) for c in (2, 1, 0))
+        body += b"\x00" * pad
+    return bytes(body)
+
+
+def build_avi(
+    width: int, height: int, n_frames: int, usec_per_frame: int, base: int
+):
+    """(payload, frame_offsets): a fully valid AVI with ``n_frames``
+    uncompressed pattern frames. ``frame_offsets`` records, from the
+    builder's own serialization arithmetic (NOT by re-parsing), where
+    each frame's DIB bytes start in ``payload`` — the encode-time
+    record the fixture oracle reads."""
+    frame_bytes = [build_frame(width, height, f, base) for f in range(n_frames)]
+    frame_size = len(frame_bytes[0])
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec_per_frame,
+        frame_size * 1_000_000 // max(usec_per_frame, 1),
+        0,
+        0x10,  # AVIF_HASINDEX
+        n_frames,
+        0,
+        1,
+        frame_size,
+        width,
+        height,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, usec_per_frame, 1_000_000, 0, n_frames, frame_size, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_body = bytearray()
+    movi_rel: list[int] = []  # frame offsets relative to movi body start
+    for fb in frame_bytes:
+        movi_rel.append(len(movi_body) + 8)  # past the 00db header
+        movi_body += _chunk(b"00db", fb)
+    movi = _list(b"movi", bytes(movi_body))
+    idx1 = b"".join(
+        b"00db" + struct.pack("<III", 0x10, 4 + rel - 8, frame_size)
+        for rel in movi_rel
+    )
+    riff_body = b"AVI " + hdrl + movi + _chunk(b"idx1", idx1)
+    payload = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    # Absolute frame offsets: RIFF header (12) + hdrl + LIST header of
+    # movi (8) + 'movi' type tag (4) + relative offset within the body.
+    movi_body_abs = 12 + len(hdrl) + 8 + 4
+    offsets = [movi_body_abs + rel for rel in movi_rel]
+    for off in offsets:  # builder self-check: offsets index real chunks
+        assert payload[off - 8 : off - 4] == b"00db", off
+    return payload, offsets

@@ -1,8 +1,10 @@
-"""Multimodal-column queries: binary payload → mapInPandas feature
-extraction, with oracles over the same deterministic arithmetic
-(multimodal/codec.py). The payload here is the document text encoded to
-UTF-8 bytes — a stand-in for real image/audio blobs; the Spark plumbing
-(binary column, Arrow batches, typed output schema) is the real thing.
+"""Multimodal-column queries: binary payload → mapInPandas decode over
+committed fixtures of REAL media files (refdata/*_fixture.parquet) —
+image header + pixel decode, PCM sample decode, AVI container walk +
+frame decode, all stdlib (multimodal/{imagehdr,pixeldec,audiohdr,
+videohdr}.py). Every oracle reads the fixture generator's encode-time
+expectation columns, so parity pits the Spark decode path against an
+independent record of what was encoded.
 """
 
 from __future__ import annotations
@@ -19,11 +21,6 @@ from ..multimodal.codec import (
 )
 from ..registry import register
 from ..sources.catalog import load_table
-
-
-def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
 
 
 # Committed binary fixture of REAL image files (PNG/GIF/BMP/JPEG built
@@ -62,8 +59,9 @@ FROM f
     "width/height/channels from magic bytes (multimodal/imagehdr.py, "
     "stdlib struct/zlib). The oracle reads the encode-time dimensions "
     "recorded by the fixture generator, so parity verifies the parse "
-    "against an independent record. Pixel-level decode stays stubbed "
-    "(no PIL in this environment; multimodal/codec.py).",
+    "against an independent record. Pixel-level decode is REAL too — "
+    "see multimodal_image_resize (JPEG pixels excepted: libjpeg-class "
+    "entropy decode is genuinely out of stdlib scope).",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,8 +98,9 @@ FROM f
     "chunks (multimodal/audiohdr.py, stdlib struct; builder validated "
     "against the stdlib wave module). The oracle reads the encode-time "
     "record written by the fixture generator, so parity verifies the "
-    "parse independently. Sample-level decode stays stubbed (no audio "
-    "libs in this environment; multimodal/codec.py).",
+    "parse independently. Sample-level decode is REAL too — see "
+    "multimodal_audio_loudness (PCM frames are raw int16; only "
+    "compressed codecs remain out of stdlib scope).",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,47 +114,99 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_image_resize",
     oracle=f"""
-WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-d AS (
-    SELECT doc_id, (n % 640 + 1) AS w, (n % 480 + 1) AS h,
-           greatest(n % 640 + 1, n % 480 + 1) AS long_edge
-    FROM b
-)
-SELECT doc_id, w::BIGINT AS width, h::BIGINT AS height,
-       ((w * {MM.RESIZE_TARGET}) // long_edge)::BIGINT AS out_width,
-       ((h * {MM.RESIZE_TARGET}) // long_edge)::BIGINT AS out_height,
-       (((w * {MM.RESIZE_TARGET}) // long_edge) * ((h * {MM.RESIZE_TARGET}) // long_edge) * 3)::BIGINT AS out_pixels
-FROM d
+SELECT doc_id, fmt,
+       exp_width::BIGINT AS width,
+       exp_height::BIGINT AS height,
+       exp_channels::BIGINT AS channels,
+       exp_out_width::BIGINT AS out_width,
+       exp_out_height::BIGINT AS out_height,
+       exp_resized_crc32::BIGINT AS resized_crc32
+FROM read_parquet('{_IMAGE_FIXTURE_PARQUET}')
+WHERE doc_id IN (SELECT doc_id FROM documents) AND fmt != 'jpeg'
 """,
-    doc="Resize-to-fit plumbing: aspect-preserving integer resize of the "
-    "fake-decoded dims via mapInPandas (real decode stubbed; "
-    "multimodal/codec.py:resize_map).",
+    doc="REAL pixel decode + resize: committed PNG/GIF/BMP payloads are "
+    "fully decoded (multimodal/pixeldec.py — zlib inflate + all five "
+    "PNG row filters / GIF LZW / BMP raw BGR, stdlib only), nearest-"
+    "neighbor resized to fit 256 on the long edge, and checksummed. "
+    "The oracle reads the generator's encode-time record — out dims "
+    "AND the CRC-32 of the resized pixels, derived from the pattern "
+    "formula without touching payload bytes — so parity proves the "
+    "whole decode+resample path byte-for-byte. JPEG rows are skipped "
+    "by both sides (baseline JPEG entropy decode needs libjpeg-class "
+    "machinery; its header metadata is covered by "
+    "multimodal_image_features).",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _with_payload(spark, sf_dir).mapInPandas(
+    return _image_payloads(spark, sf_dir).mapInPandas(
         MM.resize_map, schema=MM.RESIZE_SCHEMA
     )
+
+
+# Committed AVI fixture + the generator's sampled-frame expectation
+# table (byte offsets from the builder's serialization arithmetic,
+# pixel CRCs from the pattern formula — tools/gen_video_fixture.py).
+_VIDEO_FIXTURE_PARQUET = "/root/repo/refdata/video_fixture.parquet"
+_VIDEO_FRAMES_EXPECTED_PARQUET = "/root/repo/refdata/video_frames_expected.parquet"
 
 
 @register(
     "multimodal_video_frames",
     oracle=f"""
-WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
-SELECT doc_id,
-       unnest(range(0, n // {MM.VIDEO_FRAME_BYTES} + 1, {MM.VIDEO_SAMPLE_EVERY}))::BIGINT AS frame_idx,
-       (unnest(range(0, n // {MM.VIDEO_FRAME_BYTES} + 1, {MM.VIDEO_SAMPLE_EVERY})) * {MM.VIDEO_FRAME_BYTES})::BIGINT AS byte_offset
-FROM b
+SELECT doc_id, frame_idx, byte_offset, frame_crc32
+FROM read_parquet('{_VIDEO_FRAMES_EXPECTED_PARQUET}')
+WHERE doc_id IN (SELECT doc_id FROM documents)
 """,
-    doc="Frame-sampling plumbing (one-to-many mapInPandas): every "
-    f"{MM.VIDEO_SAMPLE_EVERY}th frame of a {MM.VIDEO_FRAME_BYTES}-byte-"
-    "frame payload (multimodal/codec.py:video_frames_map).",
+    doc="REAL video frame sampling (one-to-many mapInPandas): committed "
+    "AVI payloads (refdata/video_fixture.parquet — RIFF container, "
+    "uncompressed 24-bit DIB frames, tools/gen_video_fixture.py) have "
+    "their chunk tree walked (multimodal/videohdr.py: LIST hdrl → avih "
+    f"geometry, LIST movi → frame chunks); every {MM.VIDEO_SAMPLE_EVERY}rd "
+    "frame is pixel-decoded (bottom-up BGR → RGB) and reported with its "
+    "container byte offset + decoded-pixel CRC-32. The oracle reads the "
+    "generator's expectation table: offsets recorded at serialization "
+    "time, CRCs derived from the pattern formula — the Spark side must "
+    "parse the actual container to match.",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _with_payload(spark, sf_dir).mapInPandas(
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fixture = spark.read.parquet(_VIDEO_FIXTURE_PARQUET).select("doc_id", "payload")
+    return fixture.join(docs, "doc_id").mapInPandas(
         MM.video_frames_map, schema=MM.VIDEO_FRAMES_SCHEMA
     )
+
+
+@register(
+    "multimodal_audio_loudness",
+    oracle=f"""
+SELECT doc_id,
+       (exp_n_frames * exp_channels)::BIGINT AS n_samples,
+       exp_peak::BIGINT AS peak,
+       exp_sum_sq::BIGINT AS sum_sq,
+       round(sqrt(exp_sum_sq::DOUBLE / (exp_n_frames * exp_channels)), 4) AS rms
+FROM read_parquet('{_AUDIO_FIXTURE_PARQUET}')
+WHERE doc_id IN (SELECT doc_id FROM documents)
+""",
+    doc="REAL audio sample decode: the PCM WAV data chunk IS the "
+    "samples — multimodal/audiohdr.py:decode_wav_samples slices it "
+    "out of the RIFF walk and reinterprets int16 frames; loudness "
+    "stats are exact integers (peak = max |s|, sum_sq = Σ s² in "
+    "int64), rms the one fixed-shape float, rounded to 4 dp on both "
+    "sides per registry convention. The oracle reads peak/sum_sq the "
+    "generator derived from the waveform FORMULA (never parsing a "
+    "payload), so parity proves the container walk + sample "
+    "reinterpretation bit-exactly. Compressed codecs stay out of "
+    "scope (they genuinely need audio libraries).",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fixture = spark.read.parquet(_AUDIO_FIXTURE_PARQUET).select("doc_id", "payload")
+    out = fixture.join(docs, "doc_id").mapInPandas(
+        MM.audio_loudness_map, schema=MM.AUDIO_LOUDNESS_SCHEMA
+    )
+    return out.withColumn("rms", F.round("rms", 4))
 
 
 @register(

@@ -143,9 +143,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     "search_bm25_multi",
     "search_bm25_served",
     "documents_length_histogram",
+    # rule 2 — real PIXEL/SAMPLE/FRAME decode landed this round: resize
+    # now decodes PNG/GIF/BMP pixels and checksums the resample, video
+    # walks real AVI containers, loudness decodes PCM samples
+    # (displacing text_novelty_ngrams + text_cms_heavy_hitters, both
+    # green through r10; text keeps 6 in-window reps)
     "multimodal_image_resize",
-    "text_novelty_ngrams",
-    "text_cms_heavy_hitters",
+    "multimodal_video_frames",
+    "multimodal_audio_loudness",
     # live streaming drains — oracle-backed, last on purpose
     "streaming_inverted_index",
     "streaming_cdc_apply",

@@ -99,6 +99,88 @@ def test_fixture_generator_is_deterministic():
         assert fixture_row(d) == (payload, sr, ch, nf)
 
 
+def test_sample_decode_agrees_with_stdlib_wave():
+    """decode_wav_samples vs the stdlib ``wave`` module reading the
+    same payload: the raw frame BYTES must be identical (wave is the
+    independent spec reader), and the int16 view must match the
+    waveform formula."""
+    import numpy as np
+
+    from parallel_map_reduce_spark.multimodal.audiohdr import (
+        decode_wav_samples,
+        wave_sample,
+    )
+
+    for (rate, ch, frames, base) in [(8000, 1, 25, 0), (22050, 2, 117, 200)]:
+        payload = build_wav(rate, ch, frames, pattern=base)
+        r, c, samples = decode_wav_samples(payload)
+        assert (r, c, samples.shape) == (rate, ch, (frames, ch))
+        w = wave.open(io.BytesIO(payload))
+        assert samples.astype("<i2").tobytes() == w.readframes(frames)
+        for f in (0, frames // 2, frames - 1):
+            for chan in range(ch):
+                assert samples[f, chan] == wave_sample(f, chan, base)
+
+
+def test_sample_decode_rejects_non_pcm():
+    from parallel_map_reduce_spark.multimodal.audiohdr import decode_wav_samples
+
+    with pytest.raises(ValueError):
+        decode_wav_samples(b"not audio")
+    with pytest.raises(ValueError):  # 8-bit PCM: parseable header, no decode
+        decode_wav_samples(build_wav(8000, 1, 10, bits=8))
+
+
+def test_audio_fixture_loudness_matches_formula_record():
+    """Every committed payload's decoded samples reproduce the
+    generator's formula-derived peak/sum_sq exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parallel_map_reduce_spark.multimodal.audiohdr import decode_wav_samples
+
+    t = pq.read_table(FIXTURE)
+    for d, payload, peak, ssq in zip(
+        t["doc_id"].to_pylist(),
+        t["payload"].to_pylist(),
+        t["exp_peak"].to_pylist(),
+        t["exp_sum_sq"].to_pylist(),
+    ):
+        _r, _c, samples = decode_wav_samples(payload)
+        flat = samples.astype(np.int64).ravel()
+        assert int(np.abs(flat).max()) == peak, d
+        assert int(np.dot(flat, flat)) == ssq, d
+
+
+def test_map_in_pandas_real_loudness(spark):
+    """The registered loudness query's Spark path equals the fixture's
+    formula-derived record for a sample of docs."""
+    import pyarrow.parquet as pq
+
+    from parallel_map_reduce_spark.queries.multimodal import (
+        multimodal_audio_loudness,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in multimodal_audio_loudness(spark, "/root/testdata/sf0.001")
+        .orderBy("doc_id")
+        .limit(16)
+        .collect()
+    }
+    t = pq.read_table(FIXTURE).slice(0, 16)
+    for d, ch, nf, peak, ssq in zip(
+        t["doc_id"].to_pylist(),
+        t["exp_channels"].to_pylist(),
+        t["exp_n_frames"].to_pylist(),
+        t["exp_peak"].to_pylist(),
+        t["exp_sum_sq"].to_pylist(),
+    ):
+        r = rows[d]
+        assert (r.n_samples, r.peak, r.sum_sq) == (nf * ch, peak, ssq), d
+        assert r.rms == round((ssq / (nf * ch)) ** 0.5, 4), d
+
+
 def test_map_in_pandas_true_audio_metadata(spark):
     from parallel_map_reduce_spark.queries.multimodal import (
         multimodal_audio_features,

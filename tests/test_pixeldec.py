@@ -1,0 +1,274 @@
+"""Stdlib PIXEL decoders (PNG inflate+unfilter / GIF LZW / BMP raw):
+spec checks on hand-assembled bytes (not via the builders), pattern
+round trips covering every PNG filter type, malformed rejection,
+resize arithmetic differentials, fixture self-consistency, and the
+Spark path reproducing the generator's resized-pixel checksums.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from parallel_map_reduce_spark.multimodal.imagehdr import (
+    build_bmp,
+    build_gif,
+    build_jpeg,
+    build_png,
+    pattern_byte,
+)
+from parallel_map_reduce_spark.multimodal.pixeldec import (
+    decode_bmp_pixels,
+    decode_gif_pixels,
+    decode_image_pixels,
+    decode_png_pixels,
+    fit_dims,
+    resize_nearest,
+)
+
+FIXTURE = "/root/repo/refdata/image_fixture.parquet"
+
+
+def _pattern_array(w: int, h: int, c: int, base: int) -> np.ndarray:
+    a = np.zeros((h, w, c), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            for ch in range(c):
+                a[y, x, ch] = pattern_byte(x, y, ch, base)
+    return a
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize(("w", "h", "base"), [(9, 7, 0), (16, 5, 201), (5, 11, 77)])
+def test_png_pattern_roundtrip_all_filters(channels, w, h, base):
+    """h >= 5 rows cycle filters 0-4 (build_png uses y % 5), so every
+    unfilter branch is exercised against the pattern formula."""
+    dw, dh, dc, px = decode_png_pixels(build_png(w, h, channels, pattern=base))
+    assert (dw, dh, dc) == (w, h, channels)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, channels)
+    assert np.array_equal(got, _pattern_array(w, h, channels, base))
+
+
+def test_png_hand_built_filter2_scanlines():
+    """A PNG assembled BY HAND with Up-filtered (type 2) scanlines —
+    checks the decoder against the filter spec, not against build_png
+    (whose encoder could share a mirrored bug)."""
+    w, h = 3, 3
+    rows = [bytes([10, 20, 30]), bytes([11, 22, 33]), bytes([13, 25, 37])]
+    scan = b"\x00" + rows[0]  # first row: filter None
+    for y in (1, 2):  # subsequent rows: filter Up stores row - prev
+        scan += b"\x02" + bytes((rows[y][i] - rows[y - 1][i]) & 0xFF for i in range(w))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # grayscale
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, dc, px = decode_png_pixels(data)
+    assert (dw, dh, dc) == (w, h, 1)
+    assert px == b"".join(rows)
+
+
+def test_png_paeth_hand_vector():
+    """Paeth (type 4) hand vector: reconstruct a 2x2 RGB image whose
+    second row is Paeth-filtered, with predictor values worked out by
+    hand from the spec (a=left, b=up, c=up-left)."""
+    row0 = bytes([100, 0, 50, 10, 200, 30])
+    row1 = bytes([110, 5, 60, 20, 190, 40])
+    # filter row1: for i<3 pred=b (up); for i>=3 pred=closest of a,b,c
+    filt = bytearray()
+    for i in range(6):
+        a = row1[i - 3] if i >= 3 else 0
+        b = row0[i]
+        c = row0[i - 3] if i >= 3 else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        filt.append((row1[i] - pred) & 0xFF)
+    scan = b"\x00" + row0 + b"\x04" + bytes(filt)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(data)[3] == row0 + row1
+
+
+def test_gif_pattern_checkerboard():
+    for (w, h, base) in [(8, 8, 0), (13, 7, 1), (31, 9, 254)]:
+        dw, dh, dc, px = decode_gif_pixels(build_gif(w, h, pattern=base))
+        assert (dw, dh, dc) == (w, h, 3)
+        got = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+        xs = np.arange(w)[None, :]
+        ys = np.arange(h)[:, None]
+        exp = np.repeat((((xs + ys + base) % 2) * 255).astype(np.uint8)[:, :, None], 3, axis=2)
+        assert np.array_equal(got, exp)
+
+
+def test_gif_lzw_kwkwk_case():
+    """Hand-packed LZW stream hitting the KwKwK (code == next_code)
+    corner the clear-per-pixel builder never emits: codes
+    [clear, 0, 6] decode to 0,0,0 (entry 6 = prev + prev[0])."""
+    out = bytearray(b"GIF89a") + struct.pack("<HH", 3, 1)
+    out += b"\xf0\x00\x00" + b"\x00\x00\x00\xff\xff\xff"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 3, 1) + b"\x00" + b"\x02"
+    acc = n = 0
+    data = bytearray()
+    for code in (4, 0, 6, 5):  # clear, '0', KwKwK, end — 3-bit codes
+        acc |= code << n
+        n += 3
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    out += bytes([len(data)]) + bytes(data) + b"\x00\x3b"
+    dw, dh, dc, px = decode_gif_pixels(bytes(out))
+    assert (dw, dh, dc, px) == (3, 1, 3, b"\x00" * 9)
+
+
+def test_bmp_pattern_and_topdown():
+    w, h, base = 7, 5, 33
+    dw, dh, dc, px = decode_bmp_pixels(build_bmp(w, h, pattern=base))
+    assert (dw, dh, dc) == (w, h, 3)
+    assert np.array_equal(
+        np.frombuffer(px, np.uint8).reshape(h, w, 3), _pattern_array(w, h, 3, base)
+    )
+    # Top-down variant (negative height) assembled by hand: same pixels
+    # stored in image order must decode identically WITHOUT the flip.
+    up = build_bmp(w, h, pattern=base)
+    stride = (w * 3 + 3) & ~3
+    (pixel_off,) = struct.unpack("<I", up[10:14])
+    rows = up[pixel_off:]
+    flipped = b"".join(
+        rows[(h - 1 - y) * stride : (h - y) * stride] for y in range(h)
+    )
+    down = bytearray(up[:pixel_off] + flipped)
+    down[22:26] = struct.pack("<i", -h)
+    assert decode_bmp_pixels(bytes(down))[3] == px
+
+
+@pytest.mark.parametrize(
+    "junk",
+    [
+        b"",
+        b"not an image",
+        build_jpeg(16, 16, 3),  # structurally valid JPEG: pixels undecodable
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 30,  # magic, garbage chunks
+        b"BM" + b"\x00" * 30,  # truncated BMP
+        b"GIF89a" + struct.pack("<HH", 4, 4),  # GIF with no image data
+    ],
+)
+def test_undecodable_raises(junk):
+    with pytest.raises(ValueError):
+        decode_image_pixels(junk)
+
+
+def test_png_bad_filter_type_raises():
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x05\x00\x00")) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png_pixels(data)
+
+
+def test_fit_dims_and_resize_differential():
+    """fit_dims edge cases + resize_nearest vs an independent pure-
+    Python double loop on pattern pixels."""
+    assert fit_dims(1, 1, 256) == (256, 256)
+    assert fit_dims(512, 256, 256) == (256, 128)
+    assert fit_dims(1000, 3, 256) == (256, 1)  # clamp, never 0
+    w, h, c, base = 13, 7, 3, 99
+    px = _pattern_array(w, h, c, base).tobytes()
+    out_w, out_h = fit_dims(w, h, 16)
+    got = resize_nearest(px, w, h, c, out_w, out_h)
+    exp = bytearray()
+    for oy in range(out_h):
+        for ox in range(out_w):
+            sx, sy = ox * w // out_w, oy * h // out_h
+            for ch in range(c):
+                exp.append(pattern_byte(sx, sy, ch, base))
+    assert got == bytes(exp)
+
+
+def test_fixture_decode_matches_encode_record():
+    """Every non-JPEG fixture payload decodes + resizes to exactly the
+    generator's expectation (out dims AND resized-pixel CRC, derived
+    from the pattern formula, never from the payload)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(FIXTURE)
+    n_checked = 0
+    for d, fmt, payload, w, h, c, ow, oh, crc in zip(
+        *[t[col].to_pylist() for col in t.column_names]
+    ):
+        if fmt == "jpeg":
+            assert ow is None and oh is None and crc is None, d
+            continue
+        f2, dw, dh, dc, px = decode_image_pixels(payload)
+        assert (f2, dw, dh, dc) == (fmt, w, h, c), d
+        gw, gh = fit_dims(dw, dh, 256)
+        assert (gw, gh) == (ow, oh), d
+        resized = resize_nearest(px, dw, dh, dc, gw, gh)
+        assert zlib.crc32(resized) & 0xFFFFFFFF == crc, d
+        n_checked += 1
+    assert n_checked == 3750  # 3 of every 4 fixture rows decode
+
+
+def test_map_in_pandas_real_resize_checksums(spark):
+    """The registered query's Spark path reproduces the generator's
+    resized-pixel CRCs and skips exactly the JPEG rows."""
+    import pyarrow.parquet as pq
+
+    from parallel_map_reduce_spark.queries.multimodal import (
+        multimodal_image_resize,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in multimodal_image_resize(spark, "/root/testdata/sf0.001").collect()
+    }
+    t = pq.read_table(FIXTURE).slice(0, 500)
+    n_jpeg = 0
+    for d, fmt, ow, oh, crc in zip(
+        t["doc_id"].to_pylist(),
+        t["fmt"].to_pylist(),
+        t["exp_out_width"].to_pylist(),
+        t["exp_out_height"].to_pylist(),
+        t["exp_resized_crc32"].to_pylist(),
+    ):
+        if fmt == "jpeg":
+            assert d not in rows
+            n_jpeg += 1
+            continue
+        r = rows[d]
+        assert (r.out_width, r.out_height, r.resized_crc32) == (ow, oh, crc), d
+    assert len(rows) == 500 - n_jpeg

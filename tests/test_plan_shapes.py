@@ -58,19 +58,25 @@ def test_scan_speed_ops_have_no_exchange(plans):
         "text_repetition_signals",
         "curation_stratified_sample",
         "dedup_simhash",
-        "multimodal_video_frames",
     ):
         p = plans(name)
         assert "Exchange" not in p, f"{name} grew a shuffle"
 
 
-def test_image_features_broadcast_scoped_no_shuffle(plans):
-    """Since the real-decode rewire the image-features entry joins the
-    committed payload fixture to the sf's documents: the scope join
-    must be a BROADCAST (doc-id dim is small), never a shuffle."""
-    p = plans("multimodal_image_features")
-    assert "BroadcastHashJoin" in p
-    assert "Exchange hashpartitioning" not in p, "fixture scope join shuffled"
+def test_fixture_decode_entries_broadcast_scoped_no_shuffle(plans):
+    """Since the real-decode rewires, every fixture-backed multimodal
+    entry joins the committed payload fixture to the sf's documents:
+    the scope join must be a BROADCAST (doc-id dim is small), never a
+    shuffle."""
+    for name in (
+        "multimodal_image_features",
+        "multimodal_image_resize",
+        "multimodal_video_frames",
+        "multimodal_audio_loudness",
+    ):
+        p = plans(name)
+        assert "BroadcastHashJoin" in p, f"{name} lost the broadcast scope"
+        assert "Exchange hashpartitioning" not in p, f"{name} scope join shuffled"
 
 
 def test_funnel_single_shuffle(plans):

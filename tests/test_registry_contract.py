@@ -34,7 +34,10 @@ RAW_PATH_ORACLES = {
     "reference_corpus_index",
     "multimodal_image_features",
     "multimodal_audio_features",
+    "multimodal_audio_loudness",
     "multimodal_curation_filter",
+    "multimodal_image_resize",
+    "multimodal_video_frames",
 }
 
 

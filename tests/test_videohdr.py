@@ -1,0 +1,171 @@
+"""Stdlib AVI codec: hand-assembled chunk-tree parse (spec check),
+build→parse round trips with offset agreement, malformed rejection,
+frame pixel decode vs the pattern formula, fixture self-consistency,
+and the Spark path reproducing the generator's sampled-frame table.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from parallel_map_reduce_spark.multimodal.imagehdr import pattern_byte
+from parallel_map_reduce_spark.multimodal.videohdr import (
+    build_avi,
+    build_frame,
+    decode_frame_pixels,
+    parse_avi,
+)
+
+FIXTURE = "/root/repo/refdata/video_fixture.parquet"
+FRAMES_EXPECTED = "/root/repo/refdata/video_frames_expected.parquet"
+
+
+@pytest.mark.parametrize(
+    ("w", "h", "nf", "usec", "base"),
+    [(4, 3, 3, 33333, 0), (8, 5, 8, 40000, 77), (6, 4, 5, 20000, 250)],
+)
+def test_build_parse_roundtrip(w, h, nf, usec, base):
+    payload, offsets = build_avi(w, h, nf, usec, base)
+    pw, ph, pusec, frames = parse_avi(payload)
+    assert (pw, ph, pusec) == (w, h, usec)
+    assert [off for off, _ in frames] == offsets
+    for f, (off, size) in enumerate(frames):
+        assert payload[off : off + size] == build_frame(w, h, f, base)
+
+
+def test_hand_built_avi_chunk_walk():
+    """An AVI assembled BY HAND (not via build_avi), with a JUNK chunk
+    between hdrl and movi and an extra non-video chunk inside movi —
+    the parser must walk sizes, not assume the builder's layout."""
+    w, h, usec = 2, 2, 50000
+    frame = bytes(range(16))  # 2 rows * stride 8
+    avih = struct.pack("<IIIIIIIIII4I", usec, 0, 0, 0, 2, 0, 1, 0, w, h, 0, 0, 0, 0)
+    hdrl_body = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"  # even size, no pad
+    pieces = bytearray(b"movi")
+    pieces += b"01wb" + struct.pack("<I", 4) + b"\x00" * 4  # audio chunk: skip
+    pieces += b"00db" + struct.pack("<I", len(frame)) + frame
+    pieces += b"00dc" + struct.pack("<I", len(frame)) + frame
+    movi = b"LIST" + struct.pack("<I", len(pieces)) + bytes(pieces)
+    body = b"AVI " + hdrl + junk + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    pw, ph, pusec, frames = parse_avi(payload)
+    assert (pw, ph, pusec) == (w, h, usec)
+    # Frame offsets: just past each video chunk header (tags unique here).
+    assert frames == [
+        (payload.index(b"00db") + 8, 16),
+        (payload.index(b"00dc") + 8, 16),
+    ]
+    for off, size in frames:
+        assert payload[off : off + size] == frame
+
+
+@pytest.mark.parametrize(
+    "junk",
+    [
+        b"",
+        b"RIFF",
+        b"RIFF\x00\x00\x00\x00WAVE",  # RIFF but not AVI
+        b"RIFF" + struct.pack("<I", 4) + b"AVI ",  # AVI with no chunks
+        b"not a video",
+    ],
+)
+def test_malformed_rejected(junk):
+    assert parse_avi(junk) is None
+
+
+def test_frame_pixel_decode_matches_pattern():
+    w, h, base = 6, 4, 42
+    for f in range(3):
+        rgb = decode_frame_pixels(build_frame(w, h, f, base), w, h)
+        got = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+        fbase = (base + 29 * f) % 256
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    assert got[y, x, c] == pattern_byte(x, y, c, fbase)
+
+
+def test_truncated_frame_raises():
+    with pytest.raises(ValueError):
+        decode_frame_pixels(b"\x00" * 10, 4, 4)
+
+
+def test_fixture_parse_matches_encode_record():
+    """Every committed AVI parses to its generator-recorded geometry,
+    and every sampled frame's offset + decoded-pixel CRC agrees with
+    the expectation table (offsets from serialization arithmetic, CRCs
+    from the pattern formula)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(FIXTURE)
+    ft = pq.read_table(FRAMES_EXPECTED)
+    exp = {
+        (d, fi): (off, crc)
+        for d, fi, off, crc in zip(
+            ft["doc_id"].to_pylist(),
+            ft["frame_idx"].to_pylist(),
+            ft["byte_offset"].to_pylist(),
+            ft["frame_crc32"].to_pylist(),
+        )
+    }
+    n_frames_checked = 0
+    for d, payload, w, h, nf, usec in zip(
+        *[t[col].to_pylist() for col in t.column_names]
+    ):
+        pw, ph, pusec, frames = parse_avi(payload)
+        assert (pw, ph, pusec, len(frames)) == (w, h, usec, nf), d
+        for fi in range(0, nf, 3):
+            off, size = frames[fi]
+            rgb = decode_frame_pixels(payload[off : off + size], pw, ph)
+            assert exp[(d, fi)] == (off, zlib.crc32(rgb) & 0xFFFFFFFF), (d, fi)
+            n_frames_checked += 1
+    assert n_frames_checked == ft.num_rows
+
+
+def test_fixture_generator_is_deterministic():
+    import pyarrow.parquet as pq
+
+    from tools.gen_video_fixture import fixture_params
+
+    from parallel_map_reduce_spark.multimodal.videohdr import build_avi as _build
+
+    t = pq.read_table(FIXTURE).slice(0, 48)
+    for d, payload, w, h, nf, usec in zip(
+        *[t[col].to_pylist() for col in t.column_names]
+    ):
+        pw, ph, pnf, pusec, base = fixture_params(d)
+        assert (pw, ph, pnf, pusec) == (w, h, nf, usec)
+        assert _build(pw, ph, pnf, pusec, base)[0] == payload, d
+
+
+def test_map_in_pandas_real_frame_sampling(spark):
+    """The registered query equals the generator's expectation table
+    exactly at sf0.001 (full-result comparison, all 500 docs)."""
+    import pyarrow.parquet as pq
+
+    from parallel_map_reduce_spark.queries.multimodal import (
+        multimodal_video_frames,
+    )
+
+    got = sorted(
+        (r.doc_id, r.frame_idx, r.byte_offset, r.frame_crc32)
+        for r in multimodal_video_frames(spark, "/root/testdata/sf0.001").collect()
+    )
+    ft = pq.read_table(FRAMES_EXPECTED)
+    exp = sorted(
+        (d, fi, off, crc)
+        for d, fi, off, crc in zip(
+            ft["doc_id"].to_pylist(),
+            ft["frame_idx"].to_pylist(),
+            ft["byte_offset"].to_pylist(),
+            ft["frame_crc32"].to_pylist(),
+        )
+        if d < 500
+    )
+    assert got == exp

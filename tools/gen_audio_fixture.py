@@ -1,16 +1,19 @@
 """Generate the committed WAV fixture (refdata/audio_fixture.parquet).
 
 One real PCM WAV per doc_id 0..4999 (covers every driver sf) built by
-multimodal/audiohdr.py, with the encode-time parameters recorded as
-expected-value columns:
+multimodal/audiohdr.py, with the encode-time record as expected-value
+columns:
 
     doc_id BIGINT, payload BLOB,
-    exp_sample_rate BIGINT, exp_channels BIGINT, exp_n_frames BIGINT
+    exp_sample_rate BIGINT, exp_channels BIGINT, exp_n_frames BIGINT,
+    exp_peak BIGINT, exp_sum_sq BIGINT
 
-The Spark side of ``multimodal_audio_features`` parses the RIFF/fmt/
-data chunks out of ``payload``; the DuckDB oracle reads the exp_*
-record written HERE by the same code that chose the encode parameters.
-Deterministic: no RNG, no time.
+The data chunk carries the deterministic ``wave_sample`` int16 zigzag
+waveform; exp_peak / exp_sum_sq are exact integer loudness statistics
+computed HERE from the waveform FORMULA alone (this script never
+parses a payload), so ``multimodal_audio_loudness``'s parity check
+pits the Spark RIFF-walk + sample decode against an independent
+derivation. Deterministic: no RNG, no time.
 
 Usage: python tools/gen_audio_fixture.py
 """
@@ -20,6 +23,7 @@ from __future__ import annotations
 import os
 import sys
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -44,20 +48,38 @@ def fixture_row(doc_id: int) -> tuple[bytes, int, int, int]:
     sample_rate = RATES[doc_id % 4]
     channels = 1 + (doc_id % 2)
     n_frames = (doc_id % 200) + 25
-    payload = build_wav(sample_rate, channels, n_frames, sample_byte=doc_id % 256)
+    payload = build_wav(sample_rate, channels, n_frames, pattern=doc_id % 256)
     return payload, sample_rate, channels, n_frames
 
 
+def expected_loudness(doc_id: int, channels: int, n_frames: int) -> tuple[int, int]:
+    """(peak, sum_sq) from the waveform formula — exact integers, no
+    payload bytes involved. Formula restated inline (audiohdr.py:
+    wave_sample): ((base*31 + f*7 + ch*13) % 4001) - 2000."""
+    base = doc_id % 256
+    fs = np.arange(n_frames, dtype=np.int64)[:, None]
+    chs = np.arange(channels, dtype=np.int64)[None, :]
+    samples = (base * 31 + fs * 7 + chs * 13) % 4001 - 2000
+    return int(np.abs(samples).max()), int((samples * samples).sum())
+
+
 def main() -> int:
-    cols = {k: [] for k in ("doc_id", "payload", "exp_sample_rate", "exp_channels", "exp_n_frames")}
+    names = (
+        "doc_id", "payload", "exp_sample_rate", "exp_channels",
+        "exp_n_frames", "exp_peak", "exp_sum_sq",
+    )
+    cols: dict[str, list] = {k: [] for k in names}
     for d in range(N_DOCS):
         payload, sr, ch, nf = fixture_row(d)
         assert parse_wav_header(payload) == (sr, ch, 16, nf), d
+        peak, sum_sq = expected_loudness(d, ch, nf)
         cols["doc_id"].append(d)
         cols["payload"].append(payload)
         cols["exp_sample_rate"].append(sr)
         cols["exp_channels"].append(ch)
         cols["exp_n_frames"].append(nf)
+        cols["exp_peak"].append(peak)
+        cols["exp_sum_sq"].append(sum_sq)
     table = pa.table(
         {
             "doc_id": pa.array(cols["doc_id"], pa.int64()),
@@ -65,6 +87,8 @@ def main() -> int:
             "exp_sample_rate": pa.array(cols["exp_sample_rate"], pa.int64()),
             "exp_channels": pa.array(cols["exp_channels"], pa.int64()),
             "exp_n_frames": pa.array(cols["exp_n_frames"], pa.int64()),
+            "exp_peak": pa.array(cols["exp_peak"], pa.int64()),
+            "exp_sum_sq": pa.array(cols["exp_sum_sq"], pa.int64()),
         }
     )
     pq.write_table(table, OUT, compression="zstd")

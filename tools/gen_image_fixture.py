@@ -3,19 +3,26 @@
 One row per doc_id 0..4999 (covers every driver sf: documents doc_ids
 are 0..499 at sf0.001/sf0.01 and 0..4999 at sf0.1), with REAL image
 bytes built by the stdlib builders in multimodal/imagehdr.py and the
-dimensions they were built with as expected-value columns:
+encode-time record as expected-value columns:
 
     doc_id BIGINT, fmt VARCHAR, payload BLOB,
-    exp_width BIGINT, exp_height BIGINT, exp_channels BIGINT
+    exp_width BIGINT, exp_height BIGINT, exp_channels BIGINT,
+    exp_out_width BIGINT, exp_out_height BIGINT, exp_resized_crc32 BIGINT
 
-The Spark side of ``multimodal_image_features`` parses width/height/
-channels out of ``payload`` (multimodal/imagehdr.py:parse_image_header);
-the DuckDB oracle reads the exp_* columns — written HERE, by the same
-code that chose the encode parameters — so the parity check verifies
-the parse against an independent record of what was encoded.
+PNG/GIF/BMP payloads carry the deterministic ``pattern_byte`` pixel
+ramp (PNG rows cycle through all five filter types), so pixel decode
+is genuinely exercised. The exp_out_*/exp_resized_crc32 columns record
+what a correct decode + fit-to-256 nearest-neighbor resize must
+produce — computed HERE from the pattern FORMULA alone (this script
+never decodes a payload; the fit/resample arithmetic is reimplemented
+inline rather than imported from pixeldec.py), so the parity check
+pits the Spark decode path against an independent derivation. JPEG
+rows carry NULL resize expectations: baseline JPEG pixel decode needs
+libjpeg-class machinery and those rows are skipped by the resize
+entry.
 
-Deterministic by construction (no RNG, no time): re-running this script
-reproduces the identical parquet content.
+Deterministic by construction (no RNG, no time): re-running this
+script reproduces the identical parquet content.
 
 Usage: python tools/gen_image_fixture.py
 """
@@ -24,7 +31,9 @@ from __future__ import annotations
 
 import os
 import sys
+import zlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -39,6 +48,7 @@ from parallel_map_reduce_spark.multimodal.imagehdr import (  # noqa: E402
 )
 
 N_DOCS = 5000
+RESIZE_TARGET = 256
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "refdata",
@@ -53,32 +63,71 @@ def fixture_row(doc_id: int) -> tuple[str, bytes, int, int, int]:
     fmt = ("png", "gif", "bmp", "jpeg")[doc_id % 4]
     if fmt == "png":
         channels = (1, 3, 4)[doc_id % 3]
-        payload = build_png(width, height, channels, pixel=doc_id % 256)
+        payload = build_png(width, height, channels, pattern=doc_id % 256)
     elif fmt == "gif":
         channels = 3
-        payload = build_gif(width, height)
+        payload = build_gif(width, height, pattern=doc_id % 256)
     elif fmt == "bmp":
         channels = 3
-        payload = build_bmp(width, height, pixel=doc_id % 256)
+        payload = build_bmp(width, height, pattern=doc_id % 256)
     else:
         channels = 1 if doc_id % 5 == 0 else 3
         payload = build_jpeg(width, height, channels)
     return fmt, payload, width, height, channels
 
 
+def expected_pixels(fmt: str, w: int, h: int, c: int, base: int) -> np.ndarray:
+    """The pattern image as an (h, w, c) array — straight from the
+    encode formula, no payload bytes involved."""
+    if fmt == "gif":
+        xs = np.arange(w)[None, :]
+        ys = np.arange(h)[:, None]
+        cell = (((xs + ys + base) % 2) * 255).astype(np.uint8)
+        return np.repeat(cell[:, :, None], 3, axis=2)
+    xs = np.arange(w)[None, :, None]
+    ys = np.arange(h)[:, None, None]
+    cs = np.arange(c)[None, None, :]
+    return ((base + 3 * xs + 5 * ys + 17 * cs) % 256).astype(np.uint8)
+
+
+def expected_resize(fmt: str, w: int, h: int, c: int, base: int):
+    """(out_w, out_h, crc32) a correct decode+resize must produce —
+    the fit and nearest-neighbor mapping restated inline."""
+    long_edge = max(w, h)
+    out_w = max(1, w * RESIZE_TARGET // long_edge)
+    out_h = max(1, h * RESIZE_TARGET // long_edge)
+    img = expected_pixels(fmt, w, h, c, base)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    resized = img[ys][:, xs]
+    return out_w, out_h, zlib.crc32(resized.tobytes()) & 0xFFFFFFFF
+
+
 def main() -> int:
-    rows = {k: [] for k in ("doc_id", "fmt", "payload", "exp_width", "exp_height", "exp_channels")}
+    cols = (
+        "doc_id", "fmt", "payload", "exp_width", "exp_height",
+        "exp_channels", "exp_out_width", "exp_out_height",
+        "exp_resized_crc32",
+    )
+    rows: dict[str, list] = {k: [] for k in cols}
     for d in range(N_DOCS):
         fmt, payload, w, h, c = fixture_row(d)
         # Self-check: the parser must read back exactly what was encoded.
         parsed = parse_image_header(payload)
         assert parsed == (fmt, w, h, c), (d, parsed, (fmt, w, h, c))
+        if fmt == "jpeg":
+            ow = oh = crc = None
+        else:
+            ow, oh, crc = expected_resize(fmt, w, h, c, d % 256)
         rows["doc_id"].append(d)
         rows["fmt"].append(fmt)
         rows["payload"].append(payload)
         rows["exp_width"].append(w)
         rows["exp_height"].append(h)
         rows["exp_channels"].append(c)
+        rows["exp_out_width"].append(ow)
+        rows["exp_out_height"].append(oh)
+        rows["exp_resized_crc32"].append(crc)
     table = pa.table(
         {
             "doc_id": pa.array(rows["doc_id"], pa.int64()),
@@ -87,6 +136,9 @@ def main() -> int:
             "exp_width": pa.array(rows["exp_width"], pa.int64()),
             "exp_height": pa.array(rows["exp_height"], pa.int64()),
             "exp_channels": pa.array(rows["exp_channels"], pa.int64()),
+            "exp_out_width": pa.array(rows["exp_out_width"], pa.int64()),
+            "exp_out_height": pa.array(rows["exp_out_height"], pa.int64()),
+            "exp_resized_crc32": pa.array(rows["exp_resized_crc32"], pa.int64()),
         }
     )
     pq.write_table(table, OUT, compression="zstd")
