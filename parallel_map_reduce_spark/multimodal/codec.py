@@ -5,12 +5,14 @@ pure stdlib), and so are PNG/GIF/BMP PIXEL decode (pixeldec.py: zlib
 inflate + unfilter / LZW / raw BGR), the nearest-neighbor RESIZE over
 those pixels, and PCM WAV SAMPLE decode (audiohdr.py raw int16 frames)
 — all running over committed binary fixtures of real files
-(refdata/*_fixture.parquet, tools/gen_*_fixture.py). The only decodes
-still stubbed are the ones a stdlib genuinely cannot do: JPEG pixels
-(libjpeg-class Huffman+DCT) and compressed-audio codecs — callers skip
-or raise on those, and the fixtures mark them. Non-media payload paths
-keep deterministic length-derived fallbacks so plumbing entries stay
-oracle-checkable on arbitrary bytes.
+(refdata/*_fixture.parquet, tools/gen_*_fixture.py). Baseline JPEG
+pixels decode for real too (jpegdec.py: Huffman entropy decode +
+dequant + IDCT; the fixture's files are DC-only-quantized so the
+lossy codec stays bit-exactly oracle-checkable). Out of scope by
+honest necessity: progressive/subsampled JPEG variants and
+compressed-audio codecs — those raise rather than mis-decode.
+Non-media payload paths keep deterministic length-derived fallbacks
+so plumbing entries stay oracle-checkable on arbitrary bytes.
 
 At 100 TB: payloads stay opaque ``binary`` columns in parquet;
 ``mapInPandas`` processes Arrow batches (no per-row Python overhead);
@@ -52,10 +54,11 @@ def decode_image(data: bytes):
 
 
 def decode_image_pixels(data: bytes):
-    """Full pixel decode — REAL for PNG/GIF/BMP (pixeldec.py, stdlib
-    zlib/struct): (fmt, width, height, channels, row-major pixel
-    bytes). Raises ValueError for JPEG and unrecognized payloads —
-    baseline JPEG entropy decode needs libjpeg-class machinery."""
+    """Full pixel decode — REAL for PNG/GIF/BMP/baseline-JPEG
+    (pixeldec.py + jpegdec.py, stdlib zlib/struct + numpy):
+    (fmt, width, height, channels, row-major pixel bytes). Raises
+    ValueError for unrecognized/corrupt payloads and for JPEG variants
+    beyond baseline 4:4:4 (progressive, subsampled)."""
     return pixeldec.decode_image_pixels(data)
 
 
@@ -149,12 +152,13 @@ RESIZE_TARGET = 256
 
 def resize_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body: REAL decode + resize. Each payload is pixel-
-    decoded (pixeldec.py: PNG inflate+unfilter / GIF LZW / BMP raw),
-    nearest-neighbor-resized to fit RESIZE_TARGET on the long edge, and
-    reported with the CRC-32 of the resized pixel bytes — the checksum
-    an independent implementation of decode+resize must reproduce.
-    Undecodable payloads (JPEG pixels need libjpeg) are skipped, the
-    batch shape stays one-in/at-most-one-out per row."""
+    decoded (pixeldec.py: PNG inflate+unfilter / GIF LZW / BMP raw /
+    baseline-JPEG Huffman+IDCT), nearest-neighbor-resized to fit
+    RESIZE_TARGET on the long edge, and reported with the CRC-32 of
+    the resized pixel bytes — the checksum an independent
+    implementation of decode+resize must reproduce. Undecodable
+    payloads are skipped; the batch shape stays
+    one-in/at-most-one-out per row."""
     for pdf in batches:
         rows: list[tuple] = []
         for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"].values):

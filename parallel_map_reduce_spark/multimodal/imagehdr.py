@@ -274,27 +274,111 @@ def build_bmp(
     return header + info + rows
 
 
-def build_jpeg(width: int, height: int, channels: int = 3) -> bytes:
-    """Structurally valid JPEG marker stream whose SOF0 carries the real
-    dimensions/component count. The entropy-coded segment is minimal
-    (header semantics are what the parser and fixture test); a full
-    pixel-decodable JPEG needs libjpeg-class huffman coding, out of
-    scope for a stdlib fixture."""
+# Encoder Huffman layout (self-consistent — the tables ride in the
+# file's DHT, so any conformant decoder uses exactly these): DC table
+# 0 holds categories 0..11 as 4-bit canonical codes; AC table 0 holds
+# the single EOB symbol as a 2-bit code (DC-only blocks never emit AC
+# coefficients). Quant table 0 is flat 16s, chosen so a DC-only
+# block's IDCT output is the exact integer 128 + 2*dc (dc*16/8): the
+# encode-time pixel record needs no IDCT to derive.
+_JPEG_DC_COUNTS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_SYMBOLS = list(range(12))
+_JPEG_AC_COUNTS = [0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_SYMBOLS = [0x00]
+_JPEG_Q = 16
+
+
+def _jpeg_canonical_codes(counts: list[int]) -> list[tuple[int, int]]:
+    codes = []
+    code = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes.append((length, code))
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    """MSB-first entropy writer with 0xFF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int):
+        for k in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> k) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
+        return bytes(self.out)
+
+
+def jpeg_block_value(bx: int, by: int, base: int) -> int:
+    """The flat pixel value of the 8x8 block at (bx, by) in a pattern
+    JPEG: even-offset ramp around 128 so the quantized DC is exact."""
+    return 128 + 2 * (((base + 3 * bx + 5 * by) % 128) - 64)
+
+
+def build_jpeg(
+    width: int, height: int, channels: int = 3, pattern: int | None = None
+) -> bytes:
+    """REAL baseline JPEG: flat-16 quant table, canonical DHT, and a
+    Huffman-coded scan of DC-only blocks (grayscale or 4:4:4 YCbCr
+    with flat chroma). Any conformant decoder renders it. Default
+    image is uniform 128 gray; with ``pattern=base`` each 8x8 block
+    carries ``jpeg_block_value`` — decoded pixels are exactly
+    predictable from block arithmetic (no IDCT needed), which is what
+    the fixture's independence contract requires."""
+    if channels not in (1, 3):
+        raise ValueError("baseline encoder supports 1 or 3 components")
     out = bytearray(b"\xff\xd8")  # SOI
     jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
     out += b"\xff\xe0" + struct.pack(">H", 2 + len(jfif)) + jfif
-    dqt = b"\x00" + bytes(range(1, 65))  # table 0, monotone ramp
+    dqt = b"\x00" + bytes([_JPEG_Q] * 64)  # table 0, flat, zigzag-invariant
     out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for c in range(channels):
-        sof += bytes([c + 1, 0x11, 0])
+        sof += bytes([c + 1, 0x11, 0])  # 4:4:4, quant table 0
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    # Minimal DC huffman table: one 2-bit code for symbol 0.
-    dht = b"\x00" + bytes([0, 1] + [0] * 14) + b"\x00"
+    dht = b"\x00" + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMBOLS)
+    dht += b"\x10" + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMBOLS)
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
-    sos = bytes([channels]) + b"".join(bytes([c + 1, 0]) for c in range(channels))
+    sos = bytes([channels]) + b"".join(bytes([c + 1, 0x00]) for c in range(channels))
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    out += b"\x00\x00"  # token entropy bytes
+
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_COUNTS)
+    (ac_eob_len, ac_eob_code) = _jpeg_canonical_codes(_JPEG_AC_COUNTS)[0]
+    bw_blocks = (width + 7) // 8
+    bh_blocks = (height + 7) // 8
+    w = _JpegBitWriter()
+    preds = [0] * channels
+    for by in range(bh_blocks):
+        for bx in range(bw_blocks):
+            for ci in range(channels):
+                if ci == 0 and pattern is not None:
+                    dc = (jpeg_block_value(bx, by, pattern) - 128) // 2
+                else:
+                    dc = 0  # chroma flat 128 / unpatterned gray
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                s = diff.bit_length() if diff else 0
+                length, code = dc_codes[s]
+                w.write(code, length)
+                if s:
+                    w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                w.write(ac_eob_code, ac_eob_len)  # EOB: no AC coefficients
+    out += w.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -1,0 +1,264 @@
+"""Stdlib baseline JPEG decoder: marker walk, DHT canonical Huffman,
+entropy decode with byte unstuffing and restart markers, dequantize,
+dezigzag, IDCT, level shift, clamp, and JFIF YCbCr→RGB — pure
+``struct``/numpy, no libjpeg.
+
+Scope (honest): BASELINE sequential DCT (SOF0), 8-bit samples,
+grayscale or 4:4:4 color (no chroma subsampling), no progressive or
+arithmetic coding. That covers every file the committed fixture's
+encoder (imagehdr.py:build_jpeg) produces — real Huffman-coded JPEGs
+any standard viewer decodes — while subsampled/progressive files from
+the wild are rejected with ValueError rather than mis-decoded.
+
+Exactness contract the fixture relies on: the encoder emits DC-only
+blocks with ``dc * q`` divisible by 8, for which ANY correct IDCT
+yields the exact flat integer block value (dc*q/8 + 128) — so decoded
+pixels are bit-reproducible from block arithmetic alone, keeping the
+parity oracle independent of this module. General AC paths are
+exercised by unit tests against the textbook double-sum IDCT
+(tests/test_jpegdec.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Zigzag order: index i of the scan -> (row, col) in the 8x8 block.
+ZIGZAG = [
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3), (0, 4), (0, 5),
+    (1, 4), (2, 3), (3, 2), (4, 1), (5, 0), (6, 0), (5, 1), (4, 2),
+    (3, 3), (2, 4), (1, 5), (0, 6), (0, 7), (1, 6), (2, 5), (3, 4),
+    (4, 3), (5, 2), (6, 1), (7, 0), (7, 1), (6, 2), (5, 3), (4, 4),
+    (3, 5), (2, 6), (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3),
+    (7, 2), (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+    (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6), (7, 7),
+]
+
+# Separable IDCT basis: X = C.T @ F @ C with the orthonormal DCT-II C.
+_C = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8) if k == 0 else np.sqrt(2.0 / 8))
+            * np.cos((2 * n + 1) * k * np.pi / 16)
+            for n in range(8)
+        ]
+        for k in range(8)
+    ]
+)
+
+
+def idct_2d(coeffs: np.ndarray) -> np.ndarray:
+    """Float 2-D inverse DCT of one 8x8 coefficient block."""
+    return _C.T @ coeffs @ _C
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader with 0xFF00 unstuffing; stops
+    at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> bool:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:  # stuffed literal FF
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                return False  # restart marker: caller resyncs
+            else:
+                return False  # real marker: segment over
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.n == 0 and not self._fill():
+            raise ValueError("JPEG entropy segment truncated")
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self):
+        """Byte-align and consume one RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        if self.data[self.pos] != 0xFF or not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
+
+
+def _build_huffman(counts: list[int], symbols: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman: {(length, code) -> symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """JPEG EXTEND: map s magnitude bits to a signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_pixels(data: bytes):
+    """(width, height, channels, pixels) for a baseline (SOF0) 8-bit
+    JPEG, grayscale or 4:4:4 YCbCr. Raises ValueError otherwise."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None  # (height, width, [(comp_id, q_id)])
+    restart_interval = 0
+    i, n = 2, len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError("desynchronized JPEG marker stream")
+        marker = data[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack(">H", data[i + 2 : i + 4])
+        seg = data[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if prec != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                tbl = np.zeros((8, 8), np.int32)
+                for z in range(64):
+                    r, c = ZIGZAG[z]
+                    tbl[r, c] = seg[p + z]
+                qt[tid] = tbl
+                p += 64
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                counts = list(seg[p + 1 : p + 17])
+                total = sum(counts)
+                symbols = list(seg[p + 17 : p + 17 + total])
+                tbl = _build_huffman(counts, symbols)
+                (dc_tables if cls == 0 else ac_tables)[tid] = tbl
+                p += 17 + total
+        elif marker == 0xC0:  # SOF0 baseline
+            height, width = struct.unpack(">HH", seg[1:5])
+            n_comp = seg[5]
+            comps = []
+            for c in range(n_comp):
+                cid, sampling, qid = seg[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError("subsampled JPEG not supported (4:4:4 only)")
+                comps.append((cid, qid))
+            frame = (height, width, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential (SOF0) JPEG supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            height, width, comps = frame
+            ns = seg[0]
+            scan_tables = {}
+            for c in range(ns):
+                cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tables[cid] = (tids >> 4, tids & 0x0F)
+            if ns != len(comps):
+                raise ValueError("multi-scan JPEG not supported")
+            br = _BitReader(data, i + 2 + seg_len)
+            bw = (width + 7) // 8
+            bh = (height + 7) // 8
+            planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in comps]
+            preds = [0] * len(comps)
+            mcu = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and mcu and mcu % restart_interval == 0:
+                        br.sync_restart()
+                        preds = [0] * len(comps)
+                    for ci, (cid, qid) in enumerate(comps):
+                        dc_id, ac_id = scan_tables[cid]
+                        dct = dc_tables.get(dc_id)
+                        act = ac_tables.get(ac_id)
+                        if dct is None or act is None:
+                            raise ValueError("JPEG scan references missing Huffman table")
+                        coeffs = np.zeros((8, 8), np.int32)
+                        s = _decode_symbol(br, dct)
+                        diff = _extend(br.read_bits(s), s) if s else 0
+                        preds[ci] += diff
+                        coeffs[0, 0] = preds[ci]
+                        z = 1
+                        while z < 64:
+                            rs = _decode_symbol(br, act)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL: 16 zeros
+                                z += 16
+                                continue
+                            run, size = rs >> 4, rs & 0x0F
+                            z += run
+                            if z >= 64 or size == 0:
+                                raise ValueError("JPEG AC coefficient overrun")
+                            r, c = ZIGZAG[z]
+                            coeffs[r, c] = _extend(br.read_bits(size), size)
+                            z += 1
+                        q = qt.get(qid)
+                        if q is None:
+                            raise ValueError("JPEG frame references missing quant table")
+                        block = idct_2d((coeffs * q).astype(np.float64)) + 128.0
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                    mcu += 1
+            cropped = [np.clip(np.rint(p[:height, :width]), 0, 255) for p in planes]
+            if len(cropped) == 1:
+                return width, height, 1, cropped[0].astype(np.uint8).tobytes()
+            if len(cropped) == 3:
+                y, cb, cr = (p.astype(np.float64) for p in cropped)
+                r = y + 1.402 * (cr - 128.0)
+                g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+                b = y + 1.772 * (cb - 128.0)
+                rgb = np.stack(
+                    [np.clip(np.rint(ch), 0, 255) for ch in (r, g, b)], axis=2
+                )
+                return width, height, 3, rgb.astype(np.uint8).tobytes()
+            raise ValueError(f"unsupported JPEG component count {len(cropped)}")
+        i += 2 + seg_len
+    raise ValueError("JPEG has no scan data")

@@ -274,9 +274,10 @@ def decode_bmp_pixels(data: bytes):
 
 
 def decode_image_pixels(data: bytes):
-    """(fmt, width, height, channels, pixels) for PNG/GIF/BMP payloads.
-    Raises ValueError for anything else — including JPEG, whose pixel
-    decode needs libjpeg-class machinery (header parse via imagehdr)."""
+    """(fmt, width, height, channels, pixels) for PNG/GIF/BMP/JPEG
+    payloads (JPEG: baseline sequential, 8-bit, grayscale or 4:4:4 —
+    jpegdec.py; progressive/subsampled files raise). Raises ValueError
+    for anything unrecognized or corrupt."""
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise ValueError("payload is not bytes")
     data = bytes(data)
@@ -287,6 +288,10 @@ def decode_image_pixels(data: bytes):
             return ("gif",) + decode_gif_pixels(data)
         if data[:2] == b"BM":
             return ("bmp",) + decode_bmp_pixels(data)
+        if data[:2] == b"\xff\xd8":
+            from .jpegdec import decode_jpeg_pixels
+
+            return ("jpeg",) + decode_jpeg_pixels(data)
     except (IndexError, struct.error, zlib.error) as exc:
         # Truncated/corrupt containers surface as one error type.
         raise ValueError(f"corrupt image payload: {exc}") from exc

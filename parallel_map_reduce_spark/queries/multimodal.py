@@ -59,9 +59,8 @@ FROM f
     "width/height/channels from magic bytes (multimodal/imagehdr.py, "
     "stdlib struct/zlib). The oracle reads the encode-time dimensions "
     "recorded by the fixture generator, so parity verifies the parse "
-    "against an independent record. Pixel-level decode is REAL too — "
-    "see multimodal_image_resize (JPEG pixels excepted: libjpeg-class "
-    "entropy decode is genuinely out of stdlib scope).",
+    "against an independent record. Pixel-level decode is REAL too, "
+    "for all four formats — see multimodal_image_resize.",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,19 +121,21 @@ SELECT doc_id, fmt,
        exp_out_height::BIGINT AS out_height,
        exp_resized_crc32::BIGINT AS resized_crc32
 FROM read_parquet('{_IMAGE_FIXTURE_PARQUET}')
-WHERE doc_id IN (SELECT doc_id FROM documents) AND fmt != 'jpeg'
+WHERE doc_id IN (SELECT doc_id FROM documents)
 """,
-    doc="REAL pixel decode + resize: committed PNG/GIF/BMP payloads are "
-    "fully decoded (multimodal/pixeldec.py — zlib inflate + all five "
-    "PNG row filters / GIF LZW / BMP raw BGR, stdlib only), nearest-"
-    "neighbor resized to fit 256 on the long edge, and checksummed. "
-    "The oracle reads the generator's encode-time record — out dims "
-    "AND the CRC-32 of the resized pixels, derived from the pattern "
-    "formula without touching payload bytes — so parity proves the "
-    "whole decode+resample path byte-for-byte. JPEG rows are skipped "
-    "by both sides (baseline JPEG entropy decode needs libjpeg-class "
-    "machinery; its header metadata is covered by "
-    "multimodal_image_features).",
+    doc="REAL pixel decode + resize over ALL FOUR formats: committed "
+    "PNG/GIF/BMP/JPEG payloads are fully decoded (multimodal/"
+    "pixeldec.py + jpegdec.py — zlib inflate + all five PNG row "
+    "filters / GIF LZW / BMP raw BGR / baseline-JPEG Huffman + IDCT, "
+    "stdlib+numpy only), nearest-neighbor resized to fit 256 on the "
+    "long edge, and checksummed. The oracle reads the generator's "
+    "encode-time record — out dims AND the CRC-32 of the resized "
+    "pixels, derived from the pattern formulas without touching "
+    "payload bytes — so parity proves the whole decode+resample path "
+    "byte-for-byte. The fixture JPEGs are real Huffman-coded baseline "
+    "files quantized to DC-only blocks, making their decoded pixels "
+    "exact (dc*q divisible by 8) — the construction that keeps a "
+    "lossy codec oracle-checkable.",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,184 @@
+"""Baseline JPEG codec: encode→decode exactness for DC-only pattern
+files (the fixture's construction), a hand-assembled general scan with
+AC coefficients / ZRL / runs decoded against the textbook double-sum
+IDCT (independent of the decoder's matrix IDCT), restart-marker
+handling, and rejection of the variants the decoder honestly does not
+support (progressive, subsampled).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from parallel_map_reduce_spark.multimodal.imagehdr import (
+    _JpegBitWriter,
+    build_jpeg,
+    jpeg_block_value,
+    parse_image_header,
+)
+from parallel_map_reduce_spark.multimodal.jpegdec import (
+    ZIGZAG,
+    decode_jpeg_pixels,
+    idct_2d,
+)
+
+
+@pytest.mark.parametrize("channels", [1, 3])
+@pytest.mark.parametrize(("w", "h", "base"), [(8, 8, 0), (13, 7, 42), (55, 43, 255), (1, 1, 9)])
+def test_dc_only_roundtrip_exact(channels, w, h, base):
+    """The fixture construction: DC-only blocks with dc*q divisible by
+    8 decode to EXACT flat integers predictable from block arithmetic
+    (no IDCT in the expectation)."""
+    data = build_jpeg(w, h, channels, pattern=base)
+    assert parse_image_header(data) == ("jpeg", w, h, channels)
+    dw, dh, dc, px = decode_jpeg_pixels(data)
+    assert (dw, dh, dc) == (w, h, channels)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, channels)
+    for y in range(h):
+        for x in range(w):
+            assert (got[y, x] == jpeg_block_value(x // 8, y // 8, base)).all()
+
+
+def _assemble_jpeg(w, h, dqt_vals, scan_bits, dri=None):
+    """Hand-assemble a 1-component baseline JPEG around ``scan_bits``
+    with richer Huffman tables than the fixture encoder's: DC symbols
+    0..11 at length 4; AC symbols [EOB, 0x01, 0x11, 0xF0, 0x02] at
+    length 3 (canonical codes 000..100)."""
+    out = bytearray(b"\xff\xd8")
+    dqt = b"\x00" + bytes(dqt_vals)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    ac_counts = [0, 0, 5] + [0] * 13
+    dht = b"\x00" + bytes(dc_counts) + bytes(range(12))
+    dht += b"\x10" + bytes(ac_counts) + bytes([0x00, 0x01, 0x11, 0xF0, 0x02])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if dri is not None:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += scan_bits
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# Canonical codes for the tables above.
+_DC = {s: (4, s) for s in range(12)}  # 12 symbols at length 4: codes 0..11
+_AC = {0x00: (3, 0), 0x01: (3, 1), 0x11: (3, 2), 0xF0: (3, 3), 0x02: (3, 4)}
+
+
+def test_general_ac_scan_matches_double_sum_idct():
+    """A hand-packed scan with DC + AC coefficients, a run skip, and a
+    ZRL decodes to the same pixels as the TEXTBOOK double-sum IDCT of
+    the same coefficient block — checking the decoder's entropy walk
+    and matrix IDCT against the spec formula, not against our encoder
+    (which never emits AC)."""
+    q = 16
+    w = _JpegBitWriter()
+    # DC: category 3, bits '101' = 5  -> dc = 5
+    ln, code = _DC[3]
+    w.write(code, ln)
+    w.write(5, 3)
+    # AC z=1: symbol 0x01 (run 0, size 1), bit '1' -> +1
+    ln, code = _AC[0x01]
+    w.write(code, ln)
+    w.write(1, 1)
+    # AC: symbol 0x11 (run 1, size 1), bit '0' -> skip z=2, coeff(z=3) = -1
+    ln, code = _AC[0x11]
+    w.write(code, ln)
+    w.write(0, 1)
+    # ZRL: 16 zeros (z 4..19)
+    ln, code = _AC[0xF0]
+    w.write(code, ln)
+    # AC z=20: symbol 0x02 (run 0, size 2), bits '10' = 2 -> +2
+    ln, code = _AC[0x02]
+    w.write(code, ln)
+    w.write(2, 2)
+    # EOB
+    ln, code = _AC[0x00]
+    w.write(code, ln)
+    data = _assemble_jpeg(8, 8, [q] * 64, w.flush())
+
+    dw, dh, dc, px = decode_jpeg_pixels(data)
+    assert (dw, dh, dc) == (8, 8, 1)
+
+    coeffs = np.zeros((8, 8), np.float64)
+    for z, v in ((0, 5), (1, 1), (3, -1), (20, 2)):
+        r, c = ZIGZAG[z]
+        coeffs[r, c] = v * q
+    # Textbook double sum (JPEG spec / DCT-III definition).
+    ref = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+                    cv = (1 / np.sqrt(2)) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coeffs[u, v]
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                    )
+            ref[y, x] = s / 4
+    assert np.allclose(idct_2d(coeffs), ref, atol=1e-9)
+    exp = np.clip(np.rint(ref + 128), 0, 255).astype(np.uint8)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(8, 8), exp)
+
+
+def test_restart_markers_reset_dc_predictors():
+    """DRI=1 with RSTn between MCUs: predictors reset, so two blocks
+    each coding dc=+3 decode to the same value (not 3 then 6)."""
+    q = 16
+
+    def block_bits(writer):
+        ln, code = _DC[2]
+        writer.write(code, ln)
+        writer.write(3, 2)  # dc diff +3
+        ln, code = _AC[0x00]
+        writer.write(code, ln)
+
+    w1 = _JpegBitWriter()
+    block_bits(w1)
+    w2 = _JpegBitWriter()
+    block_bits(w2)
+    scan = w1.flush() + b"\xff\xd0" + w2.flush()
+    data = _assemble_jpeg(16, 8, [q] * 64, scan, dri=1)
+    dw, dh, dc, px = decode_jpeg_pixels(data)
+    img = np.frombuffer(px, np.uint8).reshape(8, 16)
+    assert (img[:, :8] == img[0, 0]).all()
+    assert np.array_equal(img[:, 8:], img[:, :8])  # predictor was reset
+
+
+def test_unsupported_variants_rejected():
+    base = build_jpeg(16, 16, 3, pattern=1)
+    progressive = bytearray(base)
+    i = progressive.index(b"\xff\xc0")
+    progressive[i + 1] = 0xC2  # SOF2: progressive
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(progressive))
+
+    subsampled = bytearray(base)
+    j = subsampled.index(b"\xff\xc0")
+    # First component's sampling byte: len(2)+prec(1)+h(2)+w(2)+nc(1)+cid(1)
+    subsampled[j + 2 + 2 + 1 + 4 + 1 + 1 + 1] = 0x22
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(bytes(subsampled))
+
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(b"\xff\xd8\xff\xd9")  # no scan
+
+
+def test_color_conversion_identity_for_flat_chroma():
+    """3-component pattern files carry flat-128 chroma: decoded RGB
+    must equal the Y plane exactly (JFIF conversion with zero chroma
+    offsets), which is what makes color JPEG rows oracle-exact."""
+    data = build_jpeg(24, 16, 3, pattern=77)
+    _, _, _, px = decode_jpeg_pixels(data)
+    img = np.frombuffer(px, np.uint8).reshape(16, 24, 3)
+    assert (img[:, :, 0] == img[:, :, 1]).all()
+    assert (img[:, :, 1] == img[:, :, 2]).all()

@@ -16,7 +16,6 @@ import pytest
 from parallel_map_reduce_spark.multimodal.imagehdr import (
     build_bmp,
     build_gif,
-    build_jpeg,
     build_png,
     pattern_byte,
 )
@@ -172,7 +171,7 @@ def test_bmp_pattern_and_topdown():
     [
         b"",
         b"not an image",
-        build_jpeg(16, 16, 3),  # structurally valid JPEG: pixels undecodable
+        b"\xff\xd8\xff",  # truncated JPEG
         b"\x89PNG\r\n\x1a\n" + b"\x00" * 30,  # magic, garbage chunks
         b"BM" + b"\x00" * 30,  # truncated BMP
         b"GIF89a" + struct.pack("<HH", 4, 4),  # GIF with no image data
@@ -220,9 +219,9 @@ def test_fit_dims_and_resize_differential():
 
 
 def test_fixture_decode_matches_encode_record():
-    """Every non-JPEG fixture payload decodes + resizes to exactly the
-    generator's expectation (out dims AND resized-pixel CRC, derived
-    from the pattern formula, never from the payload)."""
+    """EVERY fixture payload — JPEG included — decodes + resizes to
+    exactly the generator's expectation (out dims AND resized-pixel
+    CRC, derived from the pattern formulas, never from the payload)."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(FIXTURE)
@@ -230,9 +229,6 @@ def test_fixture_decode_matches_encode_record():
     for d, fmt, payload, w, h, c, ow, oh, crc in zip(
         *[t[col].to_pylist() for col in t.column_names]
     ):
-        if fmt == "jpeg":
-            assert ow is None and oh is None and crc is None, d
-            continue
         f2, dw, dh, dc, px = decode_image_pixels(payload)
         assert (f2, dw, dh, dc) == (fmt, w, h, c), d
         gw, gh = fit_dims(dw, dh, 256)
@@ -240,12 +236,12 @@ def test_fixture_decode_matches_encode_record():
         resized = resize_nearest(px, dw, dh, dc, gw, gh)
         assert zlib.crc32(resized) & 0xFFFFFFFF == crc, d
         n_checked += 1
-    assert n_checked == 3750  # 3 of every 4 fixture rows decode
+    assert n_checked == 5000  # all four formats decode for real
 
 
 def test_map_in_pandas_real_resize_checksums(spark):
     """The registered query's Spark path reproduces the generator's
-    resized-pixel CRCs and skips exactly the JPEG rows."""
+    resized-pixel CRCs for all 500 docs — JPEG rows included."""
     import pyarrow.parquet as pq
 
     from parallel_map_reduce_spark.queries.multimodal import (
@@ -257,7 +253,6 @@ def test_map_in_pandas_real_resize_checksums(spark):
         for r in multimodal_image_resize(spark, "/root/testdata/sf0.001").collect()
     }
     t = pq.read_table(FIXTURE).slice(0, 500)
-    n_jpeg = 0
     for d, fmt, ow, oh, crc in zip(
         t["doc_id"].to_pylist(),
         t["fmt"].to_pylist(),
@@ -265,10 +260,7 @@ def test_map_in_pandas_real_resize_checksums(spark):
         t["exp_out_height"].to_pylist(),
         t["exp_resized_crc32"].to_pylist(),
     ):
-        if fmt == "jpeg":
-            assert d not in rows
-            n_jpeg += 1
-            continue
         r = rows[d]
+        assert r.fmt == fmt, d
         assert (r.out_width, r.out_height, r.resized_crc32) == (ow, oh, crc), d
-    assert len(rows) == 500 - n_jpeg
+    assert len(rows) == 500

@@ -10,16 +10,16 @@ encode-time record as expected-value columns:
     exp_out_width BIGINT, exp_out_height BIGINT, exp_resized_crc32 BIGINT
 
 PNG/GIF/BMP payloads carry the deterministic ``pattern_byte`` pixel
-ramp (PNG rows cycle through all five filter types), so pixel decode
-is genuinely exercised. The exp_out_*/exp_resized_crc32 columns record
-what a correct decode + fit-to-256 nearest-neighbor resize must
-produce — computed HERE from the pattern FORMULA alone (this script
-never decodes a payload; the fit/resample arithmetic is reimplemented
-inline rather than imported from pixeldec.py), so the parity check
-pits the Spark decode path against an independent derivation. JPEG
-rows carry NULL resize expectations: baseline JPEG pixel decode needs
-libjpeg-class machinery and those rows are skipped by the resize
-entry.
+ramp (PNG rows cycle through all five filter types); JPEG payloads
+are REAL baseline Huffman-coded files of DC-only blocks whose flat
+value is ``jpeg_block_value`` per 8x8 block (exact by construction:
+dc*q divisible by 8, so any correct IDCT lands on the integer). The
+exp_out_*/exp_resized_crc32 columns record what a correct decode +
+fit-to-256 nearest-neighbor resize must produce — computed HERE from
+the pattern FORMULAS alone (this script never decodes a payload; the
+fit/resample arithmetic is reimplemented inline rather than imported
+from pixeldec.py), so the parity check pits the Spark decode path
+against an independent derivation.
 
 Deterministic by construction (no RNG, no time): re-running this
 script reproduces the identical parquet content.
@@ -72,18 +72,25 @@ def fixture_row(doc_id: int) -> tuple[str, bytes, int, int, int]:
         payload = build_bmp(width, height, pattern=doc_id % 256)
     else:
         channels = 1 if doc_id % 5 == 0 else 3
-        payload = build_jpeg(width, height, channels)
+        payload = build_jpeg(width, height, channels, pattern=doc_id % 256)
     return fmt, payload, width, height, channels
 
 
 def expected_pixels(fmt: str, w: int, h: int, c: int, base: int) -> np.ndarray:
     """The pattern image as an (h, w, c) array — straight from the
-    encode formula, no payload bytes involved."""
+    encode formulas, no payload bytes involved."""
     if fmt == "gif":
         xs = np.arange(w)[None, :]
         ys = np.arange(h)[:, None]
         cell = (((xs + ys + base) % 2) * 255).astype(np.uint8)
         return np.repeat(cell[:, :, None], 3, axis=2)
+    if fmt == "jpeg":
+        # Flat per-8x8-block values (imagehdr.py:jpeg_block_value):
+        # 128 + 2*(((base + 3*bx + 5*by) % 128) - 64), all channels.
+        bxs = (np.arange(w) // 8)[None, :]
+        bys = (np.arange(h) // 8)[:, None]
+        cell = (128 + 2 * (((base + 3 * bxs + 5 * bys) % 128) - 64)).astype(np.uint8)
+        return np.repeat(cell[:, :, None], c, axis=2)
     xs = np.arange(w)[None, :, None]
     ys = np.arange(h)[:, None, None]
     cs = np.arange(c)[None, None, :]
@@ -115,10 +122,7 @@ def main() -> int:
         # Self-check: the parser must read back exactly what was encoded.
         parsed = parse_image_header(payload)
         assert parsed == (fmt, w, h, c), (d, parsed, (fmt, w, h, c))
-        if fmt == "jpeg":
-            ow = oh = crc = None
-        else:
-            ow, oh, crc = expected_resize(fmt, w, h, c, d % 256)
+        ow, oh, crc = expected_resize(fmt, w, h, c, d % 256)
         rows["doc_id"].append(d)
         rows["fmt"].append(fmt)
         rows["payload"].append(payload)
