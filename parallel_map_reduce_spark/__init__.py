@@ -16,7 +16,9 @@ Layout
 - ``plans``      : end-to-end query pipelines (the flagship query).
 - ``streaming``  : Structured Streaming pipelines over the events table.
 - ``sinks``      : output writers (partitioned letter text sink).
-- ``multimodal`` : binary-column plumbing with stubbed decoders.
+- ``multimodal`` : binary columns with REAL stdlib decoders (image
+                   headers + pixels incl. baseline JPEG, PCM audio
+                   samples, AVI containers + frames).
 
 Everything here is built on public PySpark APIs only.
 """

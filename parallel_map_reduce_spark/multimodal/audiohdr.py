@@ -5,9 +5,9 @@ deterministic builder for the committed audio fixture.
 The same discipline as imagehdr.py (round 11): metadata decode is the
 REAL, production-shaped pass a training pipeline runs before any
 sample-level work, and it needs no codec library — the RIFF container
-is pure ``struct``. Full sample decode (resampling, spectrograms)
-still requires audio libs absent from this container and stays
-stubbed in codec.py.
+is pure ``struct``. SAMPLE decode is real too for PCM
+(``decode_wav_samples``: the data chunk IS the samples); only
+compressed-audio codecs remain out of scope.
 
 Parser contract: ``parse_wav_header(data)`` returns
 ``(sample_rate, channels, bits_per_sample, n_frames)`` or ``None``

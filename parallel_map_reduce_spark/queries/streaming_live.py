@@ -372,3 +372,38 @@ def streaming_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ann_index_stream import run_ivfpq_index_stream
 
     return run_ivfpq_index_stream(spark, sf_dir)
+
+
+@register(
+    "streaming_multimodal_features",
+    oracle=None,  # set just below: shares the batch image-features
+    # entry's oracle (the fixture generator's encode-time record)
+    doc="LIVE streaming multimodal ingest: binary image payloads "
+    "decoded AS THEY ARRIVE — each micro-batch runs the batch entry's "
+    "exact Arrow mapInPandas header-parse body (real stdlib decode, "
+    "multimodal/imagehdr.py) after a stateless stream-static broadcast "
+    "join scopes arrivals to the catalog's documents. Per-row pure "
+    "decode means NO aggregation state at all; drained availableNow "
+    "append, the output equals the batch multimodal_image_features "
+    "row-for-row and is checked against the SAME oracle. "
+    "streaming/multimodal_stream.py.",
+    tags=("streaming", "live", "multimodal", "pandas-udf"),
+)
+def streaming_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+    from ..streaming import multimodal_stream as MS
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = MS.image_features_stream(MS.read_image_payload_stream(spark), docs)
+    return _drain_append(stream, "live_mm_features", spark)
+
+
+def _set_multimodal_oracle() -> None:
+    from ..registry import _REGISTRY
+
+    _REGISTRY["streaming_multimodal_features"].oracle = _REGISTRY[
+        "multimodal_image_features"
+    ].oracle
+
+
+_set_multimodal_oracle()

@@ -120,9 +120,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     # relational reps (rule 3): WOE/IV scoring + lakehouse CDC MERGE
     "orders_priority_woe_iv",
     "orders_cdc_merge",
-    # events/timeseries reps (rule 3)
+    # events/timeseries reps (rule 3; events_type_transitions, green
+    # through r10, cedes its slot to the new live multimodal drain —
+    # events keeps trend_anomalies/touch_attribution/twap/drift_psi)
     "events_trend_anomalies",
-    "events_type_transitions",
     "events_touch_attribution",
     "events_value_twap",
     # dedup reps
@@ -151,10 +152,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_image_resize",
     "multimodal_video_frames",
     "multimodal_audio_loudness",
-    # live streaming drains — oracle-backed, last on purpose
+    # live streaming drains — oracle-backed, last on purpose (rule 2:
+    # streaming_multimodal_features is NEW this round — decode-on-
+    # ingest sharing the batch image-features oracle)
     "streaming_inverted_index",
     "streaming_cdc_apply",
     "streaming_neardup_lsh",
+    "streaming_multimodal_features",
 )
 
 
