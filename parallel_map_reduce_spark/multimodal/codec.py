@@ -185,6 +185,52 @@ def resize_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+VIDEO_FEATURES_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, width BIGINT, height BIGINT, "
+    "n_frames BIGINT, usec_per_frame BIGINT, duration_s DOUBLE"
+)
+
+
+def video_features_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: REAL video-metadata decode — geometry, frame
+    count, and frame timing from the AVI chunk tree (videohdr.py:
+    parse_avi); duration is the one fixed-shape float (n_frames *
+    usec / 1e6). Non-AVI payloads are skipped."""
+    from .videohdr import parse_avi
+
+    for pdf in batches:
+        rows: list[tuple] = []
+        for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"].values):
+            parsed = parse_avi(payload)
+            if parsed is None:
+                continue
+            width, height, usec, frames = parsed
+            n_frames = len(frames)
+            rows.append(
+                (
+                    doc_id,
+                    len(payload),
+                    width,
+                    height,
+                    n_frames,
+                    usec,
+                    n_frames * usec / 1_000_000.0,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "n_bytes",
+                "width",
+                "height",
+                "n_frames",
+                "usec_per_frame",
+                "duration_s",
+            ],
+        )
+
+
 VIDEO_FRAMES_SCHEMA = (
     "doc_id BIGINT, frame_idx BIGINT, byte_offset BIGINT, "
     "frame_crc32 BIGINT"

@@ -152,6 +152,36 @@ _VIDEO_FRAMES_EXPECTED_PARQUET = "/root/repo/refdata/video_frames_expected.parqu
 
 
 @register(
+    "multimodal_video_features",
+    oracle=f"""
+SELECT doc_id, octet_length(payload)::BIGINT AS n_bytes,
+       exp_width::BIGINT AS width,
+       exp_height::BIGINT AS height,
+       exp_n_frames::BIGINT AS n_frames,
+       exp_usec_per_frame::BIGINT AS usec_per_frame,
+       exp_n_frames * exp_usec_per_frame / 1000000.0 AS duration_s
+FROM read_parquet('{_VIDEO_FIXTURE_PARQUET}')
+WHERE doc_id IN (SELECT doc_id FROM documents)
+""",
+    doc="REAL video-metadata decode: committed AVI payloads "
+    "(refdata/video_fixture.parquet) → Arrow mapInPandas walking the "
+    "RIFF chunk tree (multimodal/videohdr.py: LIST hdrl → avih for "
+    "geometry/timing, LIST movi for the authoritative frame count) — "
+    "the metadata pass a training pipeline runs before any frame "
+    "extraction, completing the features/content symmetry across all "
+    "three modalities. The oracle reads the generator's encode-time "
+    "record, so parity verifies the parse independently.",
+    tags=("multimodal", "pandas-udf"),
+)
+def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fixture = spark.read.parquet(_VIDEO_FIXTURE_PARQUET).select("doc_id", "payload")
+    return fixture.join(docs, "doc_id").mapInPandas(
+        MM.video_features_map, schema=MM.VIDEO_FEATURES_SCHEMA
+    )
+
+
+@register(
     "multimodal_video_frames",
     oracle=f"""
 SELECT doc_id, frame_idx, byte_offset, frame_crc32

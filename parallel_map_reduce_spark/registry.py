@@ -140,10 +140,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "trade_graph_communities_lpa",
     "neardup_communities_lpa",
     "trade_graph_pagerank",
-    # search / multimodal anchors
-    "search_bm25_multi",
+    # search / multimodal anchors (search_bm25_multi, green r7-r10,
+    # cedes its slot to the new video-features entry — the served
+    # variant shares its SQL verbatim and keeps search covered)
     "search_bm25_served",
     "documents_length_histogram",
+    "multimodal_video_features",
     # rule 2 — real PIXEL/SAMPLE/FRAME decode landed this round: resize
     # now decodes PNG/GIF/BMP pixels and checksums the resample, video
     # walks real AVI containers, loudness decodes PCM samples

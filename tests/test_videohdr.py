@@ -144,6 +144,32 @@ def test_fixture_generator_is_deterministic():
         assert _build(pw, ph, pnf, pusec, base)[0] == payload, d
 
 
+def test_map_in_pandas_video_metadata(spark):
+    """multimodal_video_features parses true geometry/timing from the
+    container — spot-checked against the fixture's encode record."""
+    import pyarrow.parquet as pq
+
+    from parallel_map_reduce_spark.queries.multimodal import (
+        multimodal_video_features,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in multimodal_video_features(spark, "/root/testdata/sf0.001")
+        .orderBy("doc_id")
+        .limit(12)
+        .collect()
+    }
+    t = pq.read_table(FIXTURE).slice(0, 12)
+    for d, payload, w, h, nf, usec in zip(
+        *[t[col].to_pylist() for col in t.column_names]
+    ):
+        r = rows[d]
+        assert (r.width, r.height, r.n_frames, r.usec_per_frame) == (w, h, nf, usec)
+        assert r.n_bytes == len(payload)
+        assert r.duration_s == nf * usec / 1_000_000.0
+
+
 def test_map_in_pandas_real_frame_sampling(spark):
     """The registered query equals the generator's expectation table
     exactly at sf0.001 (full-result comparison, all 500 docs)."""
