@@ -133,7 +133,15 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg_pixels(data: bytes):
     """(width, height, channels, pixels) for a baseline (SOF0) 8-bit
-    JPEG, grayscale or 4:4:4 YCbCr. Raises ValueError otherwise."""
+    JPEG, grayscale or 4:4:4 YCbCr. Raises ValueError otherwise —
+    including on truncation anywhere in the stream."""
+    try:
+        return _decode_jpeg_pixels(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated/corrupt JPEG: {exc}") from exc
+
+
+def _decode_jpeg_pixels(data: bytes):
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
