@@ -43,6 +43,14 @@ ENTRIES = [
     # identity).
     "trade_graph_communities_lpa",
     "neardup_communities_lpa",
+    # round 11 session 3: real-decode entries are integer-exact (pixel
+    # CRCs, int64 loudness sums, container offsets) with only
+    # fixed-shape floats (rms/duration/aspect) — per-row pure decodes
+    # must not depend on how payload rows land in partitions.
+    "multimodal_image_resize",
+    "multimodal_video_frames",
+    "multimodal_video_features",
+    "multimodal_audio_loudness",
 ]
 
 
