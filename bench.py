@@ -1083,6 +1083,51 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"bench: lsh_serving_notch ERROR: {e}", file=sys.stderr)
 
+    # Fourth curve: multimodal decode throughput — the per-row-pure
+    # Arrow decode path (REAL PNG/GIF/BMP/JPEG pixel decode + resize,
+    # multimodal/codec.py:resize_map) over the committed fixture
+    # replicated with distinct doc ids. No shuffle exists anywhere in
+    # the plan except the deliberate fan-out repartition that stands in
+    # for "payloads arrive as many files"; the curve's evidence is
+    # LINEARITY in payload count at fixed core count — the property
+    # that makes the 100 TB story "add executors".
+    mm_curve: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_MM_CURVE", "1") != "0" and not sys.argv[1:]:
+        try:
+            from parallel_map_reduce_spark.multimodal.codec import (
+                RESIZE_SCHEMA,
+                resize_map,
+            )
+
+            spark = _revive(spark, cpus)
+            _fixture = spark.read.parquet(
+                "/root/repo/refdata/image_fixture.parquet"
+            ).select("doc_id", "payload")
+            for factor in _int_list_env("SPARK_GRAFT_MM_FACTORS", "1,8,64"):
+                reps = spark.range(factor).withColumnRenamed("id", "rep")
+                replicated = (
+                    _fixture.crossJoin(reps)
+                    .select(
+                        (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+                        "payload",
+                    )
+                    .repartition(cpus * 2)
+                )
+                secs, nd = _probe_gated_notch(
+                    spark,
+                    lambda: replicated.mapInPandas(resize_map, schema=RESIZE_SCHEMA),
+                    f"mm_decode_curve x{factor}",
+                )
+                mm_curve[f"x{factor}"] = round(secs, 3)
+                curve_detail[f"mm_decode_x{factor}"] = nd
+                print(
+                    f"bench: mm_decode_curve x{factor} {secs:.2f}s "
+                    f"(quiet={nd['quiet']})",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: mm_decode_curve ERROR: {e}", file=sys.stderr)
+
     probes["after_curves"] = round(_contention_probe(), 3)
     probes["after_curves_par"] = round(_contention_probe_parallel(), 3)
     spark = _revive(spark, cpus)  # reassign: do not orphan a revived JVM
@@ -1124,6 +1169,7 @@ def main() -> int:
         "reference_corpus_scale_curve": scale_curve,
         "exact_dedup_scale_curve": dedup_curve,
         "chunked_index_scale_curve": chunked_curve,
+        "multimodal_decode_scale_curve": mm_curve,
         # Per-notch probe windows (VERDICT r10 task 8): every committed
         # curve number above carries its adjacent probe readings here,
         # so a hot-window notch is attributable from the artifact alone.
