@@ -1111,7 +1111,7 @@ def main() -> int:
                         (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
                         "payload",
                     )
-                    .repartition(cpus * 2)
+                    .repartition(int(cpus) * 2)
                 )
                 secs, nd = _probe_gated_notch(
                     spark,
