@@ -258,7 +258,12 @@ def video_frames_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             width, height, _usec, frames = parsed
             for fi in range(0, len(frames), VIDEO_SAMPLE_EVERY):
                 off, size = frames[fi]
-                rgb = decode_frame_pixels(payload[off : off + size], width, height)
+                try:
+                    rgb = decode_frame_pixels(
+                        payload[off : off + size], width, height
+                    )
+                except ValueError:
+                    continue  # truncated or compressed ('00dc') frame
                 rows.append((doc_id, fi, off, zlib.crc32(rgb) & 0xFFFFFFFF))
         yield pd.DataFrame(
             rows, columns=["doc_id", "frame_idx", "byte_offset", "frame_crc32"]
@@ -276,11 +281,17 @@ def audio_loudness_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     of the RIFF data chunk (audiohdr.py:decode_wav_samples); loudness
     stats are exact integers (peak = max |s|, sum_sq = Σ s² in int64)
     so an independent record reproduces them bit-for-bit; rms is the
-    one fixed-shape float (sqrt of a ratio of exact ints)."""
+    one fixed-shape float (sqrt of a ratio of exact ints). Payloads
+    that are not 16-bit PCM (compressed codecs, corrupt bytes) are
+    skipped — the same one-in/at-most-one-out contract as the other
+    decode maps."""
     for pdf in batches:
         rows: list[tuple] = []
         for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"].values):
-            _rate, _ch, samples = decode_wav_samples(payload)
+            try:
+                _rate, _ch, samples = decode_wav_samples(payload)
+            except ValueError:
+                continue  # compressed codec / non-16-bit / corrupt: skip
             flat = samples.astype(np.int64).ravel()
             n = int(flat.size)
             peak = int(np.abs(flat).max(initial=0))

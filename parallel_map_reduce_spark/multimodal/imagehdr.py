@@ -67,6 +67,8 @@ def _parse_bmp(data: bytes):
         return None
     hdr_size = struct.unpack("<I", data[14:18])[0]
     if hdr_size >= 40:  # BITMAPINFOHEADER and successors
+        if len(data) < 30:  # bpp field would read past a truncated buffer
+            return None
         width = struct.unpack("<i", data[18:22])[0]
         height = abs(struct.unpack("<i", data[22:26])[0])  # may be top-down
         bpp = struct.unpack("<H", data[28:30])[0]
@@ -251,6 +253,20 @@ def build_gif(width: int, height: int, pattern: int | None = None) -> bytes:
     return bytes(out)
 
 
+def dib_pattern_rows(width: int, height: int, base: int) -> bytes:
+    """Bottom-up BGR 4-byte-padded pixel rows of the ``pattern_byte``
+    image — the DIB pixel-array layout shared by BMP files and AVI
+    '00db' frames (videohdr.py builds frames from this exact helper,
+    so the two builders cannot drift)."""
+    pad = (-(width * 3)) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # file rows run bottom-up
+        for x in range(width):
+            body += bytes(pattern_byte(x, y, c, base) for c in (2, 1, 0))  # BGR
+        body += b"\x00" * pad
+    return bytes(body)
+
+
 def build_bmp(
     width: int, height: int, pixel: int = 0, pattern: int | None = None
 ) -> bytes:
@@ -261,14 +277,7 @@ def build_bmp(
     if pattern is None:
         rows = (bytes([pixel % 256]) * (width * 3) + b"\x00" * pad) * height
     else:
-        body = bytearray()
-        for y in range(height - 1, -1, -1):  # file rows run bottom-up
-            for x in range(width):
-                body += bytes(
-                    pattern_byte(x, y, c, pattern) for c in (2, 1, 0)  # BGR
-                )
-            body += b"\x00" * pad
-        rows = bytes(body)
+        rows = dib_pattern_rows(width, height, pattern)
     info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
     header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 14 + 40)
     return header + info + rows

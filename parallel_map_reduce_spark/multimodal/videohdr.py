@@ -21,12 +21,23 @@ from __future__ import annotations
 
 import struct
 
-from .imagehdr import pattern_byte
+from .imagehdr import dib_pattern_rows, pattern_byte  # noqa: F401 — pattern_byte re-exported for tests/generators
 
 
 def parse_avi(data: bytes):
     """(width, height, usec_per_frame, [(frame_offset, size), ...]) or
-    ``None``. Offsets point at the frame's DIB bytes inside ``data``."""
+    ``None``. Offsets point at the frame's DIB bytes inside ``data``.
+    Only STREAM-0 video chunks ('00db'/'00dc') count as frames — the
+    stream the avih geometry and frame count describe."""
+    try:
+        return _parse_avi(data)
+    except (IndexError, struct.error):
+        # Truncated/corrupt container (size fields past the buffer):
+        # the contract is None, never an exception.
+        return None
+
+
+def _parse_avi(data: bytes):
     if not isinstance(data, (bytes, bytearray, memoryview)):
         return None
     data = bytes(data)
@@ -59,12 +70,16 @@ def parse_avi(data: bytes):
                     j += 8 + ssize + (ssize & 1)
             elif ltype == b"movi":
                 j = body_at + 4
-                while j + 8 <= body_at + size:
+                end = min(body_at + size, n)  # clamp to real buffer
+                while j + 8 <= end:
                     scid = data[j : j + 4]
                     (ssize,) = struct.unpack("<I", data[j + 4 : j + 8])
-                    # Stream-0 video chunks: uncompressed ('db') or
-                    # compressed ('dc') frames.
-                    if scid[2:4] in (b"db", b"dc"):
+                    # Stream-0 video chunks only: uncompressed ('db')
+                    # or compressed ('dc') frames. Other streams
+                    # ('01wb' audio, '01db' a second video stream)
+                    # must not pollute the frame list the avih
+                    # geometry/count describes.
+                    if scid[:2] == b"00" and scid[2:4] in (b"db", b"dc"):
                         frames.append((j + 8, ssize))
                     j += 8 + ssize + (ssize & 1)
         i += 8 + size + (size & 1)
@@ -100,15 +115,9 @@ def _list(ltype: bytes, body: bytes) -> bytes:
 
 def build_frame(width: int, height: int, frame_idx: int, base: int) -> bytes:
     """One DIB frame (bottom-up BGR, 4-byte row padding) carrying the
-    ``pattern_byte`` ramp keyed by ``base + 29*frame_idx``."""
-    fbase = (base + 29 * frame_idx) % 256
-    pad = (-(width * 3)) % 4
-    body = bytearray()
-    for y in range(height - 1, -1, -1):
-        for x in range(width):
-            body += bytes(pattern_byte(x, y, c, fbase) for c in (2, 1, 0))
-        body += b"\x00" * pad
-    return bytes(body)
+    ``pattern_byte`` ramp keyed by ``base + 29*frame_idx`` — the exact
+    BMP pixel-array serialization, via the shared helper."""
+    return dib_pattern_rows(width, height, (base + 29 * frame_idx) % 256)
 
 
 def build_avi(

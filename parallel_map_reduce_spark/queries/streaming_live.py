@@ -401,6 +401,12 @@ def streaming_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame
 def _set_multimodal_oracle() -> None:
     from ..registry import _REGISTRY
 
+    # Import the batch module explicitly so the shared entry is
+    # registered whatever order the package imports resolve in —
+    # without this the copy below would silently depend on
+    # queries/__init__ importing multimodal before streaming_live.
+    from . import multimodal as _mm  # noqa: F401
+
     _REGISTRY["streaming_multimodal_features"].oracle = _REGISTRY[
         "multimodal_image_features"
     ].oracle

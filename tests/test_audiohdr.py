@@ -181,6 +181,23 @@ def test_map_in_pandas_real_loudness(spark):
         assert r.rms == round((ssq / (nf * ch)) ** 0.5, 4), d
 
 
+def test_loudness_map_skips_undecodable_rows():
+    """The map body must SKIP non-16-bit-PCM payloads (the other
+    decode maps' one-in/at-most-one-out contract), not crash the
+    batch."""
+    import pandas as pd
+
+    from parallel_map_reduce_spark.multimodal.codec import audio_loudness_map
+
+    good = build_wav(8000, 1, 10, pattern=3)
+    bad_bits = build_wav(8000, 1, 10, bits=8)  # parseable header, no decode
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "payload": [good, bad_bits, b"not audio"]}
+    )
+    (out,) = list(audio_loudness_map(iter([pdf])))
+    assert out["doc_id"].tolist() == [1]
+
+
 def test_map_in_pandas_true_audio_metadata(spark):
     from parallel_map_reduce_spark.queries.multimodal import (
         multimodal_audio_features,

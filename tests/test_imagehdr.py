@@ -71,6 +71,9 @@ def test_png_is_decodable_bytes():
         b"",
         b"not an image at all",
         b"BM",  # truncated BMP
+        # 26-29-byte BMP claiming a 40-byte info header: the bpp field
+        # sits past the buffer — must return None, never struct.error
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + b"\x00" * 9,
         b"\x89PNG\r\n\x1a\nXXXX",  # PNG magic, garbage chunk
         b"\xff\xd8\xff",  # truncated JPEG
         b"GIF89a",  # truncated GIF

@@ -145,6 +145,34 @@ def test_gif_lzw_kwkwk_case():
     assert (dw, dh, dc, px) == (3, 1, 3, b"\x00" * 9)
 
 
+def test_gif_lzw_code_width_growth():
+    """Hand-packed LZW stream that crosses the 3->4-bit code-width
+    boundary WITHOUT re-clearing (the clear-per-pixel builder never
+    does this): with min code size 2, the decoder's table grows on
+    each decoded symbol after the first, and the width must bump
+    exactly when next_code reaches 1<<code_size. Codes: clear,0,1,0
+    at 3 bits (table reaches 8 entries), then 1,0 at 4 bits, end."""
+    out = bytearray(b"GIF89a") + struct.pack("<HH", 5, 1)
+    out += b"\xf0\x00\x00" + b"\x00\x00\x00\xff\xff\xff"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 5, 1) + b"\x00" + b"\x02"
+    acc = n = 0
+    data = bytearray()
+    for code, width in ((4, 3), (0, 3), (1, 3), (0, 3), (1, 4), (0, 4), (5, 4)):
+        acc |= code << n
+        n += width
+        while n >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    out += bytes([len(data)]) + bytes(data) + b"\x00\x3b"
+    dw, dh, dc, px = decode_gif_pixels(bytes(out))
+    assert (dw, dh, dc) == (5, 1, 3)
+    got = np.frombuffer(px, np.uint8).reshape(1, 5, 3)[0, :, 0]
+    assert got.tolist() == [0, 255, 0, 255, 0]
+
+
 def test_bmp_pattern_and_topdown():
     w, h, base = 7, 5, 33
     dw, dh, dc, px = decode_bmp_pixels(build_bmp(w, h, pattern=base))

@@ -73,10 +73,34 @@ def test_hand_built_avi_chunk_walk():
         b"RIFF\x00\x00\x00\x00WAVE",  # RIFF but not AVI
         b"RIFF" + struct.pack("<I", 4) + b"AVI ",  # AVI with no chunks
         b"not a video",
+        # LIST size field lies past the buffer: the subchunk walk must
+        # return None, never raise (advisor-class truncation repro)
+        b"RIFF" + struct.pack("<I", 1000) + b"AVI "
+        + b"LIST" + struct.pack("<I", 1000) + b"movi"
+        + b"00db" + struct.pack("<I", 8),
     ],
 )
 def test_malformed_rejected(junk):
     assert parse_avi(junk) is None
+
+
+def test_second_video_stream_chunks_excluded():
+    """'01db' chunks (a second video stream) must not pollute the
+    stream-0 frame list the avih geometry describes."""
+    w, h, usec = 2, 2, 40000
+    frame = bytes(16)
+    avih = struct.pack("<IIIIIIIIII4I", usec, 0, 0, 0, 1, 0, 2, 0, w, h, 0, 0, 0, 0)
+    hdrl_body = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    pieces = bytearray(b"movi")
+    pieces += b"00db" + struct.pack("<I", len(frame)) + frame
+    pieces += b"01db" + struct.pack("<I", len(frame)) + frame  # other stream
+    movi = b"LIST" + struct.pack("<I", len(pieces)) + bytes(pieces)
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    _, _, _, frames = parse_avi(payload)
+    assert len(frames) == 1
+    assert payload[frames[0][0] - 8 : frames[0][0] - 4] == b"00db"
 
 
 def test_frame_pixel_decode_matches_pattern():
@@ -142,6 +166,22 @@ def test_fixture_generator_is_deterministic():
         pw, ph, pnf, pusec, base = fixture_params(d)
         assert (pw, ph, pnf, pusec) == (w, h, nf, usec)
         assert _build(pw, ph, pnf, pusec, base)[0] == payload, d
+
+
+def test_frames_map_skips_truncated_frames():
+    """A parseable container whose sampled frame bytes are short must
+    SKIP that frame row, not crash the batch."""
+    import pandas as pd
+
+    from parallel_map_reduce_spark.multimodal.codec import video_frames_map
+
+    payload, offsets = build_avi(4, 3, 4, 40000, 7)
+    truncated = payload[: offsets[3] + 4]  # cut inside the 4th frame
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [payload, truncated]})
+    (out,) = list(video_frames_map(iter([pdf])))
+    # doc 1: frames 0 and 3 sampled; doc 2: frame 0 survives, frame 3 cut
+    assert out[out.doc_id == 1]["frame_idx"].tolist() == [0, 3]
+    assert out[out.doc_id == 2]["frame_idx"].tolist() == [0]
 
 
 def test_map_in_pandas_video_metadata(spark):
