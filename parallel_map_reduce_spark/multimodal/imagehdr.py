@@ -340,25 +340,34 @@ def jpeg_block_value(bx: int, by: int, base: int) -> int:
 
 
 def build_jpeg(
-    width: int, height: int, channels: int = 3, pattern: int | None = None
+    width: int,
+    height: int,
+    channels: int = 3,
+    pattern: int | None = None,
+    subsampling: str = "444",
 ) -> bytes:
     """REAL baseline JPEG: flat-16 quant table, canonical DHT, and a
-    Huffman-coded scan of DC-only blocks (grayscale or 4:4:4 YCbCr
-    with flat chroma). Any conformant decoder renders it. Default
-    image is uniform 128 gray; with ``pattern=base`` each 8x8 block
-    carries ``jpeg_block_value`` — decoded pixels are exactly
-    predictable from block arithmetic (no IDCT needed), which is what
-    the fixture's independence contract requires."""
+    Huffman-coded scan of DC-only blocks (grayscale, 4:4:4, or 4:2:0
+    YCbCr with flat chroma). Any conformant decoder renders it.
+    Default image is uniform 128 gray; with ``pattern=base`` each 8x8
+    LUMA block carries ``jpeg_block_value`` (global block coords, so
+    the expected-pixel formula is identical across subsamplings) —
+    decoded pixels are exactly predictable from block arithmetic (no
+    IDCT needed), which is what the fixture's independence contract
+    requires."""
     if channels not in (1, 3):
         raise ValueError("baseline encoder supports 1 or 3 components")
+    if subsampling not in ("444", "420") or (subsampling == "420" and channels != 3):
+        raise ValueError("subsampling must be '444', or '420' with 3 components")
     out = bytearray(b"\xff\xd8")  # SOI
     jfif = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
     out += b"\xff\xe0" + struct.pack(">H", 2 + len(jfif)) + jfif
     dqt = b"\x00" + bytes([_JPEG_Q] * 64)  # table 0, flat, zigzag-invariant
     out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    luma_sampling = 0x22 if subsampling == "420" else 0x11
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for c in range(channels):
-        sof += bytes([c + 1, 0x11, 0])  # 4:4:4, quant table 0
+        sof += bytes([c + 1, luma_sampling if c == 0 else 0x11, 0])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     dht = b"\x00" + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMBOLS)
     dht += b"\x10" + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMBOLS)
@@ -369,25 +378,40 @@ def build_jpeg(
 
     dc_codes = _jpeg_canonical_codes(_JPEG_DC_COUNTS)
     (ac_eob_len, ac_eob_code) = _jpeg_canonical_codes(_JPEG_AC_COUNTS)[0]
-    bw_blocks = (width + 7) // 8
-    bh_blocks = (height + 7) // 8
     w = _JpegBitWriter()
     preds = [0] * channels
-    for by in range(bh_blocks):
-        for bx in range(bw_blocks):
-            for ci in range(channels):
-                if ci == 0 and pattern is not None:
-                    dc = (jpeg_block_value(bx, by, pattern) - 128) // 2
-                else:
-                    dc = 0  # chroma flat 128 / unpatterned gray
-                diff = dc - preds[ci]
-                preds[ci] = dc
-                s = diff.bit_length() if diff else 0
-                length, code = dc_codes[s]
-                w.write(code, length)
-                if s:
-                    w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-                w.write(ac_eob_code, ac_eob_len)  # EOB: no AC coefficients
+
+    def write_block(ci: int, dc: int) -> None:
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        s = diff.bit_length() if diff else 0
+        length, code = dc_codes[s]
+        w.write(code, length)
+        if s:
+            w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        w.write(ac_eob_code, ac_eob_len)  # EOB: no AC coefficients
+
+    def luma_dc(bx: int, by: int) -> int:
+        if pattern is None:
+            return 0
+        return (jpeg_block_value(bx, by, pattern) - 128) // 2
+
+    if subsampling == "420":
+        # Interleaved MCUs of 16x16: 4 raster-ordered Y blocks (global
+        # block coords my*2+vb / mx*2+hb) + one Cb + one Cr.
+        for my in range((height + 15) // 16):
+            for mx in range((width + 15) // 16):
+                for vb in range(2):
+                    for hb in range(2):
+                        write_block(0, luma_dc(mx * 2 + hb, my * 2 + vb))
+                write_block(1, 0)
+                write_block(2, 0)
+    else:
+        for by in range((height + 7) // 8):
+            for bx in range((width + 7) // 8):
+                write_block(0, luma_dc(bx, by))
+                for ci in range(1, channels):
+                    write_block(ci, 0)  # chroma flat 128
     out += w.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -4,11 +4,12 @@ dezigzag, IDCT, level shift, clamp, and JFIF YCbCr→RGB — pure
 ``struct``/numpy, no libjpeg.
 
 Scope (honest): BASELINE sequential DCT (SOF0), 8-bit samples,
-grayscale or 4:4:4 color (no chroma subsampling), no progressive or
-arithmetic coding. That covers every file the committed fixture's
-encoder (imagehdr.py:build_jpeg) produces — real Huffman-coded JPEGs
-any standard viewer decodes — while subsampled/progressive files from
-the wild are rejected with ValueError rather than mis-decoded.
+grayscale or color with sampling factors 1-2 per axis — 4:4:4,
+4:2:2, 4:4:0, and the ubiquitous 4:2:0 (interleaved MCU walk,
+nearest-neighbor chroma upsampling). No progressive or arithmetic
+coding — those are rejected with ValueError rather than mis-decoded.
+That covers every file the committed fixture's encoder
+(imagehdr.py:build_jpeg) produces plus the dominant wild layout.
 
 Exactness contract the fixture relies on: the encoder emits DC-only
 blocks with ``dc * q`` divisible by 8, for which ANY correct IDCT
@@ -193,9 +194,13 @@ def _decode_jpeg_pixels(data: bytes):
             comps = []
             for c in range(n_comp):
                 cid, sampling, qid = seg[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise ValueError("subsampled JPEG not supported (4:4:4 only)")
-                comps.append((cid, qid))
+                h_i, v_i = sampling >> 4, sampling & 0x0F
+                if h_i not in (1, 2) or v_i not in (1, 2):
+                    raise ValueError(
+                        "unsupported JPEG sampling factor (1-2 only: "
+                        "4:4:4 / 4:2:2 / 4:4:0 / 4:2:0)"
+                    )
+                comps.append((cid, qid, h_i, v_i))
             frame = (height, width, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("only baseline sequential (SOF0) JPEG supported")
@@ -213,49 +218,69 @@ def _decode_jpeg_pixels(data: bytes):
             if ns != len(comps):
                 raise ValueError("multi-scan JPEG not supported")
             br = _BitReader(data, i + 2 + seg_len)
-            bw = (width + 7) // 8
-            bh = (height + 7) // 8
-            planes = [np.zeros((bh * 8, bw * 8), np.float64) for _ in comps]
+            # General interleaved-MCU walk: an MCU spans 8*hmax x
+            # 8*vmax pixels and carries h_i*v_i raster-ordered blocks
+            # per component — 4:4:4 degenerates to one block each.
+            hmax = max(h for _, _, h, _ in comps)
+            vmax = max(v for _, _, _, v in comps)
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            planes = [
+                np.zeros((mcuy * v * 8, mcux * h * 8), np.float64)
+                for _, _, h, v in comps
+            ]
             preds = [0] * len(comps)
             mcu = 0
-            for by in range(bh):
-                for bx in range(bw):
+            for my in range(mcuy):
+                for mx in range(mcux):
                     if restart_interval and mcu and mcu % restart_interval == 0:
                         br.sync_restart()
                         preds = [0] * len(comps)
-                    for ci, (cid, qid) in enumerate(comps):
+                    for ci, (cid, qid, h_i, v_i) in enumerate(comps):
                         dc_id, ac_id = scan_tables[cid]
                         dct = dc_tables.get(dc_id)
                         act = ac_tables.get(ac_id)
                         if dct is None or act is None:
                             raise ValueError("JPEG scan references missing Huffman table")
-                        coeffs = np.zeros((8, 8), np.int32)
-                        s = _decode_symbol(br, dct)
-                        diff = _extend(br.read_bits(s), s) if s else 0
-                        preds[ci] += diff
-                        coeffs[0, 0] = preds[ci]
-                        z = 1
-                        while z < 64:
-                            rs = _decode_symbol(br, act)
-                            if rs == 0x00:  # EOB
-                                break
-                            if rs == 0xF0:  # ZRL: 16 zeros
-                                z += 16
-                                continue
-                            run, size = rs >> 4, rs & 0x0F
-                            z += run
-                            if z >= 64 or size == 0:
-                                raise ValueError("JPEG AC coefficient overrun")
-                            r, c = ZIGZAG[z]
-                            coeffs[r, c] = _extend(br.read_bits(size), size)
-                            z += 1
                         q = qt.get(qid)
                         if q is None:
                             raise ValueError("JPEG frame references missing quant table")
-                        block = idct_2d((coeffs * q).astype(np.float64)) + 128.0
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                        for vb in range(v_i):
+                            for hb in range(h_i):
+                                coeffs = np.zeros((8, 8), np.int32)
+                                s = _decode_symbol(br, dct)
+                                diff = _extend(br.read_bits(s), s) if s else 0
+                                preds[ci] += diff
+                                coeffs[0, 0] = preds[ci]
+                                z = 1
+                                while z < 64:
+                                    rs = _decode_symbol(br, act)
+                                    if rs == 0x00:  # EOB
+                                        break
+                                    if rs == 0xF0:  # ZRL: 16 zeros
+                                        z += 16
+                                        continue
+                                    run, size = rs >> 4, rs & 0x0F
+                                    z += run
+                                    if z >= 64 or size == 0:
+                                        raise ValueError("JPEG AC coefficient overrun")
+                                    r, c = ZIGZAG[z]
+                                    coeffs[r, c] = _extend(br.read_bits(size), size)
+                                    z += 1
+                                block = idct_2d((coeffs * q).astype(np.float64)) + 128.0
+                                py = (my * v_i + vb) * 8
+                                px = (mx * h_i + hb) * 8
+                                planes[ci][py : py + 8, px : px + 8] = block
                     mcu += 1
-            cropped = [np.clip(np.rint(p[:height, :width]), 0, 255) for p in planes]
+            # Upsample each component to full resolution (nearest /
+            # sample replication — the JFIF default) then crop.
+            ys_full = np.arange(height)
+            xs_full = np.arange(width)
+            cropped = []
+            for plane, (_, _, h_i, v_i) in zip(planes, comps):
+                ys = (ys_full * v_i) // vmax
+                xs = (xs_full * h_i) // hmax
+                cropped.append(np.clip(np.rint(plane[ys][:, xs]), 0, 255))
             if len(cropped) == 1:
                 return width, height, 1, cropped[0].astype(np.uint8).tobytes()
             if len(cropped) == 3:

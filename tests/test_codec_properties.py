@@ -100,6 +100,23 @@ def test_jpeg_dc_only_roundtrip_property(w, h, c, b):
     assert got[0, 0, 0] == jpeg_block_value(0, 0, b)
 
 
+@settings(max_examples=20, deadline=None)
+@given(w=dims, h=dims, b=base)
+def test_jpeg_420_roundtrip_property(w, h, b):
+    """4:2:0 subsampled DC-only files decode to the same
+    block-arithmetic pixels as 4:4:4 at arbitrary (incl. non-MCU-
+    aligned) dimensions."""
+    dw, dh, dc, px = decode_jpeg_pixels(
+        build_jpeg(w, h, 3, pattern=b, subsampling="420")
+    )
+    assert (dw, dh, dc) == (w, h, 3)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    bxs = (np.arange(w) // 8)[None, :]
+    bys = (np.arange(h) // 8)[:, None]
+    exp = (128 + 2 * (((b + 3 * bxs + 5 * bys) % 128) - 64)).astype(np.uint8)
+    assert np.array_equal(got, np.repeat(exp[:, :, None], 3, axis=2))
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     w=dims, h=dims, c=st.sampled_from([1, 3]), b=base,

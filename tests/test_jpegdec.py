@@ -162,15 +162,94 @@ def test_unsupported_variants_rejected():
     with pytest.raises(ValueError):
         decode_jpeg_pixels(bytes(progressive))
 
-    subsampled = bytearray(base)
-    j = subsampled.index(b"\xff\xc0")
-    # First component's sampling byte: len(2)+prec(1)+h(2)+w(2)+nc(1)+cid(1)
-    subsampled[j + 2 + 2 + 1 + 4 + 1 + 1 + 1] = 0x22
+    oversampled = bytearray(base)
+    j = oversampled.index(b"\xff\xc0")
+    # First component's sampling byte: len(2)+prec(1)+h(2)+w(2)+nc(1)+cid(1).
+    # Factor 3 is beyond the supported 1-2 range (0x22 = 4:2:0 IS
+    # supported since the MCU-walk generalization).
+    oversampled[j + 2 + 2 + 1 + 4 + 1 + 1 + 1] = 0x33
     with pytest.raises(ValueError):
-        decode_jpeg_pixels(bytes(subsampled))
+        decode_jpeg_pixels(bytes(oversampled))
 
     with pytest.raises(ValueError):
         decode_jpeg_pixels(b"\xff\xd8\xff\xd9")  # no scan
+
+
+@pytest.mark.parametrize(("w", "h", "base"), [(16, 16, 0), (13, 7, 42), (55, 43, 200), (17, 23, 255)])
+def test_420_subsampled_roundtrip_exact(w, h, base):
+    """4:2:0 DC-only files decode to the SAME block-arithmetic pixels
+    as 4:4:4 (luma blocks keyed by global coords; chroma flat), edge
+    crops included — the interleaved-MCU walk and chroma upsample must
+    not shift anything."""
+    data = build_jpeg(w, h, 3, pattern=base, subsampling="420")
+    dw, dh, dc, px = decode_jpeg_pixels(data)
+    assert (dw, dh, dc) == (w, h, 3)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    for y in range(0, h, 3):
+        for x in range(0, w, 3):
+            assert (got[y, x] == jpeg_block_value(x // 8, y // 8, base)).all()
+
+
+def test_420_chroma_upsample_indexing():
+    """Two horizontally adjacent 4:2:0 MCUs with DIFFERENT Cb values:
+    the left 16 pixel columns must carry MCU0's chroma and the right
+    16 MCU1's — catching any upsample/index shift that flat-chroma
+    tests cannot see. Stream hand-packed with the encoder's tables."""
+    from parallel_map_reduce_spark.multimodal.imagehdr import (
+        _JPEG_AC_COUNTS,
+        _JPEG_DC_COUNTS,
+        _jpeg_canonical_codes,
+    )
+
+    w, h = 32, 16
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + bytes([16] * 64)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = b"\x00" + bytes(_JPEG_DC_COUNTS) + bytes(range(12))
+    dht += b"\x10" + bytes(_JPEG_AC_COUNTS) + bytes([0x00])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_COUNTS)
+    (eob_len, eob_code) = _jpeg_canonical_codes(_JPEG_AC_COUNTS)[0]
+    wtr = _JpegBitWriter()
+
+    def block(dc_diff):
+        s = dc_diff.bit_length() if dc_diff else 0
+        ln, code = dc_codes[s]
+        wtr.write(code, ln)
+        if s:
+            wtr.write(dc_diff if dc_diff > 0 else dc_diff + (1 << s) - 1, s)
+        wtr.write(eob_code, eob_len)
+
+    # MCU0: 4 Y blocks dc=0, Cb dc=+8 (value 144), Cr dc=0
+    for _ in range(4):
+        block(0)
+    block(8)
+    block(0)
+    # MCU1: 4 Y blocks, Cb dc diff=-16 (value 112), Cr diff=0
+    for _ in range(4):
+        block(0)
+    block(-16)
+    block(0)
+    out += wtr.flush() + b"\xff\xd9"
+
+    dw, dh, dc, px = decode_jpeg_pixels(bytes(out))
+    assert (dw, dh, dc) == (w, h, 3)
+    img = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(float)
+
+    def jfif_rgb(yv, cb, cr):
+        r = yv + 1.402 * (cr - 128.0)
+        g = yv - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = yv + 1.772 * (cb - 128.0)
+        return [min(255, max(0, round(c))) for c in (r, g, b)]
+
+    left = jfif_rgb(128.0, 144.0, 128.0)
+    right = jfif_rgb(128.0, 112.0, 128.0)
+    assert img[:, :16].reshape(-1, 3).tolist() == [left] * (16 * 16)
+    assert img[:, 16:].reshape(-1, 3).tolist() == [right] * (16 * 16)
 
 
 def test_color_conversion_identity_for_flat_chroma():
