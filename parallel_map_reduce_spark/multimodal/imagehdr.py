@@ -182,31 +182,56 @@ def build_png(
     channels: int = 3,
     pixel: int = 0,
     pattern: int | None = None,
+    interlace: bool = False,
 ) -> bytes:
     """Fully decodable PNG: real IHDR/IDAT/IEND with correct CRCs.
     Default: constant ``pixel`` bytes, filter 0 everywhere (the shape
     test_png_is_decodable_bytes pins). With ``pattern=base`` the image
     carries ``pattern_byte`` pixels and row ``y`` is encoded with
     filter type ``y % 5`` — every unfilter path in pixeldec.py is
-    exercised by the committed fixture."""
+    exercised by the committed fixture. ``interlace=True`` (pattern
+    mode only) emits a real Adam7 stream: seven independently-filtered
+    sub-images in pass order."""
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    if interlace and pattern is None:
+        raise ValueError("interlaced builder requires pattern mode")
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     if pattern is None:
         raw_scan = b"\x00" + bytes([pixel % 256]) * (width * channels)
         idat = zlib.compress(raw_scan * height, 6)
     else:
-        scan = bytearray()
-        prev: bytes | None = None
-        for y in range(height):
-            raw = bytes(
-                pattern_byte(x, y, c, pattern)
-                for x in range(width)
-                for c in range(channels)
+        def filtered_rows(xs: list[int], ys: list[int]) -> bytes:
+            """One sub-image: pattern pixels at (xs × ys), rows
+            filtered with type row_index % 5."""
+            scan = bytearray()
+            prev: bytes | None = None
+            for ri, y in enumerate(ys):
+                raw = bytes(
+                    pattern_byte(x, y, c, pattern)
+                    for x in xs
+                    for c in range(channels)
+                )
+                ft = ri % 5
+                scan += bytes([ft]) + _png_filter_row(raw, prev, channels, ft)
+                prev = raw
+            return bytes(scan)
+
+        if interlace:
+            from .pixeldec import ADAM7
+
+            scan_all = bytearray()
+            for x0, y0, dx, dy in ADAM7:
+                xs = list(range(x0, width, dx))
+                ys = list(range(y0, height, dy))
+                if xs and ys:
+                    scan_all += filtered_rows(xs, ys)
+            idat = zlib.compress(bytes(scan_all), 6)
+        else:
+            idat = zlib.compress(
+                filtered_rows(list(range(width)), list(range(height))), 6
             )
-            ft = y % 5
-            scan += bytes([ft]) + _png_filter_row(raw, prev, channels, ft)
-            prev = raw
-        idat = zlib.compress(bytes(scan), 6)
     return (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)

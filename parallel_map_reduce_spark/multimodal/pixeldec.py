@@ -84,9 +84,38 @@ def _png_unfilter(raw: bytes, width: int, height: int, spp: int) -> bytearray:
     return out
 
 
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step).
+ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_deinterlace(raw: bytes, width: int, height: int, spp: int) -> bytes:
+    """Reassemble an Adam7 stream: seven independently-filtered
+    sub-images scattered onto the full-size pixel grid; empty passes
+    contribute no bytes at all (per the spec)."""
+    out = np.zeros((height, width, spp), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        span = (pw * spp + 1) * ph
+        sub = _png_unfilter(raw[pos : pos + span], pw, ph, spp)
+        pos += span
+        grid = np.frombuffer(bytes(sub), np.uint8).reshape(ph, pw, spp)
+        out[y0::dy, x0::dx] = grid
+    if pos != len(raw):
+        raise ValueError("PNG interlaced scanline data does not match dimensions")
+    return out.tobytes()
+
+
 def decode_png_pixels(data: bytes):
-    """(width, height, channels, pixels) for an 8-bit non-interlaced
-    PNG of color type 0/2/3/4/6; palette images dereference to RGB."""
+    """(width, height, channels, pixels) for an 8-bit PNG of color
+    type 0/2/3/4/6, non-interlaced or Adam7; palette images
+    dereference to RGB."""
     if not data.startswith(_PNG_MAGIC) or data[12:16] != b"IHDR":
         raise ValueError("not a PNG")
     width, height = struct.unpack(">II", data[16:24])
@@ -95,8 +124,8 @@ def decode_png_pixels(data: bytes):
         raise ValueError(f"unsupported PNG bit depth {bit_depth} (8 only)")
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     spp = _PNG_RAW_SAMPLES.get(color_type)
     if spp is None:
         raise ValueError(f"invalid PNG color type {color_type}")
@@ -117,7 +146,10 @@ def decode_png_pixels(data: bytes):
     if not idat:
         raise ValueError("PNG has no IDAT")
     raw = zlib.decompress(bytes(idat))
-    pixels = _png_unfilter(raw, width, height, spp)
+    if interlace == 1:
+        pixels: bytes | bytearray = _png_deinterlace(raw, width, height, spp)
+    else:
+        pixels = _png_unfilter(raw, width, height, spp)
     if color_type == 3:
         if palette is None or len(palette) % 3:
             raise ValueError("palette PNG without a valid PLTE")

@@ -51,6 +51,32 @@ def test_png_pattern_roundtrip_all_filters(channels, w, h, base):
     assert np.array_equal(got, _pattern_array(w, h, channels, base))
 
 
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize(
+    ("w", "h", "base"),
+    [(16, 16, 0), (13, 7, 42), (9, 21, 201), (1, 1, 5), (3, 10, 77), (10, 3, 9)],
+)
+def test_png_adam7_interlaced_roundtrip(channels, w, h, base):
+    """Adam7 streams deinterlace to exactly the pattern image at
+    arbitrary (incl. pass-degenerate) dimensions — same expectation
+    as the progressive-free encode."""
+    data = build_png(w, h, channels, pattern=base, interlace=True)
+    dw, dh, dc, px = decode_png_pixels(data)
+    assert (dw, dh, dc) == (w, h, channels)
+    got = np.frombuffer(px, np.uint8).reshape(h, w, channels)
+    assert np.array_equal(got, _pattern_array(w, h, channels, base))
+
+
+def test_png_interlaced_equals_noninterlaced():
+    """The two encodings of the same pattern image decode to identical
+    bytes — the scatter indexing cannot drift from the sequential
+    path."""
+    for (w, h, c, b) in [(17, 11, 3, 33), (8, 8, 1, 0)]:
+        plain = decode_png_pixels(build_png(w, h, c, pattern=b))[3]
+        inter = decode_png_pixels(build_png(w, h, c, pattern=b, interlace=True))[3]
+        assert plain == inter
+
+
 def test_png_hand_built_filter2_scanlines():
     """A PNG assembled BY HAND with Up-filtered (type 2) scanlines —
     checks the decoder against the filter spec, not against build_png
