@@ -240,25 +240,41 @@ def build_png(
     )
 
 
-def build_gif(width: int, height: int, pattern: int | None = None) -> bytes:
+def build_gif(
+    width: int,
+    height: int,
+    pattern: int | None = None,
+    interlace: bool = False,
+) -> bytes:
     """Valid GIF89a: 2-entry palette, LZW data via the legal (if
     inefficient) clear-code-before-every-pixel encoding. Default image
     is all palette-index 0; with ``pattern=base`` the image is the
-    checkerboard ``(x + y + base) % 2`` over the black/white palette."""
+    checkerboard ``(x + y + base) % 2`` over the black/white palette.
+    ``interlace=True`` stores rows in the GIF89a 4-pass order."""
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", width, height)
     out += b"\xf0\x00\x00"  # GCT flag, 2-entry palette, bg 0, no aspect
     out += b"\x00\x00\x00\xff\xff\xff"  # palette: black, white
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out += b"\x40" if interlace else b"\x00"
     out += b"\x02"  # LZW minimum code size
     # Codes are 3 bits wide (min size 2 -> initial width 3): clear=4,
     # end=5. Emit clear, then one palette-index code per pixel, then end.
+    row_order = (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+        if interlace
+        else list(range(height))
+    )
     bits = []
     bits.append((4, 3))
-    for p in range(width * height):
-        idx = 0 if pattern is None else (p % width + p // width + pattern) % 2
-        bits.append((4, 3))  # re-clear keeps the code width fixed at 3
-        bits.append((idx, 3))
+    for y in row_order:
+        for x in range(width):
+            idx = 0 if pattern is None else (x + y + pattern) % 2
+            bits.append((4, 3))  # re-clear keeps the code width fixed at 3
+            bits.append((idx, 3))
     bits.append((5, 3))
     acc = n_acc = 0
     data = bytearray()

@@ -238,8 +238,7 @@ def decode_gif_pixels(data: bytes):
         elif b == 0x2C:  # image descriptor
             left, top, iw, ih, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
             pos += 10
-            if iflags & 0x40:
-                raise ValueError("interlaced GIF not supported")
+            interlaced = bool(iflags & 0x40)
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
                 palette = data[pos : pos + 3 * n]
@@ -260,6 +259,21 @@ def decode_gif_pixels(data: bytes):
             )
             if len(idx) != width * height:
                 raise ValueError("GIF pixel count mismatch")
+            if interlaced:
+                # GIF89a interlace: rows stored in 4 passes
+                # (0,8,16.. / 4,12.. / 2,6,10.. / 1,3,5..) — a pure
+                # row permutation of the LZW output.
+                rows = idx.reshape(height, width)
+                out_rows = np.empty_like(rows)
+                order = (
+                    list(range(0, height, 8))
+                    + list(range(4, height, 8))
+                    + list(range(2, height, 4))
+                    + list(range(1, height, 2))
+                )
+                for stored, target in enumerate(order):
+                    out_rows[target] = rows[stored]
+                idx = out_rows.reshape(-1)
             pal = np.frombuffer(palette, np.uint8).reshape(-1, 3)
             if int(idx.max(initial=0)) >= pal.shape[0]:
                 raise ValueError("GIF palette index out of range")
@@ -276,7 +290,8 @@ def decode_gif_pixels(data: bytes):
 
 
 def decode_bmp_pixels(data: bytes):
-    """(width, height, 3, rgb_pixels) for an uncompressed 24-bit BMP."""
+    """(width, height, channels, pixels) for an uncompressed 24-bit
+    (BGR → RGB) or 32-bit (BGRA → RGBA) BMP."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     (pixel_off,) = struct.unpack("<I", data[10:14])
@@ -287,18 +302,22 @@ def decode_bmp_pixels(data: bytes):
     raw_height = struct.unpack("<i", data[22:26])[0]
     bpp = struct.unpack("<H", data[28:30])[0]
     compression = struct.unpack("<I", data[30:34])[0]
-    if bpp != 24 or compression != 0:
+    if bpp not in (24, 32) or compression != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    nch = bpp // 8
     height = abs(raw_height)
-    stride = (width * 3 + 3) & ~3
+    stride = (width * nch + 3) & ~3
     need = pixel_off + stride * height
     if width <= 0 or height == 0 or len(data) < need:
         raise ValueError("truncated BMP pixel array")
     rows = np.frombuffer(data[pixel_off:need], np.uint8).reshape(height, stride)
-    img = rows[:, : width * 3].reshape(height, width, 3)
+    img = rows[:, : width * nch].reshape(height, width, nch)
     if raw_height > 0:  # bottom-up storage
         img = img[::-1]
-    return width, height, 3, img[:, :, ::-1].tobytes()  # BGR -> RGB
+    if nch == 3:
+        return width, height, 3, img[:, :, ::-1].tobytes()  # BGR -> RGB
+    # 32-bit: BGRA -> RGBA (alpha stays last)
+    return width, height, 4, img[:, :, [2, 1, 0, 3]].tobytes()
 
 
 # ---------------------------------------------------------------------------

@@ -199,6 +199,35 @@ def test_gif_lzw_code_width_growth():
     assert got.tolist() == [0, 255, 0, 255, 0]
 
 
+@pytest.mark.parametrize(("w", "h", "base"), [(8, 8, 0), (13, 9, 5), (5, 17, 200), (7, 1, 3)])
+def test_gif_interlaced_roundtrip(w, h, base):
+    """GIF89a interlaced storage (4-pass row order) deinterlaces to
+    the same checkerboard as sequential storage."""
+    plain = decode_gif_pixels(build_gif(w, h, pattern=base))
+    inter = decode_gif_pixels(build_gif(w, h, pattern=base, interlace=True))
+    assert plain == inter
+
+
+def test_bmp_32bit_bgra():
+    """A hand-assembled uncompressed 32-bit BMP decodes BGRA -> RGBA
+    with the alpha channel preserved in place."""
+    w, h = 3, 2
+    px = [
+        [(10, 20, 30, 40), (50, 60, 70, 80), (90, 100, 110, 120)],
+        [(1, 2, 3, 4), (5, 6, 7, 8), (9, 10, 11, 12)],
+    ]
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        for r, g, b, a in px[y]:
+            rows += bytes([b, g, r, a])
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(rows), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(rows), 0, 0, 14 + 40)
+    dw, dh, dc, out = decode_bmp_pixels(bytes(header + info + rows))
+    assert (dw, dh, dc) == (w, h, 4)
+    got = np.frombuffer(out, np.uint8).reshape(h, w, 4)
+    assert got.tolist() == [[list(p) for p in row] for row in px]
+
+
 def test_bmp_pattern_and_topdown():
     w, h, base = 7, 5, 33
     dw, dh, dc, px = decode_bmp_pixels(build_bmp(w, h, pattern=base))
