@@ -134,11 +134,12 @@ def _extend(v: int, s: int) -> int:
 
 def decode_jpeg_pixels(data: bytes):
     """(width, height, channels, pixels) for a baseline (SOF0) 8-bit
-    JPEG, grayscale or 4:4:4 YCbCr. Raises ValueError otherwise —
+    JPEG, grayscale or YCbCr with sampling factors 1-2 per axis
+    (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0). Raises ValueError otherwise —
     including on truncation anywhere in the stream."""
     try:
         return _decode_jpeg_pixels(data)
-    except (IndexError, struct.error) as exc:
+    except (IndexError, struct.error, MemoryError) as exc:
         raise ValueError(f"truncated/corrupt JPEG: {exc}") from exc
 
 
@@ -225,6 +226,18 @@ def _decode_jpeg_pixels(data: bytes):
             vmax = max(v for _, _, _, v in comps)
             mcux = (width + 8 * hmax - 1) // (8 * hmax)
             mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            # Pre-allocation sanity check on the header-declared dims:
+            # every block costs >= 2 entropy bits (1-bit DC symbol +
+            # 1-bit EOB), so a frame whose block count exceeds
+            # 4 bits-per-byte x remaining bytes is structurally
+            # truncated — reject as ValueError BEFORE allocating
+            # width*height-scale planes (a crafted 64k x 64k header
+            # must not surface as MemoryError from here).
+            total_blocks = mcux * mcuy * sum(h * v for _, _, h, v in comps)
+            if total_blocks * 2 > (n - (i + 2 + seg_len)) * 8:
+                raise ValueError(
+                    "JPEG entropy segment too short for declared dimensions"
+                )
             planes = [
                 np.zeros((mcuy * v * 8, mcux * h * 8), np.float64)
                 for _, _, h, v in comps

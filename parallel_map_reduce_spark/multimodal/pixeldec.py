@@ -3,14 +3,15 @@ raw bytes — no PIL/opencv, only ``zlib`` + ``struct`` — plus an
 integer nearest-neighbor resize.
 
 This closes the last image stub in codec.py (rounds ≤11 kept pixel
-decode behind ``NotImplementedError``): the three formats whose
-committed fixture files are fully decodable get REAL decoders here.
-JPEG stays header-only by design — baseline JPEG needs libjpeg-class
-Huffman+DCT and the fixture's JPEGs carry no real entropy segment
-(imagehdr.py:build_jpeg) — so ``decode_image_pixels`` raises
-``ValueError`` for it, and callers (codec.py:resize_map) skip those
-rows. Reference basis: the public PNG (RFC 2083), GIF89a, and BMP
-specifications; no reference-repo counterpart exists
+decode behind ``NotImplementedError``): PNG (incl. Adam7 interlace),
+GIF (incl. interlace), and BMP (24/32-bit) decode fully here, and
+JPEG dispatches to ``jpegdec.decode_jpeg_pixels`` — a real baseline
+(SOF0) Huffman+IDCT decoder covering grayscale and 4:4:4 / 4:2:2 /
+4:4:0 / 4:2:0 color (sampling factors 1-2 per axis). Unsupported
+JPEG variants (arithmetic coding, lossless, hierarchical) raise
+``ValueError`` and callers (codec.py:resize_map) skip those rows.
+Reference basis: the public PNG (RFC 2083), GIF89a, BMP, and
+ITU-T T.81 specifications; no reference-repo counterpart exists
 (``/root/reference`` is text-only — this is north-star scope).
 
 Decoder contract: ``decode_image_pixels(data)`` returns
@@ -91,24 +92,37 @@ ADAM7 = (
 )
 
 
+def _adam7_pass_dims(width: int, height: int) -> list[tuple[int, int]]:
+    """(pass_width, pass_height) per Adam7 pass; (0, 0) for empty."""
+    dims = []
+    for x0, y0, dx, dy in ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        dims.append((pw, ph) if pw and ph else (0, 0))
+    return dims
+
+
 def _png_deinterlace(raw: bytes, width: int, height: int, spp: int) -> bytes:
     """Reassemble an Adam7 stream: seven independently-filtered
     sub-images scattered onto the full-size pixel grid; empty passes
     contribute no bytes at all (per the spec)."""
+    # Validate header-declared dims against the actual inflated byte
+    # count BEFORE allocating height*width*spp — a crafted header
+    # claiming huge dims must fail as ValueError, not MemoryError.
+    dims = _adam7_pass_dims(width, height)
+    expected = sum((pw * spp + 1) * ph for pw, ph in dims)
+    if len(raw) != expected:
+        raise ValueError("PNG interlaced scanline data does not match dimensions")
     out = np.zeros((height, width, spp), np.uint8)
     pos = 0
-    for x0, y0, dx, dy in ADAM7:
-        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
-        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
-        if pw == 0 or ph == 0:
+    for (x0, y0, dx, dy), (pw, ph) in zip(ADAM7, dims):
+        if pw == 0:
             continue
         span = (pw * spp + 1) * ph
         sub = _png_unfilter(raw[pos : pos + span], pw, ph, spp)
         pos += span
         grid = np.frombuffer(bytes(sub), np.uint8).reshape(ph, pw, spp)
         out[y0::dy, x0::dx] = grid
-    if pos != len(raw):
-        raise ValueError("PNG interlaced scanline data does not match dimensions")
     return out.tobytes()
 
 
@@ -326,9 +340,10 @@ def decode_bmp_pixels(data: bytes):
 
 def decode_image_pixels(data: bytes):
     """(fmt, width, height, channels, pixels) for PNG/GIF/BMP/JPEG
-    payloads (JPEG: baseline sequential, 8-bit, grayscale or 4:4:4 —
-    jpegdec.py; progressive/subsampled files raise). Raises ValueError
-    for anything unrecognized or corrupt."""
+    payloads (JPEG: 8-bit baseline SOF0, grayscale or YCbCr with
+    sampling factors 1-2 per axis — jpegdec.py; arithmetic-coded /
+    lossless / hierarchical files raise). Raises ValueError for
+    anything unrecognized or corrupt."""
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise ValueError("payload is not bytes")
     data = bytes(data)
@@ -343,8 +358,11 @@ def decode_image_pixels(data: bytes):
             from .jpegdec import decode_jpeg_pixels
 
             return ("jpeg",) + decode_jpeg_pixels(data)
-    except (IndexError, struct.error, zlib.error) as exc:
+    except (IndexError, struct.error, zlib.error, MemoryError) as exc:
         # Truncated/corrupt containers surface as one error type.
+        # MemoryError belongs here too: a malformed header whose
+        # declared dims slip past a decoder's pre-allocation checks is
+        # still a corrupt payload, never a task-killing condition.
         raise ValueError(f"corrupt image payload: {exc}") from exc
     raise ValueError("no stdlib pixel decoder for this payload")
 

@@ -265,6 +265,49 @@ def test_undecodable_raises(junk):
         decode_image_pixels(junk)
 
 
+def test_png_huge_interlaced_dims_raise_valueerror_not_memoryerror():
+    """Advisor r11: a crafted Adam7 PNG claiming 64k x 64k must fail
+    the scanline-length validation (ValueError) BEFORE the decoder
+    allocates a height*width*spp grid (MemoryError would escape
+    resize_map's skip logic and kill the Spark task)."""
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 65536, 65536, 8, 2, 0, 0, 1)  # interlaced
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 64)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png_pixels(data)
+    with pytest.raises(ValueError):
+        decode_image_pixels(data)
+
+
+def test_jpeg_huge_declared_dims_raise_valueerror_not_memoryerror():
+    """Same hardening for JPEG: SOF0 declaring 64k x 64k with a tiny
+    entropy segment must be rejected before plane allocation."""
+    from parallel_map_reduce_spark.multimodal.jpegdec import decode_jpeg_pixels
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    dht_dc = seg(0xC4, b"\x00" + bytes([1] + [0] * 15) + b"\x00")
+    dht_ac = seg(0xC4, b"\x10" + bytes([1] + [0] * 15) + b"\x00")
+    sof = seg(0xC0, b"\x08" + struct.pack(">HH", 65535, 65535) + b"\x01" + b"\x01\x11\x00")
+    sos = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    data = b"\xff\xd8" + dqt + dht_dc + dht_ac + sof + sos + b"\x00" * 32 + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(data)
+    with pytest.raises(ValueError):
+        decode_image_pixels(data)
+
+
 def test_png_bad_filter_type_raises():
     ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 0, 0, 0, 0)
 
