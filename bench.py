@@ -893,12 +893,16 @@ def main() -> int:
             medians[name] = -1.0
             all_runs[name] = []
             print(f"bench: {name} ERROR: {e}", file=sys.stderr)
-        # Drop the just-benched DataFrames' refs and collect: several
-        # queries localCheckpoint intermediates, whose block-manager
-        # blocks are reclaimed by the ContextCleaner only once the
-        # Python refs die — 100+ executions without a nudge lets dead
-        # blocks accumulate against the 8g heap and degrade later
-        # queries (observed: tail-of-run timings 2-3x early-run ones).
+        # Release the just-benched query's pinned caches and checkpoint
+        # blocks: registry.release_pins() unpersists every pin() this
+        # build made, and dropping the DataFrame refs + gc lets the
+        # ContextCleaner reclaim localCheckpoint blocks (iterative
+        # entries) — 100+ executions without the nudge lets dead blocks
+        # accumulate against the heap and degrade later queries
+        # (observed: tail-of-run timings 2-3x early-run ones).
+        from parallel_map_reduce_spark.registry import release_pins
+
+        release_pins()
         df = None
         import gc
 

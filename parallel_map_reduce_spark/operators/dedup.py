@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_i32
+from ..registry import pin
 from .tokenize import clean_word_col, TOKEN_SPLIT_REGEX
 
 # ---- shared deterministic constants (also interpolated into oracle SQL) ----
@@ -850,8 +851,8 @@ def jaccard_prefix_pairs(
             F.col("ord").getField("shingle").alias("toks"),
             F.size("ord").alias("n"),
         )
-        .localCheckpoint(eager=True)
     )
+    per_doc = pin(per_doc)
     plen = (F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1).cast("int")
     pre = per_doc.select(
         "doc_id", "n", F.explode(F.slice("toks", F.lit(1), plen)).alias("shingle")

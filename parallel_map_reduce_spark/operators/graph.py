@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..registry import pin
+
 DAMPING = 0.85
 PR_ITERS = 5
 # Checkpoint the rank vector every K supersteps, not every superstep:
@@ -162,15 +164,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     count. No driver-side state; nodes in no triangle are absent (join
     back against the node set if a dense 0-filled census is needed).
 
-    The input plan is materialized up front (same discipline as
-    ``pagerank``): ``edges`` is referenced ~8 ways downstream (both
+    The input plan is pinned up front (lazy persist; same
+    multi-reference discipline as ``pagerank``'s eager checkpoint):
+    ``edges`` is referenced ~8 ways downstream (both
     union arms of sym, two degree joins, o1/o2/closing, three corner
     unions), and when the caller passes a non-trivial producer — e.g.
     the MinHash-LSH candidate subplan in ``queries/graph.py`` — the
     physical plan would otherwise re-expand that whole subtree per
     reference (measured: 319 Exchanges at sf0.1 without the
     checkpoint)."""
-    edges = edges.localCheckpoint(eager=True)
+    edges = pin(edges)
     sym = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -184,15 +187,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         )
     )
     # Orient low-key -> high-key; each undirected edge survives once.
-    # Materialized because it is referenced THREE ways below (both wedge
-    # arms + the closing semi-join side): without the checkpoint each
+    # Pinned because it is referenced THREE ways below (both wedge
+    # arms + the closing semi-join side): without the pin each
     # reference re-expands the sym→deg→keyed subtree (~5 Exchanges a
     # copy — measured 43 vs 13 total at sf0.1). |out| == |edges|, so
     # the materialization is edge-sized, the same class as the input
     # checkpoint above.
-    out = keyed.filter(F.col("ku") < F.col("kv")).select(
+    out = pin(keyed.filter(F.col("ku") < F.col("kv")).select(
         F.col("u").alias("src"), F.col("v").alias("dst"), F.col("kv").alias("kdst")
-    ).localCheckpoint(eager=True)
+    ))
     o1, o2 = out.alias("o1"), out.alias("o2")
     wedges = o1.join(o2, "src").filter(F.col("o1.kdst") < F.col("o2.kdst")).select(
         F.col("src").alias("w_u"),

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..registry import pin
 from .dedup import ordered_words
 
 BM25_K1 = 1.2
@@ -85,13 +86,12 @@ def bm25_scores(
     Lucene-style always-positive form); score rounded to 4 dp (ln is
     not correctly-rounded across libms — both engines round)."""
     ow = ordered_words(docs)
-    # Materialized for the same reason as bm25_topk_multi: dl feeds the
-    # corpus stats AND the per-doc join, and each re-expansion replays
-    # the tokenization scan.
-    dl = (
+    # Pinned for the same reason as bm25_topk_multi: dl feeds the
+    # corpus stats AND the per-doc join, and each re-expansion would
+    # replay the tokenization scan.
+    dl = pin(
         ow.groupBy("doc_id")
         .agg(F.count("*").alias("dl"))
-        .localCheckpoint(eager=True)
     )
     corpus = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -210,14 +210,13 @@ def bm25_topk_multi(
     ``bm25_rank_batch(index_tf, index_dl, ...)``), where the corpus is
     never re-tokenized per batch.
 
-    dl is checkpointed: it feeds the corpus stats and the per-doc join,
+    dl is pinned (lazy persist): it feeds the corpus stats and the per-doc join,
     and each re-expansion would replay the tokenization scan — with it
     the corpus is tokenized twice (dl + tf, different filters)."""
     ow = ordered_words(docs)
-    dl = (
+    dl = pin(
         ow.groupBy("doc_id")
         .agg(F.count("*").alias("dl"))
-        .localCheckpoint(eager=True)
     )
     all_terms = sorted({t for ts in queries.values() for t in ts})
     tf = (

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_i32
+from ..sources.catalog import read_parquet
 from ..functions.vector import cosine_similarity, dot, l2_norm
 
 N_PLANES = 12
@@ -203,7 +204,7 @@ def lsh_ann_topk_indexed(
     the inline operator (same planes, same dedup, same exact-cosine
     rank; equality pinned in tests)."""
     spark = emb.sparkSession
-    store = spark.read.parquet(index_path + "/buckets")
+    store = read_parquet(spark, index_path + "/buckets")
     q = (
         emb.filter(query_filter)
         .withColumn("bkts", _band_buckets_expr("embedding", dim))
@@ -729,8 +730,8 @@ def two_stage_ivf_topk_indexed(
     operator given the same centroids (contract in
     tests/test_similarity.py)."""
     spark = emb.sparkSession
-    cents = spark.read.parquet(index_path + "/centroids")
-    store = spark.read.parquet(index_path + "/codes")
+    cents = read_parquet(spark, index_path + "/centroids")
+    store = read_parquet(spark, index_path + "/codes")
     q = emb.filter(query_filter).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -1209,7 +1210,7 @@ def ivfpq_topk(
     does not probe are invisible (recall floor pinned in tests)."""
     spark = emb.sparkSession
     m = len(books)
-    store = spark.read.parquet(index_path + "/codes")
+    store = read_parquet(spark, index_path + "/codes")
     if probe is not None:
         q, probed_ids = probe
     else:
@@ -1238,7 +1239,7 @@ def ivfpq_topk(
         .filter(F.col("rn") <= shortlist_n)
         .select("query_id", "vec_id", F.col("q_nemb").alias("qe"))
     )
-    vecs = spark.read.parquet(index_path + "/vectors").filter(
+    vecs = read_parquet(spark, index_path + "/vectors").filter(
         F.col("centroid_id").isin(probed_ids)
     )
     re_rank = F.broadcast(short).join(vecs, "vec_id").withColumn(
@@ -1291,7 +1292,7 @@ def pq_topk_indexed(
     spark = emb.sparkSession
     m = len(books)
     subdim = len(books[0][0])
-    codes_df = spark.read.parquet(index_path)
+    codes_df = read_parquet(spark, index_path)
     e = _normalized(emb)
     # The query batch is the BROADCAST side by contract (|Q| small), so
     # its ADC lookup tables are computed on the driver — |Q| * m * k

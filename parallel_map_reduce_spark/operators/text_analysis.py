@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_i32
+from ..registry import pin
 from .tokenize import TOKEN_SPLIT_REGEX, clean_word_col
 
 # BPE-ish token regex: letter runs, digit runs, single non-space symbols.
@@ -423,14 +424,13 @@ def lm_perplexity_scores(docs: DataFrame) -> DataFrame:
     are one division + one pow on that exact sum, rounded to 4 dp —
     the q14 discipline."""
     staged = docs.select("doc_id", _clean_words_arr().alias("words"))
-    # Checkpointed (vocab-sized): the unigram table is referenced by
+    # Pinned (vocab-sized): the unigram table is referenced by
     # the V scalar AND the context join — without the pin each
     # reference re-runs the word aggregation over the corpus.
-    unic = (
+    unic = pin(
         staged.select(F.explode("words").alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("cw"))
-        .localCheckpoint(eager=True)
     )
     voc = unic.agg(F.count("*").cast("bigint").alias("v"))
     grams = staged.select(
@@ -701,16 +701,16 @@ def doc_similarity_tfidf(
             .crossJoin(F.broadcast(nd))
             .filter(F.col("df") <= cap)
         )
-    # Materialized because it is referenced THREE ways below (norms +
-    # both self-join sides): without the checkpoint each reference
+    # Pinned because it is referenced THREE ways below (norms +
+    # both self-join sides): without the pin each reference
     # re-expands the whole tfidf subplan — measured 15 Exchanges for
     # this query vs 6 with it (the triangle_counts discipline). The
     # frame is the capped vector space itself (|doc × surviving term|
     # rows), exactly what any at-scale pairwise-similarity run would
     # persist before the self-join.
-    w = w.select(
+    w = pin(w.select(
         "doc_id", "word", F.round("tfidf", 4).cast("decimal(18,4)").alias("w")
-    ).localCheckpoint(eager=True)
+    ))
     norms = w.groupBy("doc_id").agg(
         F.round(F.sum(F.col("w") * F.col("w")), 2).cast("double").alias("norm2")
     )

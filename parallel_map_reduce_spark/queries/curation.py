@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from ..operators import curation as C
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, read_parquet
 
 # DuckDB spelling of the whitespace-token count (non-empty splits),
 # matching operators/curation._n_ws_tokens.
@@ -520,5 +520,5 @@ def curation_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import ensure_lsh_edges
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = spark.read.parquet(ensure_lsh_edges(spark, sf_dir))
+    pairs = read_parquet(spark, ensure_lsh_edges(spark, sf_dir))
     return C.leakage_guarded_split(docs, pairs)

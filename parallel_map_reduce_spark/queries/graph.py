@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators import graph as G
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, read_parquet
 
 
 GRAPH_BUCKETS = 16
@@ -186,7 +186,7 @@ GROUP BY node
 def neardup_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import ensure_lsh_edges
 
-    edges = spark.read.parquet(ensure_lsh_edges(spark, sf_dir)).select(
+    edges = read_parquet(spark, ensure_lsh_edges(spark, sf_dir)).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     return G.triangle_counts(edges).select(
@@ -282,7 +282,7 @@ def neardup_communities_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _sym_lsh_edges() -> DataFrame:
         from .dedup import ensure_lsh_edges
 
-        pairs = spark.read.parquet(ensure_lsh_edges(spark, sf_dir))
+        pairs = read_parquet(spark, ensure_lsh_edges(spark, sf_dir))
         return pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         ).union(

@@ -20,7 +20,7 @@ from ..multimodal.codec import (
     image_features_map,
 )
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, read_parquet
 
 
 # Committed binary fixture of REAL image files (PNG/GIF/BMP/JPEG built
@@ -33,7 +33,7 @@ _IMAGE_FIXTURE_PARQUET = "/root/repo/refdata/image_fixture.parquet"
 
 def _image_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    fixture = spark.read.parquet(_IMAGE_FIXTURE_PARQUET).select("doc_id", "payload")
+    fixture = read_parquet(spark, _IMAGE_FIXTURE_PARQUET).select("doc_id", "payload")
     # Inner join scopes the fixture (doc_id 0..4999) to the sf's docs.
     return fixture.join(docs, "doc_id")
 
@@ -104,7 +104,7 @@ FROM f
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    fixture = spark.read.parquet(_AUDIO_FIXTURE_PARQUET).select("doc_id", "payload")
+    fixture = read_parquet(spark, _AUDIO_FIXTURE_PARQUET).select("doc_id", "payload")
     return fixture.join(docs, "doc_id").mapInPandas(
         audio_features_map, schema=AUDIO_FEATURES_SCHEMA
     )
@@ -175,7 +175,7 @@ WHERE doc_id IN (SELECT doc_id FROM documents)
 )
 def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    fixture = spark.read.parquet(_VIDEO_FIXTURE_PARQUET).select("doc_id", "payload")
+    fixture = read_parquet(spark, _VIDEO_FIXTURE_PARQUET).select("doc_id", "payload")
     return fixture.join(docs, "doc_id").mapInPandas(
         MM.video_features_map, schema=MM.VIDEO_FEATURES_SCHEMA
     )
@@ -202,7 +202,7 @@ WHERE doc_id IN (SELECT doc_id FROM documents)
 )
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    fixture = spark.read.parquet(_VIDEO_FIXTURE_PARQUET).select("doc_id", "payload")
+    fixture = read_parquet(spark, _VIDEO_FIXTURE_PARQUET).select("doc_id", "payload")
     return fixture.join(docs, "doc_id").mapInPandas(
         MM.video_frames_map, schema=MM.VIDEO_FRAMES_SCHEMA
     )
@@ -233,7 +233,7 @@ WHERE doc_id IN (SELECT doc_id FROM documents)
 )
 def multimodal_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    fixture = spark.read.parquet(_AUDIO_FIXTURE_PARQUET).select("doc_id", "payload")
+    fixture = read_parquet(spark, _AUDIO_FIXTURE_PARQUET).select("doc_id", "payload")
     out = fixture.join(docs, "doc_id").mapInPandas(
         MM.audio_loudness_map, schema=MM.AUDIO_LOUDNESS_SCHEMA
     )

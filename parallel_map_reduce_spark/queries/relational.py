@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import pin, register
 from ..sources.catalog import load_table
 
 
@@ -1964,14 +1964,13 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange was redundant — and the distinct-items frame was
     # referenced twice (baskets + part frequencies), re-running it.
     # Baskets (|orders| rows, arrays bounded by the basket cap) are
-    # checkpointed; frequencies now EXPLODE the checkpointed baskets
+    # pinned; frequencies now EXPLODE the pinned baskets
     # (each part appears once per basket, so the count is the same
     # distinct-orders-per-part) instead of re-scanning the fact.
-    baskets = (
+    baskets = pin(
         li.select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .localCheckpoint(eager=True)
     )
     pair_structs = F.flatten(
         F.transform(
@@ -2203,8 +2202,8 @@ def customer_segment_nation_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
         )
         .agg(F.count("*").cast("double").alias("njoint"))
-        .localCheckpoint(eager=True)  # tiny; scanned by 4 consumers below
     )
+    j = pin(j)  # tiny; scanned by 4 consumers below
     n = j.agg(F.sum("njoint").alias("n"))
     ms = j.groupBy("seg").agg(F.sum("njoint").alias("nseg"))
     mn = j.groupBy("nat").agg(F.sum("njoint").alias("nnat"))
@@ -2459,8 +2458,8 @@ def customer_segment_nation_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nat")
         )
         .agg(F.count("*").cast("double").alias("o"))
-        .localCheckpoint(eager=True)  # tiny; 4 consumers below
     )
+    j = pin(j)  # tiny; 4 consumers below
     n = j.agg(F.sum("o").alias("n"))
     ms = j.groupBy("seg").agg(F.sum("o").alias("nseg"))
     mn = j.groupBy("nat").agg(F.sum("o").alias("nnat"))
@@ -2586,8 +2585,8 @@ def orders_priority_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_bad"),
         )
-        .localCheckpoint(eager=True)  # |priorities| rows; 2 consumers
     )
+    cells = pin(cells)  # |priorities| rows; 2 consumers
     tot = cells.agg(
         F.sum("n_good").alias("g_tot"),
         F.sum("n_bad").alias("b_tot"),

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators import search as SE
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, read_parquet
 from ._sql import ORDERED_WORDS_CTE
 
 PHRASE = ("table", "hash")
@@ -225,7 +225,7 @@ def _bm25_index_tables(spark: SparkSession, sf_dir: str):
         ).parquet(os.path.join(tmp, "dl"))
 
     dl_dir = ensure_artifact("pmrs_bm25_dl", key, build_dl)
-    return spark.table(tf_table), spark.read.parquet(os.path.join(dl_dir, "dl"))
+    return spark.table(tf_table), read_parquet(spark, os.path.join(dl_dir, "dl"))
 
 
 @register(

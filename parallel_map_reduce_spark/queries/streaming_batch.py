@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import pin, register
 from ..sources.catalog import load_table
 
 
@@ -499,15 +499,15 @@ GROUP BY d.event_type
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
-    # Checkpointed (|types| rows): ``dev`` is referenced by BOTH the
+    # Pinned (|types| rows, lazy persist): ``dev`` is referenced by BOTH the
     # MAD reduction and the final readout, and each reference would
     # otherwise re-run the median reduction too. The deviations frame
     # itself is deliberately NOT pinned — it is fact-sized, and its
     # recompute is a scan + broadcast join, which keeps this the
     # 3-fact-pass minimum exact-percentile MAD (median, MAD, readout).
-    med = e.groupBy("event_type").agg(
+    med = pin(e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
-    ).localCheckpoint(eager=True)
+    ))
     dev = e.join(F.broadcast(med), "event_type").withColumn(
         "d", F.abs(F.col("value") - F.col("med"))
     )
@@ -558,14 +558,13 @@ GROUP BY a.cohort_day, a.day_n, s.cohort_size
 )
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    # Checkpointed: the first-activity table is referenced by BOTH the
+    # Pinned: the first-activity table is referenced by BOTH the
     # cohort sizes and the activity join — without the pin each
     # reference re-runs the user-keyed fact aggregation (the r9
     # multi-referenced-frame discipline; 2 fact passes -> 1).
-    first_seen = (
+    first_seen = pin(
         e.groupBy("user_id")
         .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day"))
-        .localCheckpoint(eager=True)
     )
     sizes = first_seen.groupBy("cohort_day").agg(
         F.count("*").alias("cohort_size")
@@ -1084,15 +1083,15 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
     cutoff = F.lit(_DRIFT_CUTOFF).cast("timestamp")
     ref = e.filter(F.col("ts") < cutoff)
-    # Checkpointed: |types| rows referenced by the binning join AND the
+    # Pinned: |types| rows referenced by the binning join AND the
     # spine — without the pin each reference re-runs the percentile
     # reduction over the fact table (the r9 multi-referenced-frame
     # discipline).
-    edges = ref.groupBy("event_type").agg(
+    edges = pin(ref.groupBy("event_type").agg(
         F.expr(f"percentile(value, array({', '.join(map(str, _DRIFT_QS))}))").alias(
             "es"
         )
-    ).localCheckpoint(eager=True)
+    ))
     # ONE binning pass over the whole fact table (both slices), edges
     # broadcast; the inner join keeps only types present in the
     # reference slice, same as binning each side separately did.
@@ -1101,13 +1100,13 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1) + F.size(F.filter("es", lambda x: F.col("value") > x))).alias("bin"),
         (F.col("ts") < cutoff).alias("is_ref"),
     )
-    # Checkpointed: |types| x 10 rows feeding the totals, the spine
+    # Pinned: |types| x 10 rows feeding the totals, the spine
     # left-join, and (via tot) the final readout — the pin is what
     # keeps this a TWO-fact-pass plan.
-    counts = binned.groupBy("event_type", "bin").agg(
+    counts = pin(binned.groupBy("event_type", "bin").agg(
         F.count_if("is_ref").alias("n_r"),
         F.count_if(~F.col("is_ref")).alias("n_c"),
-    ).localCheckpoint(eager=True)
+    ))
     # |types| x 10 rows from here on — metadata-sized. Totals are sums
     # of the count table; a type with no current-slice rows drops, the
     # exact semantics the old ref-counts INNER JOIN cur-counts had.

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import text_analysis as T
-from ..registry import register
+from ..registry import pin, register
 from ..sources.catalog import load_table
 from ._sql import ORDERED_WORDS_CTE
 
@@ -730,16 +730,15 @@ def documents_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.lit(_LEN_TOP_LABEL)
     for ub, label in reversed(_LEN_BUCKETS):
         bucket = F.when(n < ub, F.lit(label)).otherwise(bucket)
-    # Checkpointed (|langs| x 6 rows): referenced by the lang totals
+    # Pinned (|langs| x 6 rows): referenced by the lang totals
     # AND the share readout — the multi-referenced-frame discipline.
-    g = (
+    g = pin(
         docs.select("lang", n.alias("n"), bucket.alias("bucket"))
         .groupBy("lang", "bucket")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("n").cast("bigint").alias("total_tokens"),
         )
-        .localCheckpoint(eager=True)
     )
     t = g.groupBy("lang").agg(F.sum("n_docs").alias("lang_docs"))
     return g.join(F.broadcast(t), "lang").select(

@@ -12,15 +12,21 @@ Conventions to keep the hash compare stable across engines:
 - arrays are rendered as space-joined strings;
 - timestamps used as group keys are truncated/cast identically.
 
-``build`` is NOT guaranteed lazy (advisor r10): entries that pin a
-multi-referenced intermediate do so with ``localCheckpoint(eager=True)``
-— the only form that truncates lineage so the subplan is not re-expanded
-per reference — which executes that sub-job at DataFrame-construction
-time. Plan-inspection tooling that only wants ``explain`` output must
-budget for those builds running real jobs (tools/plan_audit.py and
-tests/test_plan_lint.py already do), and long-lived callers should drop
-DataFrame references between builds so the ContextCleaner can reclaim
-the checkpoint blocks (bench.py's per-query gc nudge).
+LAZINESS CONTRACT (r12, closing the r11 "eager build()" finding):
+``build`` must be PLAN-ONLY — constructing a query launches no Spark
+jobs, so ``explain``-style tooling over the whole registry runs in
+milliseconds. Entries that reuse a multi-referenced intermediate pin it
+with ``pin()`` below (lazy ``persist()``: the subplan computes once at
+the query's FIRST action and later references hit the cache — same
+single-computation guarantee ``localCheckpoint(eager=True)`` gave,
+without the construction-time job). Long-lived callers that build many
+queries (bench.py) call ``release_pins()`` between queries so cached
+blocks never accumulate. The only permitted eager builds are inherently
+so — iterative fixpoints (pagerank, connected components, BPE),
+cardinality guards that must REFUSE to run, and cold-cache artifact
+builds — each enumerated with a reason in
+tests/test_plan_lint.py:EAGER_BUILD_OK, and the no-jobs rule is
+enforced mechanically there for everything else.
 """
 
 from __future__ import annotations
@@ -29,6 +35,35 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+# DataFrames persisted via pin(), awaiting release_pins().
+_LIVE_PINS: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Lazily pin a multi-referenced intermediate: ``persist()`` marks
+    the subplan cacheable without launching a job, so every reference
+    in the final plan reads the once-computed blocks (InMemoryTableScan)
+    instead of re-expanding the subplan. MEMORY_AND_DISK (the default)
+    spills instead of evicting, so correctness never depends on cache
+    pressure. Use for metadata- / vocabulary-sized frames consumed by
+    2+ downstream references; iterative loops keep
+    ``localCheckpoint(eager=True)`` (they need lineage truncation,
+    which persist does not provide)."""
+    out = df.persist()
+    _LIVE_PINS.append(out)
+    return out
+
+
+def release_pins() -> None:
+    """Unpersist every pin() survivor — bench.py calls this between
+    queries; one-shot processes (the driver gate, tests) may skip it
+    and let session teardown reclaim the blocks."""
+    while _LIVE_PINS:
+        try:
+            _LIVE_PINS.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
 
 
 @dataclass

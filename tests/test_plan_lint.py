@@ -119,6 +119,34 @@ SINGLE_PARTITION_OK = {
 
 SKIP_PREFIX = "streaming_"  # live drains execute on build; covered elsewhere
 
+# Entries whose build() is INHERENTLY eager (registry.py laziness
+# contract): iterative fixpoints must run their supersteps to produce a
+# plan, guards must count to refuse, and driver-side k-row seeds/
+# boundaries must collect. Everything else must be plan-only — zero
+# Spark jobs at construction (the r11 "eager build()" finding).
+EAGER_BUILD_OK = {
+    "trade_graph_pagerank": "pagerank superstep loop (eager checkpoint per round)",
+    "trade_graph_communities_lpa": "label-propagation superstep loop",
+    "neardup_communities_lpa": "label-propagation superstep loop",
+    "dedup_clusters": "connected-components min-label loop",
+    "dedup_cluster_keepers": "connected-components min-label loop",
+    "curation_leakage_split": "connected-components loop (leakage clusters)",
+    "embedding_semantic_dedup": "k-means Lloyd iterations (SemDeDup)",
+    "embedding_pca_whitened": "driver-side eigendecomposition of the "
+    "k x k covariance (collected scalar matrix)",
+    "text_bpe_vocabulary": "BPE merge loop (one argmax action per merge)",
+    "part_name_fuzzy_pairs": "cardinality guard: counts the value domain "
+    "to REFUSE the |V|^2 join above max_values",
+    "orders_value_deciles": "k-row range-bucket boundary collect "
+    "(distributed NTILE without a single-partition exchange)",
+    "orders_price_percent_rank": "k-row range-bucket boundary collect "
+    "(same distributed-ranking decomposition)",
+    "text_vocab_growth": "k-row range-bucket boundary collect "
+    "(global_cumsum prefix decomposition)",
+    "similarity_two_stage_ivf_topk": "k-row centroid collect for probe "
+    "selection (memoized per index artifact)",
+}
+
 
 @pytest.fixture(scope="module")
 def frames(spark, sf_dir):
@@ -128,6 +156,39 @@ def frames(spark, sf_dir):
             continue
         out[name] = spec.build(spark, sf_dir)
     return out
+
+
+def test_build_launches_no_jobs(spark, sf_dir, frames):
+    """registry.py's laziness contract, enforced mechanically: building
+    a registered batch query must launch ZERO Spark jobs unless the
+    entry is enumerated (with a reason) in EAGER_BUILD_OK. The
+    ``frames`` fixture has already run every build once, so artifact
+    caches and the parquet-footer schema memo are warm — what this
+    measures is the steady-state cost plan-only callers (explain
+    tooling, bench's per-query rebuilds) actually pay."""
+    from parallel_map_reduce_spark.registry import release_pins
+
+    sc = spark.sparkContext
+    release_pins()
+    offenders = {}
+    for name, spec in all_queries().items():
+        if name.startswith(SKIP_PREFIX) or name in EAGER_BUILD_OK:
+            continue
+        group = f"lint-lazy-{name}"
+        sc.setJobGroup(group, name)
+        try:
+            spec.build(spark, sf_dir)
+        finally:
+            sc.setJobGroup("lint-lazy-idle", "idle")
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        if jobs:
+            offenders[name] = len(jobs)
+        release_pins()
+    assert not offenders, (
+        f"build() launched jobs for {offenders} — use registry.pin() "
+        "for multi-referenced intermediates, or add the entry to "
+        "EAGER_BUILD_OK with the reason it is inherently eager"
+    )
 
 
 @pytest.fixture(scope="module")

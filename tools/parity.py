@@ -86,8 +86,11 @@ def main() -> int:
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
+    from parallel_map_reduce_spark.registry import release_pins
+
     failures = []
     for name, spec in sorted(specs.items()):
+        release_pins()  # free the previous query's pinned caches
         t0 = time.time()
         try:
             sdf = spec.build(spark, sf_dir)
