@@ -415,6 +415,31 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+def incremental_lsh_matches_indexed(
+    new_bands: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """(new_doc, corpus_doc): near-dup candidates between an increment's
+    band signatures and a PRE-COMPUTED corpus band table — the serving
+    half of incremental dedup. ``corpus_bands`` is the persisted
+    artifact (queries/dedup.py:ensure_corpus_band_table: hash-bucketed
+    on ``sig``), so the (band, sig) equi-join needs no corpus-side
+    exchange and only the increment shuffles; per-run cost is
+    O(|increment|) signature compute + the bucket join. Both inputs
+    carry (doc_id, band, sig) = lsh_band_signatures output."""
+    return (
+        new_bands.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.sig") == F.col("c.sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+
+
 def incremental_lsh_matches(
     new_docs: DataFrame, corpus_docs: DataFrame
 ) -> DataFrame:
@@ -423,27 +448,17 @@ def incremental_lsh_matches(
     crawl against everything already ingested) as opposed to the
     all-pairs self-join.
 
-    Scale shape: minhash band signatures are per-document (independent
-    of every other document), so the corpus side's signatures are a
-    one-time artifact — at 100 TB they live pre-computed, partitioned by
-    (band, sig), and the increment's signatures equi-join into them
-    touching only colliding buckets. Per-run cost is O(|increment|)
-    signature compute + a bucket-pruned join; the corpus is never
-    re-shingled. Here both sides derive from one table split by source;
-    the join is the same either way."""
-    nb = lsh_band_signatures(new_docs)
-    cb = lsh_band_signatures(corpus_docs)
-    return (
-        nb.alias("n")
-        .join(
-            cb.alias("c"),
-            (F.col("n.band") == F.col("c.band")) & (F.col("n.sig") == F.col("c.sig")),
-        )
-        .select(
-            F.col("n.doc_id").alias("new_doc"),
-            F.col("c.doc_id").alias("corpus_doc"),
-        )
-        .distinct()
+    This is the BUILD-FRESH twin: both sides re-derive their band
+    signatures inline (shingle → minhash → band md5). The registered
+    query serves the corpus side from a persisted bucketed artifact
+    instead (incremental_lsh_matches_indexed — signatures are
+    per-document, so the corpus table is computed once per corpus
+    version and at 100 TB is never re-shingled per run); the two forms
+    are row-identical by construction (pinned in tests/test_dedup.py),
+    which is what keeps the inline DuckDB oracle valid for the served
+    plan."""
+    return incremental_lsh_matches_indexed(
+        lsh_band_signatures(new_docs), lsh_band_signatures(corpus_docs)
     )
 
 

@@ -269,6 +269,44 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INCR_SOURCE = "src0"  # the "today's crawl" increment in the fixture
 
+_CORPUS_BANDS_BUCKETS = 16
+
+
+def ensure_corpus_band_table(spark: SparkSession, sf_dir: str) -> str:
+    """The standing corpus's MinHash band-signature table as a
+    PERSISTED hash-bucketed artifact — the incremental-dedup analogue
+    of the BM25 index (queries/search.py:_bm25_index_tables): band
+    signatures are per-document, so the corpus side is computed ONCE
+    per corpus version (shingle → minhash → band md5), bucketed on
+    ``sig`` (md5 hex — uniform), and every subsequent increment match
+    equi-joins into the bucketed files with ZERO corpus-side exchange
+    and no corpus re-shingle. Registered per session via bucketed DDL
+    (ensure_bucketed_table); the derivation is deterministic md5
+    arithmetic, so the artifact equals the live
+    ``lsh_band_signatures(corpus)`` subplan row-for-row and the DuckDB
+    oracle (which recomputes both sides inline) stays valid
+    unchanged."""
+    import os
+
+    from ..operators.layout import ensure_bucketed_table
+    from ..sources.artifact_cache import source_key
+
+    tag = os.path.basename(sf_dir.rstrip("/")).lower().replace(".", "_")
+    key = source_key("corpus_bands", sf_dir, "documents.parquet")
+    return ensure_bucketed_table(
+        spark,
+        f"pmrs_corpus_bands_{tag}",
+        "pmrs_corpus_bands",
+        key,
+        lambda: D.lsh_band_signatures(
+            load_table(spark, sf_dir, "documents").filter(
+                F.col("source") != INCR_SOURCE
+            )
+        ),
+        "sig",
+        _CORPUS_BANDS_BUCKETS,
+    )
+
 
 @register(
     "dedup_incremental_lsh",
@@ -302,19 +340,24 @@ SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
 FROM new_bands n JOIN corpus_bands c
   ON n.band = c.band AND n.sig = c.sig
 """,
-    doc="Incremental near-dup dedup: the increment (source='src0') LSH-"
-    "matched against the standing corpus — signatures are per-document, "
-    "so the corpus side is a reusable pre-computed artifact and each "
-    "run costs O(|increment|) plus a bucket-pruned join, never an "
-    "all-pairs or corpus re-shingle. "
-    "operators/dedup.py:incremental_lsh_matches.",
-    tags=("dedup", "minhash", "lsh", "incremental"),
+    doc="Incremental near-dup dedup SERVED from the persisted corpus "
+    "band-signature artifact (ensure_corpus_band_table): the increment "
+    "(source='src0') computes its signatures live — O(|increment|) — "
+    "and equi-joins into the sig-bucketed corpus table, so the "
+    "standing corpus is never re-shingled and its side of the join "
+    "has no exchange (plan pinned in tests/test_dedup.py). The "
+    "inline twin (operators/dedup.py:incremental_lsh_matches) is the "
+    "row-identical oracle form; the DuckDB SQL recomputes both sides "
+    "from scratch.",
+    tags=("dedup", "minhash", "lsh", "incremental", "serving", "index"),
 )
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("source") == INCR_SOURCE)
-    corpus = docs.filter(F.col("source") != INCR_SOURCE)
-    return D.incremental_lsh_matches(new, corpus)
+    corpus_bands = spark.table(ensure_corpus_band_table(spark, sf_dir))
+    return D.incremental_lsh_matches_indexed(
+        D.lsh_band_signatures(new), corpus_bands
+    )
 
 
 @register(

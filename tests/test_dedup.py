@@ -222,3 +222,53 @@ def test_repeated_substring_spans_planted(spark):
     assert (out[2].span_start, out[2].span_end) == (5, 18)
     # windows per span: 14 - L + 1
     assert out[1].n_windows == 14 - SUBSTR_L + 1 == out[2].n_windows
+
+
+def test_incremental_lsh_served_identical_to_inline(spark, sf_dir, docs):
+    """The registered dedup_incremental_lsh serves the corpus side from
+    the persisted sig-bucketed band table; the inline twin re-derives
+    both sides. Row-identity between them is what keeps the inline
+    DuckDB oracle valid for the served plan — and the served plan must
+    actually serve: exactly two file scans (the src0 increment + the
+    bucketed corpus table), the corpus scan bucketed, and no third scan
+    that would betray a corpus re-shingle."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.queries.dedup import (
+        INCR_SOURCE,
+        ensure_corpus_band_table,
+    )
+
+    new = docs.filter(F.col("source") == INCR_SOURCE)
+    corpus = docs.filter(F.col("source") != INCR_SOURCE)
+    inline = {
+        (r.new_doc, r.corpus_doc)
+        for r in D.incremental_lsh_matches(new, corpus).collect()
+    }
+    # Unpersist the module's cached documents around the plan probe:
+    # CacheManager substitutes the cached relation into ANY matching
+    # read, and the InMemoryRelation rendering embeds the unfiltered
+    # source scan, which would defeat the scan assertions below. The
+    # trailing cache() re-marks it for the rest of the module (lazy).
+    docs.unpersist()
+    try:
+        new_fresh = load_table(spark, sf_dir, "documents").filter(
+            F.col("source") == INCR_SOURCE
+        )
+        served_df = D.incremental_lsh_matches_indexed(
+            D.lsh_band_signatures(new_fresh),
+            spark.table(ensure_corpus_band_table(spark, sf_dir)),
+        )
+        served = {(r.new_doc, r.corpus_doc) for r in served_df.collect()}
+    finally:
+        docs.cache()
+    assert served == inline
+    p = _plan(served_df)
+    # AQE's final-plan string renders each scan twice (initial + final
+    # plan), so assert on scan CONTENT: every scan that reads document
+    # text must be the src0 increment — a text scan without the src0
+    # filter would be a corpus re-shingle — and the corpus side must be
+    # the bucketed band table.
+    text_scans = [ln for ln in p.splitlines() if "FileScan" in ln and "text#" in ln]
+    assert text_scans and all("src0" in ln for ln in text_scans), p
+    assert "Bucketed: true" in p, p
