@@ -1049,6 +1049,75 @@ def main() -> int:
                 chunked_curve[f"x{factor}"] = -1.0
                 print(f"bench: chunked_curve x{factor} ERROR: {e}", file=sys.stderr)
 
+    # Fifth curve (VERDICT r11 task 2): MinHash-LSH incremental dedup —
+    # the north star's signature operator — at growing corpus size with
+    # a FIXED increment, served from the persisted corpus band table
+    # (queries/dedup.py:ensure_corpus_band_table's shape). The corpus
+    # band artifact is a build-once step OUTSIDE the timed window (the
+    # point of incremental serving); the timed wall is the increment's
+    # signature compute (fixed) + the bucketed band equi-join, whose
+    # output grows linearly (each original doc matches its ``factor``
+    # replicas), so ~linear wall growth in corpus size is the witness
+    # that candidate generation never goes all-pairs. The self-join
+    # form (dedup_minhash_lsh_pairs) is deliberately NOT curved over
+    # replicas: byte-identical replicas make ITS workload quadratic by
+    # construction (factor² true-duplicate pairs), which would measure
+    # the workload, not the operator.
+    incr_lsh_curve: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_INCR_LSH_CURVE", "1") != "0" and not sys.argv[1:]:
+        try:
+            from parallel_map_reduce_spark.operators.dedup import (
+                incremental_lsh_matches_indexed,
+                lsh_band_signatures,
+            )
+            from parallel_map_reduce_spark.operators.layout import (
+                ensure_bucketed_table,
+            )
+            from parallel_map_reduce_spark.sources.artifact_cache import source_key
+            from parallel_map_reduce_spark.sources.scaled_corpus import (
+                REF_CORPUS_PARQUET,
+                scaled_reference_corpus,
+            )
+
+            incr_factors = _int_list_env("SPARK_GRAFT_INCR_LSH_FACTORS", "8,64,512")
+            if mem_gb < 16:
+                incr_factors = [f for f in incr_factors if f <= 64]
+            for factor in incr_factors:
+                spark = _revive(spark, cpus)
+                corpus = scaled_reference_corpus(spark, factor)  # cached build
+                key = source_key(
+                    f"incr_lsh_bands_x{factor}",
+                    os.path.dirname(REF_CORPUS_PARQUET),
+                    os.path.basename(REF_CORPUS_PARQUET),
+                )
+                table = ensure_bucketed_table(
+                    spark,
+                    f"pmrs_scaled_bands_x{factor}",
+                    "pmrs_scaled_bands",
+                    key,
+                    lambda c=corpus: lsh_band_signatures(c),
+                    "sig",
+                    16,
+                )
+                corpus_bands = spark.table(table)
+                increment = scaled_reference_corpus(spark, 1)
+                secs, nd = _probe_gated_notch(
+                    spark,
+                    lambda: incremental_lsh_matches_indexed(
+                        lsh_band_signatures(increment), corpus_bands
+                    ),
+                    f"incr_lsh_curve x{factor}",
+                )
+                incr_lsh_curve[f"x{factor}"] = round(secs, 3)
+                curve_detail[f"incr_lsh_x{factor}"] = nd
+                print(
+                    f"bench: incr_lsh_curve x{factor} {secs:.2f}s "
+                    f"(quiet={nd['quiet']})",
+                    file=sys.stderr,
+                )
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: incr_lsh_curve ERROR: {e}", file=sys.stderr)
+
     # LSH serving notch (VERDICT r9 task 6): the persisted (band,
     # bucket)-partitioned ANN store only beats inline re-bucketing when
     # dynamic partition pruning actually skips directories — HEADLINE's
@@ -1145,7 +1214,11 @@ def main() -> int:
         paired = _paired_baseline(spark)
         # Same pairing at 8x/64x corpus scale — where the architectures
         # diverge (VERDICT r7 task 2); skipped only by explicit env.
-        scale_pairs = _int_list_env("SPARK_GRAFT_PAIRED_SCALE_FACTORS", "8,32,64")
+        # 128x extends the only end-to-end curve (sink inside the timed
+        # window) one octave past the reference's FD-ulimit death at
+        # 64x — flagship timed solo there, same note mechanism
+        # (VERDICT r11 task 8).
+        scale_pairs = _int_list_env("SPARK_GRAFT_PAIRED_SCALE_FACTORS", "8,32,64,128")
         if os.environ.get("SPARK_GRAFT_PAIRED_SCALE", "1") != "0" and scale_pairs:
             spark = _revive(spark, cpus)
             paired.update(_paired_baseline_scaled(spark, tuple(scale_pairs)))
@@ -1174,6 +1247,7 @@ def main() -> int:
         "exact_dedup_scale_curve": dedup_curve,
         "chunked_index_scale_curve": chunked_curve,
         "multimodal_decode_scale_curve": mm_curve,
+        "incremental_lsh_scale_curve": incr_lsh_curve,
         # Per-notch probe windows (VERDICT r10 task 8): every committed
         # curve number above carries its adjacent probe readings here,
         # so a hot-window notch is attributable from the artifact alone.
@@ -1225,6 +1299,7 @@ def main() -> int:
         "paired_x8_quiet",
         "paired_x32_quiet",
         "paired_x64_quiet",
+        "paired_x128_quiet",
         "flagship_vs_reference_ratio_x8",
         "flagship_vs_reference_ratio_x32",
         "flagship_vs_reference_ratio_x64",
