@@ -55,6 +55,16 @@ def _driver_canon(rows: list[tuple], colnames: list[str]) -> str:
     return h.hexdigest()
 
 
+def _twin_canon(rows: list[tuple]) -> list[tuple]:
+    """Sorted row tuples with floats rounded to 12 dp — the
+    tests/test_similarity.py twin-equality convention (columns are
+    required to match positionally first, so no name sort here)."""
+    return sorted(
+        tuple(round(v, 12) if isinstance(v, float) else v for v in r)
+        for r in rows
+    )
+
+
 def value_hash(rows: list[tuple], colnames: list[str]) -> str:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     canon = sorted("|".join(_normalize(r[i]) for i in order) for r in rows)
@@ -115,8 +125,32 @@ def main() -> int:
                 print(f"  {name:35s} CANON ERROR (driver would crash): "
                       f"{type(e).__name__}: {str(e)[:120]}")
                 continue
-            print(f"  {name:35s} rows-only: {len(srows):7d} rows "
-                  f"({time.time()-t0:5.1f}s)")
+            # Twin-identity upgrade (VERDICT r11 task 6): where an
+            # independent-path twin exists, record exact row identity
+            # against it instead of a bare row count.
+            from parallel_map_reduce_spark.queries.twins import TWINS
+
+            if name in TWINS:
+                label, build_twin = TWINS[name]
+                try:
+                    tdf = build_twin(spark, sf_dir)
+                    tcols = tdf.columns
+                    trows = [tuple(r) for r in tdf.collect()]
+                except Exception as e:  # noqa: BLE001
+                    failures.append(name)
+                    print(f"  {name:35s} TWIN ERROR ({label}): "
+                          f"{type(e).__name__}: {str(e)[:120]}")
+                    continue
+                if tcols != scols or _twin_canon(trows) != _twin_canon(srows):
+                    failures.append(name)
+                    print(f"  {name:35s} TWIN MISMATCH vs {label}: "
+                          f"spark={len(srows)} twin={len(trows)} rows")
+                    continue
+                print(f"  {name:35s} twin-identical: {len(srows):7d} rows "
+                      f"(vs {label}) ({time.time()-t0:5.1f}s)")
+            else:
+                print(f"  {name:35s} rows-only: {len(srows):7d} rows "
+                      f"({time.time()-t0:5.1f}s)")
             if not srows:
                 print(f"    WARNING: {name} returned 0 rows")
             continue
