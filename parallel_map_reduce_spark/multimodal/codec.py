@@ -243,9 +243,10 @@ def video_frames_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body, one→many: REAL frame sampling. Each payload's
     RIFF chunk tree is walked (videohdr.py:parse_avi — LIST hdrl for
     geometry, LIST movi for frame placement); every VIDEO_SAMPLE_EVERY-th
-    DIB frame is pixel-decoded (bottom-up BGR → RGB) and reported with
-    its container byte offset and the CRC-32 of the decoded pixels.
-    Non-AVI payloads are skipped. Row-expanding with bounded memory:
+    frame is pixel-decoded — uncompressed DIB ('00db': bottom-up BGR →
+    RGB) or MJPEG ('00dc': a complete baseline JPEG per frame through
+    jpegdec) — and reported with its container byte offset and the
+    CRC-32 of the decoded RGB pixels. Non-AVI payloads are skipped. Row-expanding with bounded memory:
     one output batch per input batch, rows ∝ sampled frames."""
     from .videohdr import decode_frame_pixels, parse_avi
 
@@ -263,7 +264,7 @@ def video_frames_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         payload[off : off + size], width, height
                     )
                 except ValueError:
-                    continue  # truncated or compressed ('00dc') frame
+                    continue  # truncated frame / undecodable codec
                 rows.append((doc_id, fi, off, zlib.crc32(rgb) & 0xFFFFFFFF))
         yield pd.DataFrame(
             rows, columns=["doc_id", "frame_idx", "byte_offset", "frame_crc32"]

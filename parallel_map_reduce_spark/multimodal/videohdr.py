@@ -92,11 +92,32 @@ def _parse_avi(data: bytes):
 
 
 def decode_frame_pixels(frame: bytes, width: int, height: int) -> bytes:
-    """RGB pixel bytes of one uncompressed DIB frame (bottom-up BGR
-    rows padded to 4 bytes — the BMP pixel-array layout without the
-    file headers)."""
+    """RGB pixel bytes of one video frame. Two payload layouts:
+
+    - uncompressed DIB ('00db' chunks): bottom-up BGR rows padded to 4
+      bytes — the BMP pixel-array layout without the file headers;
+    - MJPEG ('00dc' chunks, SOI magic): each frame is a complete
+      baseline JPEG, decoded by jpegdec and composed here — the
+      motion-JPEG layout, the most common compressed AVI payload.
+
+    Raises ValueError for truncated frames, undecodable JPEG variants,
+    or a JPEG whose dimensions disagree with the container header."""
     import numpy as np
 
+    if frame[:2] == b"\xff\xd8":  # MJPEG: a complete JPEG per frame
+        from .jpegdec import decode_jpeg_pixels
+
+        jw, jh, ch, px = decode_jpeg_pixels(frame)
+        if (jw, jh) != (width, height):
+            raise ValueError(
+                f"MJPEG frame is {jw}x{jh}, container says {width}x{height}"
+            )
+        if ch == 3:
+            return px
+        if ch == 1:  # grayscale frame: replicate to the RGB contract
+            arr = np.frombuffer(px, np.uint8).reshape(height, width, 1)
+            return np.repeat(arr, 3, axis=2).tobytes()
+        raise ValueError(f"unsupported MJPEG component count {ch}")
     stride = (width * 3 + 3) & ~3
     if len(frame) < stride * height:
         raise ValueError("truncated DIB frame")
@@ -120,38 +141,65 @@ def build_frame(width: int, height: int, frame_idx: int, base: int) -> bytes:
     return dib_pattern_rows(width, height, (base + 29 * frame_idx) % 256)
 
 
+def build_mjpeg_frame(width: int, height: int, frame_idx: int, base: int) -> bytes:
+    """One complete baseline JPEG frame (imagehdr.build_jpeg: real
+    Huffman-coded DC-only blocks, exactly decodable) carrying the JPEG
+    block pattern keyed by ``(base + 29*frame_idx) % 256`` — the same
+    per-frame key schedule as the DIB frames."""
+    from .imagehdr import build_jpeg
+
+    return build_jpeg(width, height, 3, pattern=(base + 29 * frame_idx) % 256)
+
+
 def build_avi(
-    width: int, height: int, n_frames: int, usec_per_frame: int, base: int
+    width: int,
+    height: int,
+    n_frames: int,
+    usec_per_frame: int,
+    base: int,
+    codec: str = "dib",
 ):
     """(payload, frame_offsets): a fully valid AVI with ``n_frames``
-    uncompressed pattern frames. ``frame_offsets`` records, from the
-    builder's own serialization arithmetic (NOT by re-parsing), where
-    each frame's DIB bytes start in ``payload`` — the encode-time
-    record the fixture oracle reads."""
-    frame_bytes = [build_frame(width, height, f, base) for f in range(n_frames)]
-    frame_size = len(frame_bytes[0])
+    pattern frames — uncompressed DIB ('00db' chunks, codec='dib') or
+    motion-JPEG ('00dc' chunks of complete baseline JPEGs,
+    codec='mjpg', fccHandler/biCompression 'MJPG'). ``frame_offsets``
+    records, from the builder's own serialization arithmetic (NOT by
+    re-parsing), where each frame's bytes start in ``payload`` — the
+    encode-time record the fixture oracle reads."""
+    if codec not in ("dib", "mjpg"):
+        raise ValueError(f"codec must be 'dib' or 'mjpg', got {codec!r}")
+    if codec == "mjpg":
+        frame_bytes = [
+            build_mjpeg_frame(width, height, f, base) for f in range(n_frames)
+        ]
+        # biCompression 'MJPG' as a little-endian fourcc
+        fcc, compression, chunk_id = b"MJPG", 0x47504A4D, b"00dc"
+    else:
+        frame_bytes = [build_frame(width, height, f, base) for f in range(n_frames)]
+        fcc, compression, chunk_id = b"DIB ", 0, b"00db"
+    buf_size = max(len(fb) for fb in frame_bytes)
     avih = struct.pack(
         "<IIIIIIIIII4I",
         usec_per_frame,
-        frame_size * 1_000_000 // max(usec_per_frame, 1),
+        buf_size * 1_000_000 // max(usec_per_frame, 1),
         0,
         0x10,  # AVIF_HASINDEX
         n_frames,
         0,
         1,
-        frame_size,
+        buf_size,
         width,
         height,
         0, 0, 0, 0,
     )
     strh = (
         b"vids"
-        + b"DIB "
-        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, usec_per_frame, 1_000_000, 0, n_frames, frame_size, 0, 0)
+        + fcc
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, usec_per_frame, 1_000_000, 0, n_frames, buf_size, 0, 0)
         + struct.pack("<4H", 0, 0, width, height)
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+        "<IiiHHIIiiII", 40, width, height, 1, 24, compression, buf_size, 2835, 2835, 0, 0
     )
     hdrl = _list(
         b"hdrl",
@@ -159,13 +207,15 @@ def build_avi(
     )
     movi_body = bytearray()
     movi_rel: list[int] = []  # frame offsets relative to movi body start
+    sizes: list[int] = []
     for fb in frame_bytes:
-        movi_rel.append(len(movi_body) + 8)  # past the 00db header
-        movi_body += _chunk(b"00db", fb)
+        movi_rel.append(len(movi_body) + 8)  # past the chunk header
+        sizes.append(len(fb))
+        movi_body += _chunk(chunk_id, fb)
     movi = _list(b"movi", bytes(movi_body))
     idx1 = b"".join(
-        b"00db" + struct.pack("<III", 0x10, 4 + rel - 8, frame_size)
-        for rel in movi_rel
+        chunk_id + struct.pack("<III", 0x10, 4 + rel - 8, size)
+        for rel, size in zip(movi_rel, sizes)
     )
     riff_body = b"AVI " + hdrl + movi + _chunk(b"idx1", idx1)
     payload = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
@@ -174,5 +224,5 @@ def build_avi(
     movi_body_abs = 12 + len(hdrl) + 8 + 4
     offsets = [movi_body_abs + rel for rel in movi_rel]
     for off in offsets:  # builder self-check: offsets index real chunks
-        assert payload[off - 8 : off - 4] == b"00db", off
+        assert payload[off - 8 : off - 4] == chunk_id, off
     return payload, offsets

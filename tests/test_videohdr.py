@@ -139,9 +139,8 @@ def test_fixture_parse_matches_encode_record():
         )
     }
     n_frames_checked = 0
-    for d, payload, w, h, nf, usec in zip(
-        *[t[col].to_pylist() for col in t.column_names]
-    ):
+    cols = ("doc_id", "payload", "exp_width", "exp_height", "exp_n_frames", "exp_usec_per_frame")
+    for d, payload, w, h, nf, usec in zip(*[t[c].to_pylist() for c in cols]):
         pw, ph, pusec, frames = parse_avi(payload)
         assert (pw, ph, pusec, len(frames)) == (w, h, usec, nf), d
         for fi in range(0, nf, 3):
@@ -160,12 +159,11 @@ def test_fixture_generator_is_deterministic():
     from parallel_map_reduce_spark.multimodal.videohdr import build_avi as _build
 
     t = pq.read_table(FIXTURE).slice(0, 48)
-    for d, payload, w, h, nf, usec in zip(
-        *[t[col].to_pylist() for col in t.column_names]
-    ):
-        pw, ph, pnf, pusec, base = fixture_params(d)
-        assert (pw, ph, pnf, pusec) == (w, h, nf, usec)
-        assert _build(pw, ph, pnf, pusec, base)[0] == payload, d
+    cols = ("doc_id", "payload", "exp_codec", "exp_width", "exp_height", "exp_n_frames", "exp_usec_per_frame")
+    for d, payload, codec, w, h, nf, usec in zip(*[t[c].to_pylist() for c in cols]):
+        pw, ph, pnf, pusec, base, pcodec = fixture_params(d)
+        assert (pw, ph, pnf, pusec, pcodec) == (w, h, nf, usec, codec)
+        assert _build(pw, ph, pnf, pusec, base, codec=pcodec)[0] == payload, d
 
 
 def test_frames_map_skips_truncated_frames():
@@ -201,9 +199,8 @@ def test_map_in_pandas_video_metadata(spark):
         .collect()
     }
     t = pq.read_table(FIXTURE).slice(0, 12)
-    for d, payload, w, h, nf, usec in zip(
-        *[t[col].to_pylist() for col in t.column_names]
-    ):
+    cols = ("doc_id", "payload", "exp_width", "exp_height", "exp_n_frames", "exp_usec_per_frame")
+    for d, payload, w, h, nf, usec in zip(*[t[c].to_pylist() for c in cols]):
         r = rows[d]
         assert (r.width, r.height, r.n_frames, r.usec_per_frame) == (w, h, nf, usec)
         assert r.n_bytes == len(payload)
@@ -235,3 +232,55 @@ def test_map_in_pandas_real_frame_sampling(spark):
         if d < 500
     )
     assert got == exp
+
+
+def test_mjpeg_roundtrip_matches_block_formula():
+    """MJPEG AVIs ('00dc' chunks of complete Huffman-coded baseline
+    JPEGs): parse the container, decode every frame through the real
+    JPEG decoder, and match the encoder's DC-only block arithmetic —
+    decoded pixels are exactly 128 + 2*(((fbase + 3*bx + 5*by) % 128)
+    - 64) on all channels (the image fixture's JPEG exactness
+    contract), fbase keyed at base + 29*frame_idx."""
+    import numpy as np
+
+    for (w, h, nf, usec, base) in [(4, 3, 5, 33333, 7), (8, 5, 3, 20000, 200)]:
+        payload, offsets = build_avi(w, h, nf, usec, base, codec="mjpg")
+        pw, ph, pusec, frames = parse_avi(payload)
+        assert (pw, ph, pusec, len(frames)) == (w, h, usec, nf)
+        assert [f[0] for f in frames] == offsets
+        for fi, (off, size) in enumerate(frames):
+            assert payload[off : off + 2] == b"\xff\xd8"  # real JPEG
+            rgb = decode_frame_pixels(payload[off : off + size], w, h)
+            fbase = (base + 29 * fi) % 256
+            bxs = (np.arange(w) // 8)[None, :]
+            bys = (np.arange(h) // 8)[:, None]
+            cell = (128 + 2 * (((fbase + 3 * bxs + 5 * bys) % 128) - 64)).astype(
+                np.uint8
+            )
+            exp = np.repeat(cell[:, :, None], 3, axis=2)
+            assert rgb == exp.tobytes(), (w, h, fi)
+
+
+def test_mjpeg_frame_dim_mismatch_raises():
+    """An MJPEG frame whose JPEG dims disagree with the container
+    header must raise (a corrupt mux), never silently pass wrong-sized
+    pixels downstream."""
+    from parallel_map_reduce_spark.multimodal.imagehdr import build_jpeg
+
+    frame = build_jpeg(6, 6, 3, pattern=5)
+    with pytest.raises(ValueError):
+        decode_frame_pixels(frame, 4, 3)
+
+
+def test_mjpeg_grayscale_frame_replicates_to_rgb():
+    """A grayscale JPEG frame satisfies the RGB pixel contract by
+    channel replication."""
+    import numpy as np
+
+    from parallel_map_reduce_spark.multimodal.imagehdr import build_jpeg
+
+    frame = build_jpeg(4, 3, 1, pattern=9)
+    rgb = np.frombuffer(decode_frame_pixels(frame, 4, 3), np.uint8).reshape(3, 4, 3)
+    assert (rgb[:, :, 0] == rgb[:, :, 1]).all() and (rgb[:, :, 1] == rgb[:, :, 2]).all()
+    cell = (128 + 2 * (((9) % 128) - 64)) % 256
+    assert int(rgb[0, 0, 0]) == cell

@@ -3,11 +3,13 @@ and its sampled-frame expectation table
 (refdata/video_frames_expected.parquet).
 
 One real AVI per doc_id 0..4999 (covers every driver sf), built by
-multimodal/videohdr.py — RIFF container, LIST hdrl/movi, uncompressed
-24-bit DIB pattern frames:
+multimodal/videohdr.py — RIFF container, LIST hdrl/movi. Codecs mix
+deterministically: doc_id % 4 == 3 gets MOTION-JPEG ('00dc' chunks of
+complete Huffman-coded baseline JPEGs, imagehdr.build_jpeg), everything
+else uncompressed 24-bit DIB pattern frames:
 
     video_fixture.parquet:
-        doc_id BIGINT, payload BLOB, exp_width BIGINT,
+        doc_id BIGINT, payload BLOB, exp_codec VARCHAR, exp_width BIGINT,
         exp_height BIGINT, exp_n_frames BIGINT, exp_usec_per_frame BIGINT
     video_frames_expected.parquet (every SAMPLE_EVERY-th frame):
         doc_id BIGINT, frame_idx BIGINT, byte_offset BIGINT,
@@ -16,8 +18,9 @@ multimodal/videohdr.py — RIFF container, LIST hdrl/movi, uncompressed
 ``byte_offset`` comes from the builder's own serialization arithmetic
 (build_avi returns it while writing — never by re-parsing), and
 ``frame_crc32`` is the CRC-32 of the frame's decoded RGB pixels
-computed HERE from the pattern FORMULA (this script never walks a
-payload's chunk tree). The Spark side of ``multimodal_video_frames``
+computed HERE from the pattern FORMULAS (DIB: the position ramp;
+MJPEG: the flat-per-8x8-block JPEG value — this script never walks a
+payload's chunk tree and never runs a JPEG decoder). The Spark side of ``multimodal_video_frames``
 must parse the actual RIFF structure and pixel-decode the DIB frames
 to reproduce both. Deterministic: no RNG, no time.
 
@@ -48,21 +51,38 @@ OUT_VIDEO = os.path.join(OUT_DIR, "video_fixture.parquet")
 OUT_FRAMES = os.path.join(OUT_DIR, "video_frames_expected.parquet")
 
 
-def fixture_params(doc_id: int) -> tuple[int, int, int, int, int]:
-    """Deterministic (width, height, n_frames, usec_per_frame, base)."""
+def fixture_params(doc_id: int) -> tuple[int, int, int, int, int, str]:
+    """Deterministic (width, height, n_frames, usec_per_frame, base,
+    codec) — every fourth doc is motion-JPEG, the rest uncompressed
+    DIB."""
     return (
         WIDTHS[doc_id % 3],
         HEIGHTS[(doc_id // 3) % 3],
         (doc_id % 6) + 3,
         USECS[doc_id % 3],
         doc_id % 256,
+        "mjpg" if doc_id % 4 == 3 else "dib",
     )
 
 
-def expected_frame_crc(w: int, h: int, frame_idx: int, base: int) -> int:
-    """CRC-32 of the frame's RGB pixels, from the pattern formula alone
-    (videohdr.py:build_frame keys frame f at base + 29*f)."""
+def expected_frame_crc(
+    w: int, h: int, frame_idx: int, base: int, codec: str
+) -> int:
+    """CRC-32 of the frame's decoded RGB pixels, from the pattern
+    formulas alone (videohdr.py keys frame f at base + 29*f). DIB: the
+    position ramp. MJPEG: the encoder writes DC-only blocks whose exact
+    decode is the flat value 128 + 2*(((fbase + 3*bx + 5*by) % 128) -
+    64) on all three channels (imagehdr.py:jpeg_block_value — the same
+    block arithmetic the image fixture's JPEG expectations use)."""
     fbase = (base + 29 * frame_idx) % 256
+    if codec == "mjpg":
+        bxs = (np.arange(w) // 8)[None, :]
+        bys = (np.arange(h) // 8)[:, None]
+        cell = (128 + 2 * (((fbase + 3 * bxs + 5 * bys) % 128) - 64)).astype(
+            np.uint8
+        )
+        img = np.repeat(cell[:, :, None], 3, axis=2)
+        return zlib.crc32(img.tobytes()) & 0xFFFFFFFF
     xs = np.arange(w)[None, :, None]
     ys = np.arange(h)[:, None, None]
     cs = np.arange(3)[None, None, :]
@@ -73,14 +93,15 @@ def expected_frame_crc(w: int, h: int, frame_idx: int, base: int) -> int:
 def main() -> int:
     vid: dict[str, list] = {
         k: []
-        for k in ("doc_id", "payload", "exp_width", "exp_height", "exp_n_frames", "exp_usec_per_frame")
+        for k in ("doc_id", "payload", "exp_codec", "exp_width", "exp_height", "exp_n_frames", "exp_usec_per_frame")
     }
     frames: dict[str, list] = {k: [] for k in ("doc_id", "frame_idx", "byte_offset", "frame_crc32")}
     for d in range(N_DOCS):
-        w, h, nf, usec, base = fixture_params(d)
-        payload, offsets = build_avi(w, h, nf, usec, base)
+        w, h, nf, usec, base, codec = fixture_params(d)
+        payload, offsets = build_avi(w, h, nf, usec, base, codec=codec)
         vid["doc_id"].append(d)
         vid["payload"].append(payload)
+        vid["exp_codec"].append(codec)
         vid["exp_width"].append(w)
         vid["exp_height"].append(h)
         vid["exp_n_frames"].append(nf)
@@ -89,11 +110,12 @@ def main() -> int:
             frames["doc_id"].append(d)
             frames["frame_idx"].append(f)
             frames["byte_offset"].append(offsets[f])
-            frames["frame_crc32"].append(expected_frame_crc(w, h, f, base))
+            frames["frame_crc32"].append(expected_frame_crc(w, h, f, base, codec))
     vt = pa.table(
         {
             "doc_id": pa.array(vid["doc_id"], pa.int64()),
             "payload": pa.array(vid["payload"], pa.binary()),
+            "exp_codec": pa.array(vid["exp_codec"], pa.string()),
             "exp_width": pa.array(vid["exp_width"], pa.int64()),
             "exp_height": pa.array(vid["exp_height"], pa.int64()),
             "exp_n_frames": pa.array(vid["exp_n_frames"], pa.int64()),
