@@ -386,16 +386,22 @@ def build_jpeg(
     channels: int = 3,
     pattern: int | None = None,
     subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
-    """REAL baseline JPEG: flat-16 quant table, canonical DHT, and a
-    Huffman-coded scan of DC-only blocks (grayscale, 4:4:4, or 4:2:0
-    YCbCr with flat chroma). Any conformant decoder renders it.
-    Default image is uniform 128 gray; with ``pattern=base`` each 8x8
-    LUMA block carries ``jpeg_block_value`` (global block coords, so
-    the expected-pixel formula is identical across subsamplings) —
-    decoded pixels are exactly predictable from block arithmetic (no
-    IDCT needed), which is what the fixture's independence contract
-    requires."""
+    """REAL JPEG: flat-16 quant table, canonical DHT, and Huffman-coded
+    DC-only blocks (grayscale, 4:4:4, or 4:2:0 YCbCr with flat
+    chroma). Any conformant decoder renders it. Default image is
+    uniform 128 gray; with ``pattern=base`` each 8x8 LUMA block carries
+    ``jpeg_block_value`` (global block coords, so the expected-pixel
+    formula is identical across subsamplings) — decoded pixels are
+    exactly predictable from block arithmetic (no IDCT needed), which
+    is what the fixture's independence contract requires.
+
+    ``progressive=True`` emits the SAME coefficients as an SOF2
+    successive-approximation stream (T.81 G.2): an interleaved DC
+    first scan at Al=1, a DC refinement scan appending bit 0, then one
+    all-EOB AC scan per component — so baseline and progressive forms
+    of one pattern decode to identical pixels."""
     if channels not in (1, 3):
         raise ValueError("baseline encoder supports 1 or 3 components")
     if subsampling not in ("444", "420") or (subsampling == "420" and channels != 3):
@@ -409,34 +415,23 @@ def build_jpeg(
     sof = struct.pack(">BHHB", 8, height, width, channels)
     for c in range(channels):
         sof += bytes([c + 1, luma_sampling if c == 0 else 0x11, 0])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0")
+    out += struct.pack(">H", 2 + len(sof)) + sof
     dht = b"\x00" + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMBOLS)
     dht += b"\x10" + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMBOLS)
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
-    sos = bytes([channels]) + b"".join(bytes([c + 1, 0x00]) for c in range(channels))
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     dc_codes = _jpeg_canonical_codes(_JPEG_DC_COUNTS)
     (ac_eob_len, ac_eob_code) = _jpeg_canonical_codes(_JPEG_AC_COUNTS)[0]
-    w = _JpegBitWriter()
-    preds = [0] * channels
-
-    def write_block(ci: int, dc: int) -> None:
-        diff = dc - preds[ci]
-        preds[ci] = dc
-        s = diff.bit_length() if diff else 0
-        length, code = dc_codes[s]
-        w.write(code, length)
-        if s:
-            w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-        w.write(ac_eob_code, ac_eob_len)  # EOB: no AC coefficients
 
     def luma_dc(bx: int, by: int) -> int:
         if pattern is None:
             return 0
         return (jpeg_block_value(bx, by, pattern) - 128) // 2
 
+    # The block walk (interleaved MCU order) as (comp_index, dc) pairs —
+    # shared by the baseline single scan and the progressive DC scans.
+    blocks: list[tuple[int, int]] = []
     if subsampling == "420":
         # Interleaved MCUs of 16x16: 4 raster-ordered Y blocks (global
         # block coords my*2+vb / mx*2+hb) + one Cb + one Cr.
@@ -444,15 +439,73 @@ def build_jpeg(
             for mx in range((width + 15) // 16):
                 for vb in range(2):
                     for hb in range(2):
-                        write_block(0, luma_dc(mx * 2 + hb, my * 2 + vb))
-                write_block(1, 0)
-                write_block(2, 0)
+                        blocks.append((0, luma_dc(mx * 2 + hb, my * 2 + vb)))
+                blocks.append((1, 0))
+                blocks.append((2, 0))
     else:
         for by in range((height + 7) // 8):
             for bx in range((width + 7) // 8):
-                write_block(0, luma_dc(bx, by))
+                blocks.append((0, luma_dc(bx, by)))
                 for ci in range(1, channels):
-                    write_block(ci, 0)  # chroma flat 128
+                    blocks.append((ci, 0))  # chroma flat 128
+
+    def write_dc(w: _JpegBitWriter, preds: list[int], ci: int, v: int) -> None:
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = diff.bit_length() if diff else 0
+        length, code = dc_codes[s]
+        w.write(code, length)
+        if s:
+            w.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        body += b"".join(bytes([cid, 0x00]) for cid in comp_ids)
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    if not progressive:
+        out += sos_header([c + 1 for c in range(channels)], 0, 63, 0, 0)
+        w = _JpegBitWriter()
+        preds = [0] * channels
+        for ci, dc in blocks:
+            write_dc(w, preds, ci, dc)
+            w.write(ac_eob_code, ac_eob_len)  # EOB: no AC coefficients
+        out += w.flush()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    all_ids = [c + 1 for c in range(channels)]
+    # Scan 1: DC first pass at Al=1 — diffs of (dc >> 1), arithmetic
+    # shift per T.81's DC point transform (Python >> is arithmetic).
+    out += sos_header(all_ids, 0, 0, 0, 1)
+    w = _JpegBitWriter()
+    preds = [0] * channels
+    for ci, dc in blocks:
+        write_dc(w, preds, ci, dc >> 1)
     out += w.flush()
+    # Scan 2: DC refinement to Al=0 — one raw bit (dc & 1) per block;
+    # the decoder ORs it into the two's-complement coefficient, which
+    # reconstitutes negatives exactly ((dc>>1)<<1 | (dc&1) == dc).
+    out += sos_header(all_ids, 0, 0, 1, 0)
+    w = _JpegBitWriter()
+    for _ci, dc in blocks:
+        w.write(dc & 1, 1)
+    out += w.flush()
+    # AC scans: one per component (progressive AC scans must be
+    # single-component), full band 1..63, all-EOB — symbol 0x00 is
+    # EOBRUN=1, exactly one band-ending code per block over the
+    # component's NON-interleaved (true-dims) block grid.
+    hmax = vmax = 2 if subsampling == "420" else 1
+    for c in range(channels):
+        h_i = v_i = (2 if subsampling == "420" else 1) if c == 0 else 1
+        cw = (width * h_i + hmax - 1) // hmax
+        ch_ = (height * v_i + vmax - 1) // vmax
+        n_blocks = ((cw + 7) // 8) * ((ch_ + 7) // 8)
+        out += sos_header([c + 1], 1, 63, 0, 0)
+        w = _JpegBitWriter()
+        for _ in range(n_blocks):
+            w.write(ac_eob_code, ac_eob_len)
+        out += w.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)

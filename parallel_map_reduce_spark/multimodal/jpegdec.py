@@ -1,15 +1,18 @@
-"""Stdlib baseline JPEG decoder: marker walk, DHT canonical Huffman,
-entropy decode with byte unstuffing and restart markers, dequantize,
-dezigzag, IDCT, level shift, clamp, and JFIF YCbCr→RGB — pure
-``struct``/numpy, no libjpeg.
+"""Stdlib JPEG decoder: marker walk, DHT canonical Huffman, entropy
+decode with byte unstuffing and restart markers, dequantize, dezigzag,
+IDCT, level shift, clamp, and JFIF YCbCr→RGB — pure ``struct``/numpy,
+no libjpeg.
 
-Scope (honest): BASELINE sequential DCT (SOF0), 8-bit samples,
-grayscale or color with sampling factors 1-2 per axis — 4:4:4,
-4:2:2, 4:4:0, and the ubiquitous 4:2:0 (interleaved MCU walk,
-nearest-neighbor chroma upsampling). No progressive or arithmetic
-coding — those are rejected with ValueError rather than mis-decoded.
-That covers every file the committed fixture's encoder
-(imagehdr.py:build_jpeg) produces plus the dominant wild layout.
+Scope (honest): BASELINE sequential DCT (SOF0) and PROGRESSIVE DCT
+(SOF2 — spectral selection + successive approximation per ITU-T T.81
+G.2: interleaved/non-interleaved DC first+refinement scans, per-
+component AC first+refinement scans with EOBRUN), 8-bit samples,
+grayscale or color with sampling factors 1-2 per axis — 4:4:4, 4:2:2,
+4:4:0, and the ubiquitous 4:2:0 (interleaved MCU walk, nearest-
+neighbor chroma upsampling). Arithmetic coding, lossless, and
+hierarchical variants are rejected with ValueError rather than
+mis-decoded. That covers every file the committed fixture's encoder
+(imagehdr.py:build_jpeg) produces plus the two dominant wild layouts.
 
 Exactness contract the fixture relies on: the encoder emits DC-only
 blocks with ``dc * q`` divisible by 8, for which ANY correct IDCT
@@ -132,11 +135,140 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+# zigzag index -> (row, col) as parallel arrays, for vectorized dezigzag
+_ZR = np.array([r for r, _ in ZIGZAG])
+_ZC = np.array([c for _, c in ZIGZAG])
+
+
+def _nonint_block_dims(
+    width: int, height: int, h_i: int, v_i: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """(blocks_wide, blocks_high) of one component in a NON-interleaved
+    scan: the component's true sample dims (ceil scaling), not the
+    MCU-padded grid (T.81 A.2.2)."""
+    cw = (width * h_i + hmax - 1) // hmax
+    ch = (height * v_i + vmax - 1) // vmax
+    return (cw + 7) // 8, (ch + 7) // 8
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """First position >= pos of a real marker (FF followed by neither
+    00 stuffing nor another FF fill byte) — where the outer marker walk
+    resumes after an entropy-coded segment."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    return n
+
+
+def _ac_first_block(br, act, blk, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC FIRST-pass scan of one block (T.81 G.1.2.2):
+    run/size coding of the (ss..se) band with values scaled by 2^al;
+    EOBn symbols start an end-of-band run covering whole blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(br, act)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC coefficient overrun")
+            blk[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+        else:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+    return eobrun
+
+
+def _ac_refine_block(br, act, blk, ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC REFINEMENT scan of one block (T.81 G.1.2.3, the
+    libjpeg decode_mcu_AC_refine control flow): newly-nonzero
+    coefficients arrive as ±2^al; every already-nonzero coefficient in
+    the band consumes one correction bit appending 2^al to its
+    magnitude; EOB runs still emit correction bits for nonzero
+    history."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(br, act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG refinement magnitude")
+                val = p1 if br.read_bit() else m1
+            # Advance past r zero-HISTORY coefficients, emitting
+            # correction bits for nonzero-history ones on the way.
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if br.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish_pixels(planes, comps, width: int, height: int, hmax: int, vmax: int):
+    """Shared decode tail: nearest-neighbor upsample each component
+    plane to full resolution (JFIF sample replication), crop, and
+    convert (grayscale passthrough / YCbCr→RGB)."""
+    ys_full = np.arange(height)
+    xs_full = np.arange(width)
+    cropped = []
+    for plane, (_, _, h_i, v_i) in zip(planes, comps):
+        ys = (ys_full * v_i) // vmax
+        xs = (xs_full * h_i) // hmax
+        cropped.append(np.clip(np.rint(plane[ys][:, xs]), 0, 255))
+    if len(cropped) == 1:
+        return width, height, 1, cropped[0].astype(np.uint8).tobytes()
+    if len(cropped) == 3:
+        y, cb, cr = (p.astype(np.float64) for p in cropped)
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack(
+            [np.clip(np.rint(ch), 0, 255) for ch in (r, g, b)], axis=2
+        )
+        return width, height, 3, rgb.astype(np.uint8).tobytes()
+    raise ValueError(f"unsupported JPEG component count {len(cropped)}")
+
+
 def decode_jpeg_pixels(data: bytes):
-    """(width, height, channels, pixels) for a baseline (SOF0) 8-bit
-    JPEG, grayscale or YCbCr with sampling factors 1-2 per axis
-    (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0). Raises ValueError otherwise —
-    including on truncation anywhere in the stream."""
+    """(width, height, channels, pixels) for a baseline (SOF0) or
+    progressive (SOF2) 8-bit JPEG, grayscale or YCbCr with sampling
+    factors 1-2 per axis (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0). Raises
+    ValueError otherwise — including on truncation anywhere in the
+    stream."""
     try:
         return _decode_jpeg_pixels(data)
     except (IndexError, struct.error, MemoryError) as exc:
@@ -149,7 +281,8 @@ def _decode_jpeg_pixels(data: bytes):
     qt: dict[int, np.ndarray] = {}
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
-    frame = None  # (height, width, [(comp_id, q_id)])
+    frame = None  # (height, width, [(comp_id, q_id, h_i, v_i)], progressive)
+    coef: dict[int, np.ndarray] = {}  # progressive coefficient store per comp
     restart_interval = 0
     i, n = 2, len(data)
     while i + 4 <= n:
@@ -189,7 +322,7 @@ def _decode_jpeg_pixels(data: bytes):
                 tbl = _build_huffman(counts, symbols)
                 (dc_tables if cls == 0 else ac_tables)[tid] = tbl
                 p += 17 + total
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             height, width = struct.unpack(">HH", seg[1:5])
             n_comp = seg[5]
             comps = []
@@ -202,22 +335,37 @@ def _decode_jpeg_pixels(data: bytes):
                         "4:4:4 / 4:2:2 / 4:4:0 / 4:2:0)"
                     )
                 comps.append((cid, qid, h_i, v_i))
-            frame = (height, width, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential (SOF0) JPEG supported")
+            frame = (height, width, comps, marker == 0xC2)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
-            height, width, comps = frame
+                raise ValueError("JPEG SOS before SOF")
+            height, width, comps, progressive = frame
             ns = seg[0]
             scan_tables = {}
+            scan_ids = []
             for c in range(ns):
                 cid, tids = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tables[cid] = (tids >> 4, tids & 0x0F)
+                scan_ids.append(cid)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+            if progressive:
+                i = _decode_progressive_scan(
+                    data, i + 2 + seg_len, frame, scan_ids, scan_tables,
+                    ss, se, ah, al, coef, dc_tables, ac_tables,
+                    restart_interval,
+                )
+                continue
             if ns != len(comps):
-                raise ValueError("multi-scan JPEG not supported")
+                raise ValueError("multi-scan baseline JPEG not supported")
+            if (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("baseline scan must cover the full band")
             br = _BitReader(data, i + 2 + seg_len)
             # General interleaved-MCU walk: an MCU spans 8*hmax x
             # 8*vmax pixels and carries h_i*v_i raster-ordered blocks
@@ -285,26 +433,150 @@ def _decode_jpeg_pixels(data: bytes):
                                 px = (mx * h_i + hb) * 8
                                 planes[ci][py : py + 8, px : px + 8] = block
                     mcu += 1
-            # Upsample each component to full resolution (nearest /
-            # sample replication — the JFIF default) then crop.
-            ys_full = np.arange(height)
-            xs_full = np.arange(width)
-            cropped = []
-            for plane, (_, _, h_i, v_i) in zip(planes, comps):
-                ys = (ys_full * v_i) // vmax
-                xs = (xs_full * h_i) // hmax
-                cropped.append(np.clip(np.rint(plane[ys][:, xs]), 0, 255))
-            if len(cropped) == 1:
-                return width, height, 1, cropped[0].astype(np.uint8).tobytes()
-            if len(cropped) == 3:
-                y, cb, cr = (p.astype(np.float64) for p in cropped)
-                r = y + 1.402 * (cr - 128.0)
-                g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-                b = y + 1.772 * (cb - 128.0)
-                rgb = np.stack(
-                    [np.clip(np.rint(ch), 0, 255) for ch in (r, g, b)], axis=2
-                )
-                return width, height, 3, rgb.astype(np.uint8).tobytes()
-            raise ValueError(f"unsupported JPEG component count {len(cropped)}")
+            return _finish_pixels(planes, comps, width, height, hmax, vmax)
         i += 2 + seg_len
+    if frame is not None and frame[3] and coef:
+        # Progressive: every scan accumulated into the coefficient
+        # store; EOI (or stream end) triggers reconstruction.
+        return _reconstruct_progressive(frame, coef, qt)
     raise ValueError("JPEG has no scan data")
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    frame,
+    scan_ids: list[int],
+    scan_tables: dict,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coef: dict[int, "np.ndarray"],
+    dc_tables: dict,
+    ac_tables: dict,
+    restart_interval: int,
+) -> int:
+    """Entropy-decode ONE progressive scan into the shared coefficient
+    store (T.81 G.2: spectral selection ss..se, successive
+    approximation ah→al). Returns the stream position where the outer
+    marker walk resumes."""
+    height, width, comps, _ = frame
+    hmax = max(h for _, _, h, _ in comps)
+    vmax = max(v for _, _, _, v in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    comp_idx = {cid: k for k, (cid, _, _, _) in enumerate(comps)}
+    try:
+        in_scan = [comp_idx[cid] for cid in scan_ids]
+    except KeyError as exc:
+        raise ValueError(f"JPEG scan references unknown component {exc}") from exc
+    for ci in in_scan:
+        if ci not in coef:
+            _, _, h_i, v_i = comps[ci]
+            # MCU-padded block grid (same extent the baseline planes
+            # use); non-interleaved scans fill its true-dims prefix.
+            coef[ci] = np.zeros((mcuy * v_i, mcux * h_i, 64), np.int32)
+    br = _BitReader(data, pos)
+    if ss == 0:  # DC scan (first or refinement), 1..ns components
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        dc_tbls = {}
+        if ah == 0:
+            for cid in scan_ids:
+                t = dc_tables.get(scan_tables[cid][0])
+                if t is None:
+                    raise ValueError("JPEG scan references missing Huffman table")
+                dc_tbls[cid] = t
+        preds = dict.fromkeys(in_scan, 0)
+
+        def dc_unit(ci: int, by: int, bx: int) -> None:
+            cid = comps[ci][0]
+            blk = coef[ci][by, bx]
+            if ah == 0:
+                s = _decode_symbol(br, dc_tbls[cid])
+                diff = _extend(br.read_bits(s), s) if s else 0
+                preds[ci] += diff
+                blk[0] = preds[ci] << al
+            elif br.read_bit():
+                blk[0] |= 1 << al
+
+        units = 0
+        if len(in_scan) > 1:  # interleaved MCU walk
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and units and units % restart_interval == 0:
+                        br.sync_restart()
+                        preds = dict.fromkeys(in_scan, 0)
+                    for ci in in_scan:
+                        _, _, h_i, v_i = comps[ci]
+                        for vb in range(v_i):
+                            for hb in range(h_i):
+                                dc_unit(ci, my * v_i + vb, mx * h_i + hb)
+                    units += 1
+        else:  # single-component: non-interleaved true block dims
+            ci = in_scan[0]
+            _, _, h_i, v_i = comps[ci]
+            nbx, nby = _nonint_block_dims(width, height, h_i, v_i, hmax, vmax)
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and units and units % restart_interval == 0:
+                        br.sync_restart()
+                        preds = dict.fromkeys(in_scan, 0)
+                    dc_unit(ci, by, bx)
+                    units += 1
+    else:  # AC scan: exactly one component, non-interleaved (T.81 B.2.3)
+        if len(in_scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if se < ss or se > 63:
+            raise ValueError("invalid JPEG spectral band")
+        ci = in_scan[0]
+        cid, _, h_i, v_i = comps[ci]
+        act = ac_tables.get(scan_tables[cid][1])
+        if act is None:
+            raise ValueError("JPEG scan references missing Huffman table")
+        nbx, nby = _nonint_block_dims(width, height, h_i, v_i, hmax, vmax)
+        eobrun = 0
+        units = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and units and units % restart_interval == 0:
+                    br.sync_restart()
+                    eobrun = 0
+                blk = coef[ci][by, bx]
+                if ah == 0:
+                    eobrun = _ac_first_block(br, act, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_refine_block(br, act, blk, ss, se, al, eobrun)
+                units += 1
+    return _next_marker(data, br.pos)
+
+
+def _reconstruct_progressive(frame, coef: dict[int, "np.ndarray"], qt: dict):
+    """Dequantize + IDCT the accumulated coefficient store and run the
+    shared upsample/convert tail."""
+    height, width, comps, _ = frame
+    hmax = max(h for _, _, h, _ in comps)
+    vmax = max(v for _, _, _, v in comps)
+    planes = []
+    for ci, (cid, qid, h_i, v_i) in enumerate(comps):
+        q = qt.get(qid)
+        if q is None:
+            raise ValueError("JPEG frame references missing quant table")
+        store = coef.get(ci)
+        if store is None:
+            raise ValueError(f"JPEG component {cid} has no scan data")
+        nby, nbx = store.shape[:2]
+        plane = np.full((nby * 8, nbx * 8), 128.0)
+        for by in range(nby):
+            for bx in range(nbx):
+                cz = store[by, bx]
+                if not cz.any():
+                    continue  # all-zero block decodes to flat 128
+                nat = np.zeros((8, 8), np.int64)
+                nat[_ZR, _ZC] = cz
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    idct_2d((nat * q).astype(np.float64)) + 128.0
+                )
+        planes.append(plane)
+    return _finish_pixels(planes, comps, width, height, hmax, vmax)

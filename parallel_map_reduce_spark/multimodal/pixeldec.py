@@ -5,10 +5,11 @@ integer nearest-neighbor resize.
 This closes the last image stub in codec.py (rounds ≤11 kept pixel
 decode behind ``NotImplementedError``): PNG (incl. Adam7 interlace),
 GIF (incl. interlace), and BMP (24/32-bit) decode fully here, and
-JPEG dispatches to ``jpegdec.decode_jpeg_pixels`` — a real baseline
-(SOF0) Huffman+IDCT decoder covering grayscale and 4:4:4 / 4:2:2 /
-4:4:0 / 4:2:0 color (sampling factors 1-2 per axis). Unsupported
-JPEG variants (arithmetic coding, lossless, hierarchical) raise
+JPEG dispatches to ``jpegdec.decode_jpeg_pixels`` — a real
+Huffman+IDCT decoder covering baseline (SOF0) AND progressive (SOF2)
+frames, grayscale and 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 color (sampling
+factors 1-2 per axis). Unsupported JPEG variants (arithmetic coding,
+lossless, hierarchical) raise
 ``ValueError`` and callers (codec.py:resize_map) skip those rows.
 Reference basis: the public PNG (RFC 2083), GIF89a, BMP, and
 ITU-T T.81 specifications; no reference-repo counterpart exists
@@ -340,9 +341,9 @@ def decode_bmp_pixels(data: bytes):
 
 def decode_image_pixels(data: bytes):
     """(fmt, width, height, channels, pixels) for PNG/GIF/BMP/JPEG
-    payloads (JPEG: 8-bit baseline SOF0, grayscale or YCbCr with
-    sampling factors 1-2 per axis — jpegdec.py; arithmetic-coded /
-    lossless / hierarchical files raise). Raises ValueError for
+    payloads (JPEG: 8-bit baseline SOF0 or progressive SOF2, grayscale
+    or YCbCr with sampling factors 1-2 per axis — jpegdec.py;
+    arithmetic-coded / lossless / hierarchical files raise). Raises ValueError for
     anything unrecognized or corrupt."""
     if not isinstance(data, (bytes, bytearray, memoryview)):
         raise ValueError("payload is not bytes")

@@ -1,9 +1,11 @@
-"""Baseline JPEG codec: encode→decode exactness for DC-only pattern
-files (the fixture's construction), a hand-assembled general scan with
-AC coefficients / ZRL / runs decoded against the textbook double-sum
-IDCT (independent of the decoder's matrix IDCT), restart-marker
-handling, and rejection of the variants the decoder honestly does not
-support (progressive, subsampled).
+"""JPEG codec: encode→decode exactness for DC-only pattern files (the
+fixture's construction), hand-assembled general scans with AC
+coefficients / ZRL / runs decoded against the textbook double-sum IDCT
+(independent of the decoder's matrix IDCT), restart-marker handling,
+PROGRESSIVE (SOF2) spec vectors — spectral selection, successive
+approximation with AC refinement, cross-block EOBRUN — and rejection
+of the variants the decoder honestly does not support (arithmetic
+coding, lossless, hierarchical).
 """
 
 from __future__ import annotations
@@ -156,11 +158,15 @@ def test_restart_markers_reset_dc_predictors():
 
 def test_unsupported_variants_rejected():
     base = build_jpeg(16, 16, 3, pattern=1)
-    progressive = bytearray(base)
-    i = progressive.index(b"\xff\xc0")
-    progressive[i + 1] = 0xC2  # SOF2: progressive
+    # Flipping a BASELINE stream's SOF0 to SOF2 leaves a full-band
+    # (Ss=0, Se=63) multi-component scan, which is invalid progressive
+    # syntax (a DC scan must have Se=0) — loud rejection, not a
+    # mis-decode. Real progressive streams decode (tests below).
+    mutated = bytearray(base)
+    i = mutated.index(b"\xff\xc0")
+    mutated[i + 1] = 0xC2
     with pytest.raises(ValueError):
-        decode_jpeg_pixels(bytes(progressive))
+        decode_jpeg_pixels(bytes(mutated))
 
     oversampled = bytearray(base)
     j = oversampled.index(b"\xff\xc0")
@@ -261,3 +267,186 @@ def test_color_conversion_identity_for_flat_chroma():
     img = np.frombuffer(px, np.uint8).reshape(16, 24, 3)
     assert (img[:, :, 0] == img[:, :, 1]).all()
     assert (img[:, :, 1] == img[:, :, 2]).all()
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding
+
+
+def _assemble_progressive(w, h, dqt_vals, scans):
+    """Hand-assemble a 1-component PROGRESSIVE JPEG: same rich hand
+    tables as _assemble_jpeg (plus AC symbols 0x21/0x31 for refinement
+    runs), one SOS per (ss, se, ah, al, bits) in ``scans``."""
+    out = bytearray(b"\xff\xd8")
+    dqt = b"\x00" + bytes(dqt_vals)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dc_counts = [0, 0, 0, 12] + [0] * 12
+    ac_counts = [0, 1, 3, 6] + [0] * 12  # Kraft-complete: 2^-2 + 3*2^-3 + 6*2^-4 = 1
+    dht = b"\x00" + bytes(dc_counts) + bytes(range(12))
+    dht += b"\x10" + bytes(ac_counts) + bytes(
+        [0x00, 0x01, 0x11, 0xF0, 0x02, 0x21, 0x31, 0xE2, 0x10, 0x61]
+    )
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    for ss, se, ah, al, bits in scans:
+        sos = bytes([1, 1, 0x00]) + bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += bits
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# Canonical codes for the progressive hand tables: EOB at length 2
+# (code 0), 3 symbols at length 3 (codes 2-4), 6 at length 4 (10-15).
+_PDC = {s: (4, s) for s in range(12)}
+_PAC = {
+    0x00: (2, 0), 0x01: (3, 2), 0x11: (3, 3), 0xF0: (3, 4),
+    0x02: (4, 10), 0x21: (4, 11), 0x31: (4, 12), 0xE2: (4, 13),
+    0x10: (4, 14), 0x61: (4, 15),
+}
+
+
+def _textbook_pixels(coeff_by_zigzag: dict[int, int], q: int) -> np.ndarray:
+    coeffs = np.zeros((8, 8), np.float64)
+    for z, v in coeff_by_zigzag.items():
+        r, c = ZIGZAG[z]
+        coeffs[r, c] = v * q
+    return np.clip(np.rint(idct_2d(coeffs) + 128), 0, 255).astype(np.uint8)
+
+
+def test_progressive_spectral_selection_matches_idct():
+    """Spectral selection without successive approximation: the same
+    coefficient block split across a DC scan and two AC band scans
+    (1-5, 6-63 with a ZRL) decodes to the textbook-IDCT pixels."""
+    q = 16
+    # DC scan: dc = 5 (category 3, bits '101').
+    w1 = _JpegBitWriter()
+    ln, code = _PDC[3]
+    w1.write(code, ln)
+    w1.write(5, 3)
+    # AC band 1..5: z1 = +1, skip z2, z3 = -1, EOB (covers z4..5).
+    w2 = _JpegBitWriter()
+    for sym, extra in ((0x01, (1, 1)), (0x11, (0, 1)), (0x00, None)):
+        ln, code = _PAC[sym]
+        w2.write(code, ln)
+        if extra:
+            w2.write(*extra)
+    # AC band 6..63: ZRL (z6..21), z22 = +2 (size 2, bits '10'), EOB.
+    w3 = _JpegBitWriter()
+    for sym, extra in ((0xF0, None), (0x02, (2, 2)), (0x00, None)):
+        ln, code = _PAC[sym]
+        w3.write(code, ln)
+        if extra:
+            w3.write(*extra)
+    data = _assemble_progressive(
+        8, 8, [q] * 64,
+        [(0, 0, 0, 0, w1.flush()), (1, 5, 0, 0, w2.flush()), (6, 63, 0, 0, w3.flush())],
+    )
+    dw, dh, dc, px = decode_jpeg_pixels(data)
+    assert (dw, dh, dc) == (8, 8, 1)
+    exp = _textbook_pixels({0: 5, 1: 1, 3: -1, 22: 2}, q)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(8, 8), exp)
+
+
+def test_progressive_successive_approximation_ac_refinement():
+    """Full successive approximation on one block: DC split across a
+    first pass (Al=1) + refinement bit, AC band coded coarse at Al=1
+    then refined at Al=0 — newly-visible ±1 coefficients, interleaved
+    correction bits, EOB runs. Target coefficients: dc=5, z1=+3,
+    z2=-2, z5=+1."""
+    q = 16
+    # Scan 1 — DC first at Al=1: codes 5>>1 = 2 (category 2, bits '10').
+    w1 = _JpegBitWriter()
+    ln, code = _PDC[2]
+    w1.write(code, ln)
+    w1.write(2, 2)
+    # Scan 2 — DC refinement to Al=0: one raw bit = 5 & 1 = 1.
+    w2 = _JpegBitWriter()
+    w2.write(1, 1)
+    # Scan 3 — AC 1..63 first at Al=1: z1 -> 3>>1=+1, z2 -> -2/2=-1
+    # (run 0 size 1, sign bits 1 then 0), z5 invisible at this
+    # precision, EOB.
+    w3 = _JpegBitWriter()
+    for sym, extra in ((0x01, (1, 1)), (0x01, (0, 1)), (0x00, None)):
+        ln, code = _PAC[sym]
+        w3.write(code, ln)
+        if extra:
+            w3.write(*extra)
+    # Scan 4 — AC 1..63 refinement Ah=1,Al=0 (libjpeg bit order:
+    # symbol, sign, then buffered correction bits):
+    #   z5 newly nonzero after runs over z3,z4 (zero history) -> symbol
+    #   0x21 (r=2, s=1), sign '1', then correction bits for the
+    #   nonzero-history coefficients passed on the way: z1 (|3| bit0 =
+    #   1), z2 (|-2| bit0 = 0). Then EOB (no further nonzero history).
+    w4 = _JpegBitWriter()
+    ln, code = _PAC[0x21]
+    w4.write(code, ln)
+    w4.write(1, 1)  # sign: +1
+    w4.write(1, 1)  # correction for z1: 2 -> 3
+    w4.write(0, 1)  # correction for z2: -2 stays
+    ln, code = _PAC[0x00]
+    w4.write(code, ln)
+    data = _assemble_progressive(
+        8, 8, [q] * 64,
+        [
+            (0, 0, 0, 1, w1.flush()),
+            (0, 0, 1, 0, w2.flush()),
+            (1, 63, 0, 1, w3.flush()),
+            (1, 63, 1, 0, w4.flush()),
+        ],
+    )
+    dw, dh, dc, px = decode_jpeg_pixels(data)
+    assert (dw, dh, dc) == (8, 8, 1)
+    exp = _textbook_pixels({0: 5, 1: 3, 2: -2, 5: 1}, q)
+    assert np.array_equal(np.frombuffer(px, np.uint8).reshape(8, 8), exp)
+
+
+def test_progressive_eobrun_spans_blocks():
+    """A single EOBn symbol must end the band for a RUN of blocks: in a
+    2-block image the AC scan is one 0x10 symbol (r=1 -> EOBRUN base 2,
+    no extension bits), covering both blocks' 1..63 bands — the decoder
+    must consume no further AC symbols and keep both DC-only values."""
+    w1 = _JpegBitWriter()
+    ln, code = _PDC[3]
+    w1.write(code, ln)
+    w1.write(5, 3)  # dc block 0 = 5
+    ln, code = _PDC[2]
+    w1.write(code, ln)
+    w1.write(1, 2)  # diff -2 -> dc block 1 = 3
+    w2 = _JpegBitWriter()
+    ln, code = _PAC[0x10]  # EOBRUN = 1 << 1 = 2 blocks
+    w2.write(code, ln)
+    data = _assemble_progressive(
+        16, 8, [16] * 64, [(0, 0, 0, 0, w1.flush()), (1, 63, 0, 0, w2.flush())]
+    )
+    dw, dh, dc, px = decode_jpeg_pixels(data)
+    img = np.frombuffer(px, np.uint8).reshape(8, 16)
+    assert (img[:, :8] == 128 + 2 * 5).all()
+    assert (img[:, 8:] == 128 + 2 * 3).all()
+
+
+@pytest.mark.parametrize("channels", [1, 3])
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize(("w", "h", "base"), [(8, 8, 0), (13, 7, 42), (55, 43, 255)])
+def test_progressive_builder_equals_baseline(channels, sub, w, h, base):
+    """build_jpeg(progressive=True) — DC first (Al=1) + DC refinement +
+    per-component all-EOB AC scans — decodes to EXACTLY the baseline
+    form's pixels for every geometry/subsampling the fixture uses."""
+    if sub == "420" and channels == 1:
+        pytest.skip("420 requires 3 components")
+    b0 = build_jpeg(w, h, channels, pattern=base, subsampling=sub)
+    bp = build_jpeg(w, h, channels, pattern=base, subsampling=sub, progressive=True)
+    assert decode_jpeg_pixels(bp) == decode_jpeg_pixels(b0)
+
+
+def test_arithmetic_and_lossless_still_rejected():
+    """Progressive is now decoded; arithmetic-coded (SOF10) and
+    lossless (SOF3) remain loud rejections."""
+    base = build_jpeg(16, 16, 3, pattern=1)
+    for sof in (0xCA, 0xC3, 0xC9):
+        mutated = bytearray(base)
+        i = mutated.index(b"\xff\xc0")
+        mutated[i + 1] = sof
+        with pytest.raises(ValueError):
+            decode_jpeg_pixels(bytes(mutated))

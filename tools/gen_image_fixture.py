@@ -11,9 +11,10 @@ encode-time record as expected-value columns:
 
 PNG/GIF/BMP payloads carry the deterministic ``pattern_byte`` pixel
 ramp (PNG rows cycle through all five filter types); JPEG payloads
-are REAL baseline Huffman-coded files of DC-only blocks whose flat
-value is ``jpeg_block_value`` per 8x8 block (exact by construction:
-dc*q divisible by 8, so any correct IDCT lands on the integer). The
+are REAL Huffman-coded files of DC-only blocks whose flat value is
+``jpeg_block_value`` per 8x8 block (exact by construction: dc*q
+divisible by 8, so any correct IDCT lands on the integer), mixing
+baseline SOF0 (4:4:4 and 4:2:0) and progressive SOF2 frames. The
 exp_out_*/exp_resized_crc32 columns record what a correct decode +
 fit-to-256 nearest-neighbor resize must produce — computed HERE from
 the pattern FORMULAS alone (this script never decodes a payload; the
@@ -72,7 +73,17 @@ def fixture_row(doc_id: int) -> tuple[str, bytes, int, int, int]:
         payload = build_bmp(width, height, pattern=doc_id % 256)
     else:
         channels = 1 if doc_id % 5 == 0 else 3
-        payload = build_jpeg(width, height, channels, pattern=doc_id % 256)
+        # Real coverage of the decoder's frame types: every third JPEG
+        # doc is PROGRESSIVE (SOF2, successive approximation), and a
+        # third of the color ones are 4:2:0 subsampled. The expected-
+        # pixel formula is identical across all variants (DC-only
+        # blocks; jpeg_block_value is keyed on GLOBAL block coords).
+        progressive = doc_id % 3 == 0
+        sub = "420" if (channels == 3 and doc_id % 3 == 1) else "444"
+        payload = build_jpeg(
+            width, height, channels, pattern=doc_id % 256,
+            subsampling=sub, progressive=progressive,
+        )
     return fmt, payload, width, height, channels
 
 
