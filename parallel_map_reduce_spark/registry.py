@@ -93,23 +93,22 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #      inverts — the slots not held by rules 1/2/4 go OLDEST-driver-
 #      evidence-first (per CORRECTNESS_r*.json), displacing the
 #      members with the longest consecutive green streaks.
-# Round-11 window: 13 stalest rotate IN — similarity_ann_lsh_served
-# (the one entry with no driver row ever, rows-only by design) and 12
-# r02-evidence oracle-backed entries (events windowing/JSON/session
-# block, embedding near-dup pairs, brute-force top-k, text scan-speed
-# block, tfidf) — plus multimodal_image_features under rule 2 (real
-# header decode replaced the length-derived fake this round;
-# multimodal_curation_filter, already in no round's window, gets its
-# check via the full parity runs). OUT: 14 longest-green r6-era
-# members (q4_priority_order_check, bucketed_orders_revenue,
-# orders_status_scd2, basket_part_pairs, events_user_skew_report,
-# events_incremental_agg_merge, orders_cdc_diff,
-# customer_segment_nation_mi, customer_segment_nation_chi2,
-# events_ab_conversion, events_session_metrics,
-# lineitem_column_profile, events_trend_ols, events_value_holt) —
-# relational keeps orders_cdc_merge + orders_priority_woe_iv,
-# timeseries keeps events_trend_anomalies/events_value_twap. Full
-# displacement log: GATE_HISTORY.md.
+# Round-12 window: rule 2 rotates IN dedup_incremental_lsh (now SERVED
+# from the persisted corpus band table — the r12 headline change) plus
+# basket_part_pairs and events_cohort_retention (their multi-consumer
+# intermediates moved from eager checkpoints to lazy pins — same rows,
+# new plan shape, worth a fresh driver row); rule 5 rotates IN the six
+# stalest entries, all r02-evidence: embedding_neardup_lsh,
+# event_type_distinct_users_approx, similarity_ann_lsh,
+# similarity_ann_ivf (both now twin-identity-checked in parity),
+# text_sentences_udtf, text_token_counts. OUT: nine freshly-r11-
+# evidenced members (events_sessionized, events_hourly_tumbling,
+# events_sliding_windows, events_json_props, events_json_typed,
+# embedding_neardup_pairs, similarity_topk_bruteforce,
+# text_fingerprints, text_winnowing_fingerprints) — events keeps
+# trend_anomalies/touch_attribution/twap/drift_psi + the returning
+# cohort_retention; embedding/similarity/text coverage continues via
+# the incoming members. Full displacement log: GATE_HISTORY.md.
 GATE_PRIORITY: tuple[str, ...] = (
     # core (reference parity) — permanent
     "inverted_index",
@@ -122,30 +121,32 @@ GATE_PRIORITY: tuple[str, ...] = (
     "doc_stats",
     "inverted_index_chunked",
     "documents_provenance",
-    # rule 2 — changed this round: corpus-scaled df cap (task 3) and
-    # real image/audio metadata decode over committed fixtures (task 5
-    # + its audio extension; audio displaces curation_weighted_sample,
-    # green r6-r11 — curation stays covered by curation_leakage_split)
+    # rule 2 — changed r12: the incremental near-dup match now serves
+    # from the persisted sig-bucketed corpus band table (no corpus
+    # re-shingle); these two moved multi-consumer intermediates from
+    # eager checkpoints to lazy pins (same rows, new plan shape)
+    "dedup_incremental_lsh",
+    "basket_part_pairs",
+    "events_cohort_retention",
+    # holdovers with r12 semantic extensions (rule 2): doc-similarity
+    # df cap (r11), image fixture now mixes progressive/4:2:0 JPEGs,
+    # audio metadata decode
     "text_doc_similarity",
     "multimodal_image_features",
     "multimodal_audio_features",
-    # rule 5 — stalest first: never driver-gated (rows-only by design:
-    # the LSH store's serving path; equality-vs-brute-force pytests
-    # carry its exactness)
+    # serving path of the LSH store (rows-only at the driver;
+    # twin-identical to the inline form in tools/parity.py)
     "similarity_ann_lsh_served",
-    # rule 5 — last driver evidence r02: events windowing / JSON /
-    # sessionization block
-    "events_sessionized",
-    "events_hourly_tumbling",
-    "events_sliding_windows",
-    "events_json_props",
-    "events_json_typed",
-    # rule 5 — r02: embedding near-dup pair join + exact ANN baseline
-    "embedding_neardup_pairs",
-    "similarity_topk_bruteforce",
-    # rule 5 — r02: text scan-speed block + tfidf
-    "text_fingerprints",
-    "text_winnowing_fingerprints",
+    # rule 5 — stalest (r02 evidence): label-blocked LSH near-dup,
+    # approx distinct, the two ANN entries (twin-identity-checked in
+    # parity since r12), UDTF sentences, token counts
+    "embedding_neardup_lsh",
+    "event_type_distinct_users_approx",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "text_sentences_udtf",
+    "text_token_counts",
+    # text reps (rule 3)
     "text_lang_id",
     "text_quality_scores",
     "text_tfidf",
