@@ -6,8 +6,9 @@ The same discipline as imagehdr.py (round 11): metadata decode is the
 REAL, production-shaped pass a training pipeline runs before any
 sample-level work, and it needs no codec library — the RIFF container
 is pure ``struct``. SAMPLE decode is real too for PCM
-(``decode_wav_samples``: the data chunk IS the samples); only
-compressed-audio codecs remain out of scope.
+(``decode_wav_samples``: the data chunk IS the samples); compressed
+audio has a real lossless decoder for FLAC (flacdec.py — r12); only
+psychoacoustic codecs (MP3/AAC) remain out of scope.
 
 Parser contract: ``parse_wav_header(data)`` returns
 ``(sample_rate, channels, bits_per_sample, n_frames)`` or ``None``

@@ -10,7 +10,7 @@ pixels decode for real too (jpegdec.py: Huffman entropy decode +
 dequant + IDCT; the fixture's files are DC-only-quantized so the
 lossy codec stays bit-exactly oracle-checkable). Out of scope by
 honest necessity: progressive/subsampled JPEG variants and
-compressed-audio codecs — those raise rather than mis-decode.
+psychoacoustic audio codecs (MP3/AAC) — those raise rather than mis-decode; FLAC decodes for real (flacdec.py).
 Non-media payload paths keep deterministic length-derived fallbacks
 so plumbing entries stay oracle-checkable on arbitrary bytes.
 
@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 
 from .audiohdr import decode_wav_samples, parse_wav_header
+from .flacdec import FLAC_MAGIC, decode_flac_samples, parse_flac_streaminfo
 from .imagehdr import parse_image_header
 from . import pixeldec
 
@@ -65,18 +66,25 @@ def decode_image_pixels(data: bytes):
 def decode_audio_header(data: bytes):
     """Header-level audio decode — REAL, stdlib-only: (sample_rate,
     channels, bits, n_frames) parsed from the RIFF/WAVE container
-    (audiohdr.py). Raises ValueError for non-WAV payloads."""
+    (audiohdr.py) or the FLAC STREAMINFO block (flacdec.py). Raises
+    ValueError for anything else."""
     hdr = parse_wav_header(data)
+    if hdr is None and bytes(data[:4]) == FLAC_MAGIC:
+        hdr = parse_flac_streaminfo(data)
     if hdr is None:
-        raise ValueError("unrecognized audio payload (not PCM WAV)")
+        raise ValueError("unrecognized audio payload (not PCM WAV or FLAC)")
     return hdr
 
 
 def decode_audio(data: bytes):
     """Sample-level audio decode — REAL for 16-bit PCM WAV (the data
-    chunk IS the samples): (sample_rate, channels, int16 ndarray of
-    shape (n_frames, channels)). Raises ValueError for compressed
-    codecs — those genuinely need audio libraries."""
+    chunk IS the samples) and 16-bit FLAC (a real lossless decoder:
+    fixed/LPC prediction + Rice residuals, flacdec.py):
+    (sample_rate, channels, int16 ndarray of shape
+    (n_frames, channels)). Raises ValueError for other codecs
+    (MP3/AAC/... genuinely need psychoacoustic codec libraries)."""
+    if bytes(data[:4]) == FLAC_MAGIC:
+        return decode_flac_samples(data)
     return decode_wav_samples(data)
 
 
@@ -116,10 +124,13 @@ def image_features_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 def audio_features(data: bytes) -> tuple[int, int, int, int, float]:
     """(n_bytes, n_frames, sample_rate, channels, duration_s): REAL
-    RIFF/fmt/data header parse for WAV payloads; the legacy
-    length-derived fake (channels fixed at 1) for anything else, so
-    non-audio bytes still flow through the plumbing deterministically."""
+    RIFF/fmt/data header parse for WAV payloads and STREAMINFO parse
+    for FLAC; the legacy length-derived fake (channels fixed at 1)
+    for anything else, so non-audio bytes still flow through the
+    plumbing deterministically."""
     hdr = parse_wav_header(data)
+    if hdr is None and bytes(data[:4]) == FLAC_MAGIC:
+        hdr = parse_flac_streaminfo(data)
     if hdr is None:
         n = len(data)
         frames = n // 1024 + 1
@@ -278,19 +289,20 @@ AUDIO_LOUDNESS_SCHEMA = (
 
 
 def audio_loudness_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: REAL sample decode. int16 PCM frames come out
-    of the RIFF data chunk (audiohdr.py:decode_wav_samples); loudness
-    stats are exact integers (peak = max |s|, sum_sq = Σ s² in int64)
-    so an independent record reproduces them bit-for-bit; rms is the
-    one fixed-shape float (sqrt of a ratio of exact ints). Payloads
-    that are not 16-bit PCM (compressed codecs, corrupt bytes) are
-    skipped — the same one-in/at-most-one-out contract as the other
-    decode maps."""
+    """mapInPandas body: REAL sample decode. int16 frames come out of
+    the RIFF data chunk (audiohdr.py:decode_wav_samples) or the FLAC
+    frame stream (flacdec.py — fixed/LPC prediction + Rice residuals,
+    a real lossless decode); loudness stats are exact integers
+    (peak = max |s|, sum_sq = Σ s² in int64) so an independent record
+    reproduces them bit-for-bit; rms is the one fixed-shape float
+    (sqrt of a ratio of exact ints). Payloads that are neither
+    (MP3/AAC/corrupt bytes) are skipped — the same
+    one-in/at-most-one-out contract as the other decode maps."""
     for pdf in batches:
         rows: list[tuple] = []
         for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"].values):
             try:
-                _rate, _ch, samples = decode_wav_samples(payload)
+                _rate, _ch, samples = decode_audio(payload)
             except ValueError:
                 continue  # compressed codec / non-16-bit / corrupt: skip
             flat = samples.astype(np.int64).ravel()

@@ -91,15 +91,16 @@ SELECT doc_id, n::BIGINT AS n_bytes,
        CAST(exp_n_frames AS DOUBLE) / exp_sample_rate AS duration_s
 FROM f
 """,
-    doc="REAL audio-metadata decode: committed PCM WAV payloads "
-    "(refdata/audio_fixture.parquet) → Arrow-batched mapInPandas "
-    "parsing sample rate/channels/frame count from the RIFF/fmt/data "
-    "chunks (multimodal/audiohdr.py, stdlib struct; builder validated "
-    "against the stdlib wave module). The oracle reads the encode-time "
-    "record written by the fixture generator, so parity verifies the "
-    "parse independently. Sample-level decode is REAL too — see "
-    "multimodal_audio_loudness (PCM frames are raw int16; only "
-    "compressed codecs remain out of stdlib scope).",
+    doc="REAL audio-metadata decode over a MIXED-codec fixture: PCM "
+    "WAV payloads parse via the RIFF/fmt/data chunk walk "
+    "(multimodal/audiohdr.py, stdlib struct; builder validated "
+    "against the stdlib wave module) and the compressed quarter "
+    "(every 4th doc is a real FLAC stream) via the STREAMINFO block "
+    "(multimodal/flacdec.py). The oracle reads the encode-time record "
+    "written by the fixture generator, so parity verifies both parses "
+    "independently. Sample-level decode is REAL for both codecs — see "
+    "multimodal_audio_loudness (only psychoacoustic codecs like "
+    "MP3/AAC remain out of stdlib scope).",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,16 +220,20 @@ SELECT doc_id,
 FROM read_parquet('{_AUDIO_FIXTURE_PARQUET}')
 WHERE doc_id IN (SELECT doc_id FROM documents)
 """,
-    doc="REAL audio sample decode: the PCM WAV data chunk IS the "
-    "samples — multimodal/audiohdr.py:decode_wav_samples slices it "
-    "out of the RIFF walk and reinterprets int16 frames; loudness "
-    "stats are exact integers (peak = max |s|, sum_sq = Σ s² in "
-    "int64), rms the one fixed-shape float, rounded to 4 dp on both "
-    "sides per registry convention. The oracle reads peak/sum_sq the "
-    "generator derived from the waveform FORMULA (never parsing a "
-    "payload), so parity proves the container walk + sample "
-    "reinterpretation bit-exactly. Compressed codecs stay out of "
-    "scope (they genuinely need audio libraries).",
+    doc="REAL audio sample decode, BOTH codecs: PCM WAV's data chunk "
+    "IS the samples (audiohdr.py:decode_wav_samples — RIFF walk + "
+    "int16 reinterpretation), and the fixture's compressed quarter "
+    "decodes through a real FLAC decoder (flacdec.py — fixed/LPC "
+    "prediction + Rice-coded residuals, stereo decorrelation, CRC-"
+    "verified frames; lossless, so sample-exact). Loudness stats are "
+    "exact integers (peak = max |s|, sum_sq = Σ s² in int64), rms the "
+    "one fixed-shape float, rounded to 4 dp on both sides per "
+    "registry convention. The oracle reads peak/sum_sq the generator "
+    "derived from the waveform FORMULA (never parsing or decoding a "
+    "payload), so parity proves the container walk + entropy decode + "
+    "prediction reconstruction bit-exactly. Psychoacoustic codecs "
+    "(MP3/AAC) stay out of scope — they genuinely need audio "
+    "libraries.",
     tags=("multimodal", "pandas-udf"),
 )
 def multimodal_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:

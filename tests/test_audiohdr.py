@@ -72,15 +72,22 @@ def test_malformed_rejected(junk):
 def test_fixture_parse_matches_encode_record():
     import pyarrow.parquet as pq
 
+    from parallel_map_reduce_spark.multimodal.flacdec import parse_flac_streaminfo
+
     t = pq.read_table(FIXTURE)
-    for d, payload, sr, ch, nf in zip(
+    for d, payload, codec, sr, ch, nf in zip(
         t["doc_id"].to_pylist(),
         t["payload"].to_pylist(),
+        t["exp_codec"].to_pylist(),
         t["exp_sample_rate"].to_pylist(),
         t["exp_channels"].to_pylist(),
         t["exp_n_frames"].to_pylist(),
     ):
-        assert parse_wav_header(payload) == (sr, ch, 16, nf), d
+        if codec == "flac":
+            assert parse_flac_streaminfo(payload) == (sr, ch, 16, nf), d
+            assert parse_wav_header(payload) is None, d
+        else:
+            assert parse_wav_header(payload) == (sr, ch, 16, nf), d
 
 
 def test_fixture_generator_is_deterministic():
@@ -89,14 +96,15 @@ def test_fixture_generator_is_deterministic():
     from tools.gen_audio_fixture import fixture_row
 
     t = pq.read_table(FIXTURE).slice(0, 64)
-    for d, payload, sr, ch, nf in zip(
+    for d, payload, codec, sr, ch, nf in zip(
         t["doc_id"].to_pylist(),
         t["payload"].to_pylist(),
+        t["exp_codec"].to_pylist(),
         t["exp_sample_rate"].to_pylist(),
         t["exp_channels"].to_pylist(),
         t["exp_n_frames"].to_pylist(),
     ):
-        assert fixture_row(d) == (payload, sr, ch, nf)
+        assert fixture_row(d) == (payload, codec, sr, ch, nf)
 
 
 def test_sample_decode_agrees_with_stdlib_wave():
@@ -137,7 +145,7 @@ def test_audio_fixture_loudness_matches_formula_record():
     import numpy as np
     import pyarrow.parquet as pq
 
-    from parallel_map_reduce_spark.multimodal.audiohdr import decode_wav_samples
+    from parallel_map_reduce_spark.multimodal.codec import decode_audio
 
     t = pq.read_table(FIXTURE)
     for d, payload, peak, ssq in zip(
@@ -146,7 +154,7 @@ def test_audio_fixture_loudness_matches_formula_record():
         t["exp_peak"].to_pylist(),
         t["exp_sum_sq"].to_pylist(),
     ):
-        _r, _c, samples = decode_wav_samples(payload)
+        _r, _c, samples = decode_audio(payload)
         flat = samples.astype(np.int64).ravel()
         assert int(np.abs(flat).max()) == peak, d
         assert int(np.dot(flat, flat)) == ssq, d
@@ -213,7 +221,7 @@ def test_map_in_pandas_true_audio_metadata(spark):
     )
     assert rows
     for r in rows:
-        payload, sr, ch, nf = fixture_row(r.doc_id)
+        payload, _codec, sr, ch, nf = fixture_row(r.doc_id)
         assert (r.sample_rate, r.channels, r.n_frames) == (sr, ch, nf)
         assert r.n_bytes == len(payload)
         assert r.duration_s == nf / sr

@@ -1,19 +1,24 @@
-"""Generate the committed WAV fixture (refdata/audio_fixture.parquet).
+"""Generate the committed audio fixture (refdata/audio_fixture.parquet).
 
-One real PCM WAV per doc_id 0..4999 (covers every driver sf) built by
-multimodal/audiohdr.py, with the encode-time record as expected-value
-columns:
+One real audio file per doc_id 0..4999 (covers every driver sf):
+every fourth doc (doc_id % 4 == 3) is a COMPRESSED 16-bit FLAC stream
+(multimodal/flacdec.py — fixed-predictor + Rice-coded frames, with the
+stereo decorrelation rotating independent / left-side / mid-side), the
+rest PCM WAVs built by multimodal/audiohdr.py. Encode-time record as
+expected-value columns:
 
-    doc_id BIGINT, payload BLOB,
+    doc_id BIGINT, payload BLOB, exp_codec VARCHAR,
     exp_sample_rate BIGINT, exp_channels BIGINT, exp_n_frames BIGINT,
     exp_peak BIGINT, exp_sum_sq BIGINT
 
-The data chunk carries the deterministic ``wave_sample`` int16 zigzag
-waveform; exp_peak / exp_sum_sq are exact integer loudness statistics
+Both codecs carry the deterministic ``wave_sample`` int16 zigzag
+waveform (FLAC is lossless, so decoded samples equal the formula
+exactly); exp_peak / exp_sum_sq are exact integer loudness statistics
 computed HERE from the waveform FORMULA alone (this script never
-parses a payload), so ``multimodal_audio_loudness``'s parity check
-pits the Spark RIFF-walk + sample decode against an independent
-derivation. Deterministic: no RNG, no time.
+parses or decodes a payload), so ``multimodal_audio_loudness``'s
+parity check pits the Spark container-walk + sample decode — Rice
+decode and prediction reconstruction included for FLAC — against an
+independent derivation. Deterministic: no RNG, no time.
 
 Usage: python tools/gen_audio_fixture.py
 """
@@ -33,6 +38,10 @@ from parallel_map_reduce_spark.multimodal.audiohdr import (  # noqa: E402
     build_wav,
     parse_wav_header,
 )
+from parallel_map_reduce_spark.multimodal.flacdec import (  # noqa: E402
+    build_flac,
+    parse_flac_streaminfo,
+)
 
 N_DOCS = 5000
 RATES = (8000, 16000, 22050, 44100)
@@ -43,13 +52,22 @@ OUT = os.path.join(
 )
 
 
-def fixture_row(doc_id: int) -> tuple[bytes, int, int, int]:
-    """Deterministic (payload, sample_rate, channels, n_frames)."""
+STEREO_MODES = ("independent", "left-side", "mid-side")
+
+
+def fixture_row(doc_id: int) -> tuple[bytes, str, int, int, int]:
+    """Deterministic (payload, codec, sample_rate, channels, n_frames)."""
     sample_rate = RATES[doc_id % 4]
     channels = 1 + (doc_id % 2)
     n_frames = (doc_id % 200) + 25
+    if doc_id % 4 == 3:
+        payload = build_flac(
+            sample_rate, channels, n_frames, pattern=doc_id % 256,
+            stereo_mode=STEREO_MODES[(doc_id // 4) % 3] if channels == 2 else "independent",
+        )
+        return payload, "flac", sample_rate, channels, n_frames
     payload = build_wav(sample_rate, channels, n_frames, pattern=doc_id % 256)
-    return payload, sample_rate, channels, n_frames
+    return payload, "wav", sample_rate, channels, n_frames
 
 
 def expected_loudness(doc_id: int, channels: int, n_frames: int) -> tuple[int, int]:
@@ -65,16 +83,20 @@ def expected_loudness(doc_id: int, channels: int, n_frames: int) -> tuple[int, i
 
 def main() -> int:
     names = (
-        "doc_id", "payload", "exp_sample_rate", "exp_channels",
+        "doc_id", "payload", "exp_codec", "exp_sample_rate", "exp_channels",
         "exp_n_frames", "exp_peak", "exp_sum_sq",
     )
     cols: dict[str, list] = {k: [] for k in names}
     for d in range(N_DOCS):
-        payload, sr, ch, nf = fixture_row(d)
-        assert parse_wav_header(payload) == (sr, ch, 16, nf), d
+        payload, codec, sr, ch, nf = fixture_row(d)
+        if codec == "flac":
+            assert parse_flac_streaminfo(payload) == (sr, ch, 16, nf), d
+        else:
+            assert parse_wav_header(payload) == (sr, ch, 16, nf), d
         peak, sum_sq = expected_loudness(d, ch, nf)
         cols["doc_id"].append(d)
         cols["payload"].append(payload)
+        cols["exp_codec"].append(codec)
         cols["exp_sample_rate"].append(sr)
         cols["exp_channels"].append(ch)
         cols["exp_n_frames"].append(nf)
@@ -84,6 +106,7 @@ def main() -> int:
         {
             "doc_id": pa.array(cols["doc_id"], pa.int64()),
             "payload": pa.array(cols["payload"], pa.binary()),
+            "exp_codec": pa.array(cols["exp_codec"], pa.string()),
             "exp_sample_rate": pa.array(cols["exp_sample_rate"], pa.int64()),
             "exp_channels": pa.array(cols["exp_channels"], pa.int64()),
             "exp_n_frames": pa.array(cols["exp_n_frames"], pa.int64()),
