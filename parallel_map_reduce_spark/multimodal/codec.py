@@ -63,14 +63,23 @@ def decode_image_pixels(data: bytes):
     return pixeldec.decode_image_pixels(data)
 
 
+def _parse_audio_header(data: bytes):
+    """(sample_rate, channels, bits, n_frames) from the RIFF/WAVE
+    container (audiohdr.py) or the FLAC STREAMINFO block (flacdec.py),
+    or ``None`` — the one WAV-then-FLAC dispatch every header consumer
+    shares."""
+    hdr = parse_wav_header(data)
+    if hdr is None and bytes(data[:4]) == FLAC_MAGIC:
+        hdr = parse_flac_streaminfo(data)
+    return hdr
+
+
 def decode_audio_header(data: bytes):
     """Header-level audio decode — REAL, stdlib-only: (sample_rate,
     channels, bits, n_frames) parsed from the RIFF/WAVE container
     (audiohdr.py) or the FLAC STREAMINFO block (flacdec.py). Raises
     ValueError for anything else."""
-    hdr = parse_wav_header(data)
-    if hdr is None and bytes(data[:4]) == FLAC_MAGIC:
-        hdr = parse_flac_streaminfo(data)
+    hdr = _parse_audio_header(data)
     if hdr is None:
         raise ValueError("unrecognized audio payload (not PCM WAV or FLAC)")
     return hdr
@@ -128,9 +137,7 @@ def audio_features(data: bytes) -> tuple[int, int, int, int, float]:
     for FLAC; the legacy length-derived fake (channels fixed at 1)
     for anything else, so non-audio bytes still flow through the
     plumbing deterministically."""
-    hdr = parse_wav_header(data)
-    if hdr is None and bytes(data[:4]) == FLAC_MAGIC:
-        hdr = parse_flac_streaminfo(data)
+    hdr = _parse_audio_header(data)
     if hdr is None:
         n = len(data)
         frames = n // 1024 + 1
@@ -269,10 +276,10 @@ def video_frames_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue
             width, height, _usec, frames = parsed
             for fi in range(0, len(frames), VIDEO_SAMPLE_EVERY):
-                off, size = frames[fi]
+                off, size, compressed = frames[fi]
                 try:
                     rgb = decode_frame_pixels(
-                        payload[off : off + size], width, height
+                        payload[off : off + size], width, height, compressed
                     )
                 except ValueError:
                     continue  # truncated frame / undecodable codec

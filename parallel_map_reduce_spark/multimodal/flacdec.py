@@ -265,7 +265,11 @@ def decode_flac_samples(data: bytes):
     pos = _skip_metadata(data)
     decoded: list[list[int]] = [[] for _ in range(channels)]
     got = 0
-    while got < total:
+    # STREAMINFO total_samples == 0 means UNKNOWN (RFC 9639) — a valid
+    # streamed encode; decode frames until end-of-stream instead of
+    # returning zero samples.
+    unknown_total = total == 0
+    while (pos < len(data)) if unknown_total else (got < total):
         if pos >= len(data):
             raise ValueError("FLAC stream ends before declared total samples")
         frame_start = pos
@@ -353,7 +357,7 @@ def decode_flac_samples(data: bytes):
         for c in range(channels):
             decoded[c].extend(chans[c])
         got += blocksize
-    if got != total:
+    if not unknown_total and got != total:
         raise ValueError("FLAC sample count disagrees with STREAMINFO")
     arr = np.array(decoded, dtype=np.int64).T
     if arr.size and (arr.max() > 32767 or arr.min() < -32768):

@@ -471,12 +471,36 @@ def _decode_progressive_scan(
         in_scan = [comp_idx[cid] for cid in scan_ids]
     except KeyError as exc:
         raise ValueError(f"JPEG scan references unknown component {exc}") from exc
-    for ci in in_scan:
-        if ci not in coef:
+    if ss == 0:
+        # Coefficient stores allocate HERE, in DC scans only (T.81
+        # G.1.1.1.1: each component's DC scan precedes its AC scans),
+        # where every block costs >= 1 entropy bit — so a crafted
+        # header's huge declared dims fail this structural check as
+        # ValueError before any width*height-scale allocation (the
+        # baseline guard's progressive counterpart; AC scans cannot
+        # length-bound this way because one EOBRUN symbol can cover
+        # thousands of blocks).
+        scan_blocks = 0
+        for ci in in_scan:
             _, _, h_i, v_i = comps[ci]
-            # MCU-padded block grid (same extent the baseline planes
-            # use); non-interleaved scans fill its true-dims prefix.
-            coef[ci] = np.zeros((mcuy * v_i, mcux * h_i, 64), np.int32)
+            scan_blocks += mcux * mcuy * h_i * v_i
+        if scan_blocks > (len(data) - pos) * 8:
+            raise ValueError(
+                "JPEG entropy segment too short for declared dimensions"
+            )
+        for ci in in_scan:
+            if ci not in coef:
+                _, _, h_i, v_i = comps[ci]
+                # MCU-padded block grid (same extent the baseline
+                # planes use); non-interleaved scans fill its
+                # true-dims prefix.
+                coef[ci] = np.zeros((mcuy * v_i, mcux * h_i, 64), np.int32)
+    else:
+        for ci in in_scan:
+            if ci not in coef:
+                raise ValueError(
+                    "progressive AC scan before the component's DC scan"
+                )
     br = _BitReader(data, pos)
     if ss == 0:  # DC scan (first or refinement), 1..ns components
         if se != 0:

@@ -13,7 +13,10 @@ has no video path (north-star scope).
 
 Parser contract: ``parse_avi(data)`` returns
 ``(width, height, usec_per_frame, frames)`` where ``frames`` is a list
-of ``(byte_offset, size)`` into ``data`` for each stored frame, or
+of ``(byte_offset, size, compressed)`` into ``data`` for each stored
+frame — ``compressed`` is True for '00dc' chunks (MJPEG et al.) and
+False for uncompressed '00db' DIB frames, so decoders dispatch on the
+container's own chunk fourcc, never by sniffing frame bytes — or
 ``None`` when the payload is not a parseable AVI.
 """
 
@@ -25,10 +28,12 @@ from .imagehdr import dib_pattern_rows, pattern_byte  # noqa: F401 — pattern_b
 
 
 def parse_avi(data: bytes):
-    """(width, height, usec_per_frame, [(frame_offset, size), ...]) or
-    ``None``. Offsets point at the frame's DIB bytes inside ``data``.
-    Only STREAM-0 video chunks ('00db'/'00dc') count as frames — the
-    stream the avih geometry and frame count describe."""
+    """(width, height, usec_per_frame,
+    [(frame_offset, size, compressed), ...]) or ``None``. Offsets point
+    at the frame's bytes inside ``data``; ``compressed`` reflects the
+    chunk fourcc ('00dc' vs '00db'). Only STREAM-0 video chunks count
+    as frames — the stream the avih geometry and frame count
+    describe."""
     try:
         return _parse_avi(data)
     except (IndexError, struct.error):
@@ -44,7 +49,7 @@ def _parse_avi(data: bytes):
     if len(data) < 24 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         return None
     geom = None  # (width, height, usec_per_frame)
-    frames: list[tuple[int, int]] = []
+    frames: list[tuple[int, int, bool]] = []
     i, n = 12, len(data)
     while i + 8 <= n:
         cid = data[i : i + 4]
@@ -80,7 +85,7 @@ def _parse_avi(data: bytes):
                     # must not pollute the frame list the avih
                     # geometry/count describes.
                     if scid[:2] == b"00" and scid[2:4] in (b"db", b"dc"):
-                        frames.append((j + 8, ssize))
+                        frames.append((j + 8, ssize, scid[2:4] == b"dc"))
                     j += 8 + ssize + (ssize & 1)
         i += 8 + size + (size & 1)
     if geom is None or not frames:
@@ -91,20 +96,29 @@ def _parse_avi(data: bytes):
     return width, height, usec, frames
 
 
-def decode_frame_pixels(frame: bytes, width: int, height: int) -> bytes:
+def decode_frame_pixels(
+    frame: bytes, width: int, height: int, compressed: bool | None = None
+) -> bytes:
     """RGB pixel bytes of one video frame. Two payload layouts:
 
     - uncompressed DIB ('00db' chunks): bottom-up BGR rows padded to 4
       bytes — the BMP pixel-array layout without the file headers;
-    - MJPEG ('00dc' chunks, SOI magic): each frame is a complete
-      baseline JPEG, decoded by jpegdec and composed here — the
-      motion-JPEG layout, the most common compressed AVI payload.
+    - MJPEG ('00dc' chunks): each frame is a complete baseline JPEG,
+      decoded by jpegdec and composed here — the motion-JPEG layout,
+      the most common compressed AVI payload.
+
+    ``compressed`` is the chunk-fourcc flag parse_avi records — the
+    authoritative dispatch (a DIB frame whose bottom-left pixel is
+    BGR (255, 216, *) begins FF D8, so byte sniffing would misroute
+    it); ``None`` falls back to the SOI sniff for direct callers.
 
     Raises ValueError for truncated frames, undecodable JPEG variants,
     or a JPEG whose dimensions disagree with the container header."""
     import numpy as np
 
-    if frame[:2] == b"\xff\xd8":  # MJPEG: a complete JPEG per frame
+    if compressed is None:
+        compressed = frame[:2] == b"\xff\xd8"
+    if compressed:  # MJPEG: a complete JPEG per frame
         from .jpegdec import decode_jpeg_pixels
 
         jw, jh, ch, px = decode_jpeg_pixels(frame)

@@ -171,11 +171,12 @@ def test_avi_roundtrip_property(w, h, nf, usec, b):
     payload, offsets = build_avi(w, h, nf, usec, b)
     pw, ph, pusec, frames = parse_avi(payload)
     assert (pw, ph, pusec) == (w, h, usec)
-    assert [off for off, _ in frames] == offsets
+    assert [off for off, _, _ in frames] == offsets
     for f in (0, nf // 2, nf - 1):
-        off, size = frames[f]
+        off, size, compressed = frames[f]
         rgb = np.frombuffer(
-            decode_frame_pixels(payload[off : off + size], w, h), np.uint8
+            decode_frame_pixels(payload[off : off + size], w, h, compressed),
+            np.uint8,
         ).reshape(h, w, 3)
         fbase = (b + 29 * f) % 256
         assert np.array_equal(rgb, _pattern(w, h, 3, fbase))

@@ -233,3 +233,20 @@ def test_fixture_flac_payloads_decode_to_formula():
         assert int(np.abs(flat).max()) == peak, d
         assert int(np.dot(flat, flat)) == ssq, d
     assert n_flac == 1250
+
+
+def test_unknown_total_samples_decodes_to_eof():
+    """STREAMINFO total_samples == 0 means UNKNOWN (RFC 9639 streamed
+    encodes): the decoder must decode frames until end-of-stream, not
+    return an empty array (review r12)."""
+    payload = bytearray(build_flac(8000, 2, 250, 42, stereo_mode="left-side"))
+    # Zero the 36-bit total_samples field (STREAMINFO bytes 13 low
+    # nibble + bytes 14..17), fixing nothing else.
+    payload[8 + 13] &= 0xF0
+    payload[8 + 14 : 8 + 18] = b"\x00" * 4
+    sr, ch, arr = decode_flac_samples(bytes(payload))
+    exp = np.array(
+        [[wave_sample(f, c, 42) for c in range(2)] for f in range(250)],
+        np.int16,
+    )
+    assert (sr, ch) == (8000, 2) and (arr == exp).all()

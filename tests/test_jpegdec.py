@@ -450,3 +450,30 @@ def test_arithmetic_and_lossless_still_rejected():
         mutated[i + 1] = sof
         with pytest.raises(ValueError):
             decode_jpeg_pixels(bytes(mutated))
+
+
+def test_progressive_huge_dims_raise_valueerror_not_memoryerror():
+    """Review r12: the progressive path must reject crafted huge
+    dimensions via the DC-scan length floor BEFORE allocating the
+    coefficient store (the SOF0 guard's counterpart)."""
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    dht_dc = seg(0xC4, b"\x00" + bytes([1] + [0] * 15) + b"\x00")
+    sof = seg(0xC2, b"\x08" + struct.pack(">HH", 65500, 65500) + b"\x01" + b"\x01\x22\x00")
+    sos = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x00\x01")  # DC first, Al=1
+    data = b"\xff\xd8" + dqt + dht_dc + sof + sos + b"\x00" * 64 + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(data)
+
+
+def test_progressive_ac_scan_before_dc_rejected():
+    """An AC scan for a component with no prior DC scan is invalid
+    progressive syntax (T.81 G.1.1.1.1) and must raise, not allocate."""
+    w1 = _JpegBitWriter()
+    ln, code = _PAC[0x00]
+    w1.write(code, ln)
+    data = _assemble_progressive(8, 8, [16] * 64, [(1, 63, 0, 0, w1.flush())])
+    with pytest.raises(ValueError):
+        decode_jpeg_pixels(data)

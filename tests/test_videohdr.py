@@ -32,8 +32,8 @@ def test_build_parse_roundtrip(w, h, nf, usec, base):
     payload, offsets = build_avi(w, h, nf, usec, base)
     pw, ph, pusec, frames = parse_avi(payload)
     assert (pw, ph, pusec) == (w, h, usec)
-    assert [off for off, _ in frames] == offsets
-    for f, (off, size) in enumerate(frames):
+    assert [off for off, _, _ in frames] == offsets
+    for f, (off, size, _compressed) in enumerate(frames):
         assert payload[off : off + size] == build_frame(w, h, f, base)
 
 
@@ -58,10 +58,10 @@ def test_hand_built_avi_chunk_walk():
     assert (pw, ph, pusec) == (w, h, usec)
     # Frame offsets: just past each video chunk header (tags unique here).
     assert frames == [
-        (payload.index(b"00db") + 8, 16),
-        (payload.index(b"00dc") + 8, 16),
+        (payload.index(b"00db") + 8, 16, False),
+        (payload.index(b"00dc") + 8, 16, True),
     ]
-    for off, size in frames:
+    for off, size, _compressed in frames:
         assert payload[off : off + size] == frame
 
 
@@ -144,7 +144,7 @@ def test_fixture_parse_matches_encode_record():
         pw, ph, pusec, frames = parse_avi(payload)
         assert (pw, ph, pusec, len(frames)) == (w, h, usec, nf), d
         for fi in range(0, nf, 3):
-            off, size = frames[fi]
+            off, size, _compressed = frames[fi]
             rgb = decode_frame_pixels(payload[off : off + size], pw, ph)
             assert exp[(d, fi)] == (off, zlib.crc32(rgb) & 0xFFFFFFFF), (d, fi)
             n_frames_checked += 1
@@ -248,7 +248,7 @@ def test_mjpeg_roundtrip_matches_block_formula():
         pw, ph, pusec, frames = parse_avi(payload)
         assert (pw, ph, pusec, len(frames)) == (w, h, usec, nf)
         assert [f[0] for f in frames] == offsets
-        for fi, (off, size) in enumerate(frames):
+        for fi, (off, size, _compressed) in enumerate(frames):
             assert payload[off : off + 2] == b"\xff\xd8"  # real JPEG
             rgb = decode_frame_pixels(payload[off : off + size], w, h)
             fbase = (base + 29 * fi) % 256
@@ -284,3 +284,26 @@ def test_mjpeg_grayscale_frame_replicates_to_rgb():
     assert (rgb[:, :, 0] == rgb[:, :, 1]).all() and (rgb[:, :, 1] == rgb[:, :, 2]).all()
     cell = (128 + 2 * (((9) % 128) - 64)) % 256
     assert int(rgb[0, 0, 0]) == cell
+
+
+def test_dib_frame_with_soi_prefix_not_misrouted():
+    """Chunk-fourcc dispatch (review r12): a legitimate uncompressed
+    DIB frame whose bottom-left pixel is BGR (255, 216, *) begins with
+    the JPEG SOI bytes FF D8 — with compressed=False it must decode as
+    DIB, not be sniffed into the JPEG decoder and dropped."""
+    import numpy as np
+
+    w, h = 4, 3
+    stride = (w * 3 + 3) & ~3
+    frame = bytearray(stride * h)
+    frame[0], frame[1] = 0xFF, 0xD8  # bottom-left pixel B=255, G=216
+    rgb = decode_frame_pixels(bytes(frame), w, h, compressed=False)
+    arr = np.frombuffer(rgb, np.uint8).reshape(h, w, 3)
+    assert tuple(arr[h - 1, 0]) == (0, 216, 255)  # BGR -> RGB swap
+    # And a full container round trip: parse_avi flags the chunk kind.
+    payload, offsets = build_avi(4, 3, 2, 40000, 7)
+    _, _, _, frames = parse_avi(payload)
+    assert all(c is False for _, _, c in frames)
+    payload_m, _ = build_avi(4, 3, 2, 40000, 7, codec="mjpg")
+    _, _, _, frames_m = parse_avi(payload_m)
+    assert all(c is True for _, _, c in frames_m)
