@@ -34,6 +34,12 @@ from . import similarity as QS
 # the identity buys, so the parity record is self-describing.
 TWINS: dict[str, tuple[str, Callable[[SparkSession, str], DataFrame]]] = {}
 
+# entry name -> custom comparator (srows, trows) -> bool for twins
+# whose equality is legitimately tolerance-based (float linear algebra
+# with engine-order-dependent last bits). Absent = exact row identity
+# at 12 dp, the default.
+TWIN_COMPARE: dict[str, Callable[[list, list], bool]] = {}
+
 
 def _twin(name: str, label: str):
     def deco(fn):
@@ -119,3 +125,136 @@ def _ivfpq_fresh_state_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         QS._pretrained_pq_books(spark, sf_dir),
         k=QS._K,
     )
+
+
+@_twin(
+    "documents_quality_logreg",
+    "freshly GD-trained model, no sidecar (feature_stats + train_logreg)",
+)
+def _quality_logreg_fresh_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Training is bit-deterministic (rounded-DECIMAL gradient sums,
+    # pinned in tests/test_quality_model.py) and the sidecar's JSON
+    # float round-trip is repr-exact, so fresh-trained scores must be
+    # IDENTICAL to the sidecar-served entry's.
+    from ..operators import quality_model as QM
+
+    feat = QM.doc_quality_features(load_table(spark, sf_dir, "documents")).persist()
+    try:
+        stats = QM.feature_stats(feat)
+        weights = QM.train_logreg(QM.standardize(feat, stats))
+    finally:
+        feat.unpersist(blocking=False)
+    fresh_feat = QM.doc_quality_features(load_table(spark, sf_dir, "documents"))
+    return QM.score_logreg(QM.standardize(fresh_feat, stats), weights)
+
+
+@_twin(
+    "text_bpe_vocabulary",
+    "textbook pure-Python BPE (train + segment on collected corpus)",
+)
+def _bpe_python_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full single-machine replica of the entry — word frequencies,
+    Sennrich-style merge loop, and per-word segmentation all in plain
+    Python over the collected corpus — materialized back as a
+    DataFrame with the entry's exact schema. Shares no execution path
+    with the distributed trainer, so identity verifies the merge
+    sequence AND the fold-based segmentation."""
+    import re
+
+    from ..operators.text_analysis import BPE_END, BPE_N_MERGES
+
+    texts = [
+        r.text
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    freqs: dict[str, int] = {}
+    for text in texts:
+        for tok in re.split("[ \t\n]+", text):
+            w = re.sub("[^A-Za-z]", "", tok).lower()
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    words = {w: list(w) + [BPE_END] for w in freqs}
+    for _rank in range(1, BPE_N_MERGES + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freqs[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    rows = [
+        (w, freqs[w], len(words[w]), " ".join(words[w])) for w in sorted(freqs)
+    ]
+    return spark.createDataFrame(
+        rows, "word STRING, freq BIGINT, n_subwords BIGINT, subwords STRING"
+    )
+
+
+@_twin(
+    "embedding_pca_whitened",
+    "full-numpy PCA on the collected matrix (two-pass covariance + eigh)",
+)
+def _pca_numpy_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independent linear-algebra path: numpy covariance +
+    eigendecomposition + whitening on the collected embedding matrix,
+    with the entry's sign canonicalization and %.6f rendering. One-pass
+    (sufficient statistics) vs two-pass covariance differ in final
+    float bits, so this twin compares under TWIN_COMPARE's 2e-5
+    absolute tolerance (the test suite's bound) instead of exact
+    identity."""
+    import numpy as np
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [r.vec_id for r in rows]
+    mat = np.array([[float(x) for x in r.embedding] for r in rows])
+    mean = mat.mean(axis=0)
+    cov = np.cov(mat, rowvar=False)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:8]
+    vals, vecs = eigvals[order], eigvecs[:, order]
+    for j in range(vecs.shape[1]):
+        i = int(np.abs(vecs[:, j]).argmax())
+        if vecs[i, j] < 0:
+            vecs[:, j] = -vecs[:, j]
+    comps = (mat - mean) @ (vecs / np.sqrt(np.maximum(vals, 1e-12)))
+    out = [
+        (int(vid), " ".join(f"{c + 0.0:.6f}" for c in comps[i]))
+        for i, vid in enumerate(ids)
+    ]
+    return spark.createDataFrame(out, "vec_id BIGINT, comps STRING")
+
+
+def _pca_tolerant_compare(srows: list, trows: list) -> bool:
+    """vec_id sets equal; per-component |spark - numpy| <= 2e-5 (the
+    test suite's bound for one-pass vs two-pass covariance)."""
+    def parse(rows):
+        return {r[0]: [float(x) for x in r[1].split()] for r in rows}
+
+    s, t = parse(srows), parse(trows)
+    if set(s) != set(t):
+        return False
+    return all(
+        len(s[k]) == len(t[k])
+        and all(abs(a - b) <= 2e-5 for a, b in zip(s[k], t[k]))
+        for k in s
+    )
+
+
+TWIN_COMPARE["embedding_pca_whitened"] = _pca_tolerant_compare

@@ -127,8 +127,13 @@ def main() -> int:
                 continue
             # Twin-identity upgrade (VERDICT r11 task 6): where an
             # independent-path twin exists, record exact row identity
-            # against it instead of a bare row count.
-            from parallel_map_reduce_spark.queries.twins import TWINS
+            # against it instead of a bare row count. TWIN_COMPARE
+            # carries the few legitimately tolerance-based comparisons
+            # (float linear algebra); everything else is exact.
+            from parallel_map_reduce_spark.queries.twins import (
+                TWIN_COMPARE,
+                TWINS,
+            )
 
             if name in TWINS:
                 label, build_twin = TWINS[name]
@@ -141,12 +146,22 @@ def main() -> int:
                     print(f"  {name:35s} TWIN ERROR ({label}): "
                           f"{type(e).__name__}: {str(e)[:120]}")
                     continue
-                if tcols != scols or _twin_canon(trows) != _twin_canon(srows):
+                cmp_fn = TWIN_COMPARE.get(name)
+                if cmp_fn is not None:
+                    matched = tcols == scols and cmp_fn(srows, trows)
+                    grade = "twin-matched (tolerance)"
+                else:
+                    matched = (
+                        tcols == scols
+                        and _twin_canon(trows) == _twin_canon(srows)
+                    )
+                    grade = "twin-identical"
+                if not matched:
                     failures.append(name)
                     print(f"  {name:35s} TWIN MISMATCH vs {label}: "
                           f"spark={len(srows)} twin={len(trows)} rows")
                     continue
-                print(f"  {name:35s} twin-identical: {len(srows):7d} rows "
+                print(f"  {name:35s} {grade}: {len(srows):7d} rows "
                       f"(vs {label}) ({time.time()-t0:5.1f}s)")
             else:
                 print(f"  {name:35s} rows-only: {len(srows):7d} rows "
