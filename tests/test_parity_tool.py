@@ -72,3 +72,20 @@ def test_fixed_pca_entry_passes_driver_canon(spark, sf_dir):
     rows = [tuple(r) for r in df.limit(50).collect()]
     assert rows, "pca entry returned no rows"
     assert parity._driver_canon(rows, df.columns)
+
+
+def test_twins_table_contract():
+    """Every twins.py entry must name a REGISTERED rows-only query
+    (twins replace the missing oracle — an oracle-backed entry getting
+    a twin instead would silently downgrade its evidence), and every
+    TWIN_COMPARE key must be a TWINS key."""
+    from parallel_map_reduce_spark.queries.twins import TWIN_COMPARE, TWINS
+    from parallel_map_reduce_spark.registry import all_queries
+
+    specs = all_queries()
+    for name in TWINS:
+        assert name in specs, f"twin for unregistered entry {name}"
+        assert specs[name].oracle is None, (
+            f"{name} is oracle-backed; a twin would downgrade its evidence"
+        )
+    assert set(TWIN_COMPARE) <= set(TWINS)
