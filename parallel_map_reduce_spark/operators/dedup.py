@@ -122,48 +122,72 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 # ---- MinHash + LSH ----
 
 
+def _minhash_wide(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{N-1}): the full minhash signature as ONE wide row
+    per document, computed as N_HASHES PARALLEL AGGREGATES in a single
+    doc_id groupBy — each shingle row flows through the hash aggregate
+    once carrying 16 running mins, instead of being exploded 16× into
+    (doc, j) keyed rows (r12: the explode was pure row churn; same
+    math, same one exchange, ~16× fewer rows through the hot stage)."""
+    sh = doc_shingles(docs).withColumn("hv", md5_i32("shingle"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("hv") + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"m{j}")
+            for j, (a, b) in enumerate(MINHASH_SEEDS)
+        ]
+    )
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, j, minhash): N_HASHES-row signature per document.
 
     Shingle hash is md5-derived 32-bit; each hash family j applies
-    (a_j * h + b_j) mod P. The per-(doc, j) min is a partial-aggregable
-    hash agg — map-side combine shrinks it before the shuffle.
-    """
-    sh = doc_shingles(docs).withColumn("hv", md5_i32("shingle"))
-    seeds = F.array(
+    (a_j * h + b_j) mod P. The wide one-exchange aggregate
+    (_minhash_wide) unpivots to this row contract AFTER aggregation —
+    |docs|-sized, map-side only."""
+    per_j = F.array(
         *[
-            F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for j, (a, b) in enumerate(MINHASH_SEEDS)
+            F.struct(
+                F.lit(j).cast("int").alias("j"), F.col(f"m{j}").alias("minhash")
+            )
+            for j in range(len(MINHASH_SEEDS))
         ]
     )
-    exploded = sh.select("doc_id", "hv", F.explode(seeds).alias("s"))
-    mh = (F.col("s.a") * F.col("hv") + F.col("s.b")) % F.lit(MINHASH_PRIME)
-    return (
-        exploded.select("doc_id", F.col("s.j").alias("j"), mh.alias("h"))
-        .groupBy("doc_id", "j")
-        .agg(F.min("h").alias("minhash"))
+    return _minhash_wide(docs).select("doc_id", F.explode(per_j).alias("s")).select(
+        "doc_id", F.col("s.j").alias("j"), F.col("s.minhash").alias("minhash")
     )
 
 
 def lsh_band_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, sig): md5 over the band's ordered minhash values."""
-    mh = minhash_signatures(docs).withColumn(
-        "band", (F.col("j") / F.lit(ROWS_PER_BAND)).cast("int")
+    """(doc_id, band, sig): md5 over the band's ordered minhash values.
+
+    Derived straight from the wide signature row — each band's sig is
+    md5 of the comma-joined mins in j order, a pure projection, so the
+    whole derivation has exactly ONE exchange (the shingle groupBy; the
+    r11 form paid a second (doc_id, band)-keyed exchange to reassemble
+    bands from the unpivoted rows)."""
+    per_band = F.array(
+        *[
+            F.struct(
+                F.lit(band).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{band * ROWS_PER_BAND + r}").cast("string")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("sig"),
+            )
+            for band in range(N_BANDS)
+        ]
     )
-    return (
-        mh.groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("j", "minhash"))),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("sig")
-        )
-    )
+    return _minhash_wide(docs).select(
+        "doc_id", F.explode(per_band).alias("s")
+    ).select("doc_id", F.col("s.band").alias("band"), F.col("s.sig").alias("sig"))
 
 
 def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
