@@ -240,6 +240,106 @@ def build_png(
     )
 
 
+def png_palette_entry(i: int, c: int, base: int) -> int:
+    """The palette-PNG fixture's palette formula: entry ``i``'s RGB
+    channel ``c`` — evaluable without decoding any payload."""
+    return (base + 7 * i + 11 * c) % 256
+
+
+def png_palette_index(x: int, y: int, base: int, depth: int) -> int:
+    """The palette-PNG fixture's index formula at (x, y)."""
+    return (x + 2 * y + base) % (1 << depth)
+
+
+def build_png_variant(
+    width: int,
+    height: int,
+    base: int,
+    depth: int,
+    color: str = "gray",
+    channels: int = 3,
+) -> bytes:
+    """Fully decodable PNG at NON-default bit depths — the wild
+    variants build_png's 8-bit path never emits:
+
+    - ``color='gray'``, depth 1/2/4: samples are
+      ``pattern_byte(x, y, 0, base) >> (8 - depth)`` packed MSB-first
+      with row padding (a correct decode scales them by
+      255/(2^depth - 1));
+    - ``color='gray'``/'rgb'/'rgba'/'ga', depth 16: each sample is
+      ``(pattern_byte << 8) | 0x5A`` big-endian — the low byte is
+      deliberately nonzero so a decoder taking the wrong byte fails
+      loudly;
+    - ``color='palette'``, depth 1/2/4/8: PLTE of 2^depth entries from
+      ``png_palette_entry``; indices from ``png_palette_index``.
+
+    Rows are filtered with type ``y % 5`` at the spec's byte distance
+    (max(1, spp*depth//8)), so every unfilter path runs at every
+    depth."""
+    if color == "palette":
+        if depth not in (1, 2, 4, 8):
+            raise ValueError("palette depth must be 1/2/4/8")
+        color_type, spp = 3, 1
+    elif color == "gray":
+        if depth not in (1, 2, 4, 16):
+            raise ValueError("gray variant depth must be 1/2/4/16 (8 is build_png)")
+        color_type, spp = 0, 1
+    elif color in ("rgb", "rgba", "ga"):
+        if depth != 16:
+            raise ValueError("color variants are 16-bit only (8 is build_png)")
+        color_type, spp = {"rgb": (2, 3), "rgba": (6, 4), "ga": (4, 2)}[color]
+    else:
+        raise ValueError(f"unknown variant {color!r}")
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, 0)
+    bpp = max(1, (spp * depth) // 8)
+
+    def row_bytes(y: int) -> bytes:
+        if depth == 16:
+            out = bytearray()
+            for x in range(width):
+                for c in range(spp):
+                    out += struct.pack(
+                        ">H", (pattern_byte(x, y, c, base) << 8) | 0x5A
+                    )
+            return bytes(out)
+        # sub-byte (or 8-bit palette) sample packing, MSB-first
+        samples = []
+        for x in range(width):
+            if color == "palette":
+                samples.append(png_palette_index(x, y, base, depth))
+            else:
+                samples.append(pattern_byte(x, y, 0, base) >> (8 - depth))
+        out = bytearray()
+        acc = n = 0
+        for s in samples:
+            acc = (acc << depth) | s
+            n += depth
+            while n >= 8:
+                out.append((acc >> (n - 8)) & 0xFF)
+                n -= 8
+        if n:
+            out.append((acc << (8 - n)) & 0xFF)
+        return bytes(out)
+
+    scan = bytearray()
+    prev: bytes | None = None
+    for y in range(height):
+        raw = row_bytes(y)
+        ft = y % 5
+        scan += bytes([ft]) + _png_filter_row(raw, prev, bpp, ft)
+        prev = raw
+    chunks = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    if color == "palette":
+        plte = bytes(
+            png_palette_entry(i, c, base)
+            for i in range(1 << depth)
+            for c in range(3)
+        )
+        chunks += _png_chunk(b"PLTE", plte)
+    chunks += _png_chunk(b"IDAT", zlib.compress(bytes(scan), 6))
+    return chunks + _png_chunk(b"IEND", b"")
+
+
 def build_gif(
     width: int,
     height: int,

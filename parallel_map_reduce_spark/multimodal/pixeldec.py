@@ -3,8 +3,10 @@ raw bytes — no PIL/opencv, only ``zlib`` + ``struct`` — plus an
 integer nearest-neighbor resize.
 
 This closes the last image stub in codec.py (rounds ≤11 kept pixel
-decode behind ``NotImplementedError``): PNG (incl. Adam7 interlace),
-GIF (incl. interlace), and BMP (24/32-bit) decode fully here, and
+decode behind ``NotImplementedError``): PNG (every legal bit depth —
+1/2/4-bit packed grayscale and palette, 8-bit, 16-bit high-byte
+downconversion — incl. Adam7 interlace at any depth), GIF (incl.
+interlace), and BMP (24/32-bit) decode fully here, and
 JPEG dispatches to ``jpegdec.decode_jpeg_pixels`` — a real
 Huffman+IDCT decoder covering baseline (SOF0) AND progressive (SOF2)
 frames, grayscale and 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 color (sampling
@@ -44,10 +46,21 @@ from .imagehdr import _PNG_MAGIC
 _PNG_RAW_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def _png_unfilter(raw: bytes, width: int, height: int, spp: int) -> bytearray:
-    """Reverse PNG row filters (types 0-4). 8-bit depth only, so the
-    'bytes per pixel' distance a, b, c predictors use equals ``spp``."""
-    stride = width * spp
+def _png_stride_bpp(width: int, spp: int, depth: int) -> tuple[int, int]:
+    """(row stride in bytes, filter byte-distance bpp) for a scanline
+    of ``width`` pixels at ``spp`` samples of ``depth`` bits each —
+    sub-byte depths pack MSB-first with row padding, and the filter
+    predictors step whole bytes (bpp >= 1), per the PNG spec."""
+    stride = (width * spp * depth + 7) // 8
+    bpp = max(1, (spp * depth) // 8)
+    return stride, bpp
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, spp: int, depth: int = 8) -> bytearray:
+    """Reverse PNG row filters (types 0-4) at any bit depth: filtering
+    operates on the raw scanline BYTES with predictor distance bpp
+    (ceil(spp*depth/8), floored at 1 for sub-byte depths)."""
+    stride, spp = _png_stride_bpp(width, spp, depth)
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG scanline data does not match declared dimensions")
     out = bytearray(stride * height)
@@ -93,6 +106,28 @@ ADAM7 = (
 )
 
 
+def _png_samples(
+    unfiltered: bytes, width: int, height: int, spp: int, depth: int
+) -> np.ndarray:
+    """(height, width, spp) uint8 samples from unfiltered scanline
+    bytes at any supported depth: sub-byte samples unpack MSB-first
+    (row padding bits discarded); 16-bit samples take their high byte
+    (the standard 8-bit downconversion); gray sub-byte samples are
+    left as raw levels — callers scale or palette-dereference."""
+    stride, _ = _png_stride_bpp(width, spp, depth)
+    rows = np.frombuffer(unfiltered, np.uint8).reshape(height, stride)
+    if depth == 8:
+        return rows[:, : width * spp].reshape(height, width, spp)
+    if depth == 16:
+        return rows[:, : width * spp * 2].reshape(height, width, spp, 2)[..., 0]
+    # depths 1/2/4: unpack bits per row, MSB-first
+    bits = np.unpackbits(rows, axis=1)
+    per = bits[:, : width * spp * depth].reshape(height, width * spp, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (per * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(height, width, spp)
+
+
 def _adam7_pass_dims(width: int, height: int) -> list[tuple[int, int]]:
     """(pass_width, pass_height) per Adam7 pass; (0, 0) for empty."""
     dims = []
@@ -103,15 +138,21 @@ def _adam7_pass_dims(width: int, height: int) -> list[tuple[int, int]]:
     return dims
 
 
-def _png_deinterlace(raw: bytes, width: int, height: int, spp: int) -> bytes:
+def _png_deinterlace(
+    raw: bytes, width: int, height: int, spp: int, depth: int = 8
+) -> bytes:
     """Reassemble an Adam7 stream: seven independently-filtered
-    sub-images scattered onto the full-size pixel grid; empty passes
-    contribute no bytes at all (per the spec)."""
+    sub-images scattered onto the full-size sample grid; empty passes
+    contribute no bytes at all (per the spec). Returns one uint8
+    sample per (pixel, channel) — 16-bit high bytes / sub-byte raw
+    levels, same as _png_samples."""
     # Validate header-declared dims against the actual inflated byte
     # count BEFORE allocating height*width*spp — a crafted header
     # claiming huge dims must fail as ValueError, not MemoryError.
     dims = _adam7_pass_dims(width, height)
-    expected = sum((pw * spp + 1) * ph for pw, ph in dims)
+    expected = sum(
+        (_png_stride_bpp(pw, spp, depth)[0] + 1) * ph for pw, ph in dims if pw
+    )
     if len(raw) != expected:
         raise ValueError("PNG interlaced scanline data does not match dimensions")
     out = np.zeros((height, width, spp), np.uint8)
@@ -119,24 +160,34 @@ def _png_deinterlace(raw: bytes, width: int, height: int, spp: int) -> bytes:
     for (x0, y0, dx, dy), (pw, ph) in zip(ADAM7, dims):
         if pw == 0:
             continue
-        span = (pw * spp + 1) * ph
-        sub = _png_unfilter(raw[pos : pos + span], pw, ph, spp)
+        span = (_png_stride_bpp(pw, spp, depth)[0] + 1) * ph
+        sub = _png_unfilter(raw[pos : pos + span], pw, ph, spp, depth)
         pos += span
-        grid = np.frombuffer(bytes(sub), np.uint8).reshape(ph, pw, spp)
-        out[y0::dy, x0::dx] = grid
+        out[y0::dy, x0::dx] = _png_samples(bytes(sub), pw, ph, spp, depth)
     return out.tobytes()
 
 
+# Legal (color_type, bit_depth) pairs per the PNG spec.
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
 def decode_png_pixels(data: bytes):
-    """(width, height, channels, pixels) for an 8-bit PNG of color
-    type 0/2/3/4/6, non-interlaced or Adam7; palette images
-    dereference to RGB."""
+    """(width, height, channels, pixels) for a PNG of color type
+    0/2/3/4/6 at any legal bit depth (1/2/4/8/16 per type),
+    non-interlaced or Adam7. Palette images dereference to RGB;
+    sub-byte grayscale levels scale to full 8-bit range
+    (v * 255 / (2^depth - 1), exact integers); 16-bit samples take
+    their high byte — the standard 8-bit downconversion."""
     if not data.startswith(_PNG_MAGIC) or data[12:16] != b"IHDR":
         raise ValueError("not a PNG")
     width, height = struct.unpack(">II", data[16:24])
     bit_depth, color_type, comp, filt, interlace = data[24:29]
-    if bit_depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {bit_depth} (8 only)")
     if comp != 0 or filt != 0:
         raise ValueError("unsupported PNG compression/filter method")
     if interlace not in (0, 1):
@@ -144,6 +195,10 @@ def decode_png_pixels(data: bytes):
     spp = _PNG_RAW_SAMPLES.get(color_type)
     if spp is None:
         raise ValueError(f"invalid PNG color type {color_type}")
+    if bit_depth not in _PNG_DEPTHS[color_type]:
+        raise ValueError(
+            f"invalid PNG bit depth {bit_depth} for color type {color_type}"
+        )
     idat = bytearray()
     palette = None
     off = 8
@@ -162,19 +217,27 @@ def decode_png_pixels(data: bytes):
         raise ValueError("PNG has no IDAT")
     raw = zlib.decompress(bytes(idat))
     if interlace == 1:
-        pixels: bytes | bytearray = _png_deinterlace(raw, width, height, spp)
+        samples = np.frombuffer(
+            _png_deinterlace(raw, width, height, spp, bit_depth), np.uint8
+        )
     else:
-        pixels = _png_unfilter(raw, width, height, spp)
+        samples = _png_samples(
+            bytes(_png_unfilter(raw, width, height, spp, bit_depth)),
+            width, height, spp, bit_depth,
+        ).reshape(-1)
     if color_type == 3:
         if palette is None or len(palette) % 3:
             raise ValueError("palette PNG without a valid PLTE")
         pal = np.frombuffer(palette, np.uint8).reshape(-1, 3)
-        idx = np.frombuffer(bytes(pixels), np.uint8)
-        if int(idx.max(initial=0)) >= pal.shape[0]:
+        if int(samples.max(initial=0)) >= pal.shape[0]:
             raise ValueError("PNG palette index out of range")
-        return width, height, 3, pal[idx].tobytes()
+        return width, height, 3, pal[samples].tobytes()
+    if bit_depth in (1, 2, 4):  # grayscale levels -> full 8-bit range
+        samples = (
+            samples.astype(np.int64) * 255 // ((1 << bit_depth) - 1)
+        ).astype(np.uint8)
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    return width, height, channels, bytes(pixels)
+    return width, height, channels, samples.tobytes()
 
 
 # ---------------------------------------------------------------------------

@@ -390,3 +390,86 @@ def test_map_in_pandas_real_resize_checksums(spark):
         assert r.fmt == fmt, d
         assert (r.out_width, r.out_height, r.resized_crc32) == (ow, oh, crc), d
     assert len(rows) == 500
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_low_depth_gray_scales_to_full_range(depth):
+    """Sub-byte grayscale: packed MSB-first levels decode to
+    v * 255 / (2^depth - 1), exactly (integer arithmetic)."""
+    from parallel_map_reduce_spark.multimodal.imagehdr import (
+        build_png_variant,
+        pattern_byte,
+    )
+
+    w, h = 13, 7
+    data = build_png_variant(w, h, 42, depth, "gray")
+    fmt, dw, dh, ch, px = decode_image_pixels(data)
+    assert (fmt, dw, dh, ch) == ("png", w, h, 1)
+    arr = list(px)
+    for y in range(h):
+        for x in range(w):
+            lev = pattern_byte(x, y, 0, 42) >> (8 - depth)
+            assert arr[y * w + x] == lev * 255 // ((1 << depth) - 1)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_png_palette_depths_dereference(depth):
+    """Palette PNGs at every legal index depth dereference through the
+    PLTE to the formula RGB."""
+    from parallel_map_reduce_spark.multimodal.imagehdr import (
+        build_png_variant,
+        png_palette_entry,
+        png_palette_index,
+    )
+
+    w, h = 10, 6
+    data = build_png_variant(w, h, 99, depth, "palette")
+    fmt, dw, dh, ch, px = decode_image_pixels(data)
+    assert (fmt, dw, dh, ch) == ("png", w, h, 3)
+    for y in range(h):
+        for x in range(w):
+            i = png_palette_index(x, y, 99, depth)
+            got = px[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+            assert tuple(got) == tuple(
+                png_palette_entry(i, c, 99) for c in range(3)
+            ), (depth, x, y)
+
+
+@pytest.mark.parametrize("color", ["gray", "rgb", "rgba", "ga"])
+def test_png_16bit_takes_high_byte(color):
+    """16-bit samples decode to their high byte — the builder plants a
+    nonzero LOW byte (0x5A) so a wrong-byte decoder fails loudly."""
+    from parallel_map_reduce_spark.multimodal.imagehdr import (
+        build_png_variant,
+        pattern_byte,
+    )
+
+    w, h = 9, 5
+    data = build_png_variant(w, h, 7, 16, color)
+    fmt, dw, dh, ch, px = decode_image_pixels(data)
+    assert (dw, dh) == (w, h)
+    for y in range(h):
+        for x in range(w):
+            for c in range(ch):
+                assert px[(y * w + x) * ch + c] == pattern_byte(x, y, c, 7)
+
+
+def test_png_illegal_depth_type_combo_rejected():
+    """Depths illegal for the color type (16-bit palette, 2-bit
+    truecolor) are loud rejections per the PNG spec."""
+    base = zlib  # silence linters; zlib imported at module top
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    for color_type, depth in ((3, 16), (2, 2), (6, 4)):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, color_type, 0, 0, 0)
+        data = (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 20)) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png_pixels(data)

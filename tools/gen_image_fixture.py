@@ -45,7 +45,10 @@ from parallel_map_reduce_spark.multimodal.imagehdr import (  # noqa: E402
     build_gif,
     build_jpeg,
     build_png,
+    build_png_variant,
     parse_image_header,
+    png_palette_entry,
+    png_palette_index,
 )
 
 N_DOCS = 5000
@@ -57,6 +60,20 @@ OUT = os.path.join(
 )
 
 
+def png_variant(doc_id: int) -> tuple[str, int]:
+    """(variant, depth) for a PNG doc: every fifth is 4-bit PALETTE,
+    every fifth 16-BIT (gray/rgb/rgba per the channel rotation), every
+    fifth 2-bit grayscale; the rest stay the 8-bit all-filter form."""
+    v = (doc_id // 4) % 5
+    if v == 0:
+        return "palette", 4
+    if v == 1:
+        return "depth16", 16
+    if v == 2:
+        return "gray_lowdepth", 2
+    return "standard", 8
+
+
 def fixture_row(doc_id: int) -> tuple[str, bytes, int, int, int]:
     """Deterministic (fmt, payload, width, height, channels) for one doc."""
     width = (doc_id % 48) + 8
@@ -64,7 +81,18 @@ def fixture_row(doc_id: int) -> tuple[str, bytes, int, int, int]:
     fmt = ("png", "gif", "bmp", "jpeg")[doc_id % 4]
     if fmt == "png":
         channels = (1, 3, 4)[doc_id % 3]
-        payload = build_png(width, height, channels, pattern=doc_id % 256)
+        variant, depth = png_variant(doc_id)
+        if variant == "palette":
+            channels = 3  # indices dereference to RGB
+            payload = build_png_variant(width, height, doc_id % 256, depth, "palette")
+        elif variant == "depth16":
+            color = {1: "gray", 3: "rgb", 4: "rgba"}[channels]
+            payload = build_png_variant(width, height, doc_id % 256, 16, color)
+        elif variant == "gray_lowdepth":
+            channels = 1
+            payload = build_png_variant(width, height, doc_id % 256, depth, "gray")
+        else:
+            payload = build_png(width, height, channels, pattern=doc_id % 256)
     elif fmt == "gif":
         channels = 3
         payload = build_gif(width, height, pattern=doc_id % 256)
@@ -87,9 +115,32 @@ def fixture_row(doc_id: int) -> tuple[str, bytes, int, int, int]:
     return fmt, payload, width, height, channels
 
 
-def expected_pixels(fmt: str, w: int, h: int, c: int, base: int) -> np.ndarray:
+def expected_pixels(
+    fmt: str, w: int, h: int, c: int, base: int, doc_id: int | None = None
+) -> np.ndarray:
     """The pattern image as an (h, w, c) array — straight from the
-    encode formulas, no payload bytes involved."""
+    encode formulas, no payload bytes involved. PNG depth variants:
+    palette pixels come from the palette/index formulas, low-depth
+    grayscale from the quantize-then-rescale arithmetic, and 16-bit
+    from the unchanged ramp (a correct decode takes the high byte,
+    which IS pattern_byte)."""
+    if fmt == "png" and doc_id is not None:
+        variant, depth = png_variant(doc_id)
+        if variant == "palette":
+            img = np.empty((h, w, 3), np.uint8)
+            for y in range(h):
+                for x in range(w):
+                    i = png_palette_index(x, y, base, depth)
+                    for ch in range(3):
+                        img[y, x, ch] = png_palette_entry(i, ch, base)
+            return img
+        if variant == "gray_lowdepth":
+            xs = np.arange(w)[None, :]
+            ys = np.arange(h)[:, None]
+            ramp = (base + 3 * xs + 5 * ys) % 256
+            lev = ramp >> (8 - depth)
+            return (lev * 255 // ((1 << depth) - 1)).astype(np.uint8)[:, :, None]
+        # depth16 and standard share the plain ramp below
     if fmt == "gif":
         xs = np.arange(w)[None, :]
         ys = np.arange(h)[:, None]
@@ -108,13 +159,15 @@ def expected_pixels(fmt: str, w: int, h: int, c: int, base: int) -> np.ndarray:
     return ((base + 3 * xs + 5 * ys + 17 * cs) % 256).astype(np.uint8)
 
 
-def expected_resize(fmt: str, w: int, h: int, c: int, base: int):
+def expected_resize(
+    fmt: str, w: int, h: int, c: int, base: int, doc_id: int | None = None
+):
     """(out_w, out_h, crc32) a correct decode+resize must produce —
     the fit and nearest-neighbor mapping restated inline."""
     long_edge = max(w, h)
     out_w = max(1, w * RESIZE_TARGET // long_edge)
     out_h = max(1, h * RESIZE_TARGET // long_edge)
-    img = expected_pixels(fmt, w, h, c, base)
+    img = expected_pixels(fmt, w, h, c, base, doc_id)
     ys = (np.arange(out_h) * h) // out_h
     xs = (np.arange(out_w) * w) // out_w
     resized = img[ys][:, xs]
@@ -133,7 +186,7 @@ def main() -> int:
         # Self-check: the parser must read back exactly what was encoded.
         parsed = parse_image_header(payload)
         assert parsed == (fmt, w, h, c), (d, parsed, (fmt, w, h, c))
-        ow, oh, crc = expected_resize(fmt, w, h, c, d % 256)
+        ow, oh, crc = expected_resize(fmt, w, h, c, d % 256, d)
         rows["doc_id"].append(d)
         rows["fmt"].append(fmt)
         rows["payload"].append(payload)
