@@ -424,6 +424,91 @@ def build_bmp(
     return header + info + rows
 
 
+BMP_PAL_SIZE = 16  # biClrUsed: a partial color table, exercised on purpose
+
+
+def bmp_palette_index(x: int, y: int, base: int, rle: bool) -> int:
+    """The palette-BMP fixture's index formula: the RLE form uses a
+    run-friendly ramp (runs of 3 along x) so encoded-run packets
+    actually occur; the uncompressed form varies per pixel."""
+    if rle:
+        return ((x // 3) + y + base) % BMP_PAL_SIZE
+    return (x + 2 * y + base) % BMP_PAL_SIZE
+
+
+def build_bmp_palette(
+    width: int, height: int, base: int, rle: bool = False
+) -> bytes:
+    """8-bit PALETTE BMP — uncompressed (BI_RGB) or run-length coded
+    (BI_RLE8): BITMAPINFOHEADER with biClrUsed=16, a BGRX color table
+    from ``png_palette_entry`` (shared formula, generator-evaluable),
+    bottom-up rows of ``bmp_palette_index`` indices. The RLE encoder
+    mixes ENCODED RUNS (maximal same-index spans >= 3) with ABSOLUTE
+    literals (word-padded) and terminates rows/bitmap with the 0,0 /
+    0,1 escapes — every packet kind a GDI decoder must handle."""
+    pal = bytes(
+        b
+        for i in range(BMP_PAL_SIZE)
+        for b in (
+            png_palette_entry(i, 2, base),  # blue
+            png_palette_entry(i, 1, base),  # green
+            png_palette_entry(i, 0, base),  # red
+            0,
+        )
+    )
+    idx_rows = [
+        [bmp_palette_index(x, y, base, rle) for x in range(width)]
+        for y in range(height)
+    ]
+    if not rle:
+        stride_pad = (-width) % 4
+        body = b"".join(
+            bytes(row) + b"\x00" * stride_pad for row in reversed(idx_rows)
+        )
+        compression = 0
+    else:
+        out = bytearray()
+        for row in reversed(idx_rows):  # bottom-up
+            x = 0
+            while x < len(row):
+                run = 1
+                while x + run < len(row) and row[x + run] == row[x] and run < 255:
+                    run += 1
+                if run >= 3:
+                    out += bytes([run, row[x]])
+                    x += run
+                else:
+                    lit = []
+                    while (
+                        x < len(row)
+                        and len(lit) < 255
+                        and not (
+                            x + 2 < len(row)
+                            and row[x] == row[x + 1] == row[x + 2]
+                        )
+                    ):
+                        lit.append(row[x])
+                        x += 1
+                    if len(lit) >= 3:
+                        out += bytes([0, len(lit)]) + bytes(lit)
+                        if len(lit) & 1:
+                            out.append(0)  # word padding
+                    else:  # too short for absolute mode: emit as runs of 1
+                        for v in lit:
+                            out += bytes([1, v])
+            out += b"\x00\x00"  # end of line
+        out += b"\x00\x01"  # end of bitmap
+        body = bytes(out)
+        compression = 1
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, compression, len(body),
+        2835, 2835, BMP_PAL_SIZE, 0,
+    )
+    pixel_off = 14 + 40 + len(pal)
+    header = struct.pack("<2sIHHI", b"BM", pixel_off + len(body), 0, 0, pixel_off)
+    return header + info + pal + body
+
+
 # Encoder Huffman layout (self-consistent — the tables ride in the
 # file's DHT, so any conformant decoder uses exactly these): DC table
 # 0 holds categories 0..11 as 4-bit canonical codes; AC table 0 holds

@@ -6,7 +6,8 @@ This closes the last image stub in codec.py (rounds ≤11 kept pixel
 decode behind ``NotImplementedError``): PNG (every legal bit depth —
 1/2/4-bit packed grayscale and palette, 8-bit, 16-bit high-byte
 downconversion — incl. Adam7 interlace at any depth), GIF (incl.
-interlace), and BMP (24/32-bit) decode fully here, and
+interlace), and BMP (24/32-bit, 8-bit palette, and BI_RLE8
+run-length coding) decode fully here, and
 JPEG dispatches to ``jpegdec.decode_jpeg_pixels`` — a real
 Huffman+IDCT decoder covering baseline (SOF0) AND progressive (SOF2)
 frames, grayscale and 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 color (sampling
@@ -367,9 +368,49 @@ def decode_gif_pixels(data: bytes):
 # BMP — uncompressed 24-bit BITMAPINFOHEADER, bottom-up or top-down.
 
 
+def _bmp_rle8_indices(body: bytes, width: int, height: int) -> np.ndarray:
+    """Decode a BI_RLE8 pixel stream to a bottom-up (height, width)
+    index grid (unwritten pixels default to 0, the Windows GDI
+    behavior): encoded runs (count, index), absolute literals
+    (0, n>=3: n indices, word-padded), end-of-line (0,0),
+    end-of-bitmap (0,1), and position deltas (0,2, dx, dy)."""
+    grid = np.zeros((height, width), np.uint8)
+    x = y = pos = 0
+    n = len(body)
+    while pos + 1 < n:
+        a, b = body[pos], body[pos + 1]
+        pos += 2
+        if a > 0:  # encoded run: a copies of index b
+            if y >= height or x + a > width:
+                raise ValueError("BMP RLE8 run overflows the bitmap")
+            grid[y, x : x + a] = b
+            x += a
+        elif b == 0:  # end of line
+            x, y = 0, y + 1
+        elif b == 1:  # end of bitmap
+            return grid
+        elif b == 2:  # delta
+            if pos + 1 >= n:
+                raise ValueError("BMP RLE8 delta truncated")
+            x += body[pos]
+            y += body[pos + 1]
+            pos += 2
+            if x > width or y > height:
+                raise ValueError("BMP RLE8 delta out of bounds")
+        else:  # absolute mode: b literal indices, padded to word size
+            if y >= height or x + b > width or pos + b > n:
+                raise ValueError("BMP RLE8 absolute run overflows")
+            grid[y, x : x + b] = np.frombuffer(body[pos : pos + b], np.uint8)
+            x += b
+            pos += b + (b & 1)
+    raise ValueError("BMP RLE8 stream missing end-of-bitmap")
+
+
 def decode_bmp_pixels(data: bytes):
-    """(width, height, channels, pixels) for an uncompressed 24-bit
-    (BGR → RGB) or 32-bit (BGRA → RGBA) BMP."""
+    """(width, height, channels, pixels) for a 24-bit (BGR → RGB) or
+    32-bit (BGRA → RGBA) uncompressed BMP, or an 8-bit PALETTE BMP —
+    uncompressed (BI_RGB) or run-length coded (BI_RLE8) — dereferenced
+    to RGB through its BGRX color table (biClrUsed honored)."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
     (pixel_off,) = struct.unpack("<I", data[10:14])
@@ -380,13 +421,40 @@ def decode_bmp_pixels(data: bytes):
     raw_height = struct.unpack("<i", data[22:26])[0]
     bpp = struct.unpack("<H", data[28:30])[0]
     compression = struct.unpack("<I", data[30:34])[0]
+    height = abs(raw_height)
+    if width <= 0 or height == 0:
+        raise ValueError("invalid BMP dimensions")
+    if bpp == 8 and compression in (0, 1):
+        clr_used = struct.unpack("<I", data[46:50])[0] or 256
+        pal_at = 14 + hdr_size
+        pal_bytes = data[pal_at : pal_at + 4 * clr_used]
+        if len(pal_bytes) < 4 * clr_used:
+            raise ValueError("truncated BMP color table")
+        pal = np.frombuffer(pal_bytes, np.uint8).reshape(-1, 4)[:, 2::-1]  # BGRX->RGB
+        if compression == 1:  # BI_RLE8 (bottom-up by definition)
+            if raw_height < 0:
+                raise ValueError("top-down RLE8 BMP is invalid")
+            idx = _bmp_rle8_indices(data[pixel_off:], width, height)[::-1]
+        else:
+            stride = (width + 3) & ~3
+            need = pixel_off + stride * height
+            if len(data) < need:
+                raise ValueError("truncated BMP pixel array")
+            rows = np.frombuffer(data[pixel_off:need], np.uint8).reshape(
+                height, stride
+            )
+            idx = rows[:, :width]
+            if raw_height > 0:
+                idx = idx[::-1]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("BMP palette index out of range")
+        return width, height, 3, np.ascontiguousarray(pal[idx]).tobytes()
     if bpp not in (24, 32) or compression != 0:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
     nch = bpp // 8
-    height = abs(raw_height)
     stride = (width * nch + 3) & ~3
     need = pixel_off + stride * height
-    if width <= 0 or height == 0 or len(data) < need:
+    if len(data) < need:
         raise ValueError("truncated BMP pixel array")
     rows = np.frombuffer(data[pixel_off:need], np.uint8).reshape(height, stride)
     img = rows[:, : width * nch].reshape(height, width, nch)

@@ -473,3 +473,56 @@ def test_png_illegal_depth_type_combo_rejected():
         )
         with pytest.raises(ValueError):
             decode_png_pixels(data)
+
+
+@pytest.mark.parametrize("rle", [False, True])
+def test_bmp_palette_roundtrip(rle):
+    """8-bit palette BMPs (uncompressed and BI_RLE8) dereference their
+    BGRX color table to the formula RGB, bottom-up rows flipped."""
+    from parallel_map_reduce_spark.multimodal.imagehdr import (
+        bmp_palette_index,
+        build_bmp_palette,
+        png_palette_entry,
+    )
+
+    for (w, h, base) in ((13, 7, 42), (31, 9, 200), (1, 1, 7)):
+        data = build_bmp_palette(w, h, base, rle=rle)
+        fmt, dw, dh, ch, px = decode_image_pixels(data)
+        assert (fmt, dw, dh, ch) == ("bmp", w, h, 3)
+        for y in range(h):
+            for x in range(w):
+                i = bmp_palette_index(x, y, base, rle)
+                got = px[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+                assert tuple(got) == tuple(
+                    png_palette_entry(i, c, base) for c in range(3)
+                ), (rle, x, y)
+
+
+def test_bmp_rle8_hand_stream_with_delta_and_absolute():
+    """Hand-assembled RLE8 stream exercising the packets the builder
+    composes differently: an encoded run, an absolute block (with word
+    padding), a DELTA escape (skipped pixels stay index 0 — the GDI
+    default), end-of-line, and end-of-bitmap."""
+    w, h = 8, 2
+    pal = b"".join(bytes([10 * i, 20 * i, 30 * i, 0]) for i in range(4))
+    # bottom row (y=1 after flip... RLE rows are bottom-up): run 3x idx1,
+    # absolute [2,3,2] (padded), delta skips 2, end of line;
+    # top row: run 8x idx3, end of bitmap.
+    body = bytes(
+        [3, 1, 0, 3, 2, 3, 2, 0, 0, 2, 2, 0, 0, 0]
+        + [8, 3, 0, 1]
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(body), 0, 0, 4, 0)
+    off = 14 + 40 + len(pal)
+    data = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off) + info + pal + body
+    fmt, dw, dh, ch, px = decode_image_pixels(data)
+    assert (fmt, dw, dh, ch) == ("bmp", w, h, 3)
+    import numpy as np
+
+    arr = np.frombuffer(px, np.uint8).reshape(h, w, 3)
+    pal_rgb = [(30 * i, 20 * i, 10 * i) for i in range(4)]  # BGRX -> RGB
+    exp_bottom = [1, 1, 1, 2, 3, 2, 0, 0]  # delta-skipped stay 0
+    exp_top = [3] * 8
+    for x in range(w):
+        assert tuple(arr[1, x]) == pal_rgb[exp_bottom[x]], x  # flipped
+        assert tuple(arr[0, x]) == pal_rgb[exp_top[x]], x

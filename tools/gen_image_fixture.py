@@ -41,7 +41,9 @@ import pyarrow.parquet as pq
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from parallel_map_reduce_spark.multimodal.imagehdr import (  # noqa: E402
+    bmp_palette_index,
     build_bmp,
+    build_bmp_palette,
     build_gif,
     build_jpeg,
     build_png,
@@ -98,7 +100,15 @@ def fixture_row(doc_id: int) -> tuple[str, bytes, int, int, int]:
         payload = build_gif(width, height, pattern=doc_id % 256)
     elif fmt == "bmp":
         channels = 3
-        payload = build_bmp(width, height, pattern=doc_id % 256)
+        # Rotate the BMP docs through the wild variants: 8-bit palette
+        # (uncompressed), BI_RLE8 run-length coded, and the 24-bit form.
+        v = (doc_id // 4) % 3
+        if v == 0:
+            payload = build_bmp_palette(width, height, doc_id % 256, rle=False)
+        elif v == 1:
+            payload = build_bmp_palette(width, height, doc_id % 256, rle=True)
+        else:
+            payload = build_bmp(width, height, pattern=doc_id % 256)
     else:
         channels = 1 if doc_id % 5 == 0 else 3
         # Real coverage of the decoder's frame types: every third JPEG
@@ -141,6 +151,15 @@ def expected_pixels(
             lev = ramp >> (8 - depth)
             return (lev * 255 // ((1 << depth) - 1)).astype(np.uint8)[:, :, None]
         # depth16 and standard share the plain ramp below
+    if fmt == "bmp" and doc_id is not None and (doc_id // 4) % 3 != 2:
+        rle = (doc_id // 4) % 3 == 1
+        img = np.empty((h, w, 3), np.uint8)
+        for y in range(h):
+            for x in range(w):
+                i = bmp_palette_index(x, y, base, rle)
+                for ch in range(3):
+                    img[y, x, ch] = png_palette_entry(i, ch, base)
+        return img
     if fmt == "gif":
         xs = np.arange(w)[None, :]
         ys = np.arange(h)[:, None]
