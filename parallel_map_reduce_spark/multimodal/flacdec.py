@@ -217,6 +217,14 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> list[int]:
     if bits.read(1):  # wasted-bits flag: unary count - 1
         wasted = bits.read_unary() + 1
     eff = bps - wasted
+    if eff < 1:
+        # A corrupt wasted-bits unary run would otherwise surface as an
+        # incidental negative-shift error inside read_signed (advisor
+        # r12); reject the stream deliberately.
+        raise ValueError(
+            f"FLAC wasted-bits count {wasted} leaves no sample bits "
+            f"(bits-per-sample {bps})"
+        )
     if stype == 0:  # CONSTANT
         samples = [bits.read_signed(eff)] * blocksize
     elif stype == 1:  # VERBATIM

@@ -471,15 +471,15 @@ def _decode_progressive_scan(
         in_scan = [comp_idx[cid] for cid in scan_ids]
     except KeyError as exc:
         raise ValueError(f"JPEG scan references unknown component {exc}") from exc
-    if ss == 0:
-        # Coefficient stores allocate HERE, in DC scans only (T.81
-        # G.1.1.1.1: each component's DC scan precedes its AC scans),
-        # where every block costs >= 1 entropy bit — so a crafted
-        # header's huge declared dims fail this structural check as
-        # ValueError before any width*height-scale allocation (the
-        # baseline guard's progressive counterpart; AC scans cannot
-        # length-bound this way because one EOBRUN symbol can cover
-        # thousands of blocks).
+    if ss == 0 and ah == 0:
+        # Coefficient stores allocate HERE, in DC FIRST scans only
+        # (T.81 G.1.1.1.1: each component's DC scan precedes its AC
+        # scans and refinements), where every block costs >= 1 entropy
+        # bit — so a crafted header's huge declared dims fail this
+        # structural check as ValueError before any width*height-scale
+        # allocation (the baseline guard's progressive counterpart; AC
+        # scans cannot length-bound this way because one EOBRUN symbol
+        # can cover thousands of blocks).
         scan_blocks = 0
         for ci in in_scan:
             _, _, h_i, v_i = comps[ci]
@@ -496,10 +496,15 @@ def _decode_progressive_scan(
                 # true-dims prefix.
                 coef[ci] = np.zeros((mcuy * v_i, mcux * h_i, 64), np.int32)
     else:
+        # DC refinements (ss=0, ah>0) and AC scans refine an EXISTING
+        # store: a refinement with no preceding DC first scan is an
+        # invalid stream and must reject, not silently refine zeros
+        # (advisor r12 — the DC path previously allocated here).
         for ci in in_scan:
             if ci not in coef:
                 raise ValueError(
-                    "progressive AC scan before the component's DC scan"
+                    "progressive scan refines a component before its "
+                    "DC first scan"
                 )
     br = _BitReader(data, pos)
     if ss == 0:  # DC scan (first or refinement), 1..ns components

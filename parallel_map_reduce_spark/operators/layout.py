@@ -176,43 +176,29 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
-def ensure_bucketed_table(
+def _serve_bucketed_artifact(
     spark,
-    table: str,
+    base: str,
     family: str,
     key: str,
-    build_df,
+    build,
     bucket_col: str,
-    n_buckets: int = 16,
+    n_buckets: int,
 ) -> str:
-    """Cross-session bucketed serving table: the bucketed file set is
-    built ONCE per (family, key) into the atomic artifact cache
-    (sources/artifact_cache.py) and re-registered in each session's
-    in-memory catalog via CLUSTERED BY DDL over the cached files —
-    bucket identity rides the writer's file-name bucket suffixes, so a
-    re-registered table joins exchange-free on its bucket column
-    exactly like the session that wrote it (content + layout equality
-    pinned in tests/test_graph.py). The write-time shuffle amortizes
-    over every SESSION, not just every query in one session.
-
-    ``build_df`` is a zero-arg callable returning the DataFrame to
-    bucket; it only runs on a cache miss.
-
-    Two hardening details (review findings, round 8): the SOURCE KEY is
-    part of the registered table name, so a source regenerated
-    mid-process gets a fresh table rather than a stale tableExists hit
-    (and two sf_dirs sharing a basename cannot collide); and the DDL's
-    column list comes from a ``_SCHEMA`` sidecar written at build time
-    from the DataFrame's own schema — an EMPTY build writes zero
-    parquet files, which would make read-time schema inference fail
-    forever on a published artifact."""
+    """Shared serve path for bucketed artifact tables: catalog fast
+    path (touch the LRU marker; drop + rebuild if the artifact was
+    evicted), superseded-registration cleanup, atomic artifact build
+    via ``build(tmp)``, and CLUSTERED BY DDL registration over the
+    published files. ``build`` must leave a complete bucketed file set
+    plus a ``_SCHEMA`` sidecar in ``tmp``. Used by ensure_bucketed_table
+    (fresh build) and ensure_bucketed_append (base version + appended
+    increment)."""
     import os
     import re
 
     from ..sources.artifact_cache import artifact_path, ensure_artifact
 
-    base = table
-    table = f"{table}_{key}"
+    table = f"{base}_{key}"
     if spark.catalog.tableExists(table):
         # Advisor r9: a serving hit that skips ensure_artifact never
         # refreshes the _BUILT marker's mtime, so the family LRU
@@ -249,19 +235,6 @@ def ensure_bucketed_table(
         if superseded.fullmatch(t.name) and t.name != table:
             spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
 
-    def build(tmp: str) -> None:
-        df = build_df()
-        build_table = f"{table}_build_{os.getpid()}"
-        write_bucketed(df, build_table, bucket_col, n_buckets, path=tmp)
-        # Drop only the catalog entry; the external files stay and are
-        # atomically published by ensure_artifact.
-        spark.sql(f"DROP TABLE `{build_table}`")
-        cols = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-        )
-        with open(os.path.join(tmp, "_SCHEMA"), "w") as f:
-            f.write(cols)
-
     path = ensure_artifact(family, key, build)
     schema_file = os.path.join(path, "_SCHEMA")
     if os.path.exists(schema_file):
@@ -278,6 +251,178 @@ def ensure_bucketed_table(
         f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
     )
     return table
+
+
+def ensure_bucketed_table(
+    spark,
+    table: str,
+    family: str,
+    key: str,
+    build_df,
+    bucket_col: str,
+    n_buckets: int = 16,
+) -> str:
+    """Cross-session bucketed serving table: the bucketed file set is
+    built ONCE per (family, key) into the atomic artifact cache
+    (sources/artifact_cache.py) and re-registered in each session's
+    in-memory catalog via CLUSTERED BY DDL over the cached files —
+    bucket identity rides the writer's file-name bucket suffixes, so a
+    re-registered table joins exchange-free on its bucket column
+    exactly like the session that wrote it (content + layout equality
+    pinned in tests/test_graph.py). The write-time shuffle amortizes
+    over every SESSION, not just every query in one session.
+
+    ``build_df`` is a zero-arg callable returning the DataFrame to
+    bucket; it only runs on a cache miss.
+
+    Two hardening details (review findings, round 8): the SOURCE KEY is
+    part of the registered table name, so a source regenerated
+    mid-process gets a fresh table rather than a stale tableExists hit
+    (and two sf_dirs sharing a basename cannot collide); and the DDL's
+    column list comes from a ``_SCHEMA`` sidecar written at build time
+    from the DataFrame's own schema — an EMPTY build writes zero
+    parquet files, which would make read-time schema inference fail
+    forever on a published artifact."""
+    import os
+
+    def build(tmp: str) -> None:
+        df = build_df()
+        build_table = f"{table}_{key}_build_{os.getpid()}"
+        write_bucketed(df, build_table, bucket_col, n_buckets, path=tmp)
+        # Drop only the catalog entry; the external files stay and are
+        # atomically published by ensure_artifact.
+        spark.sql(f"DROP TABLE `{build_table}`")
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        with open(os.path.join(tmp, "_SCHEMA"), "w") as f:
+            f.write(cols)
+
+    return _serve_bucketed_artifact(
+        spark, table, family, key, build, bucket_col, n_buckets
+    )
+
+
+def ensure_bucketed_append(
+    spark,
+    table: str,
+    family: str,
+    key: str,
+    base_path: str,
+    increment_df,
+    bucket_col: str,
+    n_buckets: int = 16,
+) -> str:
+    """Promote an increment INTO a standing bucketed artifact without
+    rebuilding it: the new artifact VERSION is the base version's
+    parquet files (hardlinked — zero bytes copied, zero recompute of
+    the standing corpus) plus the increment's rows written THROUGH the
+    bucket spec via ``INSERT INTO`` a build-time registration, so the
+    appended files carry the same writer bucket-id suffixes and the
+    promoted table keeps the exchange-free equi-join property of the
+    base (pinned in tests/test_dedup.py). This is the crawl-loop
+    lifecycle at 100 TB: match → clean → PROMOTE appends O(increment)
+    files per promotion; the corpus-sized build cost was paid once at
+    version 0 and never again (VERDICT r12 task 1).
+
+    ``base_path`` is the published artifact directory of the base
+    version (its ``_SCHEMA`` sidecar rides along to the new version);
+    ``increment_df`` is a zero-arg callable returning the rows to
+    append — only evaluated on a cache miss. ``table``/``family``/
+    ``key`` name the NEW version; chained promotions pass the previous
+    promotion's artifact dir as ``base_path``. Losing bucket files to
+    the family LRU is safe for the chain: hardlinks keep inodes alive
+    in every later version that seeded from them. Periodic
+    ``compact_bucketed_table`` folds the accumulated per-promotion
+    small files back to one file per bucket."""
+    import os
+    import shutil
+
+    def build(tmp: str) -> None:
+        for fname in os.listdir(base_path):
+            if fname == "_BUILT":
+                continue  # the new version earns its own marker
+            src = os.path.join(base_path, fname)
+            if not os.path.isfile(src):
+                continue
+            dst = os.path.join(tmp, fname)
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device /tmp layouts
+                shutil.copyfile(src, dst)
+        with open(os.path.join(tmp, "_SCHEMA")) as f:
+            cols = f.read()
+        build_table = f"{table}_{key}_build_{os.getpid()}"
+        spark.sql(
+            f"CREATE TABLE `{build_table}` ({cols}) USING parquet "
+            f"CLUSTERED BY (`{bucket_col}`) SORTED BY (`{bucket_col}`) "
+            f"INTO {n_buckets} BUCKETS LOCATION '{tmp}'"
+        )
+        try:
+            # Align increment partitions to buckets (repartition and the
+            # bucket writer share the Murmur3 hash + modulo), so the
+            # append lands ONE file per non-empty bucket instead of
+            # (tasks x buckets) small files.
+            inc = increment_df()
+            names = spark.table(build_table).columns
+            inc = inc.select(*names).repartition(
+                n_buckets, F.col(bucket_col)
+            )
+            view = f"{build_table}_v"
+            inc.createOrReplaceTempView(view)
+            try:
+                spark.sql(f"INSERT INTO `{build_table}` SELECT * FROM {view}")
+            finally:
+                spark.catalog.dropTempView(view)
+        finally:
+            # Catalog entry only; the (external) files publish atomically.
+            spark.sql(f"DROP TABLE IF EXISTS `{build_table}`")
+
+    return _serve_bucketed_artifact(
+        spark, table, family, key, build, bucket_col, n_buckets
+    )
+
+
+def compact_bucketed_table(
+    spark,
+    source_path: str,
+    table: str,
+    family: str,
+    key: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+) -> str:
+    """Fold a promotion chain's accumulated per-promotion files back to
+    ONE file per bucket: reads the chain's artifact directory and
+    rewrites it as a fresh bucketed artifact version (the bucketed
+    sibling of compact_parquet — plain repartition compaction would
+    destroy the bucket-id file layout the exchange-free joins depend
+    on). Row-identity and file-count shrink are pinned in
+    tests/test_dedup.py.
+
+    ``source_path`` is the artifact DIRECTORY, deliberately read as
+    plain parquet rather than through the registered bucketed table:
+    reading the bucketed table lets the planner elide the aligning
+    repartition (its output partitioning already satisfies it) while
+    DisableUnnecessaryBucketedScan independently disables the bucketed
+    scan — the combination hands the writer arbitrary partitions and
+    one file per (task, bucket) instead of per bucket. The sidecar
+    ``_SCHEMA`` keeps an all-empty chain compactable."""
+    import os
+
+    def read_source():
+        schema_file = os.path.join(source_path, "_SCHEMA")
+        reader = spark.read
+        if os.path.exists(schema_file):
+            with open(schema_file) as f:
+                reader = reader.schema(f.read())
+        return reader.parquet(source_path).repartition(
+            n_buckets, F.col(bucket_col)
+        )
+
+    return ensure_bucketed_table(
+        spark, table, family, key, read_source, bucket_col, n_buckets
+    )
 
 
 def bucketed_equijoin(

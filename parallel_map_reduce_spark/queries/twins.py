@@ -49,6 +49,30 @@ def _twin(name: str, label: str):
     return deco
 
 
+# Twin scaffolding collects corpora to the driver by design — the
+# single-machine replica IS the independence. That is only safe at
+# fixture scale; this cap refuses a twin pointed at a real corpus
+# instead of silently OOM-ing the driver (VERDICT r12 task 6 /
+# residual finding 2). Generous vs the committed fixtures (2,000
+# embeddings / ~6k documents at sf0.1) and far below driver-memory
+# trouble.
+TWIN_COLLECT_CAP = 200_000
+
+
+def collect_bounded(df: DataFrame, what: str) -> list:
+    """Collect for twin replicas, refusing above TWIN_COLLECT_CAP rows.
+    One job: fetch cap+1 and treat a full fetch as overflow (no
+    separate count pass)."""
+    rows = df.limit(TWIN_COLLECT_CAP + 1).collect()
+    if len(rows) > TWIN_COLLECT_CAP:
+        raise ValueError(
+            f"twin replica refuses to collect {what}: more than "
+            f"{TWIN_COLLECT_CAP} rows — twins are fixture-scale "
+            "verification scaffolding, not a production path"
+        )
+    return rows
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -165,7 +189,10 @@ def _bpe_python_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     texts = [
         r.text
-        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+        for r in collect_bounded(
+            load_table(spark, sf_dir, "documents").select("text"),
+            "documents.text (BPE twin)",
+        )
     ]
     freqs: dict[str, int] = {}
     for text in texts:
@@ -217,10 +244,9 @@ def _pca_numpy_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity."""
     import numpy as np
 
-    rows = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .collect()
+    rows = collect_bounded(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "embeddings (PCA twin)",
     )
     ids = [r.vec_id for r in rows]
     mat = np.array([[float(x) for x in r.embedding] for r in rows])
@@ -239,6 +265,186 @@ def _pca_numpy_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, vid in enumerate(ids)
     ]
     return spark.createDataFrame(out, "vec_id BIGINT, comps STRING")
+
+
+@_twin(
+    "embedding_semantic_dedup",
+    "pure-Python cluster-block/pair/union-find replica over collected "
+    "vectors (engine-trained centroids)",
+)
+def _semantic_dedup_python_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-machine replica of the SemDeDup chain
+    (operators/similarity.py:semantic_dedup): nearest-centroid
+    assignment, within-cluster cosine pairs, connected components, and
+    keeper resolution all in plain Python over the collected vectors —
+    none of the distributed blocking join / min-label loop executes.
+    Floating point matches BIT-IDENTICALLY because every float op
+    replays the engine's exact sequence: ``functions/vector.dot`` is a
+    sequential left-to-right fold of per-element double products, so
+    the Python loop below performs the same IEEE adds in the same
+    order, and the tie-break (max cosine, then LOWEST centroid_id)
+    mirrors the engine's max_by struct. Centroids come from the
+    engine's deterministic trainer (freshness of training itself is
+    the similarity_ann_ivf twin's axis)."""
+    from ..operators.similarity import IVF_K, train_ivf_centroids
+    from . import similarity as _QSIM
+
+    emb = _emb(spark, sf_dir)
+    cents = [
+        (int(r.centroid_id), [float(x) for x in r.c_emb], float(r.c_nrm))
+        for r in train_ivf_centroids(emb, IVF_K).collect()
+    ]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    import math
+
+    rows = collect_bounded(
+        emb.select("vec_id", "embedding"), "embeddings (SemDeDup twin)"
+    )
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in rows}
+    nrm = {vid: math.sqrt(fold_dot(v, v)) for vid, v in vecs.items()}
+    clusters: dict[int, list[int]] = {}
+    for vid, v in vecs.items():
+        best = max(
+            ((fold_dot(v, ce) / (nrm[vid] * cn), -cid) for cid, ce, cn in cents)
+        )
+        clusters.setdefault(-best[1], []).append(vid)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    threshold = _QSIM._NEARDUP_THRESHOLD
+    for members in clusters.values():
+        members.sort()
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cos = fold_dot(vecs[a], vecs[b]) / (nrm[a] * nrm[b])
+                if cos >= threshold:
+                    parent.setdefault(a, a)
+                    parent.setdefault(b, b)
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for vid in parent:
+        comp_min.setdefault(find(vid), None)
+    for root in comp_min:
+        comp_min[root] = min(v for v in parent if find(v) == root)
+    out = []
+    for vid in sorted(vecs):
+        if vid in parent:
+            keeper = comp_min[find(vid)]
+            out.append((vid, keeper, keeper == vid))
+        else:
+            out.append((vid, vid, True))
+    return spark.createDataFrame(
+        out, "vec_id BIGINT, keeper_id BIGINT, keep BOOLEAN"
+    )
+
+
+@_twin(
+    "embedding_neardup_lsh",
+    "pure-Python plane-bucket/block/exact-cosine replica over collected "
+    "vectors",
+)
+def _neardup_lsh_python_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-machine replica of label_lsh_neardup
+    (operators/similarity.py:393): banded hyperplane bucketing
+    (deterministic integer-mixed planes, plane_components), (label,
+    band, bucket) blocking, pair dedupe, exact cosine filter — all in
+    plain Python. Bit-identical floats for the same reason as the
+    SemDeDup twin: every engine float op is a sequential
+    left-to-right fold this replica replays in order (bucket sign
+    bits are exact comparisons, so blocking cannot diverge at all)."""
+    import math
+
+    from ..operators.similarity import (
+        ANN_BANDS,
+        ANN_PLANES_PER_BAND,
+        plane_components,
+    )
+    from . import similarity as _QSIM
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    rows = collect_bounded(
+        _emb(spark, sf_dir).select("vec_id", "label", "embedding"),
+        "embeddings (neardup-LSH twin)",
+    )
+    planes = plane_components(64)
+    blocks: dict[tuple, list[int]] = {}
+    vecs: dict[int, list[float]] = {}
+    nrm: dict[int, float] = {}
+    for r in rows:
+        vid = int(r.vec_id)
+        v = [float(x) for x in r.embedding]
+        vecs[vid] = v
+        nrm[vid] = math.sqrt(fold_dot(v, v))
+        for band in range(ANN_BANDS):
+            bucket = 0
+            for i in range(ANN_PLANES_PER_BAND):
+                p = band * ANN_PLANES_PER_BAND + i
+                if fold_dot(v, planes[p]) > 0:
+                    bucket += 1 << i
+            blocks.setdefault((r.label, band, bucket), []).append(vid)
+    cand: set[tuple[int, int]] = set()
+    for members in blocks.values():
+        members.sort()
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                cand.add((a, b))
+    threshold = _QSIM._NEARDUP_THRESHOLD
+    out = []
+    for a, b in sorted(cand):
+        cos = fold_dot(vecs[a], vecs[b]) / (nrm[a] * nrm[b])
+        if cos >= threshold:
+            out.append((a, b, cos))
+    return spark.createDataFrame(
+        out, "vec_a BIGINT, vec_b BIGINT, cos DOUBLE"
+    )
+
+
+@_twin(
+    "streaming_ivfpq_index",
+    "batch one-shot encode over the table — no stream, no store "
+    "(ivf_assignments + pq_encode)",
+)
+def _ivfpq_stream_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch half of live index maintenance: coarse-assign and
+    PQ-encode the WHOLE embeddings table in one shot against the same
+    frozen quantizers, bypassing the streaming machinery entirely (no
+    micro-batches, no checkpoint, no partitioned append store, no
+    store re-read). Identity verifies that batch boundaries and the
+    append/commit path leave no trace in the drained store's rows —
+    the run_ivfpq_index_stream exactness contract, parity-recorded."""
+    from ..operators.similarity import ivf_assignments, pq_encode
+
+    emb = _emb(spark, sf_dir)
+    cents = QS._pretrained_cents(spark, sf_dir)
+    books = QS._pretrained_pq_books(spark, sf_dir)
+    assigned = ivf_assignments(emb, cents=cents).select("vec_id", "centroid_id")
+    codes = pq_encode(emb, books).join(assigned, "vec_id")
+    return codes.select(
+        "vec_id",
+        F.col("centroid_id").cast("int").alias("centroid_id"),
+        F.array_join(
+            F.transform("codes", lambda c: c.cast("string")), ","
+        ).alias("codes_str"),
+    )
 
 
 def _pca_tolerant_compare(srows: list, trows: list) -> bool:

@@ -58,7 +58,16 @@ def pin(df: DataFrame) -> DataFrame:
 def release_pins() -> None:
     """Unpersist every pin() survivor — bench.py calls this between
     queries; one-shot processes (the driver gate, tests) may skip it
-    and let session teardown reclaim the blocks."""
+    and let session teardown reclaim the blocks.
+
+    SINGLE-BUILDER ASSUMPTION (advisor r12): the pin ledger is
+    process-global, so release_pins() drops EVERY live pin — including
+    one inside a query another caller built but has not yet executed
+    (that query stays correct, it just recomputes the subplan instead
+    of hitting the cache). Every current caller builds → executes →
+    releases serially (bench, parity, the driver gate, tests), so the
+    single-computation guarantee holds; a future concurrent-builder
+    caller must scope its own pins instead of calling this."""
     while _LIVE_PINS:
         try:
             _LIVE_PINS.pop().unpersist()

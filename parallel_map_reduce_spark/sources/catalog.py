@@ -46,7 +46,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     job."""
     try:
         st = os.stat(path)
-        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            # Directory datasets: the dir's own mtime only changes when
+            # entries are added/removed, so part-files rewritten IN
+            # PLACE would serve a stale schema (advisor r12). Fold the
+            # newest top-level entry mtime + total size into the key;
+            # Spark's own writers always create/rename files (bumping
+            # the dir mtime), so this extra stat pass is for tools that
+            # regenerate artifacts in place.
+            newest, total = st.st_mtime_ns, 0
+            with os.scandir(path) as it:
+                for e in it:
+                    try:
+                        es = e.stat()
+                    except OSError:
+                        continue
+                    newest = max(newest, es.st_mtime_ns)
+                    total += es.st_size
+            key = (os.path.abspath(path), newest, total)
+        else:
+            key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
     except OSError:
         # Globs / nonexistent paths: let the reader produce its own error.
         return spark.read.parquet(path)

@@ -272,3 +272,135 @@ def test_incremental_lsh_served_identical_to_inline(spark, sf_dir, docs):
     text_scans = [ln for ln in p.splitlines() if "FileScan" in ln and "text#" in ln]
     assert text_scans and all("src0" in ln for ln in text_scans), p
     assert "Bucketed: true" in p, p
+
+
+def test_corpus_promote_append_equals_rebuild(spark, sf_dir, docs):
+    """VERDICT r12 task 1: the promoted band table (version-0 files +
+    src1 appended through the bucket spec) must be row-identical to a
+    from-scratch derivation over the same logical corpus (source <>
+    src0), and the served match join must keep the serving plan shape:
+    the only text scan is the src0 increment, the corpus side a
+    bucketed table scan."""
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.queries.dedup import (
+        INCR_SOURCE,
+        ensure_promoted_band_table,
+    )
+
+    table = ensure_promoted_band_table(spark, sf_dir)
+    promoted = {
+        (r.doc_id, r.band, r.sig) for r in spark.table(table).collect()
+    }
+    rebuilt = {
+        (r.doc_id, r.band, r.sig)
+        for r in D.lsh_band_signatures(
+            docs.filter(F.col("source") != INCR_SOURCE)
+        ).collect()
+    }
+    assert promoted == rebuilt and len(promoted) > 0
+
+    docs.unpersist()  # keep the cached relation out of the plan probe
+    try:
+        new = load_table(spark, sf_dir, "documents").filter(
+            F.col("source") == INCR_SOURCE
+        )
+        served = D.incremental_lsh_matches_indexed(
+            D.lsh_band_signatures(new), spark.table(table)
+        )
+        served.collect()
+    finally:
+        docs.cache()
+    p = _plan(served)
+    text_scans = [
+        ln for ln in p.splitlines() if "FileScan" in ln and "text#" in ln
+    ]
+    assert text_scans and all("src0" in ln for ln in text_scans), p
+    assert "Bucketed: true" in p, p
+
+
+def test_corpus_promote_chain_and_compaction(spark, sf_dir, docs):
+    """A chain of promotions must stay row-identical to a full rebuild
+    at every step (per-promotion cost is O(increment) — the corpus is
+    never re-derived), and compact_bucketed_table must fold the
+    accumulated per-promotion files back to one file per bucket without
+    changing a row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parallel_map_reduce_spark.operators.layout import (
+        compact_bucketed_table,
+        ensure_bucketed_append,
+        ensure_bucketed_table,
+    )
+    from parallel_map_reduce_spark.sources.artifact_cache import (
+        artifact_path,
+        source_key,
+    )
+
+    n_buckets = 4
+    base_srcs = ("src4", "src5", "src6")
+    chain = ("src7", "src8", "src9")
+    run_key = source_key("promote_chain", sf_dir, "documents.parquet")
+
+    def bands_of(*sources):
+        return D.lsh_band_signatures(
+            docs.filter(F.col("source").isin(*sources))
+        )
+
+    key0 = f"{run_key}v0"
+    ensure_bucketed_table(
+        spark,
+        "pmrs_test_chain_v0",
+        "pmrs_test_chain",
+        key0,
+        lambda: bands_of(*base_srcs),
+        "sig",
+        n_buckets,
+    )
+    prev_dir = artifact_path("pmrs_test_chain", key0)
+    covered = list(base_srcs)
+    table = None
+    for i, src in enumerate(chain, start=1):
+        key = f"{run_key}v{i}"
+        table = ensure_bucketed_append(
+            spark,
+            f"pmrs_test_chain_v{i}",
+            "pmrs_test_chain",
+            key,
+            prev_dir,
+            lambda s=src: bands_of(s),
+            "sig",
+            n_buckets,
+        )
+        prev_dir = artifact_path("pmrs_test_chain", key)
+        covered.append(src)
+        appended = {
+            (r.doc_id, r.band, r.sig) for r in spark.table(table).collect()
+        }
+        rebuilt = {
+            (r.doc_id, r.band, r.sig) for r in bands_of(*covered).collect()
+        }
+        assert appended == rebuilt and len(appended) > 0, f"step {i}"
+
+    def n_parquet(d):
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    n_before = n_parquet(prev_dir)
+    compacted = compact_bucketed_table(
+        spark,
+        prev_dir,
+        "pmrs_test_chain_compact",
+        "pmrs_test_chain_c",
+        f"{run_key}cp",
+        "sig",
+        n_buckets,
+    )
+    cdir = artifact_path("pmrs_test_chain_c", f"{run_key}cp")
+    assert {
+        (r.doc_id, r.band, r.sig) for r in spark.table(compacted).collect()
+    } == {(r.doc_id, r.band, r.sig) for r in spark.table(table).collect()}
+    # one file per non-empty bucket, and strictly fewer files than the
+    # promotion chain accumulated
+    assert n_parquet(cdir) <= n_buckets < n_before

@@ -250,3 +250,18 @@ def test_unknown_total_samples_decodes_to_eof():
         np.int16,
     )
     assert (sr, ch) == (8000, 2) and (arr == exp).all()
+
+
+def test_wasted_bits_exhausting_sample_width_rejected():
+    """A corrupt wasted-bits run that leaves no effective sample bits
+    must reject with a deliberate message, not an incidental negative-
+    shift error inside read_signed (advisor r12)."""
+    w = _BitWriter()
+    w.write(0, 1)
+    w.write(0, 6)  # CONSTANT
+    w.write(1, 1)  # wasted-bits flag
+    w.write_unary(15)  # wasted = 16 -> eff = 0 at bps 16
+    w.align()
+    data = _hand_flac(5, w.bytes())
+    with pytest.raises(ValueError, match="wasted-bits"):
+        decode_flac_samples(data)

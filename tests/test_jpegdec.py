@@ -477,3 +477,13 @@ def test_progressive_ac_scan_before_dc_rejected():
     data = _assemble_progressive(8, 8, [16] * 64, [(1, 63, 0, 0, w1.flush())])
     with pytest.raises(ValueError):
         decode_jpeg_pixels(data)
+
+
+def test_progressive_dc_refinement_before_dc_first_rejected():
+    """A DC refinement scan (Ss=0, Ah>0) with no preceding DC first
+    scan is invalid progressive syntax; it must raise rather than
+    allocate a zeroed store and silently refine it (advisor r12 — the
+    AC-scan guard's DC counterpart)."""
+    data = _assemble_progressive(8, 8, [16] * 64, [(0, 0, 1, 0, b"\x80")])
+    with pytest.raises(ValueError, match="before its DC first scan"):
+        decode_jpeg_pixels(data)

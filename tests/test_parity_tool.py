@@ -89,3 +89,40 @@ def test_twins_table_contract():
             f"{name} is oracle-backed; a twin would downgrade its evidence"
         )
     assert set(TWIN_COMPARE) <= set(TWINS)
+
+
+def test_twin_collect_guard_refuses_large_frames(spark):
+    """collect_bounded is the shared guard on every twin's driver-side
+    collect (VERDICT r12 task 6): twins are fixture-scale verification
+    scaffolding, and pointing one at a real corpus must refuse loudly
+    instead of OOM-ing the driver."""
+    import pytest as _pytest
+
+    from parallel_map_reduce_spark.queries.twins import (
+        TWIN_COLLECT_CAP,
+        collect_bounded,
+    )
+
+    small = spark.range(10)
+    assert len(collect_bounded(small, "small")) == 10
+    big = spark.range(TWIN_COLLECT_CAP + 1)
+    with _pytest.raises(ValueError, match="refuses to collect"):
+        collect_bounded(big, "big")
+
+
+def test_every_twin_collect_goes_through_guard():
+    """No twin may collect a corpus-sized frame around the guard: the
+    only ``.collect()`` calls allowed in twins.py are on k-row metadata
+    (centroids) or inside collect_bounded itself."""
+    import inspect
+
+    from parallel_map_reduce_spark.queries import twins
+
+    src = inspect.getsource(twins)
+    allowed_ctx = ("train_ivf_centroids", "collect_bounded")
+    for i, line in enumerate(src.splitlines(), 1):
+        if ".collect()" in line:
+            window = "\n".join(src.splitlines()[max(0, i - 8) : i])
+            assert any(a in window for a in allowed_ctx), (
+                f"twins.py:{i} collects outside collect_bounded: {line.strip()}"
+            )
