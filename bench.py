@@ -656,9 +656,15 @@ def _paired_baseline_scaled(spark, factors: tuple[int, ...]) -> dict:
 
     raw_limit = resource.getrlimit(resource.RLIMIT_NOFILE)[0]
     fd_limit = float("inf") if raw_limit == resource.RLIM_INFINITY else raw_limit
-    pairs = int(os.environ.get("SPARK_GRAFT_BASELINE_SCALE_PAIRS", "2"))
+    base_pairs = int(os.environ.get("SPARK_GRAFT_BASELINE_SCALE_PAIRS", "2"))
     out: dict = {}
     for factor in factors:
+        # x8 quiet-pair budget raised to 4 (VERDICT r12 task 8): the
+        # committed r12 margin read 0.969 vs 0.78-0.89 in builder
+        # windows; n>=4 quiet pairs settles whether that was drift or
+        # one slow window. Other factors sit far from their bars and
+        # keep the cheaper budget.
+        pairs = max(base_pairs, 4) if factor == 8 else base_pairs
         try:
             manifest = _scaled_reference_manifest(factor)
             if manifest is None:
@@ -1118,6 +1124,115 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"bench: incr_lsh_curve ERROR: {e}", file=sys.stderr)
 
+    # Promotion-lifecycle notch (VERDICT r12 task 1): the crawl loop is
+    # match → clean → PROMOTE; each promotion APPENDS the increment's
+    # band signatures into the corpus band artifact
+    # (layout.ensure_bucketed_append — base files hardlinked, corpus
+    # never rebuilt). Two committed witnesses: (a) the serving match
+    # against the 4-promotion table costs the same as against the base
+    # table (the accumulated per-promotion files don't degrade the
+    # bucket join), and (b) the promote step itself is O(increment) —
+    # its wall is increment-signature compute + a bucketed append,
+    # INDEPENDENT of corpus size. Promotion artifacts are built outside
+    # the timed windows except the one step deliberately timed.
+    promote_notch: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_PROMOTE_NOTCH", "1") != "0" and not sys.argv[1:]:
+        try:
+            from parallel_map_reduce_spark.operators.dedup import (
+                incremental_lsh_matches_indexed,
+                lsh_band_signatures,
+            )
+            from parallel_map_reduce_spark.operators.layout import (
+                ensure_bucketed_append,
+                ensure_bucketed_table,
+            )
+            from parallel_map_reduce_spark.sources.artifact_cache import (
+                artifact_path,
+                source_key,
+            )
+            from parallel_map_reduce_spark.sources.scaled_corpus import (
+                REF_CORPUS_PARQUET,
+                scaled_reference_corpus,
+            )
+
+            spark = _revive(spark, cpus)
+            base_factor = 8
+            corpus = scaled_reference_corpus(spark, base_factor)
+            pkey = source_key(
+                f"promote_base_x{base_factor}",
+                os.path.dirname(REF_CORPUS_PARQUET),
+                os.path.basename(REF_CORPUS_PARQUET),
+            )
+            base_table = ensure_bucketed_table(
+                spark,
+                "pmrs_promote_base",
+                "pmrs_promote_bands",
+                pkey,
+                lambda: lsh_band_signatures(corpus),
+                "sig",
+                16,
+            )
+            increment = scaled_reference_corpus(spark, 1)
+
+            # Promoted increments come from a DIFFERENT corpus (the
+            # testdata documents table) so the fixed probe's match set
+            # — and therefore the timed match workload — is identical
+            # at v0 and v4; promoting replicas of the probe itself
+            # would grow the output linearly in promotions and measure
+            # the workload, not the table layout.
+            from parallel_map_reduce_spark.sources.catalog import load_table
+
+            promo_docs = load_table(spark, sf_dir, "documents")
+
+            def inc_shifted(i: int):
+                return lsh_band_signatures(
+                    promo_docs.filter(F.col("doc_id") % 4 == (i % 4)).withColumn(
+                        "doc_id", F.col("doc_id") + F.lit(10_000_000 * i)
+                    )
+                )
+
+            # Build promotions v1..v3 untimed, TIME the v4 promote step.
+            prev_dir = artifact_path("pmrs_promote_bands", pkey)
+            table = base_table
+            for i in range(1, 4):
+                table = ensure_bucketed_append(
+                    spark,
+                    f"pmrs_promote_v{i}",
+                    "pmrs_promote_bands",
+                    f"{pkey}v{i}",
+                    prev_dir,
+                    lambda i=i: inc_shifted(i),
+                    "sig",
+                    16,
+                )
+                prev_dir = artifact_path("pmrs_promote_bands", f"{pkey}v{i}")
+            t0 = time.perf_counter()
+            table = ensure_bucketed_append(
+                spark,
+                "pmrs_promote_v4",
+                "pmrs_promote_bands",
+                f"{pkey}v4",
+                prev_dir,
+                lambda: inc_shifted(4),
+                "sig",
+                16,
+            )
+            promote_notch["promote_step"] = round(time.perf_counter() - t0, 3)
+            probe = lsh_band_signatures(increment)
+            for label, tbl in (("match_v0", base_table), ("match_v4", table)):
+                secs, nd = _probe_gated_notch(
+                    spark,
+                    lambda t=tbl: incremental_lsh_matches_indexed(
+                        probe, spark.table(t)
+                    ),
+                    f"promote_notch {label}",
+                )
+                promote_notch[label] = round(secs, 3)
+                curve_detail[f"promote_{label}"] = nd
+            print(f"bench: promote_notch {promote_notch}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: promote_notch ERROR: {e}", file=sys.stderr)
+
     # LSH serving notch (VERDICT r9 task 6): the persisted (band,
     # bucket)-partitioned ANN store only beats inline re-bucketing when
     # dynamic partition pruning actually skips directories — HEADLINE's
@@ -1218,7 +1333,11 @@ def main() -> int:
         # window) one octave past the reference's FD-ulimit death at
         # 64x — flagship timed solo there, same note mechanism
         # (VERDICT r11 task 8).
-        scale_pairs = _int_list_env("SPARK_GRAFT_PAIRED_SCALE_FACTORS", "8,32,64,128")
+        # 256x (~1.6 GB, ~91k files) extends the curve a second octave
+        # past the reference's FD-ulimit ceiling (VERDICT r12 task 5)
+        scale_pairs = _int_list_env(
+            "SPARK_GRAFT_PAIRED_SCALE_FACTORS", "8,32,64,128,256"
+        )
         if os.environ.get("SPARK_GRAFT_PAIRED_SCALE", "1") != "0" and scale_pairs:
             spark = _revive(spark, cpus)
             paired.update(_paired_baseline_scaled(spark, tuple(scale_pairs)))
@@ -1248,6 +1367,7 @@ def main() -> int:
         "chunked_index_scale_curve": chunked_curve,
         "multimodal_decode_scale_curve": mm_curve,
         "incremental_lsh_scale_curve": incr_lsh_curve,
+        "corpus_promote_notch": promote_notch,
         # Per-notch probe windows (VERDICT r10 task 8): every committed
         # curve number above carries its adjacent probe readings here,
         # so a hot-window notch is attributable from the artifact alone.

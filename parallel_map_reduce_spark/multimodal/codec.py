@@ -87,11 +87,12 @@ def decode_audio_header(data: bytes):
 
 def decode_audio(data: bytes):
     """Sample-level audio decode — REAL for 16-bit PCM WAV (the data
-    chunk IS the samples) and 16-bit FLAC (a real lossless decoder:
+    chunk IS the samples) and 4-24-bit FLAC (a real lossless decoder:
     fixed/LPC prediction + Rice residuals, flacdec.py):
-    (sample_rate, channels, int16 ndarray of shape
-    (n_frames, channels)). Raises ValueError for other codecs
-    (MP3/AAC/... genuinely need psychoacoustic codec libraries)."""
+    (sample_rate, channels, int ndarray of shape (n_frames, channels)
+    — int16, or int32 for 20/24-bit FLAC). Raises ValueError for other
+    codecs (MP3/AAC/... genuinely need psychoacoustic codec
+    libraries)."""
     if bytes(data[:4]) == FLAC_MAGIC:
         return decode_flac_samples(data)
     return decode_wav_samples(data)
@@ -296,10 +297,11 @@ AUDIO_LOUDNESS_SCHEMA = (
 
 
 def audio_loudness_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: REAL sample decode. int16 frames come out of
-    the RIFF data chunk (audiohdr.py:decode_wav_samples) or the FLAC
-    frame stream (flacdec.py — fixed/LPC prediction + Rice residuals,
-    a real lossless decode); loudness stats are exact integers
+    """mapInPandas body: REAL sample decode. Integer frames come out
+    of the RIFF data chunk (audiohdr.py:decode_wav_samples) or the
+    FLAC frame stream (flacdec.py — fixed/LPC prediction + Rice
+    residuals, a real lossless decode; 16-bit int16 or 20/24-bit
+    int32); loudness stats are exact integers
     (peak = max |s|, sum_sq = Σ s² in int64) so an independent record
     reproduces them bit-for-bit; rms is the one fixed-shape float
     (sqrt of a ratio of exact ints). Payloads that are neither
@@ -311,7 +313,7 @@ def audio_loudness_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             try:
                 _rate, _ch, samples = decode_audio(payload)
             except ValueError:
-                continue  # compressed codec / non-16-bit / corrupt: skip
+                continue  # psychoacoustic codec / corrupt bytes: skip
             flat = samples.astype(np.int64).ravel()
             n = int(flat.size)
             peak = int(np.abs(flat).max(initial=0))

@@ -10,21 +10,22 @@ from running this decoder. Public basis: the FLAC format specification
 (xiph.org / RFC 9639); the reference repo has no audio path (north-star
 scope).
 
-Decoder scope (honest): 16-bit streams, any channel count 1-8, fixed
+Decoder scope (honest): 4- to 24-bit sample sizes (8/12/16 decode to
+int16, 20/24 to int32 — r13, closing the r12 "non-16-bit raises"
+headroom item; 25-32-bit raises loudly), any channel count 1-8, fixed
 and variable blocking, all subframe types (CONSTANT / VERBATIM /
 FIXED order 0-4 / LPC order 1-32), both residual methods (4- and
 5-bit Rice parameters, escape partitions, partition order 0-15),
 wasted bits, and all stereo decorrelations (independent, left/side,
 right/side, mid/side). Frame-header CRC-8 and frame CRC-16 are
 verified — a corrupt stream raises ValueError rather than mis-decoding.
-Non-16-bit sample sizes raise (the loudness contract is int16).
 
-Encoder scope (fixture): 16-bit mono/stereo, frames of 192 samples
-plus a partial tail frame, per-channel CONSTANT or FIXED order-2
-subframes with single-partition Rice residuals, and per-document
-stereo decorrelation (independent / left-side / mid-side) — real
-compression exercising the decoder's reconstruction paths, with every
-choice deterministic.
+Encoder scope (fixture): 16/20/24-bit mono/stereo, frames of 192
+samples plus a partial tail frame, per-channel CONSTANT or FIXED
+order-2 subframes with single-partition Rice residuals, and
+per-document stereo decorrelation (independent / left-side /
+mid-side) — real compression exercising the decoder's reconstruction
+paths, with every choice deterministic.
 """
 
 from __future__ import annotations
@@ -259,16 +260,18 @@ def _decode_subframe(bits: _Bits, blocksize: int, bps: int) -> list[int]:
 
 
 def decode_flac_samples(data: bytes):
-    """REAL sample decode for a 16-bit FLAC stream: (sample_rate,
-    channels, int16 numpy array of shape (n_frames, channels)).
-    Raises ValueError for non-FLAC / non-16-bit / corrupt payloads
-    (both frame CRCs verified)."""
+    """REAL sample decode for a 4- to 24-bit FLAC stream: (sample_rate,
+    channels, numpy array of shape (n_frames, channels)) — int16 for
+    sample sizes <= 16, int32 for 20/24-bit. Raises ValueError for
+    non-FLAC / >24-bit / corrupt payloads (both frame CRCs verified)."""
     info = parse_flac_streaminfo(bytes(data))
     if info is None:
         raise ValueError("not a parseable FLAC stream")
     sample_rate, channels, bps, total = info
-    if bps != 16:
-        raise ValueError(f"only 16-bit FLAC supported (got {bps})")
+    if bps > 24:
+        raise ValueError(f"FLAC sample sizes above 24 bits unsupported (got {bps})")
+    if bps < 4:
+        raise ValueError(f"invalid FLAC bits-per-sample {bps}")
     data = bytes(data)
     pos = _skip_metadata(data)
     decoded: list[list[int]] = [[] for _ in range(channels)]
@@ -368,9 +371,10 @@ def decode_flac_samples(data: bytes):
     if not unknown_total and got != total:
         raise ValueError("FLAC sample count disagrees with STREAMINFO")
     arr = np.array(decoded, dtype=np.int64).T
-    if arr.size and (arr.max() > 32767 or arr.min() < -32768):
-        raise ValueError("FLAC decoded samples out of int16 range")
-    return sample_rate, channels, arr.astype(np.int16)
+    lim = 1 << (bps - 1)
+    if arr.size and (arr.max() > lim - 1 or arr.min() < -lim):
+        raise ValueError(f"FLAC decoded samples out of {bps}-bit range")
+    return sample_rate, channels, arr.astype(np.int16 if bps <= 16 else np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -486,23 +490,29 @@ def build_flac(
     n_frames: int,
     pattern: int,
     stereo_mode: str = "independent",
+    bps: int = 16,
 ) -> bytes:
-    """Fully valid 16-bit FLAC stream carrying the ``wave_sample``
-    zigzag waveform (audiohdr.py): STREAMINFO + frames of 192 samples
-    (plus a partial tail frame), per-channel CONSTANT/FIXED-order-2
-    subframes with Rice residuals. ``stereo_mode`` for channels=2:
-    'independent', 'left-side', or 'mid-side' — all lossless, so the
-    decoded samples equal the formula regardless."""
+    """Fully valid 16/20/24-bit FLAC stream carrying the ``wave_sample``
+    zigzag waveform (audiohdr.py; left-shifted by ``bps - 16`` for the
+    wider depths, so formula-derived loudness scales by exact powers of
+    two): STREAMINFO + frames of 192 samples (plus a partial tail
+    frame), per-channel CONSTANT/FIXED-order-2 subframes with Rice
+    residuals. ``stereo_mode`` for channels=2: 'independent',
+    'left-side', or 'mid-side' — all lossless, so the decoded samples
+    equal the formula regardless."""
     from .audiohdr import wave_sample
 
     if channels not in (1, 2):
         raise ValueError("encoder supports 1 or 2 channels")
+    if bps not in (16, 20, 24):
+        raise ValueError("encoder supports 16/20/24-bit sample sizes")
     if channels == 1:
         stereo_mode = "independent"
     if stereo_mode not in ("independent", "left-side", "mid-side"):
         raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+    shift = bps - 16
     chan_samples = [
-        [wave_sample(f, c, pattern) for f in range(n_frames)]
+        [wave_sample(f, c, pattern) << shift for f in range(n_frames)]
         for c in range(channels)
     ]
     out = bytearray(FLAC_MAGIC)
@@ -513,8 +523,8 @@ def build_flac(
     si += b"\x00\x00\x00" * 2  # min/max framesize unknown
     si.append((sample_rate >> 12) & 0xFF)
     si.append((sample_rate >> 4) & 0xFF)
-    si.append(((sample_rate & 0x0F) << 4) | ((channels - 1) << 1) | ((16 - 1) >> 4))
-    si.append((((16 - 1) & 0x0F) << 4) | ((n_frames >> 32) & 0x0F))
+    si.append(((sample_rate & 0x0F) << 4) | ((channels - 1) << 1) | ((bps - 1) >> 4))
+    si.append((((bps - 1) & 0x0F) << 4) | ((n_frames >> 32) & 0x0F))
     si += struct.pack(">I", n_frames & 0xFFFFFFFF)
     si += b"\x00" * 16  # MD5 unknown
     out += bytes([0x80]) + struct.pack(">I", 34)[1:] + si
@@ -535,7 +545,7 @@ def build_flac(
             w.write(10, 4)
         else:
             w.write(channels - 1, 4)
-        w.write(4, 3)  # 16-bit
+        w.write({16: 4, 20: 5, 24: 6}[bps], 3)  # sample-size code
         w.write(0, 1)  # reserved
         for b in _utf8_number(frame_no):
             w.write(b, 8)
@@ -550,18 +560,18 @@ def build_flac(
         block = [ch[done : done + blocksize] for ch in chan_samples]
         if channels == 2 and stereo_mode == "left-side":
             subs = [
-                (block[0], 16),
-                ([l - r for l, r in zip(block[0], block[1])], 17),
+                (block[0], bps),
+                ([l - r for l, r in zip(block[0], block[1])], bps + 1),
             ]
         elif channels == 2 and stereo_mode == "mid-side":
             subs = [
-                ([(l + r) >> 1 for l, r in zip(block[0], block[1])], 16),
-                ([l - r for l, r in zip(block[0], block[1])], 17),
+                ([(l + r) >> 1 for l, r in zip(block[0], block[1])], bps),
+                ([l - r for l, r in zip(block[0], block[1])], bps + 1),
             ]
         else:
-            subs = [(ch, 16) for ch in block]
-        for samples, bps in subs:
-            _write_subframe(w2, samples, bps)
+            subs = [(ch, bps) for ch in block]
+        for samples, sub_bps in subs:
+            _write_subframe(w2, samples, sub_bps)
         w2.align()
         body = w2.bytes()
         out += body + struct.pack(">H", crc16(body))

@@ -194,7 +194,11 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b) candidate near-dup pairs: docs sharing any band
     bucket. Equi-join on (band, sig) — the LSH trick that replaces the
     O(n²) cross join; bucket sizes are bounded by actual near-dup cluster
-    sizes, and AQE splits any hot bucket at scale."""
+    sizes, and AQE splits any hot bucket at scale — witnessed, not
+    asserted: tests/test_skew.py plants a pathological bucket (1,000
+    byte-identical docs sharing every band signature) and pins that the
+    band join completes with the exact closed-form pair count AND
+    SortMergeJoin(skew=true) in the executed plan."""
     bands = lsh_band_signatures(docs)
     a = bands.alias("a")
     b = bands.alias("b")

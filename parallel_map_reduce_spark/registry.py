@@ -102,22 +102,25 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #      inverts — the slots not held by rules 1/2/4 go OLDEST-driver-
 #      evidence-first (per CORRECTNESS_r*.json), displacing the
 #      members with the longest consecutive green streaks.
-# Round-12 window: rule 2 rotates IN dedup_incremental_lsh (now SERVED
-# from the persisted corpus band table — the r12 headline change) plus
-# basket_part_pairs and events_cohort_retention (their multi-consumer
-# intermediates moved from eager checkpoints to lazy pins — same rows,
-# new plan shape, worth a fresh driver row); rule 5 rotates IN the six
-# stalest entries, all r02-evidence: embedding_neardup_lsh,
-# event_type_distinct_users_approx, similarity_ann_lsh,
-# similarity_ann_ivf (both now twin-identity-checked in parity),
-# text_sentences_udtf, text_token_counts. OUT: nine freshly-r11-
-# evidenced members (events_sessionized, events_hourly_tumbling,
-# events_sliding_windows, events_json_props, events_json_typed,
-# embedding_neardup_pairs, similarity_topk_bruteforce,
-# text_fingerprints, text_winnowing_fingerprints) — events keeps
-# trend_anomalies/touch_attribution/twap/drift_psi + the returning
-# cohort_retention; embedding/similarity/text coverage continues via
-# the incoming members. Full displacement log: GATE_HISTORY.md.
+# Round-13 window: rule 2 rotates IN dedup_corpus_promote (NEW — the
+# promotion lifecycle: append the promoted increment into the corpus
+# band artifact; its oracle is the from-scratch rebuild, so the hash
+# match proves append == rebuild), embedding_semantic_dedup (evidence
+# upgraded: pure-Python twin in parity), and the streaming_ivfpq_index
+# drain (same upgrade; batch one-shot twin); multimodal_audio_features
+# + multimodal_audio_loudness hold their slots (rule 2: the fixture
+# now mixes 16/20/24-bit FLAC — new payloads, new expected values).
+# Rule 5 rotates IN the nine stalest oracle-backed entries, all
+# r03-evidence: dedup_exact, dedup_minhash_signatures, dedup_simhash,
+# asof_purchase_last_click, customers_without_events, nation_set_ops,
+# orders_status_pivot, q5_region_revenue, q2_cheapest_part_per_type.
+# OUT, longest-green-first (streaks 6-8, every family keeps a rep):
+# multimodal_image_resize, trade_graph_communities_lpa,
+# text_doc_similarity, orders_cdc_merge (CDC stays covered by the
+# streaming_cdc_apply drain), events_drift_psi, dedup_jaccard_prefix,
+# orders_priority_woe_iv, neardup_communities_lpa, events_value_twap,
+# events_trend_anomalies, events_touch_attribution,
+# dedup_repeated_substrings. Full displacement log: GATE_HISTORY.md.
 GATE_PRIORITY: tuple[str, ...] = (
     # core (reference parity) — permanent
     "inverted_index",
@@ -130,25 +133,25 @@ GATE_PRIORITY: tuple[str, ...] = (
     "doc_stats",
     "inverted_index_chunked",
     "documents_provenance",
-    # rule 2 — changed r12: the incremental near-dup match now serves
-    # from the persisted sig-bucketed corpus band table (no corpus
-    # re-shingle); these two moved multi-consumer intermediates from
-    # eager checkpoints to lazy pins (same rows, new plan shape)
+    # rule 2 — NEW r13: the crawl-loop promotion lifecycle (append the
+    # cleaned increment into the persisted corpus band artifact; the
+    # serving join then matches against the promoted table)
+    "dedup_corpus_promote",
     "dedup_incremental_lsh",
+    # rule 2 — twin-upgraded r13 (pure-Python replica in parity)
+    "embedding_semantic_dedup",
+    # holdovers (r12 rule-2 members keeping their fresh-evidence slots)
     "basket_part_pairs",
     "events_cohort_retention",
-    # holdovers with r12 semantic extensions (rule 2): doc-similarity
-    # df cap (r11), image fixture now mixes progressive/4:2:0 JPEGs,
-    # audio metadata decode
-    "text_doc_similarity",
     "multimodal_image_features",
+    # rule 2 — the audio fixture now mixes 16/20/24-bit FLAC depths
+    # (decoder widened r13); both entries re-earn their rows on the
+    # new payloads
     "multimodal_audio_features",
+    "multimodal_audio_loudness",
     # serving path of the LSH store (rows-only at the driver;
     # twin-identical to the inline form in tools/parity.py)
     "similarity_ann_lsh_served",
-    # rule 5 — stalest (r02 evidence): label-blocked LSH near-dup,
-    # approx distinct, the two ANN entries (twin-identity-checked in
-    # parity since r12), UDTF sentences, token counts
     "embedding_neardup_lsh",
     "event_type_distinct_users_approx",
     "similarity_ann_lsh",
@@ -159,53 +162,38 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_lang_id",
     "text_quality_scores",
     "text_tfidf",
-    # approx/ML family rows-only slot (rotation: hll_rollup r6,
-    # gk-quantiles r7, SemDeDup r8; PCA-whitening r9-r10)
+    # approx/ML family rows-only slots
     "embedding_pca_whitened",
-    # relational reps (rule 3): WOE/IV scoring + lakehouse CDC MERGE
-    "orders_priority_woe_iv",
-    "orders_cdc_merge",
-    # events/timeseries reps (rule 3; events_type_transitions, green
-    # through r10, cedes its slot to the new live multimodal drain —
-    # events keeps trend_anomalies/touch_attribution/twap/drift_psi)
-    "events_trend_anomalies",
-    "events_touch_attribution",
-    "events_value_twap",
-    # dedup reps
-    "dedup_jaccard_prefix",
-    "dedup_repeated_substrings",
-    # curation rows-only slot (the distributed-GD quality classifier,
-    # first driver row r10)
     "documents_quality_logreg",
-    # events / streaming-batch PSI drift monitor
-    "events_drift_psi",
+    # rule 5 — stalest (r03 evidence): exact/MinHash/SimHash dedup
+    # anchors, the as-of join, anti-join, set ops, pivot, and two
+    # TPC-H-ish relational anchors
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "asof_purchase_last_click",
+    "customers_without_events",
+    "nation_set_ops",
+    "orders_status_pivot",
+    "q5_region_revenue",
+    "q2_cheapest_part_per_type",
     # curation anchor
     "curation_leakage_split",
-    # graph reps
-    "trade_graph_communities_lpa",
-    "neardup_communities_lpa",
+    # graph rep (rule 3)
     "trade_graph_pagerank",
-    # search / multimodal anchors (search_bm25_multi, green r7-r10,
-    # cedes its slot to the new video-features entry — the served
-    # variant shares its SQL verbatim and keeps search covered)
+    # search / multimodal anchors
     "search_bm25_served",
     "documents_length_histogram",
     "multimodal_video_features",
-    # rule 2 — real PIXEL/SAMPLE/FRAME decode landed this round: resize
-    # now decodes PNG/GIF/BMP pixels and checksums the resample, video
-    # walks real AVI containers, loudness decodes PCM samples
-    # (displacing text_novelty_ngrams + text_cms_heavy_hitters, both
-    # green through r10; text keeps 6 in-window reps)
-    "multimodal_image_resize",
     "multimodal_video_frames",
-    "multimodal_audio_loudness",
-    # live streaming drains — oracle-backed, last on purpose (rule 2:
-    # streaming_multimodal_features is NEW this round — decode-on-
-    # ingest sharing the batch image-features oracle)
+    # live streaming drains — oracle/twin-backed, last on purpose
+    # (rule 2: streaming_ivfpq_index joins the gated drains with its
+    # new batch one-shot twin)
     "streaming_inverted_index",
     "streaming_cdc_apply",
     "streaming_neardup_lsh",
     "streaming_multimodal_features",
+    "streaming_ivfpq_index",
 )
 
 

@@ -65,8 +65,8 @@ def test_compression_is_real():
 # Hand-assembled spec vectors
 
 
-def _hand_flac(n_frames: int, subframe_bits: bytes, sr=8000) -> bytes:
-    """Mono 16-bit single-frame FLAC around pre-encoded subframe bits
+def _hand_flac(n_frames: int, subframe_bits: bytes, sr=8000, bps=16) -> bytes:
+    """Mono single-frame FLAC around pre-encoded subframe bits
     (frame header and CRCs assembled here, mirroring the spec)."""
     out = bytearray(b"fLaC")
     si = bytearray()
@@ -74,8 +74,8 @@ def _hand_flac(n_frames: int, subframe_bits: bytes, sr=8000) -> bytes:
     si += b"\x00\x00\x00" * 2
     si.append((sr >> 12) & 0xFF)
     si.append((sr >> 4) & 0xFF)
-    si.append(((sr & 0x0F) << 4) | (0 << 1) | ((16 - 1) >> 4))
-    si.append((((16 - 1) & 0x0F) << 4) | 0)
+    si.append(((sr & 0x0F) << 4) | (0 << 1) | ((bps - 1) >> 4))
+    si.append((((bps - 1) & 0x0F) << 4) | 0)
     si += struct.pack(">I", n_frames)
     si += b"\x00" * 16
     out += bytes([0x80]) + struct.pack(">I", 34)[1:] + si
@@ -85,7 +85,7 @@ def _hand_flac(n_frames: int, subframe_bits: bytes, sr=8000) -> bytes:
     w.write(6, 4)  # 8-bit blocksize-1 at header end
     w.write(0, 4)  # rate from STREAMINFO
     w.write(0, 4)  # 1 channel
-    w.write(4, 3)  # 16-bit
+    w.write({16: 4, 20: 5, 24: 6}[bps], 3)  # sample-size code
     w.write(0, 1)
     for b in _utf8_number(0):
         w.write(b, 8)
@@ -197,15 +197,69 @@ def test_truncation_and_garbage_rejected():
     assert parse_flac_streaminfo(b"fLaC\x00\x00") is None
 
 
-def test_non_16bit_rejected():
-    """A STREAMINFO declaring 24-bit must raise (the loudness contract
-    is int16), not mis-decode."""
+def test_above_24bit_rejected():
+    """A STREAMINFO declaring 32-bit must raise loudly (decoder scope
+    ends at 24), not mis-decode."""
     payload = bytearray(build_flac(8000, 1, 30, 1))
-    # bits-per-sample-1 straddles STREAMINFO bytes 12/13: set to 23.
-    payload[8 + 12] = (payload[8 + 12] & 0xFE) | (23 >> 4)
-    payload[8 + 13] = ((23 & 0x0F) << 4) | (payload[8 + 13] & 0x0F)
-    with pytest.raises(ValueError):
+    # bits-per-sample-1 straddles STREAMINFO bytes 12/13: set to 31.
+    payload[8 + 12] = (payload[8 + 12] & 0xFE) | (31 >> 4)
+    payload[8 + 13] = ((31 & 0x0F) << 4) | (payload[8 + 13] & 0x0F)
+    with pytest.raises(ValueError, match="above 24 bits"):
         decode_flac_samples(bytes(payload))
+
+
+@pytest.mark.parametrize("bps", [20, 24])
+@pytest.mark.parametrize("mode", ["independent", "left-side", "mid-side"])
+def test_high_depth_roundtrip_matches_scaled_formula(bps, mode):
+    """20/24-bit streams (r13): encode → decode reproduces the zigzag
+    waveform left-shifted by bps-16, as int32, through every stereo
+    decorrelation (the side channel is bps+1 wide — 25 bits at 24-bit
+    depth)."""
+    sr, ch, nf, base = 22050, 2, 250, 77
+    payload = build_flac(sr, ch, nf, base, stereo_mode=mode, bps=bps)
+    assert parse_flac_streaminfo(payload) == (sr, ch, bps, nf)
+    dsr, dch, arr = decode_flac_samples(payload)
+    assert (dsr, dch) == (sr, ch) and arr.dtype == np.int32
+    exp = np.array(
+        [
+            [wave_sample(f, c, base) << (bps - 16) for c in range(ch)]
+            for f in range(nf)
+        ],
+        np.int32,
+    )
+    assert (arr == exp).all()
+
+
+def test_high_depth_hand_vector_lpc_24bit():
+    """Hand-packed 24-bit LPC spec vector: order-1 LPC with coef 1,
+    shift 0 (s[i] = s[i-1] + r[i]) over full-range 24-bit warmup —
+    pins that subframe arithmetic carries 24-bit magnitudes exactly."""
+    warm = [-(1 << 23), (1 << 23) - 1]
+    w = _BitWriter()
+    # subframe 1 (mono): LPC order 2 -> stype 32 + (2-1)... use order 2
+    w.write(0, 1)
+    w.write(33, 6)  # LPC order 2
+    w.write(0, 1)  # no wasted bits
+    for s in warm:
+        w.write_signed(s, 24)
+    w.write(14, 4)  # precision-1 = 14 -> 15-bit coefs
+    w.write_signed(0, 5)  # shift 0
+    w.write_signed(0, 15)  # c0 = 0
+    w.write_signed(1, 15)  # c1 = 1 -> pred = s[i-2]
+    res = [5, -5, 123]
+    w.write(0, 2)
+    w.write(0, 4)
+    w.write(0, 4)  # rice param 0
+    for r in res:
+        v = 2 * r if r >= 0 else -2 * r - 1
+        w.write_unary(v >> 0)
+    w.align()
+    data = _hand_flac(5, w.bytes(), bps=24)
+    _sr, _ch, arr = decode_flac_samples(data)
+    exp = list(warm)
+    for r in res:
+        exp.append(r + exp[-2])
+    assert arr.dtype == np.int32 and arr.ravel().tolist() == exp
 
 
 def test_fixture_flac_payloads_decode_to_formula():
@@ -215,6 +269,7 @@ def test_fixture_flac_payloads_decode_to_formula():
 
     t = pq.read_table("/root/repo/refdata/audio_fixture.parquet")
     n_flac = 0
+    depths: set[int] = set()
     for d, payload, codec, ch, nf, peak, ssq in zip(
         t["doc_id"].to_pylist(),
         t["payload"].to_pylist(),
@@ -232,7 +287,12 @@ def test_fixture_flac_payloads_decode_to_formula():
         assert arr.shape == (nf, ch), d
         assert int(np.abs(flat).max()) == peak, d
         assert int(np.dot(flat, flat)) == ssq, d
+        bps = parse_flac_streaminfo(payload)[2]
+        assert arr.dtype == (np.int16 if bps == 16 else np.int32), d
+        depths.add(bps)
     assert n_flac == 1250
+    # the committed fixture exercises every supported FLAC depth
+    assert depths == {16, 20, 24}
 
 
 def test_unknown_total_samples_decodes_to_eof():

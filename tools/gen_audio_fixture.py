@@ -1,10 +1,13 @@
 """Generate the committed audio fixture (refdata/audio_fixture.parquet).
 
 One real audio file per doc_id 0..4999 (covers every driver sf):
-every fourth doc (doc_id % 4 == 3) is a COMPRESSED 16-bit FLAC stream
+every fourth doc (doc_id % 4 == 3) is a COMPRESSED FLAC stream
 (multimodal/flacdec.py — fixed-predictor + Rice-coded frames, with the
-stereo decorrelation rotating independent / left-side / mid-side), the
-rest PCM WAVs built by multimodal/audiohdr.py. Encode-time record as
+stereo decorrelation rotating independent / left-side / mid-side and
+the sample depth rotating 16/20/24-bit on an independent cadence; the
+wider depths carry the zigzag waveform left-shifted by bps-16, so
+their loudness statistics scale by exact powers of two), the rest PCM
+WAVs built by multimodal/audiohdr.py. Encode-time record as
 expected-value columns:
 
     doc_id BIGINT, payload BLOB, exp_codec VARCHAR,
@@ -55,6 +58,15 @@ OUT = os.path.join(
 STEREO_MODES = ("independent", "left-side", "mid-side")
 
 
+FLAC_DEPTHS = (16, 20, 24)
+
+
+def flac_bps(doc_id: int) -> int:
+    """Depth rotation for FLAC docs — a cadence coprime to the stereo-
+    mode rotation so every (depth, mode) combination occurs."""
+    return FLAC_DEPTHS[(doc_id // 12) % 3]
+
+
 def fixture_row(doc_id: int) -> tuple[bytes, str, int, int, int]:
     """Deterministic (payload, codec, sample_rate, channels, n_frames)."""
     sample_rate = RATES[doc_id % 4]
@@ -64,6 +76,7 @@ def fixture_row(doc_id: int) -> tuple[bytes, str, int, int, int]:
         payload = build_flac(
             sample_rate, channels, n_frames, pattern=doc_id % 256,
             stereo_mode=STEREO_MODES[(doc_id // 4) % 3] if channels == 2 else "independent",
+            bps=flac_bps(doc_id),
         )
         return payload, "flac", sample_rate, channels, n_frames
     payload = build_wav(sample_rate, channels, n_frames, pattern=doc_id % 256)
@@ -73,11 +86,15 @@ def fixture_row(doc_id: int) -> tuple[bytes, str, int, int, int]:
 def expected_loudness(doc_id: int, channels: int, n_frames: int) -> tuple[int, int]:
     """(peak, sum_sq) from the waveform formula — exact integers, no
     payload bytes involved. Formula restated inline (audiohdr.py:
-    wave_sample): ((base*31 + f*7 + ch*13) % 4001) - 2000."""
+    wave_sample): ((base*31 + f*7 + ch*13) % 4001) - 2000; high-depth
+    FLAC docs shift samples by bps-16, scaling peak by 2^s and sum_sq
+    by 2^(2s)."""
     base = doc_id % 256
     fs = np.arange(n_frames, dtype=np.int64)[:, None]
     chs = np.arange(channels, dtype=np.int64)[None, :]
     samples = (base * 31 + fs * 7 + chs * 13) % 4001 - 2000
+    if doc_id % 4 == 3:
+        samples = samples << (flac_bps(doc_id) - 16)
     return int(np.abs(samples).max()), int((samples * samples).sum())
 
 
@@ -90,7 +107,7 @@ def main() -> int:
     for d in range(N_DOCS):
         payload, codec, sr, ch, nf = fixture_row(d)
         if codec == "flac":
-            assert parse_flac_streaminfo(payload) == (sr, ch, 16, nf), d
+            assert parse_flac_streaminfo(payload) == (sr, ch, flac_bps(d), nf), d
         else:
             assert parse_wav_header(payload) == (sr, ch, 16, nf), d
         peak, sum_sq = expected_loudness(d, ch, nf)
