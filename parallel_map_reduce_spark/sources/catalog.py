@@ -57,6 +57,12 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
             newest, total = st.st_mtime_ns, 0
             with os.scandir(path) as it:
                 for e in it:
+                    if e.name.startswith(("_", ".")):
+                        # metadata the reader ignores — and artifact
+                        # _BUILT markers get utime'd on every cache
+                        # hit, which would invalidate the memo per
+                        # serve and re-pay the inference job
+                        continue
                     try:
                         es = e.stat()
                     except OSError:

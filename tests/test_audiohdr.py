@@ -84,7 +84,9 @@ def test_fixture_parse_matches_encode_record():
         t["exp_n_frames"].to_pylist(),
     ):
         if codec == "flac":
-            assert parse_flac_streaminfo(payload) == (sr, ch, 16, nf), d
+            from tools.gen_audio_fixture import flac_bps
+
+            assert parse_flac_streaminfo(payload) == (sr, ch, flac_bps(d), nf), d
             assert parse_wav_header(payload) is None, d
         else:
             assert parse_wav_header(payload) == (sr, ch, 16, nf), d
