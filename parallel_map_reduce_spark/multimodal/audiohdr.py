@@ -78,19 +78,34 @@ def extract_wav_data(data: bytes):
 
 
 def decode_wav_samples(data: bytes):
-    """REAL sample decode for 16-bit PCM WAV: (sample_rate, channels,
-    int16 numpy array of shape (n_frames, channels)). Raises ValueError
-    for non-PCM/non-16-bit payloads — those need codec libraries."""
+    """REAL sample decode for 8/16/24/32-bit integer PCM WAV:
+    (sample_rate, channels, numpy array of shape (n_frames, channels))
+    — int16 for depths <= 16, int32 for 24/32 (the flacdec.py dtype
+    convention). 8-bit PCM is stored UNSIGNED with midpoint 128 (the
+    RIFF convention) and comes back signed-centered; 24-bit is packed
+    3-byte little-endian two's complement. Raises ValueError for other
+    depths (float WAV is format code 3 and already rejected at parse)."""
     import numpy as np
 
     ext = extract_wav_data(data)
     if ext is None:
         raise ValueError("not a parseable PCM WAV")
     sample_rate, channels, bits, body = ext
-    if bits != 16:
-        raise ValueError(f"only 16-bit PCM supported (got {bits})")
-    frames = len(body) // (2 * channels)
-    arr = np.frombuffer(body[: frames * 2 * channels], dtype="<i2")
+    ba = (bits // 8) * channels
+    if bits not in (8, 16, 24, 32) or ba == 0:
+        raise ValueError(f"unsupported PCM sample depth {bits}")
+    frames = len(body) // ba
+    body = body[: frames * ba]
+    if bits == 8:
+        arr = np.frombuffer(body, dtype=np.uint8).astype(np.int16) - 128
+    elif bits == 16:
+        arr = np.frombuffer(body, dtype="<i2")
+    elif bits == 24:
+        b3 = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        arr = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+        arr = arr - ((arr & 0x800000) << 1)  # sign-extend bit 23
+    else:  # 32
+        arr = np.frombuffer(body, dtype="<i4")
     return sample_rate, channels, arr.reshape(frames, channels)
 
 
@@ -111,21 +126,38 @@ def build_wav(
     pattern: int | None = None,
 ) -> bytes:
     """Fully valid PCM WAV: RIFF header + fmt + data chunk. Default:
-    constant ``sample_byte`` bytes (DC). With ``pattern=base`` (16-bit
-    only) the data chunk carries the ``wave_sample`` zigzag waveform,
-    interleaved little-endian int16."""
+    constant ``sample_byte`` bytes (DC). With ``pattern=base`` the data
+    chunk carries the ``wave_sample`` zigzag waveform: little-endian
+    int16 at 16-bit, left-shifted by 8 into packed 3-byte samples at
+    24-bit (mirroring the FLAC depth scaling), arithmetic-shifted down
+    by 5 and stored unsigned-midpoint-128 at 8-bit — every variant a
+    pure formula the fixture generator can evaluate without this
+    builder."""
     block_align = channels * bits // 8
     byte_rate = sample_rate * block_align
     if pattern is None:
         data = bytes([sample_byte % 256]) * (n_frames * block_align)
     else:
-        if bits != 16:
-            raise ValueError("pattern waveform requires 16-bit samples")
-        data = b"".join(
-            struct.pack("<h", wave_sample(f, ch, pattern))
-            for f in range(n_frames)
-            for ch in range(channels)
-        )
+        if bits == 16:
+            data = b"".join(
+                struct.pack("<h", wave_sample(f, ch, pattern))
+                for f in range(n_frames)
+                for ch in range(channels)
+            )
+        elif bits == 24:
+            data = b"".join(
+                struct.pack("<i", wave_sample(f, ch, pattern) << 8)[:3]
+                for f in range(n_frames)
+                for ch in range(channels)
+            )
+        elif bits == 8:
+            data = bytes(
+                (wave_sample(f, ch, pattern) >> 5) + 128
+                for f in range(n_frames)
+                for ch in range(channels)
+            )
+        else:
+            raise ValueError("pattern waveform requires 8/16/24-bit samples")
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
     out = b"WAVE"
     out += b"fmt " + struct.pack("<I", len(fmt)) + fmt

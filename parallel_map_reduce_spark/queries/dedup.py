@@ -308,6 +308,29 @@ def ensure_corpus_band_table(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+# The band-signature table itself, recomputed from scratch — the
+# oracle for the LIVE band-index drain (streaming_band_index):
+# signatures are deterministic md5 arithmetic, so the drained store
+# must hash-match this regardless of micro-batch boundaries.
+BAND_TABLE_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+hashed AS (
+    SELECT doc_id, {_HV32.format(col='shingle')} AS hv FROM shingles
+),
+seeds(j, a, b) AS (
+    VALUES {_SEEDS_VALUES}
+),
+mh AS (
+    SELECT h.doc_id, s.j, MIN((s.a * h.hv + s.b) % {D.MINHASH_PRIME}) AS minhash
+    FROM hashed h CROSS JOIN seeds s
+    GROUP BY h.doc_id, s.j
+)
+SELECT doc_id, (j // {D.ROWS_PER_BAND})::INT AS band,
+       md5(string_agg(minhash::VARCHAR, ',' ORDER BY j)) AS sig
+FROM mh GROUP BY doc_id, (j // {D.ROWS_PER_BAND})
+"""
+
+
 # Increment (src0) vs standing corpus (everything else), recomputed
 # from scratch on both sides — shared by dedup_incremental_lsh (corpus
 # served from the build-once band artifact) and dedup_corpus_promote

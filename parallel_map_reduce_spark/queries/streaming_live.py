@@ -350,6 +350,39 @@ _set_neardup_oracle()
 
 
 @register(
+    "streaming_band_index",
+    oracle=None,  # set just below: the bands CTE from queries/dedup.py
+    doc="LIVE band-signature index maintenance — the streaming half of "
+    "the corpus-promotion lifecycle (layout.ensure_bucketed_append is "
+    "the batch half): document micro-batches are band-signatured as "
+    "they arrive (per-doc md5 projections, no aggregation state) and "
+    "APPENDED into the standing band store, so arrivals become "
+    "incremental-dedup-matchable one micro-batch after ingest with no "
+    "rebuild of standing data. Deterministic signatures make the "
+    "drained store equal the batch derivation exactly whatever the "
+    "batch boundaries — hence a FULL DuckDB oracle (the bands CTE), "
+    "not a rows-only record. "
+    "streaming/dedup_stream.py:run_band_index_stream.",
+    tags=("streaming", "live", "dedup", "lsh", "index", "lifecycle"),
+)
+def streaming_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.dedup_stream import run_band_index_stream
+
+    return run_band_index_stream(spark, sf_dir)
+
+
+def _set_band_index_oracle() -> None:
+    from ..registry import _REGISTRY
+
+    from .dedup import BAND_TABLE_ORACLE
+
+    _REGISTRY["streaming_band_index"].oracle = BAND_TABLE_ORACLE
+
+
+_set_band_index_oracle()
+
+
+@register(
     "streaming_ivfpq_index",
     oracle=None,  # PQ codes depend on the trained codebooks (not
     # SQL-replayable); the exactness contract is pytest-pinned instead:

@@ -183,7 +183,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "trade_graph_pagerank",
     # search / multimodal anchors
     "search_bm25_served",
-    "documents_length_histogram",
     "multimodal_video_features",
     "multimodal_video_frames",
     # live streaming drains — oracle/twin-backed, last on purpose
@@ -194,6 +193,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "streaming_neardup_lsh",
     "streaming_multimodal_features",
     "streaming_ivfpq_index",
+    # rule 2 — NEW r13: live band-store maintenance (streaming half of
+    # the promotion lifecycle), oracle-backed via the bands CTE
+    # (displacing documents_length_histogram, streak 3)
+    "streaming_band_index",
 )
 
 

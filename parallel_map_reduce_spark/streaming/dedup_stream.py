@@ -104,3 +104,45 @@ def run_incremental_lsh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct: pair-level idempotence if a batch is ever replayed
     # (foreachBatch is at-least-once without a transactional sink).
     return spark.read.parquet(out_dir).distinct()
+
+
+def run_band_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE band-signature index maintenance — the streaming half of
+    the corpus-promotion lifecycle (layout.ensure_bucketed_append is
+    the batch half): document micro-batches are band-signatured as
+    they arrive (per-doc md5 projection, no aggregation state) and
+    APPENDED into the standing band store; arrivals become
+    incremental-dedup-matchable one micro-batch after ingest with no
+    rebuild of standing data. Signatures are deterministic, so the
+    drained store equals the batch ``lsh_band_signatures`` over the
+    same documents row-for-row whatever the batch boundaries — which
+    is why the registered entry carries a FULL DuckDB oracle (the
+    bands CTE), not a rows-only record. Returns the final store
+    (doc_id, band, sig)."""
+    from .curation_stream import read_documents_stream
+
+    tag = hashlib.md5(
+        f"bandidx:{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
+    ).hexdigest()[:12]
+    store = os.path.join(tempfile.gettempdir(), "pmrs_band_index", tag)
+    shutil.rmtree(store, ignore_errors=True)
+    os.makedirs(store, exist_ok=True)
+    empty = spark.createDataFrame([], "doc_id BIGINT, band INT, sig STRING")
+    empty.write.mode("append").parquet(store)  # schema for the 0-doc case
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        lsh_band_signatures(batch_df).write.mode("append").parquet(store)
+
+    ckpt = tempfile.mkdtemp(prefix="pmrs_bandidx_ckpt_")
+    try:
+        (
+            read_documents_stream(spark, sf_dir)
+            .writeStream.foreachBatch(_apply)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(store).select("doc_id", "band", "sig")

@@ -89,7 +89,9 @@ def test_fixture_parse_matches_encode_record():
             assert parse_flac_streaminfo(payload) == (sr, ch, flac_bps(d), nf), d
             assert parse_wav_header(payload) is None, d
         else:
-            assert parse_wav_header(payload) == (sr, ch, 16, nf), d
+            from tools.gen_audio_fixture import wav_bits
+
+            assert parse_wav_header(payload) == (sr, ch, wav_bits(d), nf), d
 
 
 def test_fixture_generator_is_deterministic():
@@ -137,8 +139,9 @@ def test_sample_decode_rejects_non_pcm():
 
     with pytest.raises(ValueError):
         decode_wav_samples(b"not audio")
-    with pytest.raises(ValueError):  # 8-bit PCM: parseable header, no decode
-        decode_wav_samples(build_wav(8000, 1, 10, bits=8))
+    # 8-bit PCM decodes since r13 (unsigned midpoint-128 convention)
+    _r, _c, arr = decode_wav_samples(build_wav(8000, 1, 10, bits=8))
+    assert arr.ravel().tolist() == [-128] * 10
 
 
 def test_audio_fixture_loudness_matches_formula_record():
@@ -192,20 +195,24 @@ def test_map_in_pandas_real_loudness(spark):
 
 
 def test_loudness_map_skips_undecodable_rows():
-    """The map body must SKIP non-16-bit-PCM payloads (the other
-    decode maps' one-in/at-most-one-out contract), not crash the
-    batch."""
+    """The map body must SKIP undecodable payloads (the other decode
+    maps' one-in/at-most-one-out contract), not crash the batch. An
+    8-bit WAV is DECODABLE since r13; a 12-bit depth is not."""
     import pandas as pd
 
     from parallel_map_reduce_spark.multimodal.codec import audio_loudness_map
 
     good = build_wav(8000, 1, 10, pattern=3)
-    bad_bits = build_wav(8000, 1, 10, bits=8)  # parseable header, no decode
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 2, 2, 12)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    bad_bits = b"RIFF" + struct.pack("<I", len(body)) + body
+    ok8 = build_wav(8000, 1, 10, bits=8, pattern=3)
     pdf = pd.DataFrame(
-        {"doc_id": [1, 2, 3], "payload": [good, bad_bits, b"not audio"]}
+        {"doc_id": [1, 2, 3, 4], "payload": [good, bad_bits, b"not audio", ok8]}
     )
     (out,) = list(audio_loudness_map(iter([pdf])))
-    assert out["doc_id"].tolist() == [1]
+    assert out["doc_id"].tolist() == [1, 4]
 
 
 def test_map_in_pandas_true_audio_metadata(spark):
@@ -227,3 +234,70 @@ def test_map_in_pandas_true_audio_metadata(spark):
         assert (r.sample_rate, r.channels, r.n_frames) == (sr, ch, nf)
         assert r.n_bytes == len(payload)
         assert r.duration_s == nf / sr
+
+
+@pytest.mark.parametrize("bits", [8, 24])
+def test_wav_depth_roundtrip_matches_formula(bits):
+    """8/24-bit PCM WAV (r13): build → decode reproduces the depth-
+    scaled waveform formula (24-bit << 8 as int32; 8-bit >> 5 stored
+    unsigned-midpoint-128, back signed-centered as int16)."""
+    import numpy as np
+
+    from parallel_map_reduce_spark.multimodal.audiohdr import (
+        build_wav,
+        decode_wav_samples,
+        wave_sample,
+    )
+
+    sr, ch, nf, base = 16000, 2, 120, 55
+    payload = build_wav(sr, ch, nf, bits=bits, pattern=base)
+    dsr, dch, arr = decode_wav_samples(payload)
+    assert (dsr, dch) == (sr, ch)
+    assert arr.dtype == (np.int32 if bits == 24 else np.int16)
+    exp = np.array(
+        [
+            [
+                (wave_sample(f, c, base) << 8)
+                if bits == 24
+                else (wave_sample(f, c, base) >> 5)
+                for c in range(ch)
+            ]
+            for f in range(nf)
+        ],
+        arr.dtype,
+    )
+    assert (arr == exp).all()
+
+
+def test_wav_24bit_sign_extension_edges():
+    """Packed 3-byte samples at the int24 extremes must sign-extend
+    correctly — a wrong bit-23 treatment flips -2^23 to +2^23."""
+    import struct
+
+    import numpy as np
+
+    from parallel_map_reduce_spark.multimodal.audiohdr import decode_wav_samples
+
+    vals = [-(1 << 23), (1 << 23) - 1, -1, 0, 1]
+    data = b"".join(struct.pack("<i", v)[:3] for v in vals)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    out = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", len(out)) + out
+    _sr, _ch, arr = decode_wav_samples(payload)
+    assert arr.ravel().tolist() == vals and arr.dtype == np.int32
+
+
+def test_wav_unsupported_depth_rejected():
+    import struct
+
+    import pytest as _pytest
+
+    from parallel_map_reduce_spark.multimodal.audiohdr import decode_wav_samples
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 2, 2, 12)
+    out = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    payload = b"RIFF" + struct.pack("<I", len(out)) + out
+    with _pytest.raises(ValueError, match="unsupported PCM sample depth"):
+        decode_wav_samples(payload)

@@ -443,3 +443,25 @@ def test_streaming_ivfpq_index_equals_batch_store(spark, sf_dir, tmp_path):
         .collect()
     }
     assert drained == batch and len(drained) == emb.count()
+
+
+def test_streaming_band_index_equals_batch_derivation(spark, sf_dir):
+    """The live band-store drain (streaming half of the promotion
+    lifecycle) must equal the one-shot batch derivation row-for-row —
+    signatures are deterministic projections, so micro-batch
+    boundaries cannot leave a trace."""
+    from parallel_map_reduce_spark.operators.dedup import lsh_band_signatures
+    from parallel_map_reduce_spark.sources.catalog import load_table
+    from parallel_map_reduce_spark.streaming.dedup_stream import (
+        run_band_index_stream,
+    )
+
+    drained = {
+        (r.doc_id, r.band, r.sig)
+        for r in run_band_index_stream(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.doc_id, r.band, r.sig)
+        for r in lsh_band_signatures(load_table(spark, sf_dir, "documents")).collect()
+    }
+    assert drained == batch and len(drained) > 0

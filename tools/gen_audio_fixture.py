@@ -7,7 +7,9 @@ stereo decorrelation rotating independent / left-side / mid-side and
 the sample depth rotating 16/20/24-bit on an independent cadence; the
 wider depths carry the zigzag waveform left-shifted by bps-16, so
 their loudness statistics scale by exact powers of two), the rest PCM
-WAVs built by multimodal/audiohdr.py. Encode-time record as
+WAVs built by multimodal/audiohdr.py — themselves rotating 16/24/8-bit
+depths (24-bit carries the waveform << 8; 8-bit carries it >> 5 at
+unsigned midpoint 128, both still pure formulas). Encode-time record as
 expected-value columns:
 
     doc_id BIGINT, payload BLOB, exp_codec VARCHAR,
@@ -59,6 +61,11 @@ STEREO_MODES = ("independent", "left-side", "mid-side")
 
 
 FLAC_DEPTHS = (16, 20, 24)
+WAV_DEPTHS = (16, 16, 24, 8)  # majority 16-bit; every depth present
+
+
+def wav_bits(doc_id: int) -> int:
+    return WAV_DEPTHS[(doc_id // 8) % 4]
 
 
 def flac_bps(doc_id: int) -> int:
@@ -79,7 +86,10 @@ def fixture_row(doc_id: int) -> tuple[bytes, str, int, int, int]:
             bps=flac_bps(doc_id),
         )
         return payload, "flac", sample_rate, channels, n_frames
-    payload = build_wav(sample_rate, channels, n_frames, pattern=doc_id % 256)
+    payload = build_wav(
+        sample_rate, channels, n_frames, bits=wav_bits(doc_id),
+        pattern=doc_id % 256,
+    )
     return payload, "wav", sample_rate, channels, n_frames
 
 
@@ -95,6 +105,12 @@ def expected_loudness(doc_id: int, channels: int, n_frames: int) -> tuple[int, i
     samples = (base * 31 + fs * 7 + chs * 13) % 4001 - 2000
     if doc_id % 4 == 3:
         samples = samples << (flac_bps(doc_id) - 16)
+    else:
+        bits = wav_bits(doc_id)
+        if bits == 24:
+            samples = samples << 8
+        elif bits == 8:
+            samples = samples >> 5  # arithmetic shift, matches decode
     return int(np.abs(samples).max()), int((samples * samples).sum())
 
 
@@ -109,7 +125,7 @@ def main() -> int:
         if codec == "flac":
             assert parse_flac_streaminfo(payload) == (sr, ch, flac_bps(d), nf), d
         else:
-            assert parse_wav_header(payload) == (sr, ch, 16, nf), d
+            assert parse_wav_header(payload) == (sr, ch, wav_bits(d), nf), d
         peak, sum_sq = expected_loudness(d, ch, nf)
         cols["doc_id"].append(d)
         cols["payload"].append(payload)
