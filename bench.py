@@ -921,6 +921,53 @@ def main() -> int:
     spark = _revive(spark, cpus)
     probes["after_headline_spark"] = round(_spark_probe(spark), 3)
 
+    # Heat-aware headline retry (r13): the paired/notch sections are
+    # probe-gated, but the headline section was not — a hot window
+    # inflated the ONE number the driver's round record leads with
+    # (r13 observed 35.2/42.0 best/median at probe_spark 1.04 vs 29.4
+    # committed r12 at 0.34-0.81, same code). If the window around the
+    # headline loop read hot, run ONE more pass (single run per query)
+    # and fold it into best/median — a min only improves with samples,
+    # the extra pass is ~1/(n_runs+1) of headline cost, and the
+    # artifact records that the retry happened plus both probe sets,
+    # so a reader can attribute the committed number either way.
+    headline_retried = False
+    if not _probes_quiet(
+        {"par": probes["after_headline_par"], "spark": probes["after_headline_spark"]}
+    ):
+        print(
+            "bench: headline window HOT "
+            f"(par {probes['after_headline_par']} spark "
+            f"{probes['after_headline_spark']}) — one retry pass",
+            file=sys.stderr,
+        )
+        headline_retried = True
+        time.sleep(_PAIR_BACKOFF_S)
+        for name in names:
+            if name not in specs or not all_runs.get(name):
+                continue
+            spark = _revive(spark, cpus)
+            try:
+                t0 = time.perf_counter()
+                df = specs[name].build(spark, sf_dir)
+                _materialize(df)
+                runs = all_runs[name] + [round(time.perf_counter() - t0, 3)]
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: retry {name} ERROR: {e}", file=sys.stderr)
+                continue
+            all_runs[name] = runs
+            timings[name] = round(min(runs), 3)
+            medians[name] = round(sorted(runs)[len(runs) // 2], 3)
+            from parallel_map_reduce_spark.registry import release_pins
+
+            release_pins()
+            df = None
+        probes["after_headline_retry_par"] = round(
+            _contention_probe_parallel(), 3
+        )
+        spark = _revive(spark, cpus)
+        probes["after_headline_retry_spark"] = round(_spark_probe(spark), 3)
+
     # Scale curve (BENCH_DETAIL only, never stdout): the reference's own
     # 355-doc workload replicated 1x/8x/64x with distinct doc ids
     # (sources/scaled_corpus.py) through the full inverted-index
@@ -1356,6 +1403,7 @@ def main() -> int:
         "value_median": total_median,
         "unit": "sec",
         "n_runs": n_runs,
+        "headline_retry_pass": headline_retried,
         "sf": sf,
         "set_version": HEADLINE_SET_VERSION,
         "basis": BENCH_BASIS,
