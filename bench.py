@@ -1253,12 +1253,16 @@ def main() -> int:
                     16,
                 )
                 prev_dir = artifact_path("pmrs_promote_bands", f"{pkey}v{i}")
+            # pid-keyed v4: the timed step must be a BUILD every run —
+            # a stable key would serve the previous bench run's cached
+            # artifact and time the fast-path registration instead
+            # (family LRU bounds the per-run leftovers).
             t0 = time.perf_counter()
             table = ensure_bucketed_append(
                 spark,
                 "pmrs_promote_v4",
                 "pmrs_promote_bands",
-                f"{pkey}v4",
+                f"{pkey}v4p{os.getpid()}",
                 prev_dir,
                 lambda: inc_shifted(4),
                 "sig",
