@@ -466,6 +466,50 @@ def ensure_promoted_band_table(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def ensure_compacted_band_table(spark: SparkSession, sf_dir: str) -> str:
+    """The promoted band table COMPACTED back to one file per bucket
+    (layout.compact_bucketed_table) — the maintenance step a long
+    promotion chain periodically runs so per-promotion small files
+    never accumulate into scan overhead. Built from the promoted
+    artifact's files; row content is identical by construction."""
+    import os
+
+    from ..operators.layout import compact_bucketed_table
+    from ..sources.artifact_cache import artifact_path, source_key
+
+    ensure_promoted_band_table(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/")).lower().replace(".", "_")
+    v1_key = source_key("corpus_bands_v1", sf_dir, "documents.parquet")
+    key = source_key("corpus_bands_v1c", sf_dir, "documents.parquet")
+    return compact_bucketed_table(
+        spark,
+        artifact_path("pmrs_corpus_bands_v1", v1_key),
+        f"pmrs_corpus_bands_v1c_{tag}",
+        "pmrs_corpus_bands_v1c",
+        key,
+        "sig",
+        _CORPUS_BANDS_BUCKETS,
+    )
+
+
+@register(
+    "dedup_corpus_promote_compacted",
+    oracle=_INCR_MATCH_ORACLE,
+    doc="The incremental match served from the COMPACTED promoted band "
+    "table (one file per bucket after the promotion chain's small "
+    "files are folded back — layout.compact_bucketed_table): identical "
+    "rows to dedup_corpus_promote by construction, proven against the "
+    "same from-scratch oracle, so table maintenance is driver-evidenced "
+    "to preserve serving correctness, not just pytest-pinned.",
+    tags=("dedup", "minhash", "lsh", "incremental", "serving", "lifecycle"),
+)
+def dedup_corpus_promote_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("source") == INCR_SOURCE)
+    compacted = spark.table(ensure_compacted_band_table(spark, sf_dir))
+    return D.incremental_lsh_matches_indexed(D.lsh_band_signatures(new), compacted)
+
+
 @register(
     "dedup_corpus_promote",
     oracle=_INCR_MATCH_ORACLE,
