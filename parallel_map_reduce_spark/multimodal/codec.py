@@ -317,7 +317,19 @@ def audio_loudness_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
             flat = samples.astype(np.int64).ravel()
             n = int(flat.size)
             peak = int(np.abs(flat).max(initial=0))
-            sum_sq = int(np.dot(flat, flat))
+            # Exact Σs² without int64 overflow (review r13): a 32-bit
+            # sample squares to ~4.6e18 — two of them exceed int64 —
+            # and 24-bit overflows after ~131k full-scale samples. Dot
+            # within chunks sized so each PARTIAL sum provably fits,
+            # then fold the partials in Python arbitrary-precision int.
+            if n:
+                chunk = max(1, (2**63 - 1) // (peak * peak + 1))
+                sum_sq = sum(
+                    int(np.dot(c, c))
+                    for c in np.array_split(flat, range(chunk, n, chunk))
+                )
+            else:
+                sum_sq = 0
             rms = float((sum_sq / n) ** 0.5) if n else 0.0
             rows.append((doc_id, n, peak, sum_sq, rms))
         yield pd.DataFrame(

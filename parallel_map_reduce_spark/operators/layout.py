@@ -350,8 +350,20 @@ def ensure_bucketed_append(
                 os.link(src, dst)
             except OSError:  # cross-device /tmp layouts
                 shutil.copyfile(src, dst)
-        with open(os.path.join(tmp, "_SCHEMA")) as f:
-            cols = f.read()
+        schema_file = os.path.join(tmp, "_SCHEMA")
+        if os.path.exists(schema_file):
+            with open(schema_file) as f:
+                cols = f.read()
+        else:
+            # pre-sidecar base artifact (the serve path supports these
+            # too): infer from the hardlinked files and write the
+            # sidecar forward so the new version carries it
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in spark.read.parquet(tmp).schema.fields
+            )
+            with open(schema_file, "w") as f:
+                f.write(cols)
         build_table = f"{table}_{key}_build_{os.getpid()}"
         spark.sql(
             f"CREATE TABLE `{build_table}` ({cols}) USING parquet "

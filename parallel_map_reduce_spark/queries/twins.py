@@ -81,6 +81,17 @@ def _pred() -> F.Column:
     return F.col("vec_id") % QS._QUERY_MOD == 0
 
 
+def _fold_dot(a, b) -> float:
+    """Sequential left-to-right fold of per-element double products —
+    the exact IEEE op order of functions/vector.dot, which is what buys
+    the pure-Python twins their bit-identity (shared so a future change
+    to the engine fold updates every twin at once; review r13)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
 @_twin("similarity_ann_lsh", "served from persisted LSH store (lsh_ann_topk_indexed)")
 def _lsh_served_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk_indexed(
@@ -295,23 +306,17 @@ def _semantic_dedup_python_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in train_ivf_centroids(emb, IVF_K).collect()
     ]
 
-    def fold_dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += float(x) * float(y)
-        return acc
-
     import math
 
     rows = collect_bounded(
         emb.select("vec_id", "embedding"), "embeddings (SemDeDup twin)"
     )
     vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in rows}
-    nrm = {vid: math.sqrt(fold_dot(v, v)) for vid, v in vecs.items()}
+    nrm = {vid: math.sqrt(_fold_dot(v, v)) for vid, v in vecs.items()}
     clusters: dict[int, list[int]] = {}
     for vid, v in vecs.items():
         best = max(
-            ((fold_dot(v, ce) / (nrm[vid] * cn), -cid) for cid, ce, cn in cents)
+            ((_fold_dot(v, ce) / (nrm[vid] * cn), -cid) for cid, ce, cn in cents)
         )
         clusters.setdefault(-best[1], []).append(vid)
 
@@ -328,7 +333,7 @@ def _semantic_dedup_python_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         members.sort()
         for i, a in enumerate(members):
             for b in members[i + 1 :]:
-                cos = fold_dot(vecs[a], vecs[b]) / (nrm[a] * nrm[b])
+                cos = _fold_dot(vecs[a], vecs[b]) / (nrm[a] * nrm[b])
                 if cos >= threshold:
                     parent.setdefault(a, a)
                     parent.setdefault(b, b)
@@ -375,12 +380,6 @@ def _neardup_lsh_python_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from . import similarity as _QSIM
 
-    def fold_dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += float(x) * float(y)
-        return acc
-
     rows = collect_bounded(
         _emb(spark, sf_dir).select("vec_id", "label", "embedding"),
         "embeddings (neardup-LSH twin)",
@@ -393,12 +392,12 @@ def _neardup_lsh_python_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         vid = int(r.vec_id)
         v = [float(x) for x in r.embedding]
         vecs[vid] = v
-        nrm[vid] = math.sqrt(fold_dot(v, v))
+        nrm[vid] = math.sqrt(_fold_dot(v, v))
         for band in range(ANN_BANDS):
             bucket = 0
             for i in range(ANN_PLANES_PER_BAND):
                 p = band * ANN_PLANES_PER_BAND + i
-                if fold_dot(v, planes[p]) > 0:
+                if _fold_dot(v, planes[p]) > 0:
                     bucket += 1 << i
             blocks.setdefault((r.label, band, bucket), []).append(vid)
     cand: set[tuple[int, int]] = set()
@@ -410,7 +409,7 @@ def _neardup_lsh_python_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold = _QSIM._NEARDUP_THRESHOLD
     out = []
     for a, b in sorted(cand):
-        cos = fold_dot(vecs[a], vecs[b]) / (nrm[a] * nrm[b])
+        cos = _fold_dot(vecs[a], vecs[b]) / (nrm[a] * nrm[b])
         if cos >= threshold:
             out.append((a, b, cos))
     return spark.createDataFrame(

@@ -145,4 +145,9 @@ def run_band_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(store).select("doc_id", "band", "sig")
+    # .distinct(): foreachBatch is at-least-once without a transactional
+    # sink — an epoch replay would append the batch's rows twice, and
+    # the entry's FULL oracle emits exactly one row per (doc_id, band).
+    # Signatures are deterministic, so dedup is exact (same discipline
+    # as run_incremental_lsh_stream; review r13).
+    return spark.read.parquet(store).select("doc_id", "band", "sig").distinct()

@@ -289,9 +289,13 @@ def test_corpus_promote_append_equals_rebuild(spark, sf_dir, docs):
     )
 
     table = ensure_promoted_band_table(spark, sf_dir)
-    promoted = {
+    promoted_rows = [
         (r.doc_id, r.band, r.sig) for r in spark.table(table).collect()
-    }
+    ]
+    promoted = set(promoted_rows)
+    # no duplicate rows: a faulty append (increment inserted twice,
+    # base re-inserted) would survive a set compare (review r13)
+    assert len(promoted_rows) == len(promoted)
     rebuilt = {
         (r.doc_id, r.band, r.sig)
         for r in D.lsh_band_signatures(
@@ -376,9 +380,11 @@ def test_corpus_promote_chain_and_compaction(spark, sf_dir, docs):
         )
         prev_dir = artifact_path("pmrs_test_chain", key)
         covered.append(src)
-        appended = {
+        appended_rows = [
             (r.doc_id, r.band, r.sig) for r in spark.table(table).collect()
-        }
+        ]
+        appended = set(appended_rows)
+        assert len(appended_rows) == len(appended), f"step {i} dup rows"
         rebuilt = {
             (r.doc_id, r.band, r.sig) for r in bands_of(*covered).collect()
         }
@@ -398,9 +404,13 @@ def test_corpus_promote_chain_and_compaction(spark, sf_dir, docs):
         n_buckets,
     )
     cdir = artifact_path("pmrs_test_chain_c", f"{run_key}cp")
-    assert {
+    compacted_rows = [
         (r.doc_id, r.band, r.sig) for r in spark.table(compacted).collect()
-    } == {(r.doc_id, r.band, r.sig) for r in spark.table(table).collect()}
+    ]
+    assert len(compacted_rows) == len(set(compacted_rows))
+    assert set(compacted_rows) == {
+        (r.doc_id, r.band, r.sig) for r in spark.table(table).collect()
+    }
     # one file per non-empty bucket, and strictly fewer files than the
     # promotion chain accumulated
     assert n_parquet(cdir) <= n_buckets < n_before
