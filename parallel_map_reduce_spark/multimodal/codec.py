@@ -290,6 +290,50 @@ def video_frames_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+IMAGE_METADATA_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, orientation BIGINT, x_dpi BIGINT, "
+    "y_dpi BIGINT, exif_datetime STRING"
+)
+
+
+def image_metadata_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: REAL container metadata decode — image format
+    from the magic-byte header walk plus EXIF IFD0 fields (orientation,
+    DPI, capture datetime) from the APP1 TIFF blob where present
+    (multimodal/exifmeta.py; both II and MM byte orders). The pass a
+    training pipeline runs before any pixel work: tag 0x0112 decides
+    whether decode output needs a rotate/flip. EXIF-less payloads keep
+    their row with NULL metadata (metadata is a side-channel, not a
+    gate); unrecognized payloads are skipped like the other decode
+    maps."""
+    from .exifmeta import parse_exif
+
+    for pdf in batches:
+        rows: list[tuple] = []
+        for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"].values):
+            hdr = parse_image_header(payload)
+            if hdr is None:
+                continue
+            exif = parse_exif(payload) or {}
+            rows.append(
+                (
+                    doc_id,
+                    hdr[0],
+                    exif.get("orientation"),
+                    exif.get("x_dpi"),
+                    exif.get("y_dpi"),
+                    exif.get("datetime"),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "fmt", "orientation", "x_dpi", "y_dpi",
+                "exif_datetime",
+            ],
+        )
+
+
 AUDIO_LOUDNESS_SCHEMA = (
     "doc_id BIGINT, n_samples BIGINT, peak BIGINT, sum_sq BIGINT, "
     "rms DOUBLE"

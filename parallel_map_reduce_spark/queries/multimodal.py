@@ -69,6 +69,38 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_image_metadata",
+    oracle=f"""
+SELECT doc_id, fmt,
+       exp_orientation::BIGINT AS orientation,
+       exp_x_dpi::BIGINT AS x_dpi,
+       exp_y_dpi::BIGINT AS y_dpi,
+       exp_datetime AS exif_datetime
+FROM read_parquet('{_IMAGE_FIXTURE_PARQUET}')
+WHERE doc_id IN (SELECT doc_id FROM documents)
+""",
+    doc="REAL EXIF metadata decode (r13): APP1 TIFF IFD0 walk — "
+    "orientation (tag 0x0112, the rotate/flip a correct pixel pipeline "
+    "must honor), X/Y resolution (RATIONAL, unit-converted), capture "
+    "datetime — in BOTH TIFF byte orders (II and MM, both present in "
+    "the committed fixture on alternating EXIF docs); EXIF-less "
+    "payloads keep their row with NULL metadata. Arrow-batched "
+    "mapInPandas over multimodal/exifmeta.py (pure struct, bounds-"
+    "checked; malformed TIFF inside a present APP1 degrades to NULLs "
+    "rather than poisoning the batch). The oracle reads the "
+    "generator's encode-time record, so parity pits the IFD walk "
+    "against an independent derivation.",
+    tags=("multimodal", "pandas-udf", "exif"),
+)
+def multimodal_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.codec import IMAGE_METADATA_SCHEMA, image_metadata_map
+
+    return _image_payloads(spark, sf_dir).mapInPandas(
+        image_metadata_map, schema=IMAGE_METADATA_SCHEMA
+    )
+
+
 # Committed WAV fixture — same discipline as the image fixture above:
 # real PCM files built by stdlib struct (tools/gen_audio_fixture.py),
 # encode-time parameters recorded as exp_* columns the oracle reads.

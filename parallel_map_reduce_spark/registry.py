@@ -162,8 +162,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_lang_id",
     "text_quality_scores",
     "text_tfidf",
-    # approx/ML family rows-only slots
-    "embedding_pca_whitened",
+    # approx/ML family rows-only slot (embedding_pca_whitened, streak
+    # 3, cedes its slot to the new EXIF entry — PCA stays twin-matched
+    # in the full parity record)
     "documents_quality_logreg",
     # rule 5 — stalest (r03 evidence): exact/MinHash/SimHash dedup
     # anchors, the as-of join, anti-join, set ops, pivot, and two
@@ -185,6 +186,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "search_bm25_served",
     "multimodal_video_features",
     "multimodal_video_frames",
+    # rule 2 — NEW r13: EXIF APP1/TIFF IFD0 metadata decode (both byte
+    # orders in the committed fixture)
+    "multimodal_image_metadata",
     # live streaming drains — oracle/twin-backed, last on purpose
     # (rule 2: streaming_ivfpq_index joins the gated drains with its
     # new batch one-shot twin)

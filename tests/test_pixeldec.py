@@ -353,7 +353,14 @@ def test_fixture_decode_matches_encode_record():
     t = pq.read_table(FIXTURE)
     n_checked = 0
     for d, fmt, payload, w, h, c, ow, oh, crc in zip(
-        *[t[col].to_pylist() for col in t.column_names]
+        *[
+            t[col].to_pylist()
+            for col in (
+                "doc_id", "fmt", "payload", "exp_width", "exp_height",
+                "exp_channels", "exp_out_width", "exp_out_height",
+                "exp_resized_crc32",
+            )
+        ]
     ):
         f2, dw, dh, dc, px = decode_image_pixels(payload)
         assert (f2, dw, dh, dc) == (fmt, w, h, c), d

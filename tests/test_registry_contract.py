@@ -37,6 +37,7 @@ RAW_PATH_ORACLES = {
     "multimodal_audio_loudness",
     "multimodal_curation_filter",
     "multimodal_image_resize",
+    "multimodal_image_metadata",
     "multimodal_video_features",
     "multimodal_video_frames",
     "streaming_multimodal_features",  # shares the image-features oracle

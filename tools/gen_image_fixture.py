@@ -7,7 +7,9 @@ encode-time record as expected-value columns:
 
     doc_id BIGINT, fmt VARCHAR, payload BLOB,
     exp_width BIGINT, exp_height BIGINT, exp_channels BIGINT,
-    exp_out_width BIGINT, exp_out_height BIGINT, exp_resized_crc32 BIGINT
+    exp_out_width BIGINT, exp_out_height BIGINT, exp_resized_crc32 BIGINT,
+    exp_orientation BIGINT, exp_x_dpi BIGINT, exp_y_dpi BIGINT,
+    exp_datetime VARCHAR   (NULL on docs without EXIF)
 
 PNG/GIF/BMP payloads carry the deterministic ``pattern_byte`` pixel
 ramp (PNG rows cycle through all five filter types); JPEG payloads
@@ -40,6 +42,10 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from parallel_map_reduce_spark.multimodal.exifmeta import (  # noqa: E402
+    build_exif_app1,
+    insert_app1,
+)
 from parallel_map_reduce_spark.multimodal.imagehdr import (  # noqa: E402
     bmp_palette_index,
     build_bmp,
@@ -122,7 +128,32 @@ def fixture_row(doc_id: int) -> tuple[str, bytes, int, int, int]:
             width, height, channels, pattern=doc_id % 256,
             subsampling=sub, progressive=progressive,
         )
+        # EXIF on every other JPEG doc (r13): orientation/DPI/datetime
+        # derived from doc_id formulas, byte order alternating II/MM so
+        # both real-world layouts are in the committed fixture. The
+        # APP1 segment changes bytes, not pixels, so every other exp_*
+        # column is untouched.
+        if has_exif(doc_id):
+            payload = insert_app1(payload, build_exif_app1(
+                *exif_values(doc_id), byte_order="II" if (doc_id // 8) % 2 else "MM",
+            ))
     return fmt, payload, width, height, channels
+
+
+def has_exif(doc_id: int) -> bool:
+    """Every other JPEG doc (JPEG doc_ids are all % 4 == 3, so the
+    alternation must ride doc_id // 4, not parity)."""
+    return (doc_id // 4) % 2 == 0
+
+
+def exif_values(doc_id: int) -> tuple[int, int, int, str]:
+    """(orientation, x_dpi, y_dpi, datetime) formulas for EXIF docs."""
+    return (
+        doc_id % 8 + 1,
+        72 + doc_id % 229,
+        72 + (doc_id * 3) % 229,
+        f"2026:08:{doc_id % 28 + 1:02d} {doc_id % 24:02d}:00:00",
+    )
 
 
 def expected_pixels(
@@ -197,7 +228,8 @@ def main() -> int:
     cols = (
         "doc_id", "fmt", "payload", "exp_width", "exp_height",
         "exp_channels", "exp_out_width", "exp_out_height",
-        "exp_resized_crc32",
+        "exp_resized_crc32", "exp_orientation", "exp_x_dpi",
+        "exp_y_dpi", "exp_datetime",
     )
     rows: dict[str, list] = {k: [] for k in cols}
     for d in range(N_DOCS):
@@ -215,6 +247,17 @@ def main() -> int:
         rows["exp_out_width"].append(ow)
         rows["exp_out_height"].append(oh)
         rows["exp_resized_crc32"].append(crc)
+        if fmt == "jpeg" and has_exif(d):
+            ori, xd, yd, dt = exif_values(d)
+            rows["exp_orientation"].append(ori)
+            rows["exp_x_dpi"].append(xd)
+            rows["exp_y_dpi"].append(yd)
+            rows["exp_datetime"].append(dt)
+        else:
+            rows["exp_orientation"].append(None)
+            rows["exp_x_dpi"].append(None)
+            rows["exp_y_dpi"].append(None)
+            rows["exp_datetime"].append(None)
     table = pa.table(
         {
             "doc_id": pa.array(rows["doc_id"], pa.int64()),
@@ -226,6 +269,10 @@ def main() -> int:
             "exp_out_width": pa.array(rows["exp_out_width"], pa.int64()),
             "exp_out_height": pa.array(rows["exp_out_height"], pa.int64()),
             "exp_resized_crc32": pa.array(rows["exp_resized_crc32"], pa.int64()),
+            "exp_orientation": pa.array(rows["exp_orientation"], pa.int64()),
+            "exp_x_dpi": pa.array(rows["exp_x_dpi"], pa.int64()),
+            "exp_y_dpi": pa.array(rows["exp_y_dpi"], pa.int64()),
+            "exp_datetime": pa.array(rows["exp_datetime"], pa.string()),
         }
     )
     pq.write_table(table, OUT, compression="zstd")
