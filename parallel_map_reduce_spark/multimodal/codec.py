@@ -204,6 +204,50 @@ def resize_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+ORIENTED_RESIZE_SCHEMA = (
+    "doc_id BIGINT, fmt STRING, orientation BIGINT, out_width BIGINT, "
+    "out_height BIGINT, resized_crc32 BIGINT"
+)
+
+
+def oriented_resize_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: EXIF-AWARE decode + resize — the upright
+    pipeline a training set actually wants (a resize that ignores tag
+    0x0112 trains on sideways images). Pixels decode exactly like
+    resize_map; the EXIF orientation (default 1 when absent) uprights
+    the (h, w, c) array FIRST (exifmeta.apply_orientation), so
+    orientations 5-8 swap the output dims; then the same fit-to-256
+    nearest-neighbor resample and CRC-32. Undecodable payloads are
+    skipped."""
+    from .exifmeta import apply_orientation, parse_exif
+
+    for pdf in batches:
+        rows: list[tuple] = []
+        for doc_id, payload in zip(pdf["doc_id"].values, pdf["payload"].values):
+            try:
+                fmt, w, h, ch, px = pixeldec.decode_image_pixels(payload)
+            except ValueError:
+                continue
+            exif = parse_exif(payload) or {}
+            ori = exif.get("orientation", 1)
+            arr = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+            arr = np.ascontiguousarray(apply_orientation(arr, ori))
+            oh, ow = arr.shape[0], arr.shape[1]
+            out_w, out_h = pixeldec.fit_dims(ow, oh, RESIZE_TARGET)
+            resized = pixeldec.resize_nearest(
+                arr.tobytes(), ow, oh, ch, out_w, out_h
+            )
+            crc = zlib.crc32(resized) & 0xFFFFFFFF
+            rows.append((doc_id, fmt, ori, out_w, out_h, crc))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "fmt", "orientation", "out_width", "out_height",
+                "resized_crc32",
+            ],
+        )
+
+
 VIDEO_FEATURES_SCHEMA = (
     "doc_id BIGINT, n_bytes BIGINT, width BIGINT, height BIGINT, "
     "n_frames BIGINT, usec_per_frame BIGINT, duration_s DOUBLE"

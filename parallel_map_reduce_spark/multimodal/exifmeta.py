@@ -137,6 +137,30 @@ def parse_exif(data: bytes) -> dict | None:
     return out if out else None
 
 
+def apply_orientation(arr, orientation: int):
+    """Upright a (h, w, c) pixel array per EXIF orientation 1-8 — the
+    standard mapping (identity / mirror / rot180 / flip / transpose /
+    rot90CW / transverse / rot90CCW; what PIL's exif_transpose
+    applies). Pure numpy views; callers needing bytes must copy to
+    contiguous. Out-of-range codes are treated as 1 (the tag is
+    advisory)."""
+    if orientation == 2:
+        return arr[:, ::-1]
+    if orientation == 3:
+        return arr[::-1, ::-1]
+    if orientation == 4:
+        return arr[::-1]
+    if orientation == 5:
+        return arr.transpose(1, 0, 2)
+    if orientation == 6:  # rotate 90 clockwise
+        return arr.transpose(1, 0, 2)[:, ::-1]
+    if orientation == 7:  # transverse: anti-diagonal flip
+        return arr.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:  # rotate 90 counter-clockwise
+        return arr.transpose(1, 0, 2)[::-1]
+    return arr
+
+
 def build_exif_app1(
     orientation: int,
     x_dpi: int,

@@ -101,6 +101,38 @@ def multimodal_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_image_resize_oriented",
+    oracle=f"""
+SELECT doc_id, fmt,
+       exp_eff_orientation::BIGINT AS orientation,
+       exp_oriented_out_width::BIGINT AS out_width,
+       exp_oriented_out_height::BIGINT AS out_height,
+       exp_oriented_crc32::BIGINT AS resized_crc32
+FROM read_parquet('{_IMAGE_FIXTURE_PARQUET}')
+WHERE doc_id IN (SELECT doc_id FROM documents)
+""",
+    doc="EXIF-AWARE decode + resize (r13): the upright pipeline a "
+    "training set actually wants — a resize that ignores orientation "
+    "tag 0x0112 trains on sideways images. Full pixel decode as in "
+    "multimodal_image_resize, then exifmeta.apply_orientation uprights "
+    "the array (orientations 5-8 swap the output dims) before the "
+    "fit-to-256 nearest resample and CRC-32. The oracle reads the "
+    "generator's record, which orients the FORMULA pixels with its own "
+    "inline restatement of the 1-8 mapping — so parity proves the "
+    "whole decode + EXIF-parse + orient + resample chain "
+    "byte-for-byte, across both TIFF byte orders and all planted "
+    "orientations.",
+    tags=("multimodal", "pandas-udf", "exif"),
+)
+def multimodal_image_resize_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.codec import ORIENTED_RESIZE_SCHEMA, oriented_resize_map
+
+    return _image_payloads(spark, sf_dir).mapInPandas(
+        oriented_resize_map, schema=ORIENTED_RESIZE_SCHEMA
+    )
+
+
 # Committed WAV fixture — same discipline as the image fixture above:
 # real PCM files built by stdlib struct (tools/gen_audio_fixture.py),
 # encode-time parameters recorded as exp_* columns the oracle reads.

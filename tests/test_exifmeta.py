@@ -90,3 +90,65 @@ def test_fixture_exif_matches_encode_record():
             orders.add(bytes(payload[i + 6 : i + 8]))
     assert n_exif == 625  # every other JPEG doc (1250 JPEGs / 2)
     assert orders == {b"II", b"MM"}
+
+
+def test_apply_orientation_mapping():
+    """Pin the 1-8 upright mapping on an asymmetric array: dims swap
+    for 5-8, corner tracking per the EXIF convention, and each
+    transform undoes per its standard inverse (6 and 8 are mutual
+    inverses; 1-5 and 7 are involutions)."""
+    import numpy as np
+
+    from parallel_map_reduce_spark.multimodal.exifmeta import apply_orientation
+
+    a = np.arange(2 * 3 * 1, dtype=np.uint8).reshape(2, 3, 1)
+    # visual top-left of the upright image per orientation code
+    assert apply_orientation(a, 1)[0, 0, 0] == 0
+    assert apply_orientation(a, 2)[0, 0, 0] == 2  # mirrored
+    assert apply_orientation(a, 3)[0, 0, 0] == 5  # rot180
+    assert apply_orientation(a, 4)[0, 0, 0] == 3  # flipped
+    for ori in (5, 6, 7, 8):
+        t = apply_orientation(a, ori)
+        assert t.shape == (3, 2, 1), ori
+    # rotate 90 CW: old bottom-left becomes new top-left
+    assert apply_orientation(a, 6)[0, 0, 0] == 3
+    # rotate 90 CCW: old top-right becomes new top-left
+    assert apply_orientation(a, 8)[0, 0, 0] == 2
+    inv = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+    for ori, io in inv.items():
+        back = apply_orientation(apply_orientation(a, ori), io)
+        assert (back == a).all(), ori
+
+
+def test_oriented_resize_map_swaps_dims_and_defaults_upright():
+    """The Arrow body: an orientation-6 payload resizes with swapped
+    output dims; an EXIF-less payload behaves exactly like the plain
+    resize path."""
+    import pandas as pd
+    import zlib as _zlib
+
+    import numpy as np
+
+    from parallel_map_reduce_spark.multimodal.codec import (
+        oriented_resize_map,
+        resize_map,
+    )
+
+    plain = build_jpeg(32, 16, 3, pattern=9)
+    rotated = insert_app1(
+        plain, build_exif_app1(6, 72, 72, "2026:01:01 00:00:00", "II")
+    )
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [plain, rotated]})
+    (out,) = list(oriented_resize_map(iter([pdf])))
+    (base,) = list(resize_map(iter([pdf.iloc[:1]])))
+    r1 = out[out.doc_id == 1].iloc[0]
+    r2 = out[out.doc_id == 2].iloc[0]
+    # EXIF-less: same out dims + checksum as the plain path
+    assert (r1.out_width, r1.out_height, r1.resized_crc32) == (
+        base.iloc[0].out_width, base.iloc[0].out_height,
+        base.iloc[0].resized_crc32,
+    )
+    assert r1.orientation == 1
+    # rotated 90CW: dims swap relative to the plain resize
+    assert (r2.out_width, r2.out_height) == (r1.out_height, r1.out_width)
+    assert r2.orientation == 6 and r2.resized_crc32 != r1.resized_crc32

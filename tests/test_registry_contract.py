@@ -38,6 +38,7 @@ RAW_PATH_ORACLES = {
     "multimodal_curation_filter",
     "multimodal_image_resize",
     "multimodal_image_metadata",
+    "multimodal_image_resize_oriented",
     "multimodal_video_features",
     "multimodal_video_frames",
     "streaming_multimodal_features",  # shares the image-features oracle

@@ -224,12 +224,55 @@ def expected_resize(
     return out_w, out_h, zlib.crc32(resized.tobytes()) & 0xFFFFFFFF
 
 
+def _orient(img: np.ndarray, orientation: int) -> np.ndarray:
+    """The EXIF 1-8 upright mapping, restated inline (the generator
+    never imports decode-side code): mirror / rot180 / flip /
+    transpose / rot90CW / transverse / rot90CCW."""
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1]
+    if orientation == 5:
+        return img.transpose(1, 0, 2)
+    if orientation == 6:
+        return img.transpose(1, 0, 2)[:, ::-1]
+    if orientation == 7:
+        return img.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:
+        return img.transpose(1, 0, 2)[::-1]
+    return img
+
+
+def expected_oriented_resize(
+    fmt: str, w: int, h: int, c: int, base: int, doc_id: int
+):
+    """(out_w, out_h, crc32) after the EXIF-upright transform: the
+    formula pixels oriented per the doc's planted orientation (1 when
+    the doc carries no EXIF), then the same fit + nearest mapping."""
+    ori = exif_values(doc_id)[0] if (fmt == "jpeg" and has_exif(doc_id)) else 1
+    img = np.ascontiguousarray(
+        _orient(expected_pixels(fmt, w, h, c, base, doc_id), ori)
+    )
+    oh, ow = img.shape[0], img.shape[1]
+    long_edge = max(ow, oh)
+    out_w = max(1, ow * RESIZE_TARGET // long_edge)
+    out_h = max(1, oh * RESIZE_TARGET // long_edge)
+    ys = (np.arange(out_h) * oh) // out_h
+    xs = (np.arange(out_w) * ow) // out_w
+    resized = img[ys][:, xs]
+    return ori, out_w, out_h, zlib.crc32(resized.tobytes()) & 0xFFFFFFFF
+
+
 def main() -> int:
     cols = (
         "doc_id", "fmt", "payload", "exp_width", "exp_height",
         "exp_channels", "exp_out_width", "exp_out_height",
         "exp_resized_crc32", "exp_orientation", "exp_x_dpi",
-        "exp_y_dpi", "exp_datetime",
+        "exp_y_dpi", "exp_datetime", "exp_eff_orientation",
+        "exp_oriented_out_width", "exp_oriented_out_height",
+        "exp_oriented_crc32",
     )
     rows: dict[str, list] = {k: [] for k in cols}
     for d in range(N_DOCS):
@@ -247,6 +290,11 @@ def main() -> int:
         rows["exp_out_width"].append(ow)
         rows["exp_out_height"].append(oh)
         rows["exp_resized_crc32"].append(crc)
+        eori, oow, ooh, ocrc = expected_oriented_resize(fmt, w, h, c, d % 256, d)
+        rows["exp_eff_orientation"].append(eori)
+        rows["exp_oriented_out_width"].append(oow)
+        rows["exp_oriented_out_height"].append(ooh)
+        rows["exp_oriented_crc32"].append(ocrc)
         if fmt == "jpeg" and has_exif(d):
             ori, xd, yd, dt = exif_values(d)
             rows["exp_orientation"].append(ori)
@@ -273,6 +321,10 @@ def main() -> int:
             "exp_x_dpi": pa.array(rows["exp_x_dpi"], pa.int64()),
             "exp_y_dpi": pa.array(rows["exp_y_dpi"], pa.int64()),
             "exp_datetime": pa.array(rows["exp_datetime"], pa.string()),
+            "exp_eff_orientation": pa.array(rows["exp_eff_orientation"], pa.int64()),
+            "exp_oriented_out_width": pa.array(rows["exp_oriented_out_width"], pa.int64()),
+            "exp_oriented_out_height": pa.array(rows["exp_oriented_out_height"], pa.int64()),
+            "exp_oriented_crc32": pa.array(rows["exp_oriented_crc32"], pa.int64()),
         }
     )
     pq.write_table(table, OUT, compression="zstd")
