@@ -50,25 +50,38 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
             # Directory datasets: the dir's own mtime only changes when
             # entries are added/removed, so part-files rewritten IN
             # PLACE would serve a stale schema (advisor r12). Fold the
-            # newest top-level entry mtime + total size into the key;
-            # Spark's own writers always create/rename files (bumping
-            # the dir mtime), so this extra stat pass is for tools that
-            # regenerate artifacts in place.
+            # newest entry mtime + total size into the key, recursing
+            # ONE level into subdirectories so Hive-partitioned layouts
+            # (band=/bucket= dirs) also invalidate on an in-place
+            # rewrite of their part-files (advisor r13 — the top-level
+            # scan alone never sees a change two levels deep). Spark's
+            # own writers always create/rename files (bumping a dir
+            # mtime somewhere in the tree), so this stat pass is for
+            # tools that regenerate artifacts in place; deeper-than-
+            # one-level partitioning is outside the memo's contract
+            # and would need a full walk.
             newest, total = st.st_mtime_ns, 0
-            with os.scandir(path) as it:
-                for e in it:
-                    if e.name.startswith(("_", ".")):
-                        # metadata the reader ignores — and artifact
-                        # _BUILT markers get utime'd on every cache
-                        # hit, which would invalidate the memo per
-                        # serve and re-pay the inference job
-                        continue
-                    try:
-                        es = e.stat()
-                    except OSError:
-                        continue
-                    newest = max(newest, es.st_mtime_ns)
-                    total += es.st_size
+
+            def _scan(d: str, recurse: bool) -> None:
+                nonlocal newest, total
+                with os.scandir(d) as it:
+                    for e in it:
+                        if e.name.startswith(("_", ".")):
+                            # metadata the reader ignores — and artifact
+                            # _BUILT markers get utime'd on every cache
+                            # hit, which would invalidate the memo per
+                            # serve and re-pay the inference job
+                            continue
+                        try:
+                            es = e.stat()
+                        except OSError:
+                            continue
+                        newest = max(newest, es.st_mtime_ns)
+                        total += es.st_size
+                        if recurse and e.is_dir():
+                            _scan(e.path, False)
+
+            _scan(path, True)
             key = (os.path.abspath(path), newest, total)
         else:
             key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)

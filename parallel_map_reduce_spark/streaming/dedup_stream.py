@@ -34,6 +34,45 @@ from pyspark.sql import functions as F
 from ..operators.dedup import lsh_band_signatures
 
 
+def _fresh_result_dir(kind: str, sf_dir: str) -> str:
+    """Deterministic per-(pid, sf_dir) result directory under
+    ``/tmp/<kind>/<pid>/<hash>``, cleared up front: repeat runs in one
+    process (bench best-of-N, gate re-runs) reuse ONE directory
+    instead of leaking a fresh mkdtemp each invocation. The dir must
+    outlive the call (the returned DataFrame reads it lazily), so it
+    is cleared at the START of the next run, not on exit — and
+    sibling PID dirs whose process has exited are swept here too
+    (advisor r13: pid-keyed tags otherwise accumulate in /tmp
+    indefinitely across processes)."""
+    parent = os.path.join(tempfile.gettempdir(), kind)
+    os.makedirs(parent, exist_ok=True)
+    with os.scandir(parent) as it:
+        for e in it:
+            if not e.is_dir(follow_symlinks=False):
+                continue
+            try:
+                pid = int(e.name)
+            except ValueError:
+                # pre-r14 hash-keyed layout: pid unrecoverable, sweep
+                shutil.rmtree(e.path, ignore_errors=True)
+                continue
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)
+            except (ProcessLookupError, OverflowError):
+                # gone — or an all-digit pre-r14 hash tag too large to
+                # be a pid; either way the dir is stale
+                shutil.rmtree(e.path, ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid — not ours to sweep
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(parent, str(os.getpid()), tag)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    return out
+
+
 def incremental_matches_against(
     new_docs: DataFrame, corpus_bands: DataFrame
 ) -> DataFrame:
@@ -67,15 +106,7 @@ def run_incremental_lsh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") != INCR_SOURCE)
     ).localCheckpoint(eager=True)  # the standing index artifact
 
-    # Deterministic pid-keyed result dir, cleared up front: repeat runs
-    # (bench best-of-N, gate re-runs) reuse ONE directory per process
-    # instead of leaking a fresh mkdtemp each invocation. The dir must
-    # outlive this call (the returned DataFrame reads it lazily), so
-    # it is cleared at the START of the next run, not on exit.
-    tag = hashlib.md5(f"lsh:{os.path.abspath(sf_dir)}:{os.getpid()}".encode()).hexdigest()[:12]
-    out_dir = os.path.join(tempfile.gettempdir(), "pmrs_lsh_matches", tag)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = _fresh_result_dir("pmrs_lsh_matches", sf_dir)
     empty = spark.createDataFrame([], "new_doc BIGINT, corpus_doc BIGINT")
     empty.write.mode("append").parquet(out_dir)  # schema for the 0-match case
 
@@ -121,12 +152,7 @@ def run_band_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, band, sig)."""
     from .curation_stream import read_documents_stream
 
-    tag = hashlib.md5(
-        f"bandidx:{os.path.abspath(sf_dir)}:{os.getpid()}".encode()
-    ).hexdigest()[:12]
-    store = os.path.join(tempfile.gettempdir(), "pmrs_band_index", tag)
-    shutil.rmtree(store, ignore_errors=True)
-    os.makedirs(store, exist_ok=True)
+    store = _fresh_result_dir("pmrs_band_index", sf_dir)
     empty = spark.createDataFrame([], "doc_id BIGINT, band INT, sig STRING")
     empty.write.mode("append").parquet(store)  # schema for the 0-doc case
 

@@ -90,7 +90,7 @@ def test_lsh_hot_bucket_band_join_aqe_skew_split(spark):
     """VERDICT r12 task 4: the LSH band join's skew story
     (operators/dedup.py:minhash_lsh_candidates — 'AQE splits any hot
     bucket at scale') witnessed against a planted pathological bucket:
-    1,500 byte-identical documents share EVERY band signature, so one
+    1,000 byte-identical documents share EVERY band signature, so one
     (band, sig) bucket holds the whole corpus on both join sides. The
     join must (a) complete with the exact closed-form pair count and
     (b) actually engage AQE's skew-join split (skew=true in the final
