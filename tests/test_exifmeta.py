@@ -64,32 +64,51 @@ def test_malformed_tiff_degrades_to_none():
 
 def test_fixture_exif_matches_encode_record():
     """Every committed EXIF doc parses back the generator's formulas;
-    every non-EXIF doc parses to None; both byte orders occur."""
+    every non-EXIF doc parses to None; both byte orders occur; ALL
+    EIGHT orientations occur (advisor r13: the old ``doc_id % 8``
+    cadence aliased with the mod-8 EXIF selection and planted
+    orientation 4 on every doc, never exercising the transpose path)
+    and the dim-swapping codes 5-8 record swapped oriented output
+    dims in the encode-time expectation columns."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(FIXTURE)
     n_exif = 0
     orders = set()
-    for d, payload, ori, xd, yd, dt in zip(
+    orientations = set()
+    for d, payload, ori, xd, yd, dt, ow, oh, oow, ooh in zip(
         t["doc_id"].to_pylist(),
         t["payload"].to_pylist(),
         t["exp_orientation"].to_pylist(),
         t["exp_x_dpi"].to_pylist(),
         t["exp_y_dpi"].to_pylist(),
         t["exp_datetime"].to_pylist(),
+        t["exp_out_width"].to_pylist(),
+        t["exp_out_height"].to_pylist(),
+        t["exp_oriented_out_width"].to_pylist(),
+        t["exp_oriented_out_height"].to_pylist(),
     ):
         got = parse_exif(payload)
         if ori is None:
             assert got is None, d
+            assert (oow, ooh) == (ow, oh), d  # no EXIF -> upright as-is
         else:
             n_exif += 1
+            orientations.add(ori)
             assert got == {
                 "orientation": ori, "x_dpi": xd, "y_dpi": yd, "datetime": dt,
             }, d
             i = payload.find(b"Exif\x00\x00")
             orders.add(bytes(payload[i + 6 : i + 8]))
+            if ori >= 5:
+                # transpose family: the oriented image is (w, h), so
+                # the fit-to-256 output dims swap vs the upright resize
+                assert (oow, ooh) == (oh, ow), (d, ori)
+            else:
+                assert (oow, ooh) == (ow, oh), (d, ori)
     assert n_exif == 625  # every other JPEG doc (1250 JPEGs / 2)
     assert orders == {b"II", b"MM"}
+    assert orientations == set(range(1, 9))
 
 
 def test_apply_orientation_mapping():

@@ -147,9 +147,16 @@ def has_exif(doc_id: int) -> bool:
 
 
 def exif_values(doc_id: int) -> tuple[int, int, int, str]:
-    """(orientation, x_dpi, y_dpi, datetime) formulas for EXIF docs."""
+    """(orientation, x_dpi, y_dpi, datetime) formulas for EXIF docs.
+
+    Orientation rides ``doc_id // 8``: EXIF docs are exactly
+    doc_id ≡ 3 (mod 8) (JPEG = %4==3 intersected with has_exif's
+    //4 alternation), so a plain ``doc_id % 8`` is CONSTANT over them
+    (always 3 → orientation 4 — advisor r13: the committed fixture
+    never exercised the dim-swapping transpose path). ``// 8`` strides
+    once per EXIF doc, cycling all eight orientations 1-8."""
     return (
-        doc_id % 8 + 1,
+        (doc_id // 8) % 8 + 1,
         72 + doc_id % 229,
         72 + (doc_id * 3) % 229,
         f"2026:08:{doc_id % 28 + 1:02d} {doc_id % 24:02d}:00:00",
