@@ -135,6 +135,37 @@ def main() -> int:
                 TWINS,
             )
 
+            from parallel_map_reduce_spark.queries.tolerance import (
+                TOLERANCE,
+            )
+
+            if name in TOLERANCE:
+                # Sketch family (VERDICT r13 task 1): no oracle (the
+                # checker is exact-diff) and no independent twin
+                # (re-sketching reproduces the estimate), but the
+                # published error bound IS checkable — record bound +
+                # observed worst error vs the exact quantity.
+                label, witness = TOLERANCE[name]
+                try:
+                    rec = witness(spark, sf_dir, srows, scols)
+                except Exception as e:  # noqa: BLE001
+                    failures.append(name)
+                    print(f"  {name:35s} TOLERANCE ERROR ({label}): "
+                          f"{type(e).__name__}: {str(e)[:120]}")
+                    continue
+                if not rec["ok"]:
+                    failures.append(name)
+                    print(f"  {name:35s} TOLERANCE FAIL vs {label}: "
+                          f"bound [{rec['bound']}] violated — "
+                          f"{rec['observed']} {rec['detail']}")
+                    continue
+                print(f"  {name:35s} tolerance-matched: {len(srows):5d} rows "
+                      f"(vs {label}) ({time.time()-t0:5.1f}s)")
+                print(f"      bound [{rec['bound']}]; {rec['observed']}")
+                if not srows:
+                    failures.append(name)
+                    print(f"    FAIL: {name} returned 0 rows")
+                continue
             if name in TWINS:
                 label, build_twin = TWINS[name]
                 try:
