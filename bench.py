@@ -1269,7 +1269,26 @@ def main() -> int:
                 16,
             )
             promote_notch["promote_step"] = round(time.perf_counter() - t0, 3)
+            # O(increment) must mean HARDLINKS, not silent cross-device
+            # copies: the fallback ledger has to be empty after the
+            # timed step (VERDICT r13 task 4) — a non-empty ledger
+            # means the measured promote_step actually paid O(corpus)
+            # copy bytes and the number is a lie.
+            from parallel_map_reduce_spark.operators.layout import (
+                _bucket_file_counts,
+                pop_link_fallbacks,
+            )
+
+            fallbacks = pop_link_fallbacks()
+            assert not fallbacks, (
+                f"promote notch degraded to copyfile on {len(fallbacks)} "
+                f"files (cross-device artifact cache?): {fallbacks[:3]}"
+            )
             probe = lsh_band_signatures(increment)
+            # v0/v4 probes run BEFORE the chain-32 extension below:
+            # 28 more published versions would push v0/v4 past the
+            # family LRU's KEEP=8 and the probe would time a corpus
+            # rebuild instead of serving.
             for label, tbl in (("match_v0", base_table), ("match_v4", table)):
                 secs, nd = _probe_gated_notch(
                     spark,
@@ -1280,6 +1299,49 @@ def main() -> int:
                 )
                 promote_notch[label] = round(secs, 3)
                 curve_detail[f"promote_{label}"] = nd
+            # Chain-32 auto-compaction witness (VERDICT r13 task 3):
+            # continue the chain v5..v32 with the file-count policy at
+            # 8 files/bucket — compaction must hold the bound in every
+            # published version, zero link fallbacks, and serving
+            # against v32 must stay in the v0/v4 band (recorded as
+            # match_v32).
+            t0 = time.perf_counter()
+            v32_dir = artifact_path(
+                "pmrs_promote_bands", f"{pkey}v4p{os.getpid()}"
+            )
+            peak_per_bucket = 0
+            for i in range(5, 33):
+                table = ensure_bucketed_append(
+                    spark,
+                    f"pmrs_promote_v{i}",
+                    "pmrs_promote_bands",
+                    f"{pkey}v{i}p{os.getpid()}",
+                    v32_dir,
+                    lambda i=i: inc_shifted(i),
+                    "sig",
+                    16,
+                    compact_files_per_bucket=8,
+                )
+                v32_dir = artifact_path(
+                    "pmrs_promote_bands", f"{pkey}v{i}p{os.getpid()}"
+                )
+                counts = _bucket_file_counts(v32_dir)
+                peak_per_bucket = max(peak_per_bucket, max(counts.values()))
+            assert peak_per_bucket <= 8, (
+                f"auto-compaction never held the bound: {peak_per_bucket}"
+            )
+            assert pop_link_fallbacks() == []
+            promote_notch["chain32_total"] = round(time.perf_counter() - t0, 3)
+            promote_notch["chain32_peak_files_per_bucket"] = peak_per_bucket
+            secs, nd = _probe_gated_notch(
+                spark,
+                lambda t=table: incremental_lsh_matches_indexed(
+                    probe, spark.table(t)
+                ),
+                "promote_notch match_v32",
+            )
+            promote_notch["match_v32"] = round(secs, 3)
+            curve_detail["promote_match_v32"] = nd
             print(f"bench: promote_notch {promote_notch}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"bench: promote_notch ERROR: {e}", file=sys.stderr)

@@ -303,6 +303,76 @@ def ensure_bucketed_table(
     )
 
 
+# Cross-device promote degradations (os.link -> copyfile), recorded so
+# callers can ASSERT the O(increment) promise actually held: on an
+# EXDEV layout (artifact cache and build tmp on different filesystems)
+# the promote silently becomes O(corpus) bytes — correct, but exactly
+# the degradation a 100 TB crawl loop must see, not guess (VERDICT r13
+# task 4). bench.py's promote notch asserts this stays empty.
+LINK_FALLBACKS: list[str] = []
+
+
+def pop_link_fallbacks() -> list[str]:
+    """Return and clear the copyfile-fallback ledger."""
+    out = list(LINK_FALLBACKS)
+    LINK_FALLBACKS.clear()
+    return out
+
+
+def _bucket_file_counts(d: str) -> dict[int, int]:
+    """Parquet files per writer bucket id in a bucketed artifact dir
+    (bucket identity rides the ``_NNNNN`` file-name suffix Spark's
+    bucketed writer emits)."""
+    import os
+    import re
+
+    pat = re.compile(r"_(\d{5})\.")
+    counts: dict[int, int] = {}
+    for f in os.listdir(d):
+        if not f.endswith(".parquet") or f.startswith(("_", ".")):
+            continue
+        m = pat.search(f)
+        if m:
+            b = int(m.group(1))
+            counts[b] = counts.get(b, 0) + 1
+    return counts
+
+
+def _compact_build_dir(
+    spark, tmp: str, cols: str, table: str, key: str,
+    bucket_col: str, n_buckets: int,
+) -> None:
+    """Fold a build dir's bucketed files to one per bucket IN PLACE
+    (pre-publish): rewrite through the bucket spec into a sibling dir,
+    then swap the parquet file sets. Removing the old files only
+    unlinks this version's hardlinks — base versions keep their
+    inodes."""
+    import os
+    import shutil
+    import tempfile
+
+    comp = tempfile.mkdtemp(
+        prefix="pmrs_compact_", dir=os.path.dirname(tmp)
+    )
+    try:
+        df = (
+            spark.read.schema(cols)
+            .parquet(tmp)
+            .repartition(n_buckets, F.col(bucket_col))
+        )
+        build_table = f"{table}_{key}_compact_{os.getpid()}"
+        write_bucketed(df, build_table, bucket_col, n_buckets, path=comp)
+        spark.sql(f"DROP TABLE `{build_table}`")
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                os.remove(os.path.join(tmp, f))
+        for f in os.listdir(comp):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                os.replace(os.path.join(comp, f), os.path.join(tmp, f))
+    finally:
+        shutil.rmtree(comp, ignore_errors=True)
+
+
 def ensure_bucketed_append(
     spark,
     table: str,
@@ -312,6 +382,7 @@ def ensure_bucketed_append(
     increment_df,
     bucket_col: str,
     n_buckets: int = 16,
+    compact_files_per_bucket: int | None = 32,
 ) -> str:
     """Promote an increment INTO a standing bucketed artifact without
     rebuilding it: the new artifact VERSION is the base version's
@@ -330,13 +401,28 @@ def ensure_bucketed_append(
     ``increment_df`` is a zero-arg callable returning the rows to
     append — only evaluated on a cache miss. ``table``/``family``/
     ``key`` name the NEW version; chained promotions pass the previous
-    promotion's artifact dir as ``base_path``. Losing bucket files to
-    the family LRU is safe for the chain: hardlinks keep inodes alive
-    in every later version that seeded from them. Periodic
-    ``compact_bucketed_table`` folds the accumulated per-promotion
-    small files back to one file per bucket."""
+    promotion's artifact dir as ``base_path``. Losing bucket files of
+    an EXISTING version to the family LRU is safe for the chain
+    (hardlinks keep inodes alive in every later version that seeded
+    from them) — but a base evicted BEFORE this append links it raises
+    FileNotFoundError with a re-ensure hint rather than limping into
+    copyfile (advisor r13).
+
+    COMPACTION POLICY (VERDICT r13 task 3): when any bucket of the
+    freshly appended version exceeds ``compact_files_per_bucket``
+    parquet files, the build dir is folded to one file per bucket
+    BEFORE publishing — the chain's accumulated per-promotion small
+    files are bounded automatically, every later promotion seeds from
+    the compacted version, and serving stays flat over arbitrarily
+    long chains (the witness in tests/test_layout.py runs a
+    32-promotion chain). The fold costs one read+write of the current
+    version, amortized over the promotions that stayed under the
+    threshold; ``None`` disables it (manual
+    ``compact_bucketed_table`` maintenance)."""
+    import errno
     import os
     import shutil
+    import sys
 
     def build(tmp: str) -> None:
         for fname in os.listdir(base_path):
@@ -348,7 +434,28 @@ def ensure_bucketed_append(
             dst = os.path.join(tmp, fname)
             try:
                 os.link(src, dst)
-            except OSError:  # cross-device /tmp layouts
+            except OSError as exc:
+                if exc.errno == errno.ENOENT:
+                    # The base artifact vanished between resolving
+                    # base_path and this link (family LRU eviction):
+                    # copyfile would fail too — fail with the remedy
+                    # instead of an uncaught ENOENT mid-copy.
+                    raise FileNotFoundError(
+                        f"promotion base file disappeared: {src} — the "
+                        "base artifact was evicted (family LRU?); "
+                        "re-ensure/rebuild the base version before "
+                        "appending to it"
+                    ) from exc
+                # cross-device layout (EXDEV and kin): correctness is
+                # preserved but the promote degrades from O(increment)
+                # hardlinks to O(corpus) copied bytes — record it so
+                # notches/tests can assert it never happens silently.
+                LINK_FALLBACKS.append(src)
+                print(
+                    f"layout: os.link fallback -> copyfile for {src} "
+                    f"({exc}); promote is copying corpus bytes",
+                    file=sys.stderr,
+                )
                 shutil.copyfile(src, dst)
         schema_file = os.path.join(tmp, "_SCHEMA")
         if os.path.exists(schema_file):
@@ -389,6 +496,12 @@ def ensure_bucketed_append(
         finally:
             # Catalog entry only; the (external) files publish atomically.
             spark.sql(f"DROP TABLE IF EXISTS `{build_table}`")
+        if compact_files_per_bucket is not None:
+            counts = _bucket_file_counts(tmp)
+            if counts and max(counts.values()) > compact_files_per_bucket:
+                _compact_build_dir(
+                    spark, tmp, cols, table, key, bucket_col, n_buckets
+                )
 
     return _serve_bucketed_artifact(
         spark, table, family, key, build, bucket_col, n_buckets

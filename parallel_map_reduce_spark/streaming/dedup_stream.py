@@ -137,6 +137,53 @@ def run_incremental_lsh_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).distinct()
 
 
+def drain_band_index(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    store: str,
+    ckpt: str,
+    fail_after_epochs: int | None = None,
+) -> None:
+    """Drain a documents stream into the band store at ``store`` with
+    offsets checkpointed at ``ckpt`` — the restartable core of the
+    band-index maintenance drain. ``fail_after_epochs`` plants a crash
+    AFTER the sink write but BEFORE the epoch's checkpoint commit (the
+    worst at-least-once window: the rows landed, the offset did not),
+    for the kill-and-restart witness in tests/test_streaming.py; a
+    restart with the same ``ckpt`` replays that epoch, appending its
+    rows a second time, and ``band_index_store`` must absorb the
+    duplication exactly."""
+    n_done = 0
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        nonlocal n_done
+        lsh_band_signatures(batch_df).write.mode("append").parquet(store)
+        n_done += 1
+        if fail_after_epochs is not None and n_done >= fail_after_epochs:
+            raise RuntimeError(
+                "planted crash: sink write committed, checkpoint not"
+            )
+
+    (
+        docs_stream.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+        .awaitTermination()
+    )
+
+
+def band_index_store(spark: SparkSession, store: str) -> DataFrame:
+    """The served view of a band store directory.
+
+    .distinct(): foreachBatch is at-least-once without a transactional
+    sink — an epoch replayed after a crash appends its rows twice, and
+    the entry's FULL oracle emits exactly one row per (doc_id, band).
+    Signatures are deterministic, so dedup is exact (same discipline
+    as run_incremental_lsh_stream; review r13)."""
+    return spark.read.parquet(store).select("doc_id", "band", "sig").distinct()
+
+
 def run_band_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE band-signature index maintenance — the streaming half of
     the corpus-promotion lifecycle (layout.ensure_bucketed_append is
@@ -148,32 +195,21 @@ def run_band_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained store equals the batch ``lsh_band_signatures`` over the
     same documents row-for-row whatever the batch boundaries — which
     is why the registered entry carries a FULL DuckDB oracle (the
-    bands CTE), not a rows-only record. Returns the final store
-    (doc_id, band, sig)."""
+    bands CTE), not a rows-only record. Crash recovery is part of the
+    contract: drain_band_index + band_index_store survive a kill
+    mid-epoch from the checkpoint (tests/test_streaming.py). Returns
+    the final store (doc_id, band, sig)."""
     from .curation_stream import read_documents_stream
 
     store = _fresh_result_dir("pmrs_band_index", sf_dir)
     empty = spark.createDataFrame([], "doc_id BIGINT, band INT, sig STRING")
     empty.write.mode("append").parquet(store)  # schema for the 0-doc case
 
-    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
-        lsh_band_signatures(batch_df).write.mode("append").parquet(store)
-
     ckpt = tempfile.mkdtemp(prefix="pmrs_bandidx_ckpt_")
     try:
-        (
-            read_documents_stream(spark, sf_dir)
-            .writeStream.foreachBatch(_apply)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", ckpt)
-            .start()
-            .awaitTermination()
+        drain_band_index(
+            spark, read_documents_stream(spark, sf_dir), store, ckpt
         )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    # .distinct(): foreachBatch is at-least-once without a transactional
-    # sink — an epoch replay would append the batch's rows twice, and
-    # the entry's FULL oracle emits exactly one row per (doc_id, band).
-    # Signatures are deterministic, so dedup is exact (same discipline
-    # as run_incremental_lsh_stream; review r13).
-    return spark.read.parquet(store).select("doc_id", "band", "sig").distinct()
+    return band_index_store(spark, store)

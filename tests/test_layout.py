@@ -366,3 +366,155 @@ def test_bucketed_table_rebuilds_after_artifact_eviction(spark, sf_dir, tmp_path
         spark.sql("DROP TABLE IF EXISTS t_evict_demo_" + key)
         shutil.rmtree(artifact_path(family, key), ignore_errors=True)
         shutil.rmtree(artifact_path(family, ""), ignore_errors=True)
+
+
+def _mk_bands(spark, lo, hi):
+    """Synthetic band rows (doc_id, band, sig) for promote-chain tests:
+    sig collides across docs (doc_id % 7) so every bucket is non-empty."""
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("int").alias("band"),
+            F.format_string("s%d", F.col("id") % 7).alias("sig"),
+        )
+    )
+
+
+def test_promote_chain_32_autocompacts_and_stays_identical(spark):
+    """VERDICT r13 task 3: a 32-promotion chain with the file-count
+    compaction policy enabled must (a) trigger compaction (file counts
+    fold back), (b) keep every bucket at or under the threshold in
+    every PUBLISHED version, (c) never copy corpus bytes (zero link
+    fallbacks on a same-filesystem cache), and (d) end row-identical
+    to the from-scratch union."""
+    import os
+
+    from parallel_map_reduce_spark.operators.layout import (
+        ensure_bucketed_append,
+        ensure_bucketed_table,
+        pop_link_fallbacks,
+    )
+    from parallel_map_reduce_spark.sources.artifact_cache import artifact_path
+
+    n_buckets = 4
+    threshold = 4
+    run = f"c32p{os.getpid()}"
+    ensure_bucketed_table(
+        spark, "pmrs_chain32_v0", "pmrs_chain32", f"{run}v0",
+        lambda: _mk_bands(spark, 0, 50), "sig", n_buckets,
+    )
+    pop_link_fallbacks()
+    prev_dir = artifact_path("pmrs_chain32", f"{run}v0")
+    table = "pmrs_chain32_v0"
+
+    def per_bucket(d):
+        from parallel_map_reduce_spark.operators.layout import (
+            _bucket_file_counts,
+        )
+        return _bucket_file_counts(d)
+
+    compactions = 0
+    prev_files = sum(per_bucket(prev_dir).values())
+    for i in range(1, 33):
+        table = ensure_bucketed_append(
+            spark, f"pmrs_chain32_v{i}", "pmrs_chain32", f"{run}v{i}",
+            prev_dir, lambda i=i: _mk_bands(spark, 50 * i, 50 * (i + 1)),
+            "sig", n_buckets, compact_files_per_bucket=threshold,
+        )
+        prev_dir = artifact_path("pmrs_chain32", f"{run}v{i}")
+        counts = per_bucket(prev_dir)
+        n_files = sum(counts.values())
+        if n_files < prev_files:
+            compactions += 1
+        prev_files = n_files
+        assert max(counts.values()) <= threshold, (i, counts)
+    assert compactions >= 2, "32-chain never compacted"
+    assert pop_link_fallbacks() == [], "same-fs chain paid copy bytes"
+    got = {
+        (r.doc_id, r.band, r.sig) for r in spark.table(table).collect()
+    }
+    want = {
+        (r.doc_id, r.band, r.sig)
+        for r in _mk_bands(spark, 0, 50 * 33).collect()
+    }
+    assert got == want
+
+
+def test_promote_link_fallback_exdev_copies_and_records(spark, monkeypatch):
+    """VERDICT r13 task 4: on a cross-device layout the promote must
+    still be CORRECT (copyfile path) while the degradation is visible
+    in the fallback ledger — never silent."""
+    import errno
+    import os
+
+    from parallel_map_reduce_spark.operators.layout import (
+        ensure_bucketed_append,
+        ensure_bucketed_table,
+        pop_link_fallbacks,
+    )
+    from parallel_map_reduce_spark.sources.artifact_cache import artifact_path
+
+    run = f"exdev{os.getpid()}"
+    ensure_bucketed_table(
+        spark, "pmrs_exdev_v0", "pmrs_exdev", f"{run}v0",
+        lambda: _mk_bands(spark, 0, 30), "sig", 4,
+    )
+    pop_link_fallbacks()
+
+    real_link = os.link
+
+    def exdev_link(src, dst, **kw):
+        raise OSError(errno.EXDEV, "Invalid cross-device link", src)
+
+    monkeypatch.setattr(os, "link", exdev_link)
+    try:
+        table = ensure_bucketed_append(
+            spark, "pmrs_exdev_v1", "pmrs_exdev", f"{run}v1",
+            artifact_path("pmrs_exdev", f"{run}v0"),
+            lambda: _mk_bands(spark, 30, 40), "sig", 4,
+        )
+    finally:
+        monkeypatch.setattr(os, "link", real_link)
+    fallbacks = pop_link_fallbacks()
+    assert fallbacks, "EXDEV degradation was not recorded"
+    got = {(r.doc_id, r.band, r.sig) for r in spark.table(table).collect()}
+    want = {
+        (r.doc_id, r.band, r.sig) for r in _mk_bands(spark, 0, 40).collect()
+    }
+    assert got == want
+
+
+def test_promote_base_enoent_raises_with_remedy(spark, monkeypatch):
+    """An evicted base artifact must fail the append LOUDLY with the
+    re-ensure remedy, not fall through to an uncaught copyfile ENOENT
+    (advisor r13)."""
+    import errno
+    import os
+
+    import pytest
+
+    from parallel_map_reduce_spark.operators.layout import (
+        ensure_bucketed_append,
+        ensure_bucketed_table,
+        pop_link_fallbacks,
+    )
+    from parallel_map_reduce_spark.sources.artifact_cache import artifact_path
+
+    run = f"enoent{os.getpid()}"
+    ensure_bucketed_table(
+        spark, "pmrs_enoent_v0", "pmrs_enoent", f"{run}v0",
+        lambda: _mk_bands(spark, 0, 30), "sig", 4,
+    )
+
+    def gone_link(src, dst, **kw):
+        raise FileNotFoundError(errno.ENOENT, "No such file", src)
+
+    monkeypatch.setattr(os, "link", gone_link)
+    with pytest.raises(FileNotFoundError, match="re-ensure"):
+        ensure_bucketed_append(
+            spark, "pmrs_enoent_v1", "pmrs_enoent", f"{run}v1",
+            artifact_path("pmrs_enoent", f"{run}v0"),
+            lambda: _mk_bands(spark, 30, 40), "sig", 4,
+        )
+    assert pop_link_fallbacks() == []
