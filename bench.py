@@ -1448,8 +1448,12 @@ def main() -> int:
         # (VERDICT r11 task 8).
         # 256x (~1.6 GB, ~91k files) extends the curve a second octave
         # past the reference's FD-ulimit ceiling (VERDICT r12 task 5)
+        # 512x (~3.2 GB, ~182k files) adds a third octave (VERDICT r13
+        # task 8) — the 128->256 step already showed the page-cache
+        # knee (~2.05x wall per 2x data vs ~1.8x below it); 512x
+        # records whether the out-of-cache regime holds that slope
         scale_pairs = _int_list_env(
-            "SPARK_GRAFT_PAIRED_SCALE_FACTORS", "8,32,64,128,256"
+            "SPARK_GRAFT_PAIRED_SCALE_FACTORS", "8,32,64,128,256,512"
         )
         if os.environ.get("SPARK_GRAFT_PAIRED_SCALE", "1") != "0" and scale_pairs:
             spark = _revive(spark, cpus)

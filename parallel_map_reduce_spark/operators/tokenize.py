@@ -68,6 +68,39 @@ def distinct_pairs(words: DataFrame) -> DataFrame:
     return words.dropDuplicates(["word", "doc_id"])
 
 
+# ---------------------------------------------------------------------
+# UNICODE MODE (round 14 — north-star contract extension, NOT parity).
+# The contract above is ASCII BY DESIGN (reference fidelity:
+# src/tema1.cpp:88-99 is isalpha), and the parity path stays
+# byte-identical. Real LLM-pipeline corpora are UTF-8; this mode
+# tokenizes on Unicode letter classes instead: lowercase first
+# (simple 1:1 mappings — the committed fixture documents and avoids
+# the context-/locale-sensitive divergences between Java's
+# toLowerCase and DuckDB's utf8proc: final Σ, Turkish İ/ı,
+# length-changing maps), then split on runs of non-letters (Java
+# \p{L} covers all scripts; CJK has no spaces, so adjacent Han/kana
+# runs form ONE token — no segmentation is claimed). Everything stays
+# a built-in Column expression inside codegen, same as the ASCII
+# path; the DuckDB oracle of text_unicode_tokens re-derives the same
+# split under RE2, so the hash match each round proves the two
+# engines' Unicode semantics agree on the contract's domain.
+UNICODE_SPLIT_REGEX = r"[^\p{L}]+"
+
+
+def unicode_tokenize(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """docs → (doc_id, token): lowercased maximal Unicode-letter runs.
+    The UTF-8 sibling of tokenize+normalize+filter_empty fused into one
+    projection (lower → split → explode → drop empties)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), UNICODE_SPLIT_REGEX)
+        ).alias("token"),
+    ).filter(F.length("token") > 0)
+
+
 def doc_word_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Fused pipeline: docs → distinct cleaned (word, doc_id) pairs.
 

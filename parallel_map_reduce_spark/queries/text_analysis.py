@@ -748,3 +748,57 @@ def documents_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         F.round(F.col("n_docs") / F.col("lang_docs"), 4).alias("share"),
     )
+
+
+_UNICODE_FIXTURE_PARQUET = "/root/repo/refdata/unicode_fixture.parquet"
+
+
+@register(
+    "text_unicode_tokens",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^\\p{{L}}]+')) AS token
+    FROM read_parquet('{_UNICODE_FIXTURE_PARQUET}')
+    WHERE doc_id % 2000 IN (SELECT doc_id % 2000 FROM documents)
+),
+f AS (SELECT doc_id, token FROM toks WHERE length(token) > 0)
+SELECT token, COUNT(*)::BIGINT AS n, COUNT(DISTINCT doc_id)::BIGINT AS df
+FROM f GROUP BY token
+""",
+    doc="UNICODE text contract (r14, north-star extension — the "
+    "reference-parity tokenizer stays ASCII by design, src/tema1.cpp:"
+    "88-99): per-token corpus frequencies over the committed multi-"
+    "script UTF-8 fixture (accented Latin, Greek, Cyrillic, CJK, "
+    "Arabic/Hebrew, emoji/digit/full-width separators) under the "
+    "documented Unicode tokenization mode — lower() then split on "
+    "[^\\p{{L}}]+ (operators/tokenize.py:unicode_tokenize; the "
+    "contract's case-mapping domain is documented there and in "
+    "tools/gen_unicode_fixture.py). The oracle re-derives the split "
+    "with DuckDB's RE2/utf8proc, so the hash match proves the two "
+    "engines' Unicode semantics agree end-to-end: split classes, "
+    "simple lowercase maps, and UTF-8 identity of every token. One "
+    "shuffle (the groupBy); projection stays in codegen.",
+    tags=("text", "unicode", "llm-pipeline"),
+)
+def text_unicode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenize import unicode_tokenize
+    from ..sources.catalog import read_parquet
+
+    # Scope the 2000-doc fixture to the sf's documents (doc_id mod the
+    # fixture size, so every sf exercises all scripts: sf0.001/0.01
+    # ship doc_ids 0..499 — a plain IN join would always pick the same
+    # quarter of the fixture).
+    fixture = read_parquet(spark, _UNICODE_FIXTURE_PARQUET)
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 2000).alias("fid"))
+        .distinct()
+    )
+    docs = fixture.join(
+        F.broadcast(ids), fixture["doc_id"] % 2000 == ids["fid"]
+    ).select("doc_id", "text")
+    return unicode_tokenize(docs).groupBy("token").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("df"),
+    )

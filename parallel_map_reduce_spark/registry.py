@@ -102,25 +102,37 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #      inverts — the slots not held by rules 1/2/4 go OLDEST-driver-
 #      evidence-first (per CORRECTNESS_r*.json), displacing the
 #      members with the longest consecutive green streaks.
-# Round-13 window: rule 2 rotates IN dedup_corpus_promote (NEW — the
-# promotion lifecycle: append the promoted increment into the corpus
-# band artifact; its oracle is the from-scratch rebuild, so the hash
-# match proves append == rebuild), embedding_semantic_dedup (evidence
-# upgraded: pure-Python twin in parity), and the streaming_ivfpq_index
-# drain (same upgrade; batch one-shot twin); multimodal_audio_features
-# + multimodal_audio_loudness hold their slots (rule 2: the fixture
-# now mixes 16/20/24-bit FLAC — new payloads, new expected values).
-# Rule 5 rotates IN the nine stalest oracle-backed entries, all
-# r03-evidence: dedup_exact, dedup_minhash_signatures, dedup_simhash,
-# asof_purchase_last_click, customers_without_events, nation_set_ops,
-# orders_status_pivot, q5_region_revenue, q2_cheapest_part_per_type.
-# OUT, longest-green-first (streaks 6-8, every family keeps a rep):
-# multimodal_image_resize, trade_graph_communities_lpa,
-# text_doc_similarity, orders_cdc_merge (CDC stays covered by the
-# streaming_cdc_apply drain), events_drift_psi, dedup_jaccard_prefix,
-# orders_priority_woe_iv, neardup_communities_lpa, events_value_twap,
-# events_trend_anomalies, events_touch_attribution,
-# dedup_repeated_substrings. Full displacement log: GATE_HISTORY.md.
+# Round-14 window: rule 2 rotates IN text_unicode_tokens (NEW — the
+# UTF-8 tokenization contract, oracle-backed on the committed
+# multi-script fixture), multimodal_image_resize_oriented (the image
+# fixture now cycles ALL EIGHT EXIF orientations — the transpose path
+# is exercised for the first time; never driver-gated before) and
+# dedup_corpus_promote_compacted (never driver-gated; compaction is
+# now also the automatic chain policy in ensure_bucketed_append);
+# dedup_corpus_promote (append path gained the auto-compaction
+# policy + errno-aware fallback) and multimodal_image_metadata
+# (regenerated fixture payloads) hold their slots under the same
+# rule, as does the refactored streaming_band_index drain. Rule 5
+# rotates IN the stalest oracle-backed entries (r03/r04 evidence):
+# search_positional_index, curation_train_val_split,
+# embedding_l2_norms_arrow, active_customer_spend,
+# customer_order_histogram, customer_running_spend,
+# dedup_ngram_jaccard, event_type_distinct_users,
+# late_shipment_priority, nation_customer_supplier_outer,
+# orders_status_priority_cube, quantity_size_range_join.
+# OUT, longest-green-first (every family keeps a rep):
+# curation_leakage_split (7 -> covered by curation_train_val_split),
+# search_bm25_served (5 -> search_positional_index),
+# documents_quality_logreg (4; twin stays recorded in parity),
+# multimodal_image_features / multimodal_audio_features /
+# multimodal_video_features (3 each; loudness/frames/metadata/
+# oriented-resize keep the decoders covered),
+# similarity_ann_lsh_served / similarity_ann_lsh /
+# embedding_neardup_lsh (ANN stays repped by similarity_ann_ivf +
+# twin records), text_lang_id / text_quality_scores / text_tfidf
+# (text repped by token_counts, sentences_udtf, unicode_tokens),
+# dedup_incremental_lsh, basket_part_pairs, events_cohort_retention.
+# Full displacement log: GATE_HISTORY.md.
 GATE_PRIORITY: tuple[str, ...] = (
     # core (reference parity) — permanent
     "inverted_index",
@@ -133,42 +145,41 @@ GATE_PRIORITY: tuple[str, ...] = (
     "doc_stats",
     "inverted_index_chunked",
     "documents_provenance",
-    # rule 2 — NEW r13: the crawl-loop promotion lifecycle (append the
-    # cleaned increment into the persisted corpus band artifact; the
-    # serving join then matches against the promoted table)
+    # rule 2 — the promotion lifecycle re-earns after the r14
+    # auto-compaction policy + errno-aware fallback changes; the
+    # compacted serving entry joins the gate for the first time
     "dedup_corpus_promote",
-    "dedup_incremental_lsh",
-    # rule 2 — twin-upgraded r13 (pure-Python replica in parity)
+    "dedup_corpus_promote_compacted",
+    # rule 2 — NEW r14: the UTF-8 tokenization contract
+    "text_unicode_tokens",
+    # rule 2 — the image fixture now plants all 8 EXIF orientations:
+    # metadata re-earns on the regenerated payloads, and the
+    # orientation-applied resize (transpose family live at last)
+    # enters the gate
+    "multimodal_image_metadata",
+    "multimodal_image_resize_oriented",
+    # rule 5 — stalest evidence (r03/r04): search, curation, Arrow
+    # scalar UDF, aggregates, histogram/window anchors, n-gram dedup,
+    # exact distinct, outer/range joins, the cube rep, salted agg
+    "search_positional_index",
+    "curation_train_val_split",
+    "embedding_l2_norms_arrow",
+    "active_customer_spend",
+    "customer_order_histogram",
+    "customer_running_spend",
+    "dedup_ngram_jaccard",
+    "event_type_distinct_users",
+    "late_shipment_priority",
+    "nation_customer_supplier_outer",
+    "orders_status_priority_cube",
+    "quantity_size_range_join",
+    # holdovers (fresh r13 evidence, streaks 1-3; family reps)
     "embedding_semantic_dedup",
-    # holdovers (r12 rule-2 members keeping their fresh-evidence slots)
-    "basket_part_pairs",
-    "events_cohort_retention",
-    "multimodal_image_features",
-    # rule 2 — the audio fixture now mixes 16/20/24-bit FLAC depths
-    # (decoder widened r13); both entries re-earn their rows on the
-    # new payloads
-    "multimodal_audio_features",
     "multimodal_audio_loudness",
-    # serving path of the LSH store (rows-only at the driver;
-    # twin-identical to the inline form in tools/parity.py)
-    "similarity_ann_lsh_served",
-    "embedding_neardup_lsh",
     "event_type_distinct_users_approx",
-    "similarity_ann_lsh",
     "similarity_ann_ivf",
     "text_sentences_udtf",
     "text_token_counts",
-    # text reps (rule 3)
-    "text_lang_id",
-    "text_quality_scores",
-    "text_tfidf",
-    # approx/ML family rows-only slot (embedding_pca_whitened, streak
-    # 3, cedes its slot to the new EXIF entry — PCA stays twin-matched
-    # in the full parity record)
-    "documents_quality_logreg",
-    # rule 5 — stalest (r03 evidence): exact/MinHash/SimHash dedup
-    # anchors, the as-of join, anti-join, set ops, pivot, and two
-    # TPC-H-ish relational anchors
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_simhash",
@@ -178,28 +189,18 @@ GATE_PRIORITY: tuple[str, ...] = (
     "orders_status_pivot",
     "q5_region_revenue",
     "q2_cheapest_part_per_type",
-    # curation anchor
-    "curation_leakage_split",
     # graph rep (rule 3)
     "trade_graph_pagerank",
-    # search / multimodal anchors
-    "search_bm25_served",
-    "multimodal_video_features",
+    # multimodal video rep
     "multimodal_video_frames",
-    # rule 2 — NEW r13: EXIF APP1/TIFF IFD0 metadata decode (both byte
-    # orders in the committed fixture)
-    "multimodal_image_metadata",
     # live streaming drains — oracle/twin-backed, last on purpose
-    # (rule 2: streaming_ivfpq_index joins the gated drains with its
-    # new batch one-shot twin)
+    # (rule 2: streaming_band_index re-earns after the r14 drain
+    # refactor that added crash-restart recovery)
     "streaming_inverted_index",
     "streaming_cdc_apply",
     "streaming_neardup_lsh",
     "streaming_multimodal_features",
     "streaming_ivfpq_index",
-    # rule 2 — NEW r13: live band-store maintenance (streaming half of
-    # the promotion lifecycle), oracle-backed via the bands CTE
-    # (displacing documents_length_histogram, streak 3)
     "streaming_band_index",
 )
 

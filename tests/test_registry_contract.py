@@ -42,6 +42,9 @@ RAW_PATH_ORACLES = {
     "multimodal_video_features",
     "multimodal_video_frames",
     "streaming_multimodal_features",  # shares the image-features oracle
+    # r14: the committed multi-script UTF-8 fixture (same sidecar class
+    # as the image/audio fixtures — no catalog view exists for it)
+    "text_unicode_tokens",
 }
 
 

@@ -248,3 +248,39 @@ def test_doc_similarity_nonvacuous_at_every_tested_sf(spark):
     ):
         n = doc_similarity_tfidf(load_table(spark, sf_dir, "documents")).count()
         assert lo <= n <= hi, f"{sf_dir}: {n} pairs (vacuous or degenerate)"
+
+
+def test_unicode_tokenize_letters_only_all_scripts(spark):
+    """The Unicode tokenization mode (r14 contract extension): every
+    token from the committed multi-script fixture is a non-empty
+    lowercase run of Unicode letters, and the fixture actually
+    exercises Latin, Greek, Cyrillic, Han, Arabic, and Hebrew — plus
+    regeneration determinism of the generator formulas."""
+    import sys
+    import unicodedata
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_unicode_fixture as G
+
+    from parallel_map_reduce_spark.operators.tokenize import unicode_tokenize
+
+    docs = spark.read.parquet("/root/repo/refdata/unicode_fixture.parquet")
+    assert docs.count() == G.N_DOCS
+    # generator determinism: the committed rows ARE the formulas
+    sample = {r.doc_id: (r.text, r.script) for r in docs.limit(50).collect()}
+    for d, (text, script) in sample.items():
+        assert G.doc_text(d) == (text, script), d
+
+    toks = [r.token for r in unicode_tokenize(docs).collect()]
+    assert len(toks) > 10_000
+    scripts_seen = set()
+    for t in toks:
+        assert t and t == t.lower(), t
+        for ch in t:
+            assert unicodedata.category(ch).startswith("L"), (t, ch)
+        name = unicodedata.name(t[0], "")
+        for script in ("GREEK", "CYRILLIC", "CJK", "ARABIC", "HEBREW",
+                       "LATIN", "HANGUL", "HIRAGANA", "KATAKANA"):
+            if name.startswith(script):
+                scripts_seen.add(script)
+    assert {"GREEK", "CYRILLIC", "CJK", "ARABIC", "HEBREW", "LATIN"} <= scripts_seen
