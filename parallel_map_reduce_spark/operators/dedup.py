@@ -84,15 +84,12 @@ def ordered_words(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "word", (F.col("pos") + 1).alias("seq"))
 
 
-def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle) DISTINCT k-token shingles (space-joined).
-
-    Shingling is array-native: slice windows over the cleaned word array
-    via ``transform(sequence(...))``, per-row ``array_distinct`` (shingle
-    distinctness is per-document, so no global shuffle is needed), then a
-    single explode. The whole thing is a projection — no Exchange before
-    the downstream hash."""
-    wa = clean_words_array(docs)
+def _shingles_of_words(wa: DataFrame, k: int) -> DataFrame:
+    """(doc_id, shingle) from a (doc_id, words ARRAY<STRING>) frame:
+    slice windows via ``transform(sequence(...))``, per-row
+    ``array_distinct`` (shingle distinctness is per-document, so no
+    global shuffle is needed), then a single explode. A projection —
+    no Exchange before the downstream hash."""
     n_sh = F.size("words") - F.lit(k - 1)
     shingles = F.when(
         n_sh >= 1,
@@ -104,6 +101,30 @@ def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     return wa.select(
         "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     )
+
+
+def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) DISTINCT k-token shingles (space-joined),
+    ASCII contract tokens (clean_words_array). Array-native — see
+    _shingles_of_words."""
+    return _shingles_of_words(clean_words_array(docs), k)
+
+
+def unicode_doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) DISTINCT k-token shingles over UNICODE tokens
+    (the r14 UTF-8 contract: lower, split on runs of non-letters via
+    \\p{L} — operators/tokenize.py:unicode_tokenize's semantics in
+    array form, same zero-shuffle projection shape as the ASCII
+    path). This is how the dedup family meets real UTF-8 corpora:
+    shingling rides the Unicode tokenizer, everything downstream
+    (df caps, posting lists, jaccard arithmetic) is script-agnostic."""
+    from .tokenize import UNICODE_SPLIT_REGEX
+
+    words = F.filter(
+        F.split(F.lower(F.col("text")), UNICODE_SPLIT_REGEX),
+        lambda w: F.length(w) > 0,
+    )
+    return _shingles_of_words(docs.select("doc_id", words.alias("words")), k)
 
 
 # ---- exact dedup ----
@@ -311,6 +332,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     df_cap: int | None = JACCARD_SHINGLE_DF_CAP,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): Jaccard over 3-token shingle sets via
     inverted-index self-join (only pairs sharing ≥1 surviving shingle are
@@ -328,8 +350,12 @@ def ngram_jaccard_pairs(
     equi-self-join — no per-row f² array, so a hot shingle spreads over
     many tasks instead of OOMing one (used by the capped==uncapped
     equivalence test; at corpus scale always pass a cap).
+
+    ``shingles`` overrides the default ASCII shingle source (e.g.
+    unicode_doc_shingles for UTF-8 corpora) — the pair machinery is
+    script-agnostic.
     """
-    sh = doc_shingles(docs)
+    sh = shingles if shingles is not None else doc_shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # Posting-list formulation: ONE shuffle on shingle builds the posting
     # list; the df cap filters it in place (no separate df group-by, no

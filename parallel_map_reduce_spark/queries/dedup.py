@@ -937,3 +937,77 @@ FROM isl GROUP BY doc_id, island
 )
 def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.repeated_substring_spans(load_table(spark, sf_dir, "documents"))
+
+
+_UNICODE_FIXTURE_PARQUET = "/root/repo/refdata/unicode_fixture.parquet"
+
+
+@register(
+    "dedup_unicode_jaccard",
+    oracle=f"""
+WITH udocs AS (
+    SELECT doc_id, text FROM read_parquet('{_UNICODE_FIXTURE_PARQUET}')
+    WHERE doc_id % 2000 IN (SELECT doc_id % 2000 FROM documents)
+),
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^\\p{{L}}]+'),
+                       x -> length(x) > 0) AS w
+    FROM udocs
+),
+-- series bound 64 >> the fixture's max 17 words/doc (generator formula)
+sh AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i.i:i.i+{D.SHINGLE_K - 1}], ' ') AS shingle
+    FROM toks, (SELECT unnest(generate_series(1, 64)) AS i) i
+    WHERE i.i <= len(w) - {D.SHINGLE_K - 1}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+joinable AS (
+    SELECT doc_id, shingle FROM sh
+    WHERE shingle NOT IN (
+        SELECT shingle FROM sh
+        GROUP BY shingle HAVING COUNT(*) > {D.JACCARD_SHINGLE_DF_CAP}
+    )
+),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+    FROM joinable a JOIN joinable b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_JACCARD_THRESHOLD}
+""",
+    doc="UNICODE near-dup pairs (r14 — dedup meets UTF-8): n-gram "
+    "Jaccard over k-token shingles of UNICODE tokens "
+    "(operators/dedup.py:unicode_doc_shingles rides the r14 "
+    "tokenization contract: lower, split on [^\\p{{L}}]+, all "
+    "scripts) on the committed multi-script fixture; the pair "
+    "machinery (posting lists, df cap, integer-exact jaccard) is the "
+    "SAME script-agnostic path as dedup_ngram_jaccard. The oracle "
+    "re-derives shingling with DuckDB's RE2/utf8proc, so the hash "
+    "match proves the UTF-8 dedup chain end-to-end: tokenize → "
+    "shingle → cap → self-join → jaccard.",
+    tags=("dedup", "jaccard", "unicode", "llm-pipeline"),
+)
+def dedup_unicode_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import read_parquet
+
+    fixture = read_parquet(spark, _UNICODE_FIXTURE_PARQUET)
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 2000).alias("fid"))
+        .distinct()
+    )
+    udocs = fixture.join(
+        F.broadcast(ids), fixture["doc_id"] % 2000 == ids["fid"]
+    ).select("doc_id", "text")
+    return D.ngram_jaccard_pairs(
+        udocs,
+        threshold=_JACCARD_THRESHOLD,
+        shingles=D.unicode_doc_shingles(udocs),
+    )

@@ -150,8 +150,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     # compacted serving entry joins the gate for the first time
     "dedup_corpus_promote",
     "dedup_corpus_promote_compacted",
-    # rule 2 — NEW r14: the UTF-8 tokenization contract
+    # rule 2 — NEW r14: the UTF-8 tokenization contract + the
+    # unicode dedup chain riding it (tokenize -> shingle -> jaccard)
     "text_unicode_tokens",
+    "dedup_unicode_jaccard",
     # rule 2 — the image fixture now plants all 8 EXIF orientations:
     # metadata re-earns on the regenerated payloads, and the
     # orientation-applied resize (transpose family live at last)
@@ -179,7 +181,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "event_type_distinct_users_approx",
     "similarity_ann_ivf",
     "text_sentences_udtf",
-    "text_token_counts",
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_simhash",

@@ -45,6 +45,7 @@ RAW_PATH_ORACLES = {
     # r14: the committed multi-script UTF-8 fixture (same sidecar class
     # as the image/audio fixtures — no catalog view exists for it)
     "text_unicode_tokens",
+    "dedup_unicode_jaccard",
 }
 
 
