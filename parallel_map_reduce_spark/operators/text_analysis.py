@@ -884,3 +884,46 @@ def cms_heavy_hitters(docs: DataFrame, topn: int = CMS_TOPN) -> DataFrame:
         .orderBy(F.desc("est_tf"), F.asc("word"))
         .limit(topn)
     )
+
+
+# Unicode SCRIPT families for script-ID (r14, the UTF-8 sibling of
+# lang_id): ordered (name, Java character classes) — the Spark side
+# counts letters per family with \p{IsXxx} classes while the DuckDB
+# oracle restates the same families as RE2 \p{Xxx} classes, so a
+# parity hash match proves the two engines' script property tables
+# agree on the corpus. CJK groups Han+Hangul+kana (no segmentation
+# claimed); RTL groups Arabic+Hebrew. Tie-break priority = list order.
+UNICODE_SCRIPTS: tuple[tuple[str, str], ...] = (
+    ("latin", r"\p{IsLatin}"),
+    ("greek", r"\p{IsGreek}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("cjk", r"\p{IsHan}\p{IsHangul}\p{IsHiragana}\p{IsKatakana}"),
+    ("rtl", r"\p{IsArabic}\p{IsHebrew}"),
+)
+
+
+def unicode_script_profile(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, n_<family>..., script_id): per-document letter counts
+    per Unicode script family and the dominant family (argmax, ties
+    broken by UNICODE_SCRIPTS order). The lang-ID heuristic for
+    scripts: where lang_id separates languages WITHIN Latin script by
+    stopword/n-gram profiles, this separates the script itself — the
+    first routing decision a multilingual 100 TB corpus pipeline
+    makes (which tokenizer, which lang-ID model). Pure projection
+    (regexp_replace + length per family) — scan speed, no shuffle,
+    codegen-resident. ``keep`` carries extra columns through (e.g. a
+    ground-truth label) without a join-back."""
+    counts = [
+        F.length(F.regexp_replace("text", f"[^{classes}]", "")).alias(f"n_{name}")
+        for name, classes in UNICODE_SCRIPTS
+    ]
+    out = docs.select("doc_id", *keep, *counts)
+    names = [name for name, _ in UNICODE_SCRIPTS]
+    pred = F.lit(names[-1])
+    for i in range(len(names) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(names)):
+            c = F.col(f"n_{names[i]}") >= F.col(f"n_{names[j]}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(names[i])).otherwise(pred)
+    return out.withColumn("script_id", pred)

@@ -802,3 +802,80 @@ def text_unicode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.countDistinct("doc_id").alias("df"),
     )
+
+
+def _script_case_sql() -> str:
+    """The argmax CASE restated for DuckDB with the same tie-break
+    priority as unicode_script_profile."""
+    names = [n for n, _ in T.UNICODE_SCRIPTS]
+    lines = []
+    for i, n in enumerate(names[:-1]):
+        conds = " AND ".join(
+            f"n_{n} >= n_{m}" for m in names[i + 1 :]
+        )
+        lines.append(f"WHEN {conds} THEN '{n}'")
+    return "CASE " + " ".join(lines) + f" ELSE '{names[-1]}' END"
+
+
+_RE2_SCRIPTS = {
+    "latin": r"\p{Latin}",
+    "greek": r"\p{Greek}",
+    "cyrillic": r"\p{Cyrillic}",
+    "cjk": r"\p{Han}\p{Hangul}\p{Hiragana}\p{Katakana}",
+    "rtl": r"\p{Arabic}\p{Hebrew}",
+}
+
+
+@register(
+    "text_unicode_script_id",
+    oracle=f"""
+WITH udocs AS (
+    SELECT doc_id, text, script FROM read_parquet('{_UNICODE_FIXTURE_PARQUET}')
+    WHERE doc_id % 2000 IN (SELECT doc_id % 2000 FROM documents)
+),
+counted AS (
+    SELECT doc_id, script AS home_script,
+           {", ".join(
+               f"length(regexp_replace(text, '[^{_RE2_SCRIPTS[n]}]', '', 'g'))::BIGINT AS n_{n}"
+               for n, _ in T.UNICODE_SCRIPTS
+           )}
+    FROM udocs
+)
+SELECT doc_id, {", ".join(f"n_{n}" for n, _ in T.UNICODE_SCRIPTS)},
+       {_script_case_sql()} AS script_id,
+       home_script,
+       ({_script_case_sql()} = home_script) AS is_home
+FROM counted
+""",
+    doc="UNICODE script identification (r14 — lang-ID's UTF-8 "
+    "sibling): per-document letter counts per script family (Latin, "
+    "Greek, Cyrillic, CJK=Han+Hangul+kana, RTL=Arabic+Hebrew) and the "
+    "dominant family by argmax with fixed tie-break — the first "
+    "routing decision a multilingual corpus pipeline makes. Pure "
+    "projection at scan speed (operators/text_analysis.py:"
+    "unicode_script_profile). The Spark side counts with Java "
+    "\\p{{IsXxx}} classes, the oracle with RE2 \\p{{Xxx}} classes, so "
+    "the hash match proves the engines' Unicode script property "
+    "tables agree on the corpus; is_home records agreement with the "
+    "generator's home-pool label per doc (mixed-script docs CAN "
+    "legitimately differ — it is data, not an assertion).",
+    tags=("text", "unicode", "llm-pipeline"),
+)
+def text_unicode_script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import read_parquet
+
+    fixture = read_parquet(spark, _UNICODE_FIXTURE_PARQUET)
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 2000).alias("fid"))
+        .distinct()
+    )
+    udocs = fixture.join(
+        F.broadcast(ids), fixture["doc_id"] % 2000 == ids["fid"]
+    ).select("doc_id", "text", F.col("script").alias("home_script"))
+    prof = T.unicode_script_profile(udocs, keep=("home_script",))
+    out = prof.withColumn("is_home", F.col("script_id") == F.col("home_script"))
+    names = [n for n, _ in T.UNICODE_SCRIPTS]
+    return out.select(
+        "doc_id", *[f"n_{n}" for n in names], "script_id", "home_script", "is_home"
+    )

@@ -116,7 +116,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rotates IN the stalest oracle-backed entries (r03/r04 evidence):
 # search_positional_index, curation_train_val_split,
 # embedding_l2_norms_arrow, active_customer_spend,
-# customer_order_histogram, customer_running_spend,
+# customer_running_spend,
 # dedup_ngram_jaccard, event_type_distinct_users,
 # late_shipment_priority, nation_customer_supplier_outer,
 # orders_status_priority_cube, quantity_size_range_join.
@@ -154,6 +154,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # unicode dedup chain riding it (tokenize -> shingle -> jaccard)
     "text_unicode_tokens",
     "dedup_unicode_jaccard",
+    "text_unicode_script_id",
     # rule 2 — the image fixture now plants all 8 EXIF orientations:
     # metadata re-earns on the regenerated payloads, and the
     # orientation-applied resize (transpose family live at last)
@@ -167,7 +168,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "curation_train_val_split",
     "embedding_l2_norms_arrow",
     "active_customer_spend",
-    "customer_order_histogram",
     "customer_running_spend",
     "dedup_ngram_jaccard",
     "event_type_distinct_users",

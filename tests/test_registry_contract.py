@@ -46,6 +46,7 @@ RAW_PATH_ORACLES = {
     # as the image/audio fixtures — no catalog view exists for it)
     "text_unicode_tokens",
     "dedup_unicode_jaccard",
+    "text_unicode_script_id",
 }
 
 

@@ -284,3 +284,30 @@ def test_unicode_tokenize_letters_only_all_scripts(spark):
             if name.startswith(script):
                 scripts_seen.add(script)
     assert {"GREEK", "CYRILLIC", "CJK", "ARABIC", "HEBREW", "LATIN"} <= scripts_seen
+
+
+def test_unicode_script_profile_counts_and_tiebreak(spark):
+    """Script counts on known strings, argmax dominance, and the fixed
+    tie-break order (list order wins on equal counts)."""
+    from parallel_map_reduce_spark.operators.text_analysis import (
+        unicode_script_profile,
+    )
+
+    rows = [
+        (1, "café straße", "x"),        # pure latin
+        (2, "λογος κοσμος", "x"),       # pure greek
+        (3, "мир 数据", "x"),            # cyrillic 3 vs cjk 2 -> cyrillic
+        (4, "ab αβ", "x"),              # 2 vs 2 tie -> latin (order)
+        (5, "سلام שלום", "x"),          # rtl only
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, home STRING")
+    got = {
+        r.doc_id: (r.n_latin, r.n_greek, r.n_cyrillic, r.n_cjk, r.n_rtl,
+                   r.script_id, r.home)
+        for r in unicode_script_profile(df, keep=("home",)).collect()
+    }
+    assert got[1] == (10, 0, 0, 0, 0, "latin", "x")
+    assert got[2] == (0, 11, 0, 0, 0, "greek", "x")
+    assert got[3] == (0, 0, 3, 2, 0, "cyrillic", "x")
+    assert got[4] == (2, 2, 0, 0, 0, "latin", "x")
+    assert got[5] == (0, 0, 0, 0, 8, "rtl", "x")
