@@ -1006,8 +1006,13 @@ def dedup_unicode_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     udocs = fixture.join(
         F.broadcast(ids), fixture["doc_id"] % 2000 == ids["fid"]
     ).select("doc_id", "text")
+    # pin(): the shingle frame feeds sizes AND postings — without it
+    # each reference re-expands the scope-join + shingle subplan
+    # (plan audit showed 7 Exchanges vs the ASCII sibling's 4)
+    from ..registry import pin
+
     return D.ngram_jaccard_pairs(
         udocs,
         threshold=_JACCARD_THRESHOLD,
-        shingles=D.unicode_doc_shingles(udocs),
+        shingles=pin(D.unicode_doc_shingles(udocs)),
     )
