@@ -1268,12 +1268,16 @@ def main() -> int:
                 "sig",
                 16,
             )
-            promote_notch["promote_step"] = round(time.perf_counter() - t0, 3)
+            promote_step = time.perf_counter() - t0
             # O(increment) must mean HARDLINKS, not silent cross-device
             # copies: the fallback ledger has to be empty after the
             # timed step (VERDICT r13 task 4) — a non-empty ledger
-            # means the measured promote_step actually paid O(corpus)
-            # copy bytes and the number is a lie.
+            # means the measured step actually paid O(corpus) copy
+            # bytes and the number is a lie. Checked BEFORE the number
+            # is recorded (review r14): the section's blanket except
+            # swallows this assert into a stderr line, so a
+            # post-record assert would still let the lying value land
+            # in BENCH_DETAIL.json.
             from parallel_map_reduce_spark.operators.layout import (
                 _bucket_file_counts,
                 pop_link_fallbacks,
@@ -1284,6 +1288,7 @@ def main() -> int:
                 f"promote notch degraded to copyfile on {len(fallbacks)} "
                 f"files (cross-device artifact cache?): {fallbacks[:3]}"
             )
+            promote_notch["promote_step"] = round(promote_step, 3)
             probe = lsh_band_signatures(increment)
             # v0/v4 probes run BEFORE the chain-32 extension below:
             # 28 more published versions would push v0/v4 past the

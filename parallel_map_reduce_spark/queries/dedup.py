@@ -939,16 +939,13 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.repeated_substring_spans(load_table(spark, sf_dir, "documents"))
 
 
-_UNICODE_FIXTURE_PARQUET = "/root/repo/refdata/unicode_fixture.parquet"
+from ._unicode import UDOCS_CTE, scoped_unicode_docs
 
 
 @register(
     "dedup_unicode_jaccard",
     oracle=f"""
-WITH udocs AS (
-    SELECT doc_id, text FROM read_parquet('{_UNICODE_FIXTURE_PARQUET}')
-    WHERE doc_id % 2000 IN (SELECT doc_id % 2000 FROM documents)
-),
+WITH {UDOCS_CTE},
 toks AS (
     SELECT doc_id,
            list_filter(string_split_regex(lower(text), '[^\\p{{L}}]+'),
@@ -995,17 +992,7 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_JACCARD_THRESHOLD}
     tags=("dedup", "jaccard", "unicode", "llm-pipeline"),
 )
 def dedup_unicode_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.catalog import read_parquet
-
-    fixture = read_parquet(spark, _UNICODE_FIXTURE_PARQUET)
-    ids = (
-        load_table(spark, sf_dir, "documents")
-        .select((F.col("doc_id") % 2000).alias("fid"))
-        .distinct()
-    )
-    udocs = fixture.join(
-        F.broadcast(ids), fixture["doc_id"] % 2000 == ids["fid"]
-    ).select("doc_id", "text")
+    udocs = scoped_unicode_docs(spark, sf_dir)
     # pin(): the shingle frame feeds sizes AND postings — without it
     # each reference re-expands the scope-join + shingle subplan
     # (plan audit showed 7 Exchanges vs the ASCII sibling's 4)

@@ -750,17 +750,17 @@ def documents_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_UNICODE_FIXTURE_PARQUET = "/root/repo/refdata/unicode_fixture.parquet"
+from ._unicode import UDOCS_CTE, scoped_unicode_docs
 
 
 @register(
     "text_unicode_tokens",
     oracle=f"""
-WITH toks AS (
+WITH {UDOCS_CTE},
+toks AS (
     SELECT doc_id,
            unnest(string_split_regex(lower(text), '[^\\p{{L}}]+')) AS token
-    FROM read_parquet('{_UNICODE_FIXTURE_PARQUET}')
-    WHERE doc_id % 2000 IN (SELECT doc_id % 2000 FROM documents)
+    FROM udocs
 ),
 f AS (SELECT doc_id, token FROM toks WHERE length(token) > 0)
 SELECT token, COUNT(*)::BIGINT AS n, COUNT(DISTINCT doc_id)::BIGINT AS df
@@ -783,21 +783,8 @@ FROM f GROUP BY token
 )
 def text_unicode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.tokenize import unicode_tokenize
-    from ..sources.catalog import read_parquet
 
-    # Scope the 2000-doc fixture to the sf's documents (doc_id mod the
-    # fixture size, so every sf exercises all scripts: sf0.001/0.01
-    # ship doc_ids 0..499 — a plain IN join would always pick the same
-    # quarter of the fixture).
-    fixture = read_parquet(spark, _UNICODE_FIXTURE_PARQUET)
-    ids = (
-        load_table(spark, sf_dir, "documents")
-        .select((F.col("doc_id") % 2000).alias("fid"))
-        .distinct()
-    )
-    docs = fixture.join(
-        F.broadcast(ids), fixture["doc_id"] % 2000 == ids["fid"]
-    ).select("doc_id", "text")
+    docs = scoped_unicode_docs(spark, sf_dir)
     return unicode_tokenize(docs).groupBy("token").agg(
         F.count("*").alias("n"),
         F.countDistinct("doc_id").alias("df"),
@@ -829,10 +816,7 @@ _RE2_SCRIPTS = {
 @register(
     "text_unicode_script_id",
     oracle=f"""
-WITH udocs AS (
-    SELECT doc_id, text, script FROM read_parquet('{_UNICODE_FIXTURE_PARQUET}')
-    WHERE doc_id % 2000 IN (SELECT doc_id % 2000 FROM documents)
-),
+WITH {UDOCS_CTE},
 counted AS (
     SELECT doc_id, script AS home_script,
            {", ".join(
@@ -862,17 +846,8 @@ FROM counted
     tags=("text", "unicode", "llm-pipeline"),
 )
 def text_unicode_script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.catalog import read_parquet
-
-    fixture = read_parquet(spark, _UNICODE_FIXTURE_PARQUET)
-    ids = (
-        load_table(spark, sf_dir, "documents")
-        .select((F.col("doc_id") % 2000).alias("fid"))
-        .distinct()
-    )
-    udocs = fixture.join(
-        F.broadcast(ids), fixture["doc_id"] % 2000 == ids["fid"]
-    ).select("doc_id", "text", F.col("script").alias("home_script"))
+    udocs = scoped_unicode_docs(spark, sf_dir, cols=("doc_id", "text", "script"))
+    udocs = udocs.withColumnRenamed("script", "home_script")
     prof = T.unicode_script_profile(udocs, keep=("home_script",))
     out = prof.withColumn("is_home", F.col("script_id") == F.col("home_script"))
     names = [n for n, _ in T.UNICODE_SCRIPTS]

@@ -262,18 +262,15 @@ def _overlap(spark, sf_dir, srows, scols) -> dict:
     }
     # exact intersection emits no row for empty overlaps; the entry
     # emits every pair — fill zeros
+    # No negative-estimate check: the entry floors inclusion-exclusion
+    # at 0 by construction (F.greatest(lit(0), ...)), so a negative
+    # value is structurally impossible — a guard here would be dead
+    # code no perturbation could exercise (review r14).
     approx = {}
     for r in srows:
         k = (r[i["type_a"]], r[i["type_b"]])
         approx[k] = r[i["n_overlap_est"]]
         exact_pairs.setdefault(k, 0)
-        if r[i["n_overlap_est"]] < 0:
-            return {
-                "ok": False,
-                "bound": "estimates floor at 0",
-                "observed": f"negative overlap at {k!r}",
-                "detail": "",
-            }
     # per-type estimates ride the same record (bound as the rollup's)
     for r in srows:
         for side, col in (("type_a", "n_users_a_est"), ("type_b", "n_users_b_est")):

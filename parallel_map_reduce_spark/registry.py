@@ -129,9 +129,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # oriented-resize keep the decoders covered),
 # similarity_ann_lsh_served / similarity_ann_lsh /
 # embedding_neardup_lsh (ANN stays repped by similarity_ann_ivf +
-# twin records), text_lang_id / text_quality_scores / text_tfidf
-# (text repped by token_counts, sentences_udtf, unicode_tokens),
-# dedup_incremental_lsh, basket_part_pairs, events_cohort_retention.
+# twin records), text_lang_id / text_quality_scores / text_tfidf /
+# text_token_counts (text repped by sentences_udtf + the three
+# unicode entries), dedup_incremental_lsh, basket_part_pairs,
+# events_cohort_retention — sixteen OUT in total.
 # Full displacement log: GATE_HISTORY.md.
 GATE_PRIORITY: tuple[str, ...] = (
     # core (reference parity) — permanent
