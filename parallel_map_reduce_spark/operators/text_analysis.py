@@ -559,7 +559,11 @@ def _merge_pair_expr(syms_col: str | F.Column, a: str, b: str, ab: str) -> F.Col
     )
 
 
-def bpe_train(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = BPE_N_MERGES,
+    words: DataFrame | None = None,
+) -> DataFrame:
     """(rank, left, right, merged, pair_freq): the first ``n_merges``
     BPE merges learned from the corpus, in order.
 
@@ -574,10 +578,12 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
     pair frequency break (freq DESC, left ASC, right ASC) so training
     is deterministic; pytest pins the merge sequence against an
     independent pure-Python reference implementation
-    (tests/test_bpe.py)."""
+    (tests/test_bpe.py). ``words`` overrides the default ASCII
+    (doc_id, word) stream — e.g. unicode tokens for the r14 UTF-8
+    contract; the merge loop itself is alphabet-agnostic."""
     spark = docs.sparkSession
     wf = (
-        _words(docs)
+        (words if words is not None else _words(docs))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
         .select("freq", _char_syms("word").alias("syms"))
@@ -612,7 +618,11 @@ def bpe_train(docs: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
     )
 
 
-def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    words: DataFrame | None = None,
+) -> DataFrame:
     """(word, n_subwords, subwords): BPE segmentation of the corpus
     VOCABULARY under an ordered merge list — applied per DISTINCT
     word, never per occurrence, because segmentation is a function of
@@ -621,7 +631,11 @@ def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     apply in rank order, each as the same fold ``bpe_train`` uses, so
     train→segment round-trips: a word whose pairs were all merged
     segments to one symbol."""
-    vocab = _words(docs).groupBy("word").agg(F.count("*").alias("freq"))
+    vocab = (
+        (words if words is not None else _words(docs))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
     syms = _char_syms("word")
     for a, b in merges:
         # Rebinding through a Column (not a DataFrame per round) keeps

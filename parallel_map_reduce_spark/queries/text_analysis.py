@@ -854,3 +854,93 @@ def text_unicode_script_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", *[f"n_{n}" for n in names], "script_id", "home_script", "is_home"
     )
+
+
+@register(
+    "text_unicode_quality",
+    oracle="""
+WITH {UDOCS_CTE},
+base AS (
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           length(regexp_replace(text, '[^\\p{{L}}]', '', 'g'))::BIGINT AS n_letters,
+           len(list_filter(string_split_regex(lower(text), '[^\\p{{L}}]+'),
+                           x -> length(x) > 0))::BIGINT AS n_tokens
+    FROM udocs
+)
+SELECT doc_id, n_chars, n_letters, n_tokens,
+       round(CAST(n_letters AS DOUBLE) / n_tokens, 4) AS mean_token_len,
+       round(CAST(n_letters AS DOUBLE) / n_chars, 4) AS letter_ratio
+FROM base
+""".format(UDOCS_CTE=UDOCS_CTE),
+    doc="UNICODE quality signals (r14 — quality scoring's UTF-8 "
+    "sibling; the ASCII text_quality_scores counts [^A-Za-z] by "
+    "reference fidelity and under-scores every non-Latin corpus): "
+    "character/letter/token counts and the ratio features a quality "
+    "filter thresholds on, with letters defined as \\p{{L}} across "
+    "all scripts. mean_token_len = letters/tokens exactly because "
+    "Unicode tokens are maximal letter runs (every letter lands in "
+    "one token) — stated so the derivation is auditable. Integer "
+    "counts both engines agree on exactly; the two ratios are one "
+    "4-dp-rounded division each (cross-engine float policy). Pure "
+    "projection at scan speed.",
+    tags=("text", "unicode", "quality", "llm-pipeline"),
+)
+def text_unicode_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenize import UNICODE_SPLIT_REGEX
+
+    docs = scoped_unicode_docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower("text"), UNICODE_SPLIT_REGEX),
+        lambda w: F.length(w) > 0,
+    )
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.length(F.regexp_replace("text", r"[^\p{L}]", ""))
+        .cast("bigint")
+        .alias("n_letters"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_letters",
+        "n_tokens",
+        F.round(F.col("n_letters") / F.col("n_tokens"), 4).alias("mean_token_len"),
+        F.round(F.col("n_letters") / F.col("n_chars"), 4).alias("letter_ratio"),
+    )
+
+
+@register(
+    "text_unicode_bpe",
+    oracle=None,  # iterative merge training is not SQL-expressible;
+    # the parity record carries a full pure-Python twin
+    # (queries/twins.py) replicating unicode tokenization + the merge
+    # loop + segmentation on the collected fixture.
+    doc="UNICODE BPE vocabulary (r14 — the subword trainer meets "
+    "UTF-8): the same Sennrich merge loop as text_bpe_vocabulary "
+    "(alphabet-agnostic by construction — symbols are opaque "
+    "strings) trained over UNICODE tokens of the multi-script "
+    "fixture and applied back per distinct word, so merges learn "
+    "across Greek/Cyrillic/CJK/Arabic/Hebrew words, not just ASCII. "
+    "Same scale shape: one corpus pass for frequencies, per-round "
+    "pair-explode + partial-aggregated groupBy over the vocab-sized "
+    "symbol table, one row to the driver per round. Twin: full "
+    "pure-Python replica (tokenize + merge loop + segmentation) "
+    "recorded in every parity sweep.",
+    tags=("text", "unicode", "tokenizer", "bpe", "llm-pipeline",
+          "custom-operator"),
+)
+def text_unicode_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenize import unicode_tokenize
+
+    udocs = scoped_unicode_docs(spark, sf_dir)
+    words = unicode_tokenize(udocs).withColumnRenamed("token", "word")
+    merges = [
+        (r.left, r.right)
+        for r in T.bpe_train(udocs, n_merges=T.BPE_N_MERGES, words=words)
+        .orderBy("rank")
+        .collect()
+    ]
+    return T.bpe_segment(udocs, merges, words=words)

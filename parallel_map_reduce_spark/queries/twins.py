@@ -463,3 +463,75 @@ def _pca_tolerant_compare(srows: list, trows: list) -> bool:
 
 
 TWIN_COMPARE["embedding_pca_whitened"] = _pca_tolerant_compare
+
+
+@_twin(
+    "text_unicode_bpe",
+    "pure-Python unicode tokenize + merge loop + segmentation replica",
+)
+def _unicode_bpe_python_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-machine replica of the unicode BPE entry: unicode
+    tokenization (lower, then maximal runs of category-L characters —
+    the same contract as operators/tokenize.py:unicode_tokenize,
+    restated via unicodedata instead of Java regex), Sennrich merge
+    loop, per-word segmentation. Shares no execution path OR
+    tokenizer implementation with the entry, so identity verifies the
+    Unicode tokenization agreement AND the merge sequence AND the
+    fold segmentation."""
+    import unicodedata
+
+    from ..operators.text_analysis import BPE_END, BPE_N_MERGES
+    from ._unicode import scoped_unicode_docs
+
+    def uni_tokens(text: str) -> list[str]:
+        out: list[str] = []
+        cur: list[str] = []
+        for ch in text.lower():
+            if unicodedata.category(ch).startswith("L"):
+                cur.append(ch)
+            elif cur:
+                out.append("".join(cur))
+                cur = []
+        if cur:
+            out.append("".join(cur))
+        return out
+
+    texts = [
+        r.text
+        for r in collect_bounded(
+            scoped_unicode_docs(spark, sf_dir).select("text"),
+            "unicode_fixture.text (unicode BPE twin)",
+        )
+    ]
+    freqs: dict[str, int] = {}
+    for text in texts:
+        for w in uni_tokens(text):
+            freqs[w] = freqs.get(w, 0) + 1
+    words = {w: list(w) + [BPE_END] for w in freqs}
+    for _rank in range(1, BPE_N_MERGES + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freqs[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    rows = [
+        (w, freqs[w], len(words[w]), " ".join(words[w])) for w in sorted(freqs)
+    ]
+    return spark.createDataFrame(
+        rows, "word STRING, freq BIGINT, n_subwords BIGINT, subwords STRING"
+    )

@@ -116,10 +116,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rotates IN the stalest oracle-backed entries (r03/r04 evidence):
 # search_positional_index, curation_train_val_split,
 # embedding_l2_norms_arrow, active_customer_spend,
-# customer_running_spend,
-# dedup_ngram_jaccard, event_type_distinct_users,
-# late_shipment_priority, nation_customer_supplier_outer,
-# orders_status_priority_cube, quantity_size_range_join.
+# customer_running_spend, dedup_ngram_jaccard,
+# nation_customer_supplier_outer, orders_status_priority_cube,
+# quantity_size_range_join (customer_order_histogram,
+# event_type_distinct_users and late_shipment_priority were initially
+# picked too but ceded their slots to the late rule-2 unicode
+# entries — rule 2 outranks rule 5; they stay stale for r15).
 # OUT, longest-green-first (every family keeps a rep):
 # curation_leakage_split (7 -> covered by curation_train_val_split),
 # search_bm25_served (5 -> search_positional_index),
@@ -130,8 +132,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # similarity_ann_lsh_served / similarity_ann_lsh /
 # embedding_neardup_lsh (ANN stays repped by similarity_ann_ivf +
 # twin records), text_lang_id / text_quality_scores / text_tfidf /
-# text_token_counts (text repped by sentences_udtf + the three
-# unicode entries), dedup_incremental_lsh, basket_part_pairs,
+# text_token_counts (text repped by sentences_udtf + the unicode
+# entries), dedup_incremental_lsh, basket_part_pairs,
 # events_cohort_retention — sixteen OUT in total.
 # Full displacement log: GATE_HISTORY.md.
 GATE_PRIORITY: tuple[str, ...] = (
@@ -151,11 +153,15 @@ GATE_PRIORITY: tuple[str, ...] = (
     # compacted serving entry joins the gate for the first time
     "dedup_corpus_promote",
     "dedup_corpus_promote_compacted",
-    # rule 2 — NEW r14: the UTF-8 tokenization contract + the
-    # unicode dedup chain riding it (tokenize -> shingle -> jaccard)
+    # rule 2 — NEW r14: the UTF-8 contract family — tokenization,
+    # the dedup chain riding it (tokenize -> shingle -> jaccard),
+    # script-ID, quality signals, and the BPE trainer over unicode
+    # tokens (twin-backed; the rest oracle-backed)
     "text_unicode_tokens",
     "dedup_unicode_jaccard",
     "text_unicode_script_id",
+    "text_unicode_quality",
+    "text_unicode_bpe",
     # rule 2 — the image fixture now plants all 8 EXIF orientations:
     # metadata re-earns on the regenerated payloads, and the
     # orientation-applied resize (transpose family live at last)
@@ -171,8 +177,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "active_customer_spend",
     "customer_running_spend",
     "dedup_ngram_jaccard",
-    "event_type_distinct_users",
-    "late_shipment_priority",
     "nation_customer_supplier_outer",
     "orders_status_priority_cube",
     "quantity_size_range_join",

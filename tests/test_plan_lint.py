@@ -135,6 +135,7 @@ EAGER_BUILD_OK = {
     "embedding_pca_whitened": "driver-side eigendecomposition of the "
     "k x k covariance (collected scalar matrix)",
     "text_bpe_vocabulary": "BPE merge loop (one argmax action per merge)",
+    "text_unicode_bpe": "BPE merge loop over unicode tokens (same shape)",
     "part_name_fuzzy_pairs": "cardinality guard: counts the value domain "
     "to REFUSE the |V|^2 join above max_values",
     "orders_value_deciles": "k-row range-bucket boundary collect "
