@@ -288,10 +288,14 @@ def ensure_bucketed_table(
     def build(tmp: str) -> None:
         df = build_df()
         build_table = f"{table}_{key}_build_{os.getpid()}"
-        write_bucketed(df, build_table, bucket_col, n_buckets, path=tmp)
+        # try/finally so a failed write never leaks the temp catalog
+        # entry (a same-process retry would collide in saveAsTable).
         # Drop only the catalog entry; the external files stay and are
         # atomically published by ensure_artifact.
-        spark.sql(f"DROP TABLE `{build_table}`")
+        try:
+            write_bucketed(df, build_table, bucket_col, n_buckets, path=tmp)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS `{build_table}`")
         cols = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
         )
@@ -361,8 +365,13 @@ def _compact_build_dir(
             .repartition(n_buckets, F.col(bucket_col))
         )
         build_table = f"{table}_{key}_compact_{os.getpid()}"
-        write_bucketed(df, build_table, bucket_col, n_buckets, path=comp)
-        spark.sql(f"DROP TABLE `{build_table}`")
+        # try/finally so a failed compaction write never leaks the temp
+        # catalog entry (a same-process retry would hit "table already
+        # exists" in saveAsTable) — same discipline as the append path.
+        try:
+            write_bucketed(df, build_table, bucket_col, n_buckets, path=comp)
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS `{build_table}`")
         for f in os.listdir(tmp):
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 os.remove(os.path.join(tmp, f))

@@ -27,6 +27,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,14 +59,31 @@ def _fresh_result_dir(kind: str, sf_dir: str) -> str:
                 continue
             if pid == os.getpid():
                 continue
+            if pid <= 0:
+                # os.kill(0, 0) signals OUR OWN process group and
+                # always "succeeds" — a dir literally named "0" (or a
+                # negative number) is never a live sibling; sweep it
+                # (advisor r14).
+                shutil.rmtree(e.path, ignore_errors=True)
+                continue
             try:
                 os.kill(pid, 0)
             except (ProcessLookupError, OverflowError):
                 # gone — or an all-digit pre-r14 hash tag too large to
                 # be a pid; either way the dir is stale
                 shutil.rmtree(e.path, ignore_errors=True)
+                continue
             except PermissionError:
                 pass  # alive under another uid — not ours to sweep
+            # pid-alive can be a RECYCLED pid belonging to an unrelated
+            # process; age out dirs untouched for a day as a fallback
+            # (advisor r14). Best-effort: correctness never depends on
+            # the sweep, only /tmp hygiene does.
+            try:
+                if time.time() - e.stat(follow_symlinks=False).st_mtime > 86400:
+                    shutil.rmtree(e.path, ignore_errors=True)
+            except OSError:
+                pass
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     out = os.path.join(parent, str(os.getpid()), tag)
     shutil.rmtree(out, ignore_errors=True)

@@ -531,3 +531,39 @@ def test_band_index_drain_crash_restart_recovers(spark, sf_dir, tmp_path):
         for r in band_index_store(spark, str(store)).collect()
     }
     assert served == batch
+
+
+def test_fresh_result_dir_sweep_guards(tmp_path, monkeypatch):
+    """The stale-sibling sweep must (a) never treat a dir named "0" as
+    alive — os.kill(0, 0) signals our own process group and always
+    succeeds — and (b) age out day-old dirs whose pid check passes
+    (recycled-pid hazard). Advisor r14. Pure-filesystem test, no Spark."""
+    import os
+    import time as _time
+
+    import parallel_map_reduce_spark.streaming.dedup_stream as DS
+
+    monkeypatch.setattr(
+        "tempfile.gettempdir", lambda: str(tmp_path)
+    )
+    parent = tmp_path / "pmrs_sweeptest"
+    parent.mkdir()
+    zero = parent / "0"
+    zero.mkdir()
+    neg = parent / "-1"
+    neg.mkdir()
+    # a live-pid sibling with day-old mtime: ages out
+    old_live = parent / str(os.getppid())
+    old_live.mkdir()
+    day_ago = _time.time() - 2 * 86400
+    os.utime(old_live, (day_ago, day_ago))
+    # our own pid dir is skipped by the pid==getpid() branch
+    own = parent / str(os.getpid())
+    own.mkdir()
+
+    out = DS._fresh_result_dir("pmrs_sweeptest", str(tmp_path / "sf"))
+    assert not zero.exists(), "dir named '0' must be swept"
+    assert not neg.exists(), "negative-pid dir must be swept"
+    assert not old_live.exists(), "day-old live-pid dir must age out"
+    assert own.exists(), "our own pid dir is never swept"
+    assert os.path.isdir(out)
