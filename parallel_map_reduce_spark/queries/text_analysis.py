@@ -912,12 +912,66 @@ def text_unicode_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unicode_bpe_oracle_sql(n_merges: int) -> str:
+    """Full DuckDB replay of the Sennrich merge loop (VERDICT r14 task
+    1): the training rounds are data-dependent but DETERMINISTIC and
+    bounded, so they unroll as ``n_merges`` chained CTE blocks — the
+    same unrolled-fixpoint discipline as trade_graph_pagerank's and
+    curation_leakage_split's oracles. Per round k: ``p{k}`` explodes
+    adjacent symbol pairs (index lambda), ``b{k}`` picks the argmax
+    pair under the exact Spark tie-break (freq DESC, left ASC, right
+    ASC — both engines compare strings as raw UTF-8 bytes, and Spark's
+    UTF8String comparator is byte order too, so the tie-break is
+    engine-identical), gated on pair_freq >= 2 (the trainer's break
+    condition: once a round yields no pair, every later round re-derives
+    the same empty ``b{k}`` and the CASE passes syms through — break
+    propagation for free). ``wf{k}`` applies the merge as the same
+    greedy left-to-right non-overlapping fold the Spark side uses
+    (list_reduce over singleton lists; DuckDB slices are 1-based
+    INCLUSIVE, hence the explicit len()-1 bounds). CTEs are
+    MATERIALIZED so the 24-deep chain evaluates linearly instead of
+    inlining exponentially. The final SELECT is the segmentation
+    readout — identical to bpe_segment because the trained wf table
+    keeps the word column alongside its symbols."""
+    from ..operators.text_analysis import BPE_END
+
+    merge_fold = (
+        "list_reduce(list_transform(syms, s -> [s]), "
+        "(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.l "
+        "AND x[1] = b.r THEN acc[:len(acc)-1] || [b.m] "
+        "ELSE acc || x END)"
+    )
+    blocks = [
+        f"WITH {UDOCS_CTE},\n"
+        "toks AS (SELECT unnest(string_split_regex(lower(text),"
+        " '[^\\p{L}]+')) AS word FROM udocs),\n"
+        "wf0 AS MATERIALIZED (SELECT word, COUNT(*)::BIGINT AS freq,"
+        f" regexp_extract_all(word, '.') || ['{BPE_END}'] AS syms"
+        " FROM toks WHERE length(word) > 0 GROUP BY word)"
+    ]
+    for k in range(1, n_merges + 1):
+        blocks.append(
+            f"p{k} AS (SELECT freq, unnest(list_transform("
+            "syms[:len(syms)-1], (s, i) -> {'l': s, 'r': syms[i+1]}))"
+            f" AS pr FROM wf{k-1}),\n"
+            f"b{k} AS MATERIALIZED (SELECT l, r, l || r AS m FROM ("
+            "SELECT pr.l AS l, pr.r AS r, SUM(freq) AS c"
+            f" FROM p{k} GROUP BY 1, 2"
+            " ORDER BY c DESC, l ASC, r ASC LIMIT 1) WHERE c >= 2),\n"
+            f"wf{k} AS MATERIALIZED (SELECT word, freq,"
+            f" CASE WHEN b.l IS NULL THEN syms ELSE {merge_fold} END"
+            f" AS syms FROM wf{k-1} LEFT JOIN b{k} b ON TRUE)"
+        )
+    return (
+        ",\n".join(blocks)
+        + f"\nSELECT word, freq, len(syms)::BIGINT AS n_subwords,"
+        f" array_to_string(syms, ' ') AS subwords FROM wf{n_merges}"
+    )
+
+
 @register(
     "text_unicode_bpe",
-    oracle=None,  # iterative merge training is not SQL-expressible;
-    # the parity record carries a full pure-Python twin
-    # (queries/twins.py) replicating unicode tokenization + the merge
-    # loop + segmentation on the collected fixture.
+    oracle=_unicode_bpe_oracle_sql(T.BPE_N_MERGES),
     doc="UNICODE BPE vocabulary (r14 — the subword trainer meets "
     "UTF-8): the same Sennrich merge loop as text_bpe_vocabulary "
     "(alphabet-agnostic by construction — symbols are opaque "
@@ -926,9 +980,12 @@ def text_unicode_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "across Greek/Cyrillic/CJK/Arabic/Hebrew words, not just ASCII. "
     "Same scale shape: one corpus pass for frequencies, per-round "
     "pair-explode + partial-aggregated groupBy over the vocab-sized "
-    "symbol table, one row to the driver per round. Twin: full "
-    "pure-Python replica (tokenize + merge loop + segmentation) "
-    "recorded in every parity sweep.",
+    "symbol table, one row to the driver per round. Oracle (r15): "
+    "the merge loop unrolled as chained MATERIALIZED CTEs in DuckDB "
+    "(_unicode_bpe_oracle_sql) — the hash match proves tokenization, "
+    "the full merge SEQUENCE (argmax + tie-break per round), and the "
+    "greedy fold segmentation agree cross-engine. The pure-Python "
+    "twin (queries/twins.py) remains as pytest evidence.",
     tags=("text", "unicode", "tokenizer", "bpe", "llm-pipeline",
           "custom-operator"),
 )

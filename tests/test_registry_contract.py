@@ -48,6 +48,7 @@ RAW_PATH_ORACLES = {
     "dedup_unicode_jaccard",
     "text_unicode_script_id",
     "text_unicode_quality",
+    "text_unicode_bpe",  # r15: unrolled merge-loop replay over the fixture
 }
 
 
@@ -83,7 +84,6 @@ def test_rows_only_entries_are_the_documented_set():
         "event_users_hll_rollup",
         "events_rolling_7d_users_hll",
         "text_bpe_vocabulary",
-        "text_unicode_bpe",
         "embedding_pca_whitened",
         "documents_quality_logreg",
         "similarity_pq_topk",
