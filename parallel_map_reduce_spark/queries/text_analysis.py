@@ -1001,3 +1001,39 @@ def text_unicode_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return T.bpe_segment(udocs, merges, words=words)
+
+
+from ._html import HDOCS_CTE, scoped_html_docs
+from ..operators.html_extract import html_extract_duckdb_expr
+
+
+@register(
+    "text_html_extract",
+    oracle=f"""
+WITH {HDOCS_CTE},
+x AS (SELECT doc_id, {html_extract_duckdb_expr('html')} AS text FROM hdocs)
+SELECT doc_id, text, length(text)::BIGINT AS n_chars FROM x
+""",
+    doc="HTML/markup text extraction (r15, north-star LLM-ingest — "
+    "the boilerplate strip every web-crawl corpus passes through "
+    "before any other operator in this repo): per-document plain "
+    "text under the documented regex-rewrite contract (operators/"
+    "html_extract.py — script/style WITH content, comments, DOCTYPE/"
+    "PI removal, CDATA unwrap, inline-vs-block tag spacing, "
+    "quoted-attribute-aware tag patterns, fixed-table entity decode "
+    "with amp-last double-escape handling, whitespace collapse) over "
+    "the committed HTML fixture (tools/gen_html_fixture.py — "
+    "generator-derived expected text, the image-fixture discipline; "
+    "pytest pins Spark output == exp_text for all 2000 docs). The "
+    "oracle re-derives the SAME chain in DuckDB's RE2, so the hash "
+    "match is a cross-engine regex-dialect agreement proof. Full "
+    "trafilatura-style boilerplate/readability extraction is OUT of "
+    "contract (documented boundary — it is heuristic, not oracle-"
+    "able). Plan: pure per-row codegen projection, zero shuffles, "
+    "partition-parallel at any corpus size.",
+    tags=("text", "html", "extraction", "llm-pipeline"),
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html_extract import html_extract_text
+
+    return html_extract_text(scoped_html_docs(spark, sf_dir))
