@@ -83,7 +83,12 @@ def distinct_pairs(words: DataFrame) -> DataFrame:
 # a built-in Column expression inside codegen, same as the ASCII
 # path; the DuckDB oracle of text_unicode_tokens re-derives the same
 # split under RE2, so the hash match each round proves the two
-# engines' Unicode semantics agree on the contract's domain.
+# engines' Unicode semantics agree on the contract's domain. Since
+# r15, canonical COMPOSITION is covered too (text_unicode_nfc +
+# operators/unicode_norm.py, verified against utf8proc's real
+# nfc_normalize and Python unicodedata) — the remaining documented
+# exclusion is case-folding only (final Σ, Turkish İ/ı,
+# length-changing maps).
 UNICODE_SPLIT_REGEX = r"[^\p{L}]+"
 
 

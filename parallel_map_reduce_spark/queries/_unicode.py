@@ -41,3 +41,30 @@ def scoped_unicode_docs(
     return fixture.join(
         F.broadcast(ids), fixture["doc_id"] % 2000 == ids["fid"]
     ).select(*cols)
+
+
+NFC_FIXTURE_PARQUET = "/root/repo/refdata/nfc_fixture.parquet"
+
+# DuckDB CTE mirroring scoped_nfc_docs (r15 NFC contract —
+# tools/gen_nfc_fixture.py).
+NDOCS_CTE = f"""ndocs AS (
+    SELECT doc_id, text
+    FROM read_parquet('{NFC_FIXTURE_PARQUET}')
+    WHERE doc_id % 2000 IN (SELECT doc_id % 2000 FROM documents)
+)"""
+
+
+def scoped_nfc_docs(
+    spark: SparkSession, sf_dir: str, cols: tuple[str, ...] = ("doc_id", "text")
+) -> DataFrame:
+    """The NFC fixture scoped to the sf's documents (broadcast
+    semi-join on doc_id % 2000), projected to ``cols``."""
+    fixture = read_parquet(spark, NFC_FIXTURE_PARQUET)
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 2000).alias("fid"))
+        .distinct()
+    )
+    return fixture.join(
+        F.broadcast(ids), fixture["doc_id"] % 2000 == ids["fid"]
+    ).select(*cols)

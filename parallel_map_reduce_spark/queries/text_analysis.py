@@ -1037,3 +1037,54 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.html_extract import html_extract_text
 
     return html_extract_text(scoped_html_docs(spark, sf_dir))
+
+
+from ._unicode import NDOCS_CTE, scoped_nfc_docs
+
+
+@register(
+    "text_unicode_nfc",
+    oracle=f"""
+WITH {NDOCS_CTE},
+toks AS (
+    SELECT doc_id,
+           unnest(string_split_regex(nfc_normalize(text), '[^\\p{{L}}]+')) AS token
+    FROM ndocs
+)
+SELECT token, COUNT(*)::BIGINT AS n, COUNT(DISTINCT doc_id)::BIGINT AS df
+FROM toks WHERE length(token) > 0 GROUP BY token
+""",
+    doc="NFC normalization contract (r15, VERDICT r14 task 3): "
+    "normalize-then-tokenize over the committed combining-marks "
+    "fixture (tools/gen_nfc_fixture.py — every doc mixes precomposed, "
+    "fully-NFD and first-char-decomposed spellings of the same "
+    "words), so canonically equivalent variants MERGE into one token "
+    "row. Spark 4.1 has no normalize builtin; the Spark side is the "
+    "fixed composition table of operators/unicode_norm.py as a "
+    "chained literal-replace codegen projection, while the oracle "
+    "uses DuckDB's REAL nfc_normalize (utf8proc) and the fixture's "
+    "exp_nfc column comes from Python unicodedata — three "
+    "independent implementations whose agreement the hash match "
+    "proves on the documented domain (NFC_DOMAIN; sequences outside "
+    "it pass through verbatim by contract). No lowercasing here: "
+    "this entry isolates composition, so the tokenize contract's "
+    "remaining documented exclusion is case-folding only. One "
+    "shuffle (the groupBy); normalization runs at scan speed.",
+    tags=("text", "unicode", "nfc", "llm-pipeline"),
+)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenize import UNICODE_SPLIT_REGEX
+    from ..operators.unicode_norm import nfc_compose_column
+
+    docs = scoped_nfc_docs(spark, sf_dir)
+    toks = F.explode(
+        F.filter(
+            F.split(nfc_compose_column("text"), UNICODE_SPLIT_REGEX),
+            lambda w: F.length(w) > 0,
+        )
+    ).alias("token")
+    return (
+        docs.select("doc_id", toks)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("df"))
+    )

@@ -50,6 +50,7 @@ RAW_PATH_ORACLES = {
     "text_unicode_quality",
     "text_unicode_bpe",  # r15: unrolled merge-loop replay over the fixture
     "text_html_extract",  # r15: committed HTML fixture (same sidecar class)
+    "text_unicode_nfc",  # r15: committed combining-marks fixture
 }
 
 
