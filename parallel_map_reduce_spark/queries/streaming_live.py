@@ -260,15 +260,24 @@ def streaming_curation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incrementally). Drained availableNow, the final state equals the "
     "batch index, so the LIVE run is checked against the SAME oracle "
     "as the batch `inverted_index` entry — streaming family meets "
-    "reference parity. streaming/index_stream.py:inverted_index_stream.",
-    tags=("streaming", "live", "reference", "flagship"),
+    "reference parity. Since r15 the drain runs on the ROCKSDB state "
+    "store (the 100 TB state-size contract: word-keyed posting state "
+    "grows with vocabulary, and the default provider holds every key "
+    "on executor heap; RocksDB spills to local disk with bounded "
+    "memory). The provider is applied to an engine-owned session "
+    "clone at runtime and VERIFIED ENGAGED from the query's own "
+    "progress metrics — a silent heap fallback raises instead of "
+    "passing. streaming/index_stream.py:inverted_index_stream,"
+    "rocksdb_session,drain_rocksdb.",
+    tags=("streaming", "live", "reference", "flagship", "rocksdb"),
 )
 def streaming_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import curation_stream as CS
     from ..streaming import index_stream as IS
 
-    stream = IS.inverted_index_stream(CS.read_documents_stream(spark, sf_dir))
-    return _drain(stream, "live_index", spark)
+    rocks = IS.rocksdb_session(spark)
+    stream = IS.inverted_index_stream(CS.read_documents_stream(rocks, sf_dir))
+    return IS.drain_rocksdb(stream, f"live_index_rocks_{next(_seq)}", rocks)
 
 
 def _set_index_oracle() -> None:

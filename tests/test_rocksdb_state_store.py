@@ -86,3 +86,41 @@ def test_rocksdb_provider_engages(rocks_spark):
     assert any("rocksdb" in k.lower() for k in custom), (
         f"RocksDB metrics absent — provider not engaged: {list(custom)[:5]}"
     )
+
+
+def test_streaming_inverted_index_runs_on_rocksdb(spark, sf_dir):
+    """The registered drain (r15) must run on RocksDB end-to-end: the
+    drain itself raises if the provider's custom metrics are absent,
+    so a clean return IS the engagement proof — and the parent
+    session's provider conf must stay untouched (the engine owns a
+    clone; the driver's bare session is never mutated)."""
+    from parallel_map_reduce_spark.queries.streaming_live import (
+        streaming_inverted_index,
+    )
+
+    before = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "DEFAULT"
+    )
+    out = streaming_inverted_index(spark, sf_dir)
+    assert out.count() > 0
+    after = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "DEFAULT"
+    )
+    assert before == after
+
+
+def test_rocksdb_drain_refuses_silent_fallback(spark, sf_dir):
+    """drain_rocksdb must raise when handed a session WITHOUT the
+    provider conf — the guard that keeps a misconfigured environment
+    from serving heap-backed state as the 100 TB configuration."""
+    import pytest as _pytest
+
+    from parallel_map_reduce_spark.streaming import curation_stream as CS
+    from parallel_map_reduce_spark.streaming import index_stream as IS
+
+    plain = spark.newSession()
+    stream = IS.inverted_index_stream(
+        CS.read_documents_stream(plain, sf_dir)
+    )
+    with _pytest.raises(RuntimeError, match="RocksDB"):
+        IS.drain_rocksdb(stream, "t_rocks_fallback_guard", plain)
