@@ -102,7 +102,37 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #      inverts — the slots not held by rules 1/2/4 go OLDEST-driver-
 #      evidence-first (per CORRECTNESS_r*.json), displacing the
 #      members with the longest consecutive green streaks.
-# Round-14 window: rule 2 rotates IN text_unicode_tokens (NEW — the
+# Round-15 window: rule 2 rotates IN text_html_extract (NEW — HTML
+# extraction contract over the committed fixture) and
+# text_unicode_nfc (NEW — NFC composition vs utf8proc/unicodedata);
+# text_unicode_bpe holds its slot (gained a DuckDB oracle this
+# round — the unrolled merge-loop replay), streaming_inverted_index
+# holds its tail slot (drain moved onto the RocksDB state store),
+# and dedup_corpus_promote_compacted holds (r15 try/finally DROP
+# discipline in _compact_build_dir, which it exercises directly).
+# Rule 5 rotates IN the stalest entries, all r03 driver evidence
+# (oldest-first per policy; the r14 verdict's q17/scd2 examples are
+# r05/r06 — these outrank them): customer_order_histogram,
+# customer_priority_multiset, dedup_clusters,
+# event_type_distinct_users, event_value_quantiles,
+# late_shipment_priority, orders_price_percent_rank.
+# OUT, longest-green-first with every family keeping a rep:
+# multimodal_image_metadata (2; image stays repped by
+# resize_oriented), embedding_semantic_dedup (2; twin stays recorded
+# in parity), dedup_exact / dedup_simhash / dedup_minhash_signatures
+# (2 each; dedup repped by ngram_jaccard + unicode_jaccard +
+# incoming dedup_clusters), dedup_corpus_promote (2; compacted twin
+# stays), customers_without_events (2; joins repped by outer/range/
+# as-of), q5_region_revenue + q2_cheapest_part_per_type (2 each;
+# TPC-H repped by the incoming r03 block + percent_rank window rep)
+# — nine OUT, nine IN, window stays 50. Kept despite streaks:
+# trade_graph_pagerank (5, only graph rep — rule 3),
+# multimodal_audio_loudness / multimodal_video_frames (4, only
+# audio/video reps), event_type_distinct_users_approx (3, only
+# sketch rep), similarity_ann_ivf (3, only ANN rep),
+# text_sentences_udtf (3, only UDTF rep).
+#
+# Round-14 window: rule 2 rotated IN text_unicode_tokens (NEW — the
 # UTF-8 tokenization contract, oracle-backed on the committed
 # multi-script fixture), multimodal_image_resize_oriented (the image
 # fixture now cycles ALL EIGHT EXIF orientations — the transpose path
@@ -148,29 +178,22 @@ GATE_PRIORITY: tuple[str, ...] = (
     "doc_stats",
     "inverted_index_chunked",
     "documents_provenance",
-    # rule 2 — the promotion lifecycle re-earns after the r14
-    # auto-compaction policy + errno-aware fallback changes; the
-    # compacted serving entry joins the gate for the first time
-    "dedup_corpus_promote",
+    # rule 2 — promotion lifecycle: the compacted entry holds (r15
+    # try/finally DROP discipline in _compact_build_dir)
     "dedup_corpus_promote_compacted",
-    # rule 2 — NEW r14: the UTF-8 contract family — tokenization,
-    # the dedup chain riding it (tokenize -> shingle -> jaccard),
-    # script-ID, quality signals, and the BPE trainer over unicode
-    # tokens (twin-backed; the rest oracle-backed)
+    # UTF-8 contract family (r14) — BPE holds under rule 2 (gained
+    # its DuckDB merge-loop-replay oracle in r15)
     "text_unicode_tokens",
     "dedup_unicode_jaccard",
     "text_unicode_script_id",
     "text_unicode_quality",
     "text_unicode_bpe",
-    # rule 2 — the image fixture now plants all 8 EXIF orientations:
-    # metadata re-earns on the regenerated payloads, and the
-    # orientation-applied resize (transpose family live at last)
-    # enters the gate
-    "multimodal_image_metadata",
+    # rule 2 — NEW r15: HTML extraction + NFC normalization contracts
+    "text_html_extract",
+    "text_unicode_nfc",
+    # image rep (rule 3): the all-8-EXIF-orientations resize path
     "multimodal_image_resize_oriented",
-    # rule 5 — stalest evidence (r03/r04): search, curation, Arrow
-    # scalar UDF, aggregates, histogram/window anchors, n-gram dedup,
-    # exact distinct, outer/range joins, the cube rep, salted agg
+    # rule 5 — r14's stale block (fresh r14 evidence, streak 1)
     "search_positional_index",
     "curation_train_val_split",
     "embedding_l2_norms_arrow",
@@ -180,21 +203,25 @@ GATE_PRIORITY: tuple[str, ...] = (
     "nation_customer_supplier_outer",
     "orders_status_priority_cube",
     "quantity_size_range_join",
-    # holdovers (fresh r13 evidence, streaks 1-3; family reps)
-    "embedding_semantic_dedup",
+    # rule 5 — NEW r15: the stalest entries fleet-wide (all r03
+    # driver evidence): histogram, multiset agg, dedup connected
+    # components, exact distinct-count, exact quantiles, filtered
+    # priority agg, window percent_rank
+    "customer_order_histogram",
+    "customer_priority_multiset",
+    "dedup_clusters",
+    "event_type_distinct_users",
+    "event_value_quantiles",
+    "late_shipment_priority",
+    "orders_price_percent_rank",
+    # holdovers (family reps; streaks noted in the window comment)
     "multimodal_audio_loudness",
     "event_type_distinct_users_approx",
     "similarity_ann_ivf",
     "text_sentences_udtf",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_simhash",
     "asof_purchase_last_click",
-    "customers_without_events",
     "nation_set_ops",
     "orders_status_pivot",
-    "q5_region_revenue",
-    "q2_cheapest_part_per_type",
     # graph rep (rule 3)
     "trade_graph_pagerank",
     # multimodal video rep
