@@ -465,11 +465,12 @@ def _pca_tolerant_compare(srows: list, trows: list) -> bool:
 TWIN_COMPARE["embedding_pca_whitened"] = _pca_tolerant_compare
 
 
-@_twin(
-    "text_unicode_bpe",
-    "pure-Python unicode tokenize + merge loop + segmentation replica",
-)
-def _unicode_bpe_python_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+# NOT @_twin-registered since r15: the entry gained a DuckDB oracle
+# (the unrolled merge-loop replay in queries/text_analysis.py), and
+# the twins-table contract reserves TWINS for oracle-less entries — a
+# twin would downgrade the recorded evidence. The replica stays as
+# pytest evidence (tests/test_bpe.py compares it to the entry).
+def unicode_bpe_python_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-machine replica of the unicode BPE entry: unicode
     tokenization (lower, then maximal runs of category-L characters —
     the same contract as operators/tokenize.py:unicode_tokenize,

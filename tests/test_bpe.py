@@ -118,3 +118,22 @@ def test_bpe_segment_roundtrip_and_reference_equality(spark, docs_df):
     # Round-trip: concatenated subwords reconstruct word + end marker.
     for w, syms in seg.items():
         assert "".join(syms) == w + BPE_END
+
+
+def test_unicode_bpe_matches_pure_python_replica(spark, sf_dir):
+    """The former parity twin, kept as pytest evidence since the entry
+    gained its DuckDB oracle (r15): the unicodedata-based replica
+    shares no execution path or tokenizer implementation with the
+    entry, so identity still verifies tokenization + the merge
+    sequence + the fold segmentation through an implementation the
+    oracle does not use."""
+    from parallel_map_reduce_spark.queries.text_analysis import (
+        text_unicode_bpe,
+    )
+    from parallel_map_reduce_spark.queries.twins import (
+        unicode_bpe_python_replica,
+    )
+
+    got = {tuple(r) for r in text_unicode_bpe(spark, sf_dir).collect()}
+    ref = {tuple(r) for r in unicode_bpe_python_replica(spark, sf_dir).collect()}
+    assert got == ref and len(got) > 0
