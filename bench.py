@@ -798,6 +798,25 @@ def _make_session(cpus: str):
         # never pays. Semantics of the written bytes are identical; v2's
         # weaker failure atomicity is irrelevant to a bench scratch dir.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # Long-lived-driver hygiene (r15, the measured cause of the
+        # r12->r14 headline walk — BASELINE.md "driver aging"): with a
+        # 24g heap the driver JVM may not GC for the entire headline
+        # loop, so the ContextCleaner (which reclaims broadcast blocks
+        # and shuffle state only when GC collects their references)
+        # never runs and per-query state accumulates — late-positioned
+        # queries inflate 1.3-1.6x in-process while a fresh process
+        # reproduces their r12-band bests. periodicGC at 1 min (default
+        # 30 min — longer than the whole bench) bounds that
+        # accumulation; the retained* caps bound listener-state growth
+        # (the SQL listener retains execution metadata even with the UI
+        # disabled). Production clusters run exactly these knobs on
+        # long-lived drivers; this is measurement hygiene, not a
+        # workload change.
+        .config("spark.cleaner.periodicGC.interval", "1min")
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.ui.retainedTasks", "1000")
         # JVM unified logging writes to STDOUT by default, and a
         # GC-pressure warning ('[gc,alloc] ... Retried waiting for
         # GCLocker') was observed interleaving with the bench's
