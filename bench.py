@@ -1476,8 +1476,13 @@ def main() -> int:
         # task 8) — the 128->256 step already showed the page-cache
         # knee (~2.05x wall per 2x data vs ~1.8x below it); 512x
         # records whether the out-of-cache regime holds that slope
+        # 1024x (~6.5 GB, ~364k files) adds a fourth octave (VERDICT
+        # r14 task 7): r15 probe-gated readings 153.4 s best quiet
+        # (first attempt 230.7 — staging-cold), i.e. ~2.2x wall per 2x
+        # data vs ~1.9-2.0x below — the manifest/scheduling path past
+        # this knee is the next thing to watch, not a wall
         scale_pairs = _int_list_env(
-            "SPARK_GRAFT_PAIRED_SCALE_FACTORS", "8,32,64,128,256,512"
+            "SPARK_GRAFT_PAIRED_SCALE_FACTORS", "8,32,64,128,256,512,1024"
         )
         if os.environ.get("SPARK_GRAFT_PAIRED_SCALE", "1") != "0" and scale_pairs:
             spark = _revive(spark, cpus)
