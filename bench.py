@@ -407,13 +407,37 @@ _PAIR_RETRIES = int(os.environ.get("SPARK_GRAFT_PAIR_RETRIES", "6"))
 _PAIR_BACKOFF_S = float(os.environ.get("SPARK_GRAFT_PAIR_BACKOFF_S", "10"))
 
 
+def _dirty_kb() -> int:
+    """Dirty-page backlog from /proc/meminfo, in kB (-1 when the file
+    is unavailable). The THIRD documented contention mode (r15): heavy
+    write phases (the 512x/1024x e2e corpora, artifact builds) leave
+    gigabytes of dirty pages whose background writeback steals disk
+    bandwidth from the next window's reads — a fresh-process walker
+    subset measured 30-40% slower under a writeback backlog and
+    reverted to band after sync + drain, while BOTH CPU probes stayed
+    quiet (BASELINE.md r15). Readings self-describe windows; nothing
+    gates on them yet."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith(("Dirty:", "Writeback:")):
+                    if line.startswith("Dirty:"):
+                        return int(line.split()[1])
+    except OSError:
+        pass
+    return -1
+
+
 def _window_probes(spark) -> dict:
     """One par + one spark probe reading, as a dict for the attempt log.
     The scalar CPU probe is deliberately omitted: both documented
-    contention modes (CPU steal, scheduling latency) leave it flat."""
+    contention modes (CPU steal, scheduling latency) leave it flat.
+    dirty_kb (r15) records the writeback-backlog mode neither CPU
+    probe can see."""
     return {
         "par": round(_contention_probe_parallel(), 3),
         "spark": round(_spark_probe(spark), 3),
+        "dirty_kb": _dirty_kb(),
     }
 
 
@@ -885,6 +909,7 @@ def main() -> int:
         "start": round(_contention_probe(), 3),
         "start_par": round(_contention_probe_parallel(), 3),
         "start_spark": round(_spark_probe(spark), 3),
+        "start_dirty_kb": _dirty_kb(),
     }
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -935,6 +960,7 @@ def main() -> int:
 
     probes["after_headline"] = round(_contention_probe(), 3)
     probes["after_headline_par"] = round(_contention_probe_parallel(), 3)
+    probes["after_headline_dirty_kb"] = _dirty_kb()
     # Reassign before probing (advisor r9): discarding _revive's return
     # would orphan a freshly-built JVM if the prior section killed ours.
     spark = _revive(spark, cpus)
