@@ -288,6 +288,70 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     )
 
 
+def line_repetition_signals(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    n_paragraphs, dup_para_frac, dup_para_char_frac): the LINE-level
+    half of the Gopher repetition rules (Rae et al. 2021 §A1.1 —
+    duplicate line / paragraph fractions by count and by character
+    mass), the half ``repetition_signals`` documents as intentionally
+    absent over the single-line ``documents`` table. Run it on text
+    with real line structure (the reference corpus — 355 book chapters
+    with blank-line paragraph breaks).
+
+    Contract: lines = '\\n'-split elements, btrim'd of space/tab/CR,
+    empties dropped; paragraphs = '\\n\\n'-split elements, same trim
+    (a paragraph keeps its INTERNAL single newlines — identity is the
+    trimmed raw block). dup_*_frac = EXCESS occurrences over distinct
+    (0.0 for a fully-distinct doc); dup_*_char_frac = the same in
+    character mass. Integer counts, one 4-dp-rounded division each
+    (the repo's cross-engine float policy).
+
+    Zero-shuffle: every signal is an array fold over the per-doc
+    split — array_distinct + two aggregate() sums per level, bounded
+    by the DOC's own length. Partition-parallel at any corpus size."""
+    trim_chars = " \t\r"
+
+    def pieces(sep: str) -> F.Column:
+        return F.filter(
+            F.transform(
+                F.split(F.col("text"), sep),
+                lambda x: F.btrim(x, F.lit(trim_chars)),
+            ),
+            lambda x: F.length(x) > 0,
+        )
+
+    def char_sum(arr: F.Column) -> F.Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+        )
+
+    def stats(arr: F.Column, prefix: str, n_alias: str) -> list[F.Column]:
+        n = F.size(arr)
+        nd = F.size(F.array_distinct(arr))
+        ct = char_sum(arr)
+        cd = char_sum(F.array_distinct(arr))
+        frac = F.when(n > 0, F.round((n - nd) / n, 4)).otherwise(F.lit(0.0))
+        cfrac = F.when(ct > 0, F.round((ct - cd) / ct, 4)).otherwise(
+            F.lit(0.0)
+        )
+        return [
+            n.cast("bigint").alias(n_alias),
+            frac.alias(f"dup_{prefix}_frac"),
+            cfrac.alias(f"dup_{prefix}_char_frac"),
+        ]
+
+    staged = docs.select(
+        "doc_id",
+        pieces("\n").alias("lines"),
+        pieces("\n\n").alias("paras"),
+    )
+    return staged.select(
+        "doc_id",
+        *stats(F.col("lines"), "line", "n_lines"),
+        *stats(F.col("paras"), "para", "n_paragraphs"),
+    )
+
+
 def bigram_counts(docs: DataFrame) -> DataFrame:
     """(bigram, tf, df): corpus-wide LM bigram count table — total
     occurrences (tf) and containing-document count (df) per bigram.

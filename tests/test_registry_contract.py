@@ -51,6 +51,7 @@ RAW_PATH_ORACLES = {
     "text_unicode_bpe",  # r15: unrolled merge-loop replay over the fixture
     "text_html_extract",  # r15: committed HTML fixture (same sidecar class)
     "text_unicode_nfc",  # r15: committed combining-marks fixture
+    "text_line_repetition",  # r15: landed reference corpus (two-path independence)
 }
 
 

@@ -311,3 +311,43 @@ def test_unicode_script_profile_counts_and_tiebreak(spark):
     assert got[3] == (0, 0, 3, 2, 0, "cyrillic", "x")
     assert got[4] == (2, 2, 0, 0, 0, "latin", "x")
     assert got[5] == (0, 0, 0, 0, 8, "rtl", "x")
+
+
+def test_line_repetition_signals_hand_computed(spark):
+    """The line-level Gopher rules on a hand-built doc: 5 nonempty
+    lines of which 'dup' appears 3x (excess 2), two identical
+    paragraphs out of three; char fractions follow the same excess
+    definition. CR and edge-whitespace are trimmed; blank lines drop."""
+    from parallel_map_reduce_spark.operators.text_analysis import (
+        line_repetition_signals,
+    )
+
+    text = "dup\r\n dup \nunique one\n\ndup\nunique two\n\ndup\r\n dup "
+    # lines (trimmed, nonempty): dup, dup, unique one, dup, unique two,
+    #   dup, dup -> n=7, distinct=3, excess=4
+    # chars: 3*5 + 10 + 10 = wait: dup=3 chars x5 occurrences + 10 + 10
+    #   total = 15+20 = 35; distinct = 3+10+10 = 23 -> (35-23)/35
+    # paragraphs (split \n\n, trimmed): "dup\r\n dup \nunique one",
+    #   "dup\nunique two", "dup\r\n dup " -> all distinct after trim?
+    #   p1 = "dup\r\n dup \nunique one" (inner ws kept), p3 = "dup\r\n dup"
+    #   -> distinct: 3, excess 0
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = line_repetition_signals(df).collect()[0]
+    assert r.n_lines == 7
+    assert r.dup_line_frac == round(4 / 7, 4)
+    assert r.dup_line_char_frac == round((35 - 23) / 35, 4)
+    assert r.n_paragraphs == 3
+    assert r.dup_para_frac == 0.0
+    assert r.dup_para_char_frac == 0.0
+
+
+def test_line_repetition_reference_corpus_nontrivial(spark, sf_dir):
+    """The entry must not be vacuous: the reference corpus has real
+    paragraph structure and at least some duplicated lines (chapter
+    headings, blank-trimmed runs)."""
+    from parallel_map_reduce_spark.queries.core import text_line_repetition
+
+    rows = text_line_repetition(spark, sf_dir).collect()
+    assert len(rows) == 355
+    assert sum(1 for r in rows if r.n_paragraphs > 1) > 200
+    assert any(r.dup_line_frac > 0 for r in rows)
