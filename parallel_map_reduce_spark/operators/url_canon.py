@@ -1,0 +1,113 @@
+"""URL canonicalization — the dedup key every web-crawl pipeline
+computes before anything else (north-star LLM-ingest surface; pairs
+with operators/html_extract.py: crawl → canonical-URL dedup → extract
+→ tokenize).
+
+The canonicalization CONTRACT is a fixed, documented rewrite — like
+the HTML chain, deliberately expressible in BOTH engines so the DuckDB
+oracle re-derives it independently, and codegen-resident on the Spark
+side (regexp_extract + array ops, zero Python):
+
+ 1. A URL is decomposed by ONE anchored regex into scheme ://
+    authority path [?query] [#fragment]. Inputs that do not match
+    (relative references, garbage) pass through VERBATIM — visible,
+    not silently dropped.
+ 2. Scheme and host lowercase (path stays case-sensitive per RFC
+    3986); userinfo@ is stripped; a leading ``www.`` is stripped
+    (the standard crawl-dedup choice, documented); the scheme's
+    default port is stripped (:80 for http, :443 for https).
+ 3. The fragment is removed.
+ 4. Path: trailing slashes trimmed; an empty or root path reads
+    ``/``. Percent-decoding and dot-segment removal are OUT of
+    contract (hex→char needs the same decode-table machinery as HTML
+    entities; documented boundary).
+ 5. Query: parameters split on ``&``, tracking parameters dropped
+    (URL_TRACKING_PARAMS: utm_*, gclid, fbclid, ref, mc_cid/eid),
+    empties dropped, the rest SORTED bytewise (both engines compare
+    raw UTF-8) and re-joined; an emptied query disappears.
+
+Scale: per-row projection, no shuffle; the dedup groupBy that follows
+keys on the canonical string — the first shuffle of any crawl
+pipeline, the one that co-locates recrawls of the same page.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Anchored decomposition: scheme, authority, path, ?query, #fragment.
+URL_PATTERN = (
+    r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+)
+
+URL_TRACKING_PARAMS = (
+    "utm_[a-z]+", "gclid", "fbclid", "ref", "mc_cid", "mc_eid",
+)
+TRACKING_PARAM_RE = "^(?:" + "|".join(URL_TRACKING_PARAMS) + ")="
+
+
+def canonical_url_column(col: Column | str) -> Column:
+    """The contract as one codegen expression."""
+    url = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(url, URL_PATTERN, 1))
+    auth = F.regexp_extract(url, URL_PATTERN, 2)
+    raw_path = F.regexp_extract(url, URL_PATTERN, 3)
+    raw_query = F.regexp_extract(url, URL_PATTERN, 4)
+
+    host = F.lower(F.regexp_replace(auth, "^[^@]*@", ""))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+
+    trimmed = F.regexp_replace(raw_path, "/+$", "")
+    path = F.when(F.length(trimmed) == 0, F.lit("/")).otherwise(trimmed)
+
+    params = F.filter(
+        F.split(F.substr(raw_query, F.lit(2)), "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    query = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(F.sort_array(params), "&")),
+    ).otherwise(F.lit(""))
+
+    canon = F.concat(scheme, F.lit("://"), host, path, query)
+    return F.when(F.length(scheme) == 0, url).otherwise(canon)
+
+
+def canonical_url_duckdb_expr(col: str) -> str:
+    """The SAME contract as a DuckDB SQL expression (RE2 + list ops) —
+    the oracle's side."""
+    pat = URL_PATTERN.replace("'", "''")
+    track = TRACKING_PARAM_RE.replace("'", "''")
+    scheme = f"lower(regexp_extract({col}, '{pat}', 1))"
+    bare_host = (
+        f"regexp_replace(lower(regexp_replace("
+        f"regexp_extract({col}, '{pat}', 2), '^[^@]*@', '')), "
+        f"'^www\\.', '')"
+    )
+    # RE2 has no lookahead, so the no-default-port branch is a CASE on
+    # the scheme rather than a never-matching pattern.
+    host = (
+        f"CASE {scheme} "
+        f"WHEN 'http' THEN regexp_replace({bare_host}, ':80$', '') "
+        f"WHEN 'https' THEN regexp_replace({bare_host}, ':443$', '') "
+        f"ELSE {bare_host} END"
+    )
+    trimmed = f"regexp_replace(regexp_extract({col}, '{pat}', 3), '/+$', '')"
+    path = f"CASE WHEN length({trimmed}) = 0 THEN '/' ELSE {trimmed} END"
+    params = (
+        f"list_sort(list_filter(string_split("
+        f"substr(regexp_extract({col}, '{pat}', 4), 2), '&'), "
+        f"p -> length(p) > 0 AND NOT regexp_matches(p, '{track}')))"
+    )
+    query = (
+        f"CASE WHEN len({params}) > 0 "
+        f"THEN '?' || array_to_string({params}, '&') ELSE '' END"
+    )
+    canon = f"{scheme} || '://' || {host} || {path} || {query}"
+    return f"CASE WHEN length({scheme}) = 0 THEN {col} ELSE {canon} END"

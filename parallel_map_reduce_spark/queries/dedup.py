@@ -1003,3 +1003,48 @@ def dedup_unicode_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=_JACCARD_THRESHOLD,
         shingles=pin(D.unicode_doc_shingles(udocs)),
     )
+
+
+from ._url import UDOCS_URL_CTE, scoped_url_docs
+from ..operators.url_canon import canonical_url_duckdb_expr
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=f"""
+WITH {UDOCS_URL_CTE},
+c AS (SELECT url, {canonical_url_duckdb_expr('url')} AS canonical_url FROM urldocs)
+SELECT canonical_url,
+       COUNT(*)::BIGINT AS n_urls,
+       COUNT(DISTINCT url)::BIGINT AS n_raw_forms
+FROM c GROUP BY canonical_url
+""",
+    doc="URL canonicalization + dedup (r15, north-star LLM-ingest — "
+    "the FIRST dedup key a crawl pipeline computes, before any "
+    "content-based method in this repo): recrawls and messy "
+    "spellings of the same page (scheme/host case, www, default "
+    "ports, fragments, tracking params, param order, trailing "
+    "slashes, userinfo) collapse to one canonical key under the "
+    "documented rewrite contract (operators/url_canon.py); non-URL "
+    "rows pass through verbatim. The committed fixture "
+    "(tools/gen_url_fixture.py) composes 2,000 messy spellings from "
+    "652 KNOWN canonical identities, pytest pins Spark == "
+    "exp_canonical for every row, and the oracle re-derives the "
+    "whole contract in DuckDB RE2 — hash match = cross-engine "
+    "agreement on the full rewrite. Plan: per-row codegen "
+    "canonicalization, ONE shuffle (the canonical-key groupBy) — "
+    "exactly the shuffle that co-locates recrawls at 100 TB.",
+    tags=("dedup", "url", "crawl", "llm-pipeline"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.url_canon import canonical_url_column
+
+    docs = scoped_url_docs(spark, sf_dir)
+    return (
+        docs.select("url", canonical_url_column("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("url").alias("n_raw_forms"),
+        )
+    )

@@ -52,6 +52,7 @@ RAW_PATH_ORACLES = {
     "text_html_extract",  # r15: committed HTML fixture (same sidecar class)
     "text_unicode_nfc",  # r15: committed combining-marks fixture
     "text_line_repetition",  # r15: landed reference corpus (two-path independence)
+    "dedup_url_canonical",  # r15: committed URL fixture
 }
 
 
