@@ -186,11 +186,17 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_unicode_tokens",
     "dedup_unicode_jaccard",
     "text_unicode_script_id",
-    "text_unicode_quality",
     "text_unicode_bpe",
-    # rule 2 — NEW r15: HTML extraction + NFC normalization contracts
+    # rule 2 — NEW r15: HTML extraction, NFC normalization, line-level
+    # Gopher repetition, URL canonical dedup (the late-session pair
+    # displaces text_unicode_quality and dedup_ngram_jaccard — both
+    # r14-green, their families still repped: unicode by
+    # tokens/jaccard/script/bpe/nfc, dedup by unicode_jaccard +
+    # incoming clusters + url_canonical)
     "text_html_extract",
     "text_unicode_nfc",
+    "text_line_repetition",
+    "dedup_url_canonical",
     # image rep (rule 3): the all-8-EXIF-orientations resize path
     "multimodal_image_resize_oriented",
     # rule 5 — r14's stale block (fresh r14 evidence, streak 1)
@@ -199,7 +205,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "embedding_l2_norms_arrow",
     "active_customer_spend",
     "customer_running_spend",
-    "dedup_ngram_jaccard",
     "nation_customer_supplier_outer",
     "orders_status_priority_cube",
     "quantity_size_range_join",
