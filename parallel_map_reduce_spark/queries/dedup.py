@@ -1040,11 +1040,17 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.url_canon import canonical_url_column
 
     docs = scoped_url_docs(spark, sf_dir)
-    return (
+    # Two-pass shape instead of count + countDistinct in one agg: the
+    # expand-based distinct plan costs a third Exchange of the full
+    # fact; reducing to (canonical, raw) first map-side-combines the
+    # crawl's recrawl duplicates, and the second shuffle moves one row
+    # per raw form — metadata-sized at 100 TB.
+    per_raw = (
         docs.select("url", canonical_url_column("url").alias("canonical_url"))
-        .groupBy("canonical_url")
-        .agg(
-            F.count("*").alias("n_urls"),
-            F.countDistinct("url").alias("n_raw_forms"),
-        )
+        .groupBy("canonical_url", "url")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_raw.groupBy("canonical_url").agg(
+        F.sum("c").alias("n_urls"),
+        F.count("*").alias("n_raw_forms"),
     )
