@@ -18,9 +18,15 @@ side (regexp_extract + array ops, zero Python):
     default port is stripped (:80 for http, :443 for https).
  3. The fragment is removed.
  4. Path: trailing slashes trimmed; an empty or root path reads
-    ``/``. Percent-decoding and dot-segment removal are OUT of
-    contract (hex→char needs the same decode-table machinery as HTML
-    entities; documented boundary).
+    ``/``. Dot-segment removal is OUT of contract (documented
+    boundary).
+ 4b. Percent-encoded UNRESERVED characters (RFC 3986 §2.3: ALPHA /
+    DIGIT / ``-._~``) decode via a fixed 66-entry table (either hex
+    case), applied to the whole matched URL BEFORE decomposition —
+    safe because no unreserved character is a structural delimiter.
+    Reserved ``%XX`` sequences stay byte-verbatim (normalizing their
+    hex case would need a per-sequence rule set for no dedup gain;
+    documented boundary: ``%2F`` and ``%2f`` remain distinct keys).
  5. Query: parameters split on ``&``, tracking parameters dropped
     (URL_TRACKING_PARAMS: utm_*, gclid, fbclid, ref, mc_cid/eid),
     empties dropped, the rest SORTED bytewise (both engines compare
@@ -46,10 +52,35 @@ URL_TRACKING_PARAMS = (
 )
 TRACKING_PARAM_RE = "^(?:" + "|".join(URL_TRACKING_PARAMS) + ")="
 
+# RFC 3986 §2.3 unreserved characters: %-forms of these (either hex
+# case) decode; everything else stays byte-verbatim.
+_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def _pct_pattern(ch: str) -> str:
+    hh = format(ord(ch), "02x")
+    classes = "".join(
+        f"[{c}{c.upper()}]" if c.isalpha() else c for c in hh
+    )
+    return f"%{classes}"
+
+
+PCT_DECODE_TABLE: tuple[tuple[str, str], ...] = tuple(
+    (_pct_pattern(ch), ch) for ch in _UNRESERVED
+)
+
 
 def canonical_url_column(col: Column | str) -> Column:
     """The contract as one codegen expression."""
-    url = F.col(col) if isinstance(col, str) else col
+    raw = F.col(col) if isinstance(col, str) else col
+    # Decode %-encoded unreserved chars BEFORE decomposition (they are
+    # never structural); the verbatim passthrough below still returns
+    # the ORIGINAL string for non-URLs.
+    url = raw
+    for pat, ch in PCT_DECODE_TABLE:
+        url = F.regexp_replace(url, pat, ch)
     scheme = F.lower(F.regexp_extract(url, URL_PATTERN, 1))
     auth = F.regexp_extract(url, URL_PATTERN, 2)
     raw_path = F.regexp_extract(url, URL_PATTERN, 3)
@@ -76,14 +107,23 @@ def canonical_url_column(col: Column | str) -> Column:
     ).otherwise(F.lit(""))
 
     canon = F.concat(scheme, F.lit("://"), host, path, query)
-    return F.when(F.length(scheme) == 0, url).otherwise(canon)
+    return F.when(F.length(scheme) == 0, raw).otherwise(canon)
 
 
 def canonical_url_duckdb_expr(col: str) -> str:
     """The SAME contract as a DuckDB SQL expression (RE2 + list ops) —
-    the oracle's side."""
+    the oracle's side. The unreserved %-decode chain is inlined per
+    component reference (~30 KB of generated SQL — bulky but fully
+    self-contained; the BPE oracle is bigger)."""
     pat = URL_PATTERN.replace("'", "''")
     track = TRACKING_PARAM_RE.replace("'", "''")
+    dec = col
+    for p, ch in PCT_DECODE_TABLE:
+        r = ch.replace("'", "''")
+        dec = f"regexp_replace({dec}, '{p}', '{r}', 'g')"
+    # From here on every extraction reads the DECODED string; only the
+    # verbatim passthrough at the end returns the original column.
+    orig, col = col, dec
     scheme = f"lower(regexp_extract({col}, '{pat}', 1))"
     bare_host = (
         f"regexp_replace(lower(regexp_replace("
@@ -110,4 +150,4 @@ def canonical_url_duckdb_expr(col: str) -> str:
         f"THEN '?' || array_to_string({params}, '&') ELSE '' END"
     )
     canon = f"{scheme} || '://' || {host} || {path} || {query}"
-    return f"CASE WHEN length({scheme}) = 0 THEN {col} ELSE {canon} END"
+    return f"CASE WHEN length({scheme}) = 0 THEN {orig} ELSE {canon} END"

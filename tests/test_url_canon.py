@@ -27,6 +27,9 @@ CASES = [
     ("http://example.com/a//b///", "http://example.com/a//b"),
     ("http://example.com/p?b=2&b=1&a=3", "http://example.com/p?a=3&b=1&b=2"),
     ("http://EXAMPLE.com/p#only-frag", "http://example.com/p"),
+    ("http://example.com/Tr%61in/%44ata?x=%7Ea", "http://example.com/Train/Data?x=~a"),
+    ("http://example.com/%2Fkeep?y=%2f", "http://example.com/%2Fkeep?y=%2f"),  # reserved %2F stays
+    ("%41 not a url", "%41 not a url"),  # passthrough returns the ORIGINAL
 ]
 
 

@@ -5,8 +5,9 @@ fixture where MANY messy spellings map to ONE known canonical page
 identity — the generator composes each row from a canonical identity
 (host, path, sorted params) it knows, then applies deterministic mess:
 scheme/host case noise, ``www.``, default ports, fragments, tracking
-parameters, parameter-order rotation, trailing slashes, userinfo, and
-some non-URL rows that must pass through verbatim. ``exp_canonical``
+parameters, parameter-order rotation, trailing slashes, userinfo,
+%-encoded unreserved path characters (either hex case), and some
+non-URL rows that must pass through verbatim. ``exp_canonical``
 derives from the COMPOSITION, never from the canonicalization code —
 circularity-free, the html/nfc fixture discipline.
 
@@ -76,6 +77,14 @@ def doc(doc_id: int) -> tuple[str, str]:
         mhost = "crawler:secret@" + mhost
     mscheme = scheme.upper() if v >= 2 else scheme
     mpath = path
+    if path != "/" and (doc_id + v) % 7 == 1:
+        # %-encode the first letter of the path (alternating hex case):
+        # unreserved decode must fold this back to the canonical form
+        first = next((c for c in mpath if c.isalpha()), None)
+        if first is not None:
+            hh = format(ord(first), "02x")
+            enc = "%" + (hh.upper() if doc_id % 2 else hh)
+            mpath = mpath.replace(first, enc, 1)
     if path != "/" and (doc_id + v) % 3 == 0:
         mpath += "/" * (1 + doc_id % 2)
     mparams = list(params)
