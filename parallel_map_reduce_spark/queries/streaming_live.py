@@ -455,3 +455,39 @@ def _set_multimodal_oracle() -> None:
 
 
 _set_multimodal_oracle()
+
+
+from ..operators.url_canon import canonical_url_duckdb_expr as _url_canon_sql
+from ._url import UDOCS_URL_CTE as _UDOCS_URL_CTE
+
+
+@register(
+    "streaming_url_frontier",
+    oracle=f"""
+WITH {_UDOCS_URL_CTE}
+SELECT DISTINCT {_url_canon_sql('url')} AS canonical_url FROM urldocs
+""",
+    doc="LIVE crawl-frontier URL dedup (r15): each micro-batch "
+    "canonicalizes arriving URLs under the SAME codegen contract as "
+    "the batch dedup_url_canonical (operators/url_canon.py — case/"
+    "www/ports/fragments/tracking-params/param-sort/unreserved "
+    "percent-decode), then first-seen suppression on the canonical "
+    "key in streaming state — the frontier's seen-set, one state row "
+    "per unique page. Drained availableNow, the key set equals the "
+    "batch DISTINCT, so the live run is checked against the same "
+    "DuckDB re-derivation of the full rewrite contract. Scoping is a "
+    "stream-static broadcast semi-join re-read per micro-batch. "
+    "streaming/url_stream.py.",
+    tags=("streaming", "live", "dedup", "url", "crawl", "llm-pipeline"),
+)
+def streaming_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+    from ..streaming import url_stream as US
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 2000).alias("fid"))
+        .distinct()
+    )
+    stream = US.url_frontier_stream(US.read_url_stream(spark), ids)
+    return _drain_append(stream, "live_urlfront", spark)

@@ -53,6 +53,7 @@ RAW_PATH_ORACLES = {
     "text_unicode_nfc",  # r15: committed combining-marks fixture
     "text_line_repetition",  # r15: landed reference corpus (two-path independence)
     "dedup_url_canonical",  # r15: committed URL fixture
+    "streaming_url_frontier",  # r15: shares the URL fixture CTE
 }
 
 
