@@ -415,17 +415,65 @@ def _dirty_kb() -> int:
     bandwidth from the next window's reads — a fresh-process walker
     subset measured 30-40% slower under a writeback backlog and
     reverted to band after sync + drain, while BOTH CPU probes stayed
-    quiet (BASELINE.md r15). Readings self-describe windows; nothing
-    gates on them yet."""
+    quiet (BASELINE.md r15). The reading is Dirty + Writeback — pages
+    still waiting AND pages already queued to the device both steal
+    read bandwidth until flushed (advisor r15: Dirty alone undercounts
+    the backlog mid-flush)."""
+    total, seen = 0, False
     try:
         with open("/proc/meminfo") as f:
             for line in f:
                 if line.startswith(("Dirty:", "Writeback:")):
-                    if line.startswith("Dirty:"):
-                        return int(line.split()[1])
+                    total += int(line.split()[1])
+                    seen = True
     except OSError:
         pass
-    return -1
+    return total if seen else -1
+
+
+# Writeback gate (VERDICT r15 task 4): the r15 driver window ran with
+# ~3.0 GB of dirty pages at headline start and read +10% on identical
+# plans — background writeback steals disk bandwidth from timed reads
+# while BOTH CPU probes stay quiet. Before each timed section, if the
+# Dirty+Writeback backlog exceeds the pinned threshold, sync and wait
+# for the flush (bounded), recording pre/post readings so the artifact
+# shows the gate acted. 512 MB threshold: the quiet-band windows in
+# BASELINE.md read 10-200 MB; the contaminated ones read gigabytes.
+_DIRTY_KB_MAX = int(os.environ.get("SPARK_GRAFT_DIRTY_KB_MAX", "524288"))
+_DIRTY_DRAIN_TIMEOUT_S = float(
+    os.environ.get("SPARK_GRAFT_DIRTY_DRAIN_TIMEOUT_S", "180")
+)
+
+
+def _drain_dirty_pages(label: str, probes: dict) -> None:
+    """Sync + threshold-wait until the writeback backlog is below
+    _DIRTY_KB_MAX (or timeout). Records ``{label}_dirty_kb_pre_drain``
+    always and ``{label}_dirty_drain_s`` when the gate acted, so a
+    reader can tell a gated window from a naturally-quiet one."""
+    before = _dirty_kb()
+    probes[f"{label}_dirty_kb_pre_drain"] = before
+    if before < 0 or before <= _DIRTY_KB_MAX:
+        return
+    print(
+        f"bench: {label} dirty backlog {before} kB > {_DIRTY_KB_MAX} kB"
+        " — sync + drain",
+        file=sys.stderr,
+    )
+    t0 = time.monotonic()
+    os.sync()
+    while True:
+        now = _dirty_kb()
+        if now < 0 or now <= _DIRTY_KB_MAX:
+            break
+        if time.monotonic() - t0 > _DIRTY_DRAIN_TIMEOUT_S:
+            print(
+                f"bench: {label} dirty drain TIMED OUT at {now} kB",
+                file=sys.stderr,
+            )
+            break
+        time.sleep(2.0)
+        os.sync()
+    probes[f"{label}_dirty_drain_s"] = round(time.monotonic() - t0, 1)
 
 
 def _window_probes(spark) -> dict:
@@ -905,12 +953,20 @@ def main() -> int:
     _spark_probe(spark)  # discard one: first use pays noop-writer +
     # codegen init (~2 s) regardless of host state; the recorded series
     # must measure scheduling latency, not one-time shape warmup
-    probes: dict[str, float] = {
-        "start": round(_contention_probe(), 3),
-        "start_par": round(_contention_probe_parallel(), 3),
-        "start_spark": round(_spark_probe(spark), 3),
-        "start_dirty_kb": _dirty_kb(),
-    }
+    probes: dict[str, float] = {}
+    # Writeback gate BEFORE the headline window (VERDICT r15 task 4):
+    # start_dirty_kb below records the post-drain state the window
+    # actually ran under; the pre-drain reading and drain duration are
+    # recorded by the gate itself when it acts.
+    _drain_dirty_pages("start", probes)
+    probes.update(
+        {
+            "start": round(_contention_probe(), 3),
+            "start_par": round(_contention_probe_parallel(), 3),
+            "start_spark": round(_spark_probe(spark), 3),
+            "start_dirty_kb": _dirty_kb(),
+        }
+    )
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -1488,6 +1544,10 @@ def main() -> int:
     # only noise-immune form of the driver's 2x-of-baseline metric).
     paired: dict = {}
     if os.environ.get("SPARK_GRAFT_PAIRED_BASELINE", "1") != "0" and not sys.argv[1:]:
+        # The curves above stage gigabytes of corpora — exactly the
+        # write phase that leaves the dirty backlog the paired window
+        # must not run under. Same gate as the headline.
+        _drain_dirty_pages("paired", probes)
         spark = _revive(spark, cpus)
         paired = _paired_baseline(spark)
         # Same pairing at 8x/64x corpus scale — where the architectures

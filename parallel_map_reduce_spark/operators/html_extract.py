@@ -36,6 +36,12 @@ deliberately codegen-resident on the Spark side (chained
  7. ASCII whitespace runs collapse to one space; the result is
     trimmed. (``&nbsp;`` decodes to a plain space in step 6, so it
     participates in the collapse — the usual extraction choice.)
+    The collapse class is ENUMERATED — ``[ \\t\\n\\r\\f\\x0B]+`` — not
+    the dialect shorthand ``\\s``: Java's ``\\s`` includes vertical
+    tab (``\\x0B``) while RE2's does not, so the shorthand would
+    silently diverge between the two engines on ``\\x0B`` input
+    (advisor r15). The explicit class makes both engines collapse the
+    same six ASCII whitespace characters.
 
 Patterns use only the regex dialect BOTH engines share exactly: inline
 flags ``(?is)``, lazy quantifiers, alternation over quoted runs, no
@@ -118,7 +124,9 @@ def _rules() -> list[tuple[str, str, str]]:
         (_entity_pattern(name, cp), text, text)
         for name, cp, text in HTML_ENTITY_TABLE
     ]
-    rules.append((r"\s+", " ", " "))
+    # Enumerated ASCII whitespace class, NOT \s: Java \s includes
+    # \x0B, RE2 \s does not (docstring step 7 / advisor r15).
+    rules.append((r"[ \t\n\r\f\x0B]+", " ", " "))
     return rules
 
 

@@ -77,10 +77,20 @@ def _fresh_result_dir(kind: str, sf_dir: str) -> str:
                 pass  # alive under another uid — not ours to sweep
             # pid-alive can be a RECYCLED pid belonging to an unrelated
             # process; age out dirs untouched for a day as a fallback
-            # (advisor r14). Best-effort: correctness never depends on
-            # the sweep, only /tmp hygiene does.
+            # (advisor r14). Writes land in TAG SUBDIRS, which never
+            # touch the parent pid dir's mtime — so age on the MAX
+            # mtime across the pid dir and its children, or a
+            # legitimately long-running (>1 day) live sibling would be
+            # swept mid-run (advisor r15). Best-effort: correctness
+            # never depends on the sweep, only /tmp hygiene does.
             try:
-                if time.time() - e.stat(follow_symlinks=False).st_mtime > 86400:
+                newest = e.stat(follow_symlinks=False).st_mtime
+                with os.scandir(e.path) as tags:
+                    for t in tags:
+                        newest = max(
+                            newest, t.stat(follow_symlinks=False).st_mtime
+                        )
+                if time.time() - newest > 86400:
                     shutil.rmtree(e.path, ignore_errors=True)
             except OSError:
                 pass

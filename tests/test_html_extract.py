@@ -41,6 +41,10 @@ NASTY = [
     ("x <em>y</em>\n\t z", "x y z"),
     ("<div attr='<'>q</div>", "q"),  # quoted < in attr
     ("<p>unclosed <q</p>", "unclosed <q"),  # tag never closes: literal
+    # \x0B (vertical tab): Java \s includes it, RE2 \s does not — the
+    # enumerated collapse class keeps both engines agreeing (advisor
+    # r15). Both sides of this case run through BOTH engine tests.
+    ("a\x0b\x0b b\x0bc", "a b c"),
 ]
 
 

@@ -185,7 +185,10 @@ PIECES = [
     _p_void_and_img, _p_nested_div, _p_full_doc_head,
 ]
 
-# ASCII whitespace only (the contract's \s); no \v in any pool.
+# ASCII whitespace only. The operator's collapse class is now the
+# enumerated [ \t\n\r\f\x0B]+ (advisor r15) so \x0B no longer
+# diverges between engines; the pools still omit it because the
+# expectation composer here collapses the same five common chars.
 _WS = re.compile(r"[ \t\n\r\f]+")
 
 
