@@ -14,6 +14,7 @@ from . import curation  # noqa: F401
 from . import graph  # noqa: F401
 from . import search  # noqa: F401
 from . import multimodal  # noqa: F401
+from . import warc_ingest  # noqa: F401
 
 # Live-streaming drains are the slowest registry entries (seconds each,
 # vs milliseconds for everything else); register them LAST so a

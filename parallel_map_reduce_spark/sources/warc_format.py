@@ -1,0 +1,274 @@
+"""From-spec WARC container parsing (ISO 28500 / WARC 1.0-1.1) —
+stdlib only, no Spark imports: the executor-side half of the ``warc``
+data source (sources/warc.py) and the unit under tests/test_warc.py.
+
+Web crawls (Common Crawl and everything shaped like it) land as WARC
+files, so this is the FRONT END of the repo's crawl-ingest chain
+(VERDICT r15 task 1): WARC -> URL canon -> HTML extract -> unicode
+tokenize -> dedup. The reference ingests pre-split text only
+(`src/tema1.cpp:324-364` reads a manifest of plain-text files), so
+this module is north-star LLM-pipeline surface, not reference parity.
+
+CONTRACT (the parts of the spec this parser implements, strictly):
+
+- A WARC file is a sequence of records; each record is a version line
+  (``WARC/1.0`` or ``WARC/1.1``), named header fields, one blank line,
+  exactly ``Content-Length`` octets of block, then CRLF CRLF. Header
+  lines are CRLF-terminated; WARC 1.0 header values may fold over
+  continuation lines starting with SP/HT (folds join with one space).
+- ``.warc.gz`` files are a concatenation of gzip members (the Common
+  Crawl layout: one record per member); the stdlib's multi-member
+  ``gzip.GzipFile`` reads the stream transparently — record framing
+  does not depend on member boundaries.
+- Records whose ``Content-Type`` is ``application/http`` carry an HTTP
+  message as their block: start line, headers, CRLF CRLF, body. The
+  PAYLOAD is the body after undoing transfer framing and content
+  coding, in spec order: ``Transfer-Encoding: chunked`` de-chunking
+  first (RFC 9112 §7.1 — hex sizes, optional chunk extensions,
+  optional trailer fields), then ``Content-Encoding`` gzip/x-gzip
+  decompression. A plain ``Content-Length`` body must match its
+  declared length exactly; a body with neither framing header is
+  close-delimited (the rest of the block).
+
+LOUD BOUNDARIES (documented, not silent): any malformed framing —
+bad version line, missing/non-numeric Content-Length, truncated
+block, missing record terminator, bare-LF line endings, colon-less
+header lines, bad chunk sizes, trailing bytes after the last chunk,
+HTTP Content-Length/body mismatch, truncated gzip members — raises
+``WarcFormatError`` naming the file and record. ``Content-Encoding``
+values other than gzip/x-gzip/identity (deflate, br, zstd) are
+REJECTED loudly as out of contract, the same policy as the MP3/AAC
+fence in multimodal/codec.py.
+
+Scale: the parser is a pure stream consumer — one record in memory at
+a time, bounded header-line length, no seeks — so a 1 GB crawl file
+parses with O(record) memory on an executor.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from dataclasses import dataclass
+from typing import BinaryIO, Iterator
+
+_MAX_LINE = 65536  # bounded header-line length: malformed input must
+# not buffer unbounded bytes looking for a newline
+
+_VERSIONS = (b"WARC/1.0", b"WARC/1.1")
+
+
+class WarcFormatError(ValueError):
+    """Malformed WARC/HTTP framing — always names file + record."""
+
+
+def _readline(f: BinaryIO, where: str) -> bytes:
+    line = f.readline(_MAX_LINE + 2)
+    if len(line) > _MAX_LINE:
+        raise WarcFormatError(f"{where}: header line exceeds {_MAX_LINE} bytes")
+    return line
+
+
+def read_header_block(
+    f: BinaryIO, where: str, encoding: str = "utf-8"
+) -> list[tuple[str, str]]:
+    """Named fields up to (and consuming) the blank CRLF line.
+    Continuation lines (SP/HT) fold onto the previous value with one
+    space — WARC 1.0 §4 / HTTP obs-fold. Strict CRLF throughout."""
+    headers: list[tuple[str, str]] = []
+    while True:
+        line = _readline(f, where)
+        if line == b"\r\n":
+            return headers
+        if line == b"" or not line.endswith(b"\r\n"):
+            if line.endswith(b"\n"):
+                raise WarcFormatError(f"{where}: bare-LF line ending")
+            raise WarcFormatError(f"{where}: truncated header block")
+        body = line[:-2]
+        if body[:1] in (b" ", b"\t"):
+            if not headers:
+                raise WarcFormatError(f"{where}: continuation before any field")
+            k, v = headers[-1]
+            headers[-1] = (k, v + " " + body.strip().decode(encoding, "replace"))
+            continue
+        if b":" not in body:
+            raise WarcFormatError(f"{where}: header line without colon: {body[:60]!r}")
+        k, v = body.split(b":", 1)
+        headers.append(
+            (k.decode(encoding, "replace").strip(), v.decode(encoding, "replace").strip())
+        )
+
+
+def hget(headers: list[tuple[str, str]], name: str) -> str | None:
+    """First value for a field name, case-insensitive (the spec's
+    field-name comparison rule)."""
+    low = name.lower()
+    for k, v in headers:
+        if k.lower() == low:
+            return v
+    return None
+
+
+@dataclass
+class WarcRecord:
+    warc_type: str
+    record_id: str
+    warc_date: str
+    target_uri: str | None
+    content_type: str | None
+    headers: list[tuple[str, str]]
+    block: bytes
+
+
+@dataclass
+class HttpMessage:
+    status: int | None  # responses
+    method: str | None  # requests
+    headers: list[tuple[str, str]]
+    payload: bytes
+
+
+def dechunk(data: bytes, where: str) -> bytes:
+    """Undo chunked transfer coding (RFC 9112 §7.1): hex chunk sizes
+    with optional ``;ext`` extensions, each chunk CRLF-terminated,
+    a zero chunk then optional trailer fields, then nothing."""
+    f = io.BufferedReader(io.BytesIO(data))
+    out = bytearray()
+    while True:
+        line = _readline(f, where)
+        if not line.endswith(b"\r\n"):
+            raise WarcFormatError(f"{where}: truncated chunk-size line")
+        size_tok = line[:-2].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise WarcFormatError(
+                f"{where}: bad chunk size {size_tok[:20]!r}"
+            ) from None
+        if size == 0:
+            # trailer fields until the blank line, then EOF
+            while True:
+                t = _readline(f, where)
+                if t == b"\r\n":
+                    break
+                if t == b"" or not t.endswith(b"\r\n"):
+                    raise WarcFormatError(f"{where}: truncated chunk trailers")
+            if f.read(1) != b"":
+                raise WarcFormatError(f"{where}: bytes after final chunk")
+            return bytes(out)
+        chunk = f.read(size)
+        if len(chunk) != size:
+            raise WarcFormatError(f"{where}: truncated chunk data")
+        if f.read(2) != b"\r\n":
+            raise WarcFormatError(f"{where}: missing CRLF after chunk")
+        out += chunk
+
+
+def parse_http(block: bytes, where: str) -> HttpMessage:
+    """One HTTP message from a WARC application/http block: start
+    line, fields, framing-decoded + content-decoded payload."""
+    f = io.BufferedReader(io.BytesIO(block))
+    start = _readline(f, where)
+    if not start.endswith(b"\r\n"):
+        raise WarcFormatError(f"{where}: truncated HTTP start line")
+    start_s = start[:-2].decode("latin-1")
+    status: int | None = None
+    method: str | None = None
+    if start_s.startswith("HTTP/"):
+        parts = start_s.split(" ", 2)
+        if len(parts) < 2 or not parts[1].isdigit():
+            raise WarcFormatError(f"{where}: bad HTTP status line {start_s[:60]!r}")
+        status = int(parts[1])
+    else:
+        parts = start_s.split(" ")
+        if len(parts) != 3 or not parts[2].startswith("HTTP/"):
+            raise WarcFormatError(f"{where}: bad HTTP request line {start_s[:60]!r}")
+        method = parts[0]
+    headers = read_header_block(f, where, encoding="latin-1")
+    rest = f.read()
+
+    te = hget(headers, "Transfer-Encoding")
+    if te is not None and te.split(",")[-1].strip().lower() == "chunked":
+        body = dechunk(rest, where)
+    else:
+        cl = hget(headers, "Content-Length")
+        if cl is not None:
+            if not cl.isdigit():
+                raise WarcFormatError(f"{where}: bad HTTP Content-Length {cl!r}")
+            if len(rest) != int(cl):
+                raise WarcFormatError(
+                    f"{where}: HTTP Content-Length {cl} != body {len(rest)}"
+                )
+        body = rest  # declared length verified, or close-delimited
+
+    ce = hget(headers, "Content-Encoding")
+    if ce is not None:
+        coding = ce.strip().lower()
+        if coding in ("gzip", "x-gzip"):
+            try:
+                body = gzip.decompress(body)
+            except (OSError, EOFError) as e:
+                raise WarcFormatError(f"{where}: bad gzip payload: {e}") from None
+        elif coding != "identity":
+            # deflate/br/zstd: out of contract, rejected LOUDLY (the
+            # multimodal/codec.py fence policy) — never silently raw
+            raise WarcFormatError(
+                f"{where}: unsupported Content-Encoding {coding!r}"
+            )
+    return HttpMessage(status=status, method=method, headers=headers, payload=body)
+
+
+def iter_warc_records(raw: BinaryIO, src: str = "<stream>") -> Iterator[WarcRecord]:
+    """Stream records from a plain or gzip (multi-member) WARC file.
+    O(record) memory; every framing violation raises WarcFormatError."""
+    if not hasattr(raw, "peek"):
+        raw = io.BufferedReader(raw)  # type: ignore[arg-type]
+    head = raw.peek(2)[:2]
+    f: BinaryIO = raw
+    if head == b"\x1f\x8b":
+        f = io.BufferedReader(gzip.GzipFile(fileobj=raw))  # type: ignore[assignment]
+    ord_ = 0
+    while True:
+        where = f"{src}: record {ord_}"
+        try:
+            version = _readline(f, where)
+        except (OSError, EOFError) as e:
+            raise WarcFormatError(f"{where}: bad gzip member: {e}") from None
+        if version == b"":
+            return  # clean EOF between records
+        if not version.endswith(b"\r\n") or version[:-2] not in _VERSIONS:
+            raise WarcFormatError(
+                f"{where}: bad version line {version[:40]!r}"
+            )
+        headers = read_header_block(f, where)
+        cl = hget(headers, "Content-Length")
+        if cl is None or not cl.isdigit():
+            raise WarcFormatError(f"{where}: missing/bad Content-Length {cl!r}")
+        try:
+            block = f.read(int(cl))
+        except (OSError, EOFError) as e:
+            raise WarcFormatError(f"{where}: bad gzip member: {e}") from None
+        if len(block) != int(cl):
+            raise WarcFormatError(
+                f"{where}: truncated block ({len(block)}/{cl} bytes)"
+            )
+        if f.read(4) != b"\r\n\r\n":
+            raise WarcFormatError(f"{where}: missing record terminator")
+        wtype = hget(headers, "WARC-Type")
+        rid = hget(headers, "WARC-Record-ID")
+        wdate = hget(headers, "WARC-Date")
+        if wtype is None or rid is None or wdate is None:
+            raise WarcFormatError(
+                f"{where}: missing mandatory WARC header "
+                f"(type={wtype!r} id={rid!r} date={wdate!r})"
+            )
+        yield WarcRecord(
+            warc_type=wtype,
+            record_id=rid,
+            warc_date=wdate,
+            target_uri=hget(headers, "WARC-Target-URI"),
+            content_type=hget(headers, "Content-Type"),
+            headers=headers,
+            block=block,
+        )
+        ord_ += 1

@@ -54,6 +54,11 @@ RAW_PATH_ORACLES = {
     "text_line_repetition",  # r15: landed reference corpus (two-path independence)
     "dedup_url_canonical",  # r15: committed URL fixture
     "streaming_url_frontier",  # r15: shares the URL fixture CTE
+    # r16: the WARC fixture's composition-derived sidecar (Spark
+    # re-parses the committed WARC bytes; the oracle reads what the
+    # generator composed)
+    "ingest_warc_records",
+    "ingest_warc_html_text",
 }
 
 

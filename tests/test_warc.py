@@ -1,0 +1,251 @@
+"""WARC ingestion contract (sources/warc_format.py, sources/warc.py).
+
+Triangulation (FIXTURES.md discipline): the committed fixture's
+sidecar expectations come from the GENERATOR's composition knowledge
+— never from running the parser — so parser == sidecar here, plus the
+DuckDB oracle == Spark in parity, together prove the parser implements
+the authored spec. Malformed framing must fail LOUDLY: every rejection
+case asserts WarcFormatError with the file/record named.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+
+import pytest
+
+from parallel_map_reduce_spark.sources.warc_format import (
+    WarcFormatError,
+    dechunk,
+    iter_warc_records,
+    parse_http,
+)
+
+# ---------------------------------------------------------------- helpers
+
+
+def rec_bytes(
+    block: bytes = b"hello",
+    version: bytes = b"WARC/1.0",
+    headers: dict | None = None,
+    cl: str | None = None,
+    terminator: bytes = b"\r\n\r\n",
+) -> bytes:
+    h = {
+        "WARC-Type": "resource",
+        "WARC-Record-ID": "<urn:uuid:0>",
+        "WARC-Date": "2024-01-01T00:00:00Z",
+        "Content-Type": "text/plain",
+    }
+    h.update(headers or {})
+    head = version + b"\r\n"
+    for k, v in h.items():
+        if v is not None:
+            head += f"{k}: {v}\r\n".encode()
+    head += f"Content-Length: {len(block) if cl is None else cl}\r\n\r\n".encode()
+    return head + block + terminator
+
+
+def parse_all(data: bytes):
+    return list(iter_warc_records(io.BufferedReader(io.BytesIO(data)), src="t"))
+
+
+# ------------------------------------------------------------- good paths
+
+
+def test_single_record_roundtrip():
+    (r,) = parse_all(rec_bytes(b"payload bytes"))
+    assert r.warc_type == "resource"
+    assert r.block == b"payload bytes"
+    assert r.record_id == "<urn:uuid:0>"
+
+
+def test_gzip_multi_member_stream():
+    raw = rec_bytes(b"a") + rec_bytes(b"bb")
+    members = b"".join(
+        gzip.compress(rec_bytes(x)) for x in (b"a", b"bb", b"ccc")
+    )
+    assert len(parse_all(raw)) == 2
+    got = parse_all(members)
+    assert [r.block for r in got] == [b"a", b"bb", b"ccc"]
+
+
+def test_warc_header_folding_and_case():
+    data = (
+        b"WARC/1.0\r\n"
+        b"warc-type: resource\r\n"
+        b"WARC-RECORD-ID: <urn:uuid:1>\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"WARC-Concurrent-To: <urn:uuid:2>\r\n <urn:uuid:3>\r\n"
+        b"content-LENGTH: 2\r\n\r\nok\r\n\r\n"
+    )
+    (r,) = parse_all(data)
+    assert r.warc_type == "resource"
+    assert ("WARC-Concurrent-To", "<urn:uuid:2> <urn:uuid:3>") in r.headers
+
+
+def test_http_chunked_with_ext_and_trailers():
+    wire = b"3;x=y\r\nabc\r\n2\r\nde\r\n0\r\nX-T: 1\r\n\r\n"
+    assert dechunk(wire, "t") == b"abcde"
+    block = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + wire
+    )
+    msg = parse_http(block, "t")
+    assert msg.status == 200 and msg.payload == b"abcde"
+
+
+def test_http_gzip_content_encoding():
+    body = gzip.compress(b"inner text")
+    block = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+        + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        + body
+    )
+    assert parse_http(block, "t").payload == b"inner text"
+
+
+def test_http_close_delimited_and_request():
+    msg = parse_http(b"HTTP/1.0 200 OK\r\nContent-Type: a/b\r\n\r\ntail", "t")
+    assert msg.payload == b"tail" and msg.status == 200
+    req = parse_http(b"GET /x HTTP/1.1\r\nHost: h\r\n\r\n", "t")
+    assert req.method == "GET" and req.status is None and req.payload == b""
+
+
+# -------------------------------------------------- loud malformed input
+
+
+@pytest.mark.parametrize(
+    "data,msg",
+    [
+        (rec_bytes(version=b"WARC/2.0"), "bad version line"),
+        (rec_bytes(cl=""), "missing/bad Content-Length"),
+        (rec_bytes(cl="12x"), "missing/bad Content-Length"),
+        (rec_bytes(b"hello")[:-9], "truncated block"),
+        (rec_bytes(terminator=b"\r\n"), "missing record terminator"),
+        (
+            rec_bytes().replace(b"Content-Type: text/plain", b"NoColonLine"),
+            "without colon",
+        ),
+        (rec_bytes(headers={"WARC-Type": None}), "missing mandatory"),
+        (
+            b"WARC/1.0\r\n continuation-first\r\n\r\n\r\n\r\n",
+            "continuation before any field",
+        ),
+        (b"WARC/1.0\nWARC-Type: x\n\n", "bad version line"),
+    ],
+)
+def test_malformed_warc_rejected(data, msg):
+    with pytest.raises(WarcFormatError, match=msg):
+        parse_all(data)
+
+
+def test_bare_lf_header_rejected():
+    data = (
+        b"WARC/1.0\r\nWARC-Type: resource\nWARC-Record-ID: <u>\r\n"
+        b"WARC-Date: d\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    )
+    with pytest.raises(WarcFormatError, match="bare-LF"):
+        parse_all(data)
+
+
+def test_truncated_gzip_member_rejected():
+    member = gzip.compress(rec_bytes(b"abc"))
+    with pytest.raises(WarcFormatError, match="bad gzip member"):
+        parse_all(member[: len(member) - 6])
+
+
+@pytest.mark.parametrize(
+    "wire,msg",
+    [
+        (b"zz\r\nabc\r\n0\r\n\r\n", "bad chunk size"),
+        (b"5\r\nab", "truncated chunk data"),
+        (b"2\r\nabXX0\r\n\r\n", "missing CRLF after chunk"),
+        (b"1\r\na\r\n0\r\n\r\nEXTRA", "bytes after final chunk"),
+        (b"0\r\nX-T: 1\r\n", "truncated chunk trailers"),
+    ],
+)
+def test_malformed_chunked_rejected(wire, msg):
+    with pytest.raises(WarcFormatError, match=msg):
+        dechunk(wire, "t")
+
+
+def test_http_content_length_mismatch_rejected():
+    with pytest.raises(WarcFormatError, match="!= body"):
+        parse_http(b"HTTP/1.1 200 OK\r\nContent-Length: 99\r\n\r\nshort", "t")
+
+
+def test_unsupported_content_encoding_rejected_loudly():
+    block = b"HTTP/1.1 200 OK\r\nContent-Encoding: br\r\nContent-Length: 3\r\n\r\nxyz"
+    with pytest.raises(WarcFormatError, match="unsupported Content-Encoding"):
+        parse_http(block, "t")
+
+
+def test_bad_gzip_payload_rejected():
+    block = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\nContent-Length: 3\r\n\r\nxyz"
+    with pytest.raises(WarcFormatError, match="bad gzip payload"):
+        parse_http(block, "t")
+
+
+def test_oversized_header_line_rejected():
+    data = b"WARC/1.0\r\nX: " + b"a" * 70000 + b"\r\n\r\n\r\n\r\n"
+    with pytest.raises(WarcFormatError, match="exceeds"):
+        parse_all(data)
+
+
+# ------------------------------------------------------ fixture contract
+
+
+def test_fixture_regenerates_identically(tmp_path):
+    """Committed WARC bytes and sidecar are exactly what the generator
+    produces (no RNG, gzip mtime=0) — the committed-fixture discipline."""
+    import pyarrow.parquet as pq
+
+    import tools.gen_warc_fixture as G
+
+    files = {0: bytearray(), 1: bytearray()}
+    for fi in (0, 1):
+        rec, _ = G.warcinfo(fi)
+        files[fi] += G._gz(rec) if fi == 0 else rec
+    for doc_id in range(G.N_DOCS):
+        for rec, _ in G.capture(doc_id):
+            files[doc_id % 2] += G._gz(rec) if doc_id % 2 == 0 else rec
+    with open(f"{G.OUT_DIR}/fixture-000.warc.gz", "rb") as fh:
+        assert fh.read() == bytes(files[0])
+    with open(f"{G.OUT_DIR}/fixture-001.warc", "rb") as fh:
+        assert fh.read() == bytes(files[1])
+    assert pq.read_table(G.OUT_PARQUET).num_rows == 3023
+
+
+def test_spark_source_matches_sidecar_all_records(spark):
+    """The `warc` data source == composition-derived expectations for
+    EVERY record in both files (all types, all framings)."""
+    from parallel_map_reduce_spark.sources.catalog import read_parquet
+    from parallel_map_reduce_spark.sources.warc import read_warc
+
+    got = read_warc(spark, "/root/repo/refdata/warc").selectExpr(
+        "src_file", "rec_ord", "warc_type", "record_id", "warc_date",
+        "coalesce(target_uri, '<null>') AS target_uri", "content_type",
+        "coalesce(http_status, -1) AS http_status",
+        "coalesce(http_content_type, '<null>') AS http_content_type",
+        "decode(payload, 'UTF-8') AS payload_text", "n_bytes",
+    )
+    exp = read_parquet(
+        spark, "/root/repo/refdata/warc_expected.parquet"
+    ).selectExpr(
+        "src_file", "rec_ord", "warc_type", "record_id", "warc_date",
+        "coalesce(target_uri, '<null>') AS target_uri", "content_type",
+        "coalesce(http_status, -1) AS http_status",
+        "coalesce(http_content_type, '<null>') AS http_content_type",
+        "payload_text", "n_bytes",
+    )
+    assert got.count() == 3023
+    assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+
+
+def test_one_partition_per_warc_file(spark):
+    """The Common Crawl unit of parallelism: one task per file."""
+    from parallel_map_reduce_spark.sources.warc import read_warc
+
+    df = read_warc(spark, "/root/repo/refdata/warc")
+    assert df.rdd.getNumPartitions() == 2
