@@ -1059,14 +1059,19 @@ FROM toks WHERE length(token) > 0 GROUP BY token
     "fixture (tools/gen_nfc_fixture.py — every doc mixes precomposed, "
     "fully-NFD and first-char-decomposed spellings of the same "
     "words), so canonically equivalent variants MERGE into one token "
-    "row. Spark 4.1 has no normalize builtin; the Spark side is the "
-    "fixed composition table of operators/unicode_norm.py as a "
-    "chained literal-replace codegen projection, while the oracle "
-    "uses DuckDB's REAL nfc_normalize (utf8proc) and the fixture's "
-    "exp_nfc column comes from Python unicodedata — three "
+    "row. Spark 4.1 has no normalize builtin; the Spark side (r16, "
+    "FULL generated table) is operators/unicode_norm.py: cluster "
+    "split -> per-cluster compose against a flat literal map of ALL "
+    "941 round-tripping canonical compositions + ALGORITHMIC Hangul "
+    "LV/LVT arithmetic (substring-indexed syllable block), all "
+    "codegen. The oracle uses DuckDB's REAL nfc_normalize (utf8proc) "
+    "and the fixture's exp_nfc comes from Python unicodedata — three "
     "independent implementations whose agreement the hash match "
-    "proves on the documented domain (NFC_DOMAIN; sequences outside "
-    "it pass through verbatim by contract). No lowercasing here: "
+    "proves (the fixture now spans Vietnamese stacked diacritics, "
+    "polytonic Greek, Hangul NFD + LV+T partials, Indic two-part "
+    "vowels, a supplementary-plane letter). Documented boundaries: "
+    "discontiguous-mark composition passes through verbatim; U+11938 "
+    "is the pinned oracle-version exclusion. No lowercasing here: "
     "this entry isolates composition, so the tokenize contract's "
     "remaining documented exclusion is case-folding only. One "
     "shuffle (the groupBy); normalization runs at scan speed.",

@@ -65,6 +65,114 @@ def test_variants_merge(spark, sf_dir):
     assert toks["café"] >= 3
 
 
+def test_widened_table_coverage():
+    """r16: the table is the FULL generated set — every character
+    whose canonical decomposition round-trips (Hangul algorithmic,
+    one pinned oracle-version exclusion), not a hand-picked list."""
+    import unicodedata as U
+
+    from parallel_map_reduce_spark.operators.unicode_norm import (
+        ORACLE_VERSION_EXCLUSIONS,
+    )
+
+    expected = 0
+    for cp in range(0x110000):
+        if 0xAC00 <= cp <= 0xD7A3 or cp in ORACLE_VERSION_EXCLUSIONS:
+            continue
+        d = U.normalize("NFD", chr(cp))
+        if d != chr(cp) and U.normalize("NFC", d) == chr(cp):
+            expected += 1
+    assert len(NFC_COMPOSE_TABLE) == expected
+    assert len(NFC_COMPOSE_TABLE) >= 900  # Vietnamese/Greek-Ext/Indic in
+    # and the one exclusion really is a divergence, not a stale pin
+    import duckdb as D
+
+    con = D.connect()
+    for cp in ORACLE_VERSION_EXCLUSIONS:
+        dec = U.normalize("NFD", chr(cp))
+        assert con.execute(
+            "SELECT nfc_normalize(?)", [dec]
+        ).fetchone()[0] != chr(cp), "exclusion no longer needed"
+
+
+def test_python_twin_matches_real_nfc_everywhere():
+    """The twin == unicodedata NFC on the NFD form of EVERY code point
+    (full sweep: Hangul arithmetic, Indic pos-2 composition, exclusions
+    left decomposed)."""
+    import unicodedata as U
+
+    from parallel_map_reduce_spark.operators.unicode_norm import (
+        ORACLE_VERSION_EXCLUSIONS,
+        nfc_compose_py,
+    )
+
+    bad = []
+    for cp in range(0x110000):
+        if cp in ORACLE_VERSION_EXCLUSIONS:
+            continue
+        nfd = U.normalize("NFD", chr(cp))
+        if nfd != chr(cp) and nfc_compose_py(nfd) != U.normalize("NFC", nfd):
+            bad.append(hex(cp))
+    assert not bad, bad[:10]
+
+
+def test_spark_expression_matches_twin_differential(spark):
+    """Spark codegen expression == the Python twin over every table NFD
+    form (bare + in context), a Hangul stride (NFD and LV+T partial),
+    Indic base+two-part-vowel, and the supplementary surrogate edge."""
+    from parallel_map_reduce_spark.operators.unicode_norm import (
+        nfc_compose_py,
+    )
+
+    texts = []
+    for d, _ in NFC_COMPOSE_TABLE[::7]:
+        texts += [d, f"x{d}y", f"ক{d}"]
+    for cp in range(0xAC00, 0xD7A4, 149):
+        s = chr(cp)
+        texts.append(unicodedata.normalize("NFD", s))
+        si = cp - 0xAC00
+        if si % 28:
+            texts.append(chr(0xAC00 + (si // 28) * 28) + chr(0x11A7 + si % 28))
+    texts += [
+        "ক" + "ে" + "া",  # Bengali base + two-part O
+        "ab\U00011099\U000110BA cd",  # supplementary NFD pair
+        "", "plain", "é̠ discontiguous stays by contract",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r.id: r.nfc
+        for r in df.select(
+            "id", nfc_compose_column("text").alias("nfc")
+        ).collect()
+    }
+    bad = [
+        (repr(t), repr(got[i]), repr(nfc_compose_py(t)))
+        for i, t in enumerate(texts)
+        if got[i] != nfc_compose_py(t)
+    ]
+    assert not bad, bad[:5]
+
+
+def test_hangul_full_block_twin():
+    """Every one of the 11172 syllables recomposes from full NFD and
+    from the LV+T partial form in the twin (the Spark side is tied to
+    the twin by the differential above)."""
+    from parallel_map_reduce_spark.operators.unicode_norm import (
+        nfc_compose_py,
+    )
+
+    for cp in range(0xAC00, 0xD7A4):
+        s = chr(cp)
+        assert nfc_compose_py(unicodedata.normalize("NFD", s)) == s
+        si = cp - 0xAC00
+        if si % 28:
+            lv = chr(0xAC00 + (si // 28) * 28)
+            t = chr(0x11A7 + si % 28)
+            assert nfc_compose_py(lv + t) == s
+
+
 def test_fixture_regenerates_identically():
     import pyarrow.parquet as pq
 

@@ -14,11 +14,20 @@ VARCHAR where exp_nfc = unicodedata.normalize('NFC', text) — an
 expectation from Python's unicodedata, INDEPENDENT of both engines
 under test (Spark's fixed composition table, DuckDB's utf8proc).
 
-Domain discipline: every decomposed sequence emitted is the full NFD
-form of a character in operators/unicode_norm.py:NFC_DOMAIN (verified
-at generation time); partially-composed forms (e.g. precomposed
-diaeresis + combining tonos) are OUT of the documented domain and
-never emitted. Deterministic by construction (no RNG, no time).
+Domain discipline (r16, widened table): every emitted text is asserted
+at generation time to normalize identically under the operator's
+Python twin (``nfc_compose_py`` — the exact mirror of the Spark
+codegen expression) and real ``unicodedata`` NFC; DuckDB's utf8proc
+``nfc_normalize`` is the third implementation, checked in parity. The
+word pool now covers the full generated table's breadth: Vietnamese
+stacked diacritics (Latin Extended Additional), polytonic Greek
+(Greek Extended), Hangul (full-jamo NFD AND partially-composed
+LV-syllable + T-jamo forms — both algorithmic composition paths),
+Indic two-part vowels (Bengali/Tamil, whose decompositions start with
+spacing marks), a supplementary-plane letter (surrogate-safe split),
+and the original Latin/Greek/Cyrillic set. Discontiguous-mark
+sequences remain OUT of the documented domain and are never emitted.
+Deterministic by construction (no RNG, no time).
 
 Usage: python tools/gen_nfc_fixture.py
 """
@@ -36,7 +45,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from parallel_map_reduce_spark.operators.unicode_norm import (  # noqa: E402
     NFC_COMPOSE_TABLE,
-    NFC_DOMAIN,
+    nfc_compose_py,
 )
 
 N_DOCS = 2000
@@ -53,11 +62,47 @@ WORDS = [
     "λόγος", "ψυχή", "φύση", "γλώσσα", "ταΰγετος", "προΐόν",
     "йогурт", "ёлка", "Йемен", "весёлый",
     "plain", "ascii", "tokens", "mixed42",
+    # r16 widened-table rows — Vietnamese stacked diacritics
+    "phở", "tiếng", "người", "Việt", "được", "những", "trường",
+    # Latin Extended Additional / polytonic Greek
+    "ṽẽṙḃ", "ḉḝṻ", "ἄνθρωπος", "ᾠδή", "ῥήτωρ", "ᾆσμα",
+    # Hangul (full NFD and LV+T partial variants exercised below)
+    "한국어", "서울", "글자", "조합형", "훈민정음",
+    # Indic two-part vowels (decompositions start with spacing marks)
+    "কোথায়", "கோவில்", "கௌரவம்",
+    # supplementary-plane letter (U+1109A, surrogate-safe split)
+    "ab\U0001109Acd",
 ]
 SEPS = [" ", ", ", " — ", " 7 ", "。", " 🚀 ", "\t"]
 
 
+_S_BASE, _T_BASE, _T_COUNT = 0xAC00, 0x11A7, 28
+
+
+def _hangul_lv_t(word: str) -> str:
+    """Split the FIRST LVT syllable into precomposed-LV + T jamo —
+    the partial form NFC's algorithmic LV+T composition re-joins."""
+    out, done = [], False
+    for ch in unicodedata.normalize("NFC", word):
+        cp = ord(ch)
+        si = cp - _S_BASE
+        if not done and 0 <= si < 11172 and si % _T_COUNT:
+            out.append(chr(_S_BASE + (si // _T_COUNT) * _T_COUNT))
+            out.append(chr(_T_BASE + si % _T_COUNT))
+            done = True
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def variant(word: str, mode: int) -> str:
+    if mode == 3:
+        # Hangul partial (LV + T); falls through to NFD for words
+        # without an LVT syllable so every mode stays meaningful
+        lv_t = _hangul_lv_t(word)
+        if lv_t != unicodedata.normalize("NFC", word):
+            return lv_t
+        return unicodedata.normalize("NFD", word)
     if mode == 0:
         return unicodedata.normalize("NFC", word)
     if mode == 1:
@@ -79,7 +124,7 @@ def doc(doc_id: int) -> tuple[str, str]:
     parts: list[str] = []
     for i in range(n):
         w = WORDS[(doc_id * 13 + i * 5) % len(WORDS)]
-        parts.append(variant(w, (doc_id + i) % 3))
+        parts.append(variant(w, (doc_id + i) % 4))
         if i < n - 1:
             parts.append(SEPS[(doc_id + i) % len(SEPS)])
     text = "".join(parts)
@@ -87,11 +132,10 @@ def doc(doc_id: int) -> tuple[str, str]:
 
 
 def main() -> int:
-    # Domain check: the fixed table must reproduce real NFC on every doc.
-    def table_apply(s: str) -> str:
-        for dec, pre in NFC_COMPOSE_TABLE:
-            s = s.replace(dec, pre)
-        return s
+    # Domain check: the operator's Python twin must reproduce real NFC
+    # on every doc (the twin is asserted == the Spark expression by
+    # tests/test_unicode_nfc.py's differential).
+    table_apply = nfc_compose_py
 
     ids, texts, exps = [], [], []
     for d in range(N_DOCS):
@@ -112,7 +156,8 @@ def main() -> int:
     pq.write_table(table, OUT, compression="zstd")
     print(
         f"wrote {OUT}: {table.num_rows} rows ({n_diff} docs differ from "
-        f"their NFC form), {os.path.getsize(OUT)} bytes; domain={NFC_DOMAIN}"
+        f"their NFC form), {os.path.getsize(OUT)} bytes; "
+        f"table={len(NFC_COMPOSE_TABLE)} entries + algorithmic Hangul"
     )
     return 0
 
