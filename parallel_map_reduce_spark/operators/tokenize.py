@@ -87,8 +87,15 @@ def distinct_pairs(words: DataFrame) -> DataFrame:
 # r15, canonical COMPOSITION is covered too (text_unicode_nfc +
 # operators/unicode_norm.py, verified against utf8proc's real
 # nfc_normalize and Python unicodedata) — the remaining documented
-# exclusion is case-folding only (final Σ, Turkish İ/ı,
-# length-changing maps).
+# exclusion is case-folding only, and since r16 that exclusion is
+# pinned as DATA, not prose: refdata/casefold_divergence.parquet
+# (tools/gen_casefold_divergence.py) enumerates EVERY code point
+# where Java lower() and utf8proc lower() disagree (71 — Unicode-
+# version skew plus U+0130 Turkish İ) and the ONE contextual rule
+# (final sigma: Java/Python 'ΟΣ'->'ος', utf8proc ->'οσ');
+# tests/test_casefold_divergence.py re-sweeps the full code space
+# against the live engines each run and asserts set equality, so an
+# engine upgrade that moves the boundary fails loudly.
 UNICODE_SPLIT_REGEX = r"[^\p{L}]+"
 
 
