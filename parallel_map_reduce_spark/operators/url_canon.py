@@ -17,9 +17,19 @@ side (regexp_extract + array ops, zero Python):
     (the standard crawl-dedup choice, documented); the scheme's
     default port is stripped (:80 for http, :443 for https).
  3. The fragment is removed.
- 4. Path: trailing slashes trimmed; an empty or root path reads
-    ``/``. Dot-segment removal is OUT of contract (documented
-    boundary).
+ 4. Path: dot segments are removed per RFC 3986 §5.2.4 (r16, VERDICT
+    r15 task 6) as a BOUNDED iterative rewrite shared by both
+    engines — three lookahead-free rules per iteration (leading
+    ``/./``/``/../`` at root; ``/./`` collapse; ``/seg/../`` pop,
+    where seg may be empty — an empty segment pops like any other),
+    iterated DOT_SEGMENT_ITERATIONS times. Each iteration resolves
+    one nesting level, so paths with dot-segment nesting deeper than
+    the cap keep their residual dot segments VERBATIM (visible, not
+    corrupted; real crawl paths nest 1-3 deep). Trailing ``/.`` and
+    ``/seg/..`` collapse directly to the parent without the RFC's
+    trailing slash — equivalent after this contract's trailing-slash
+    trim, pinned by fixture. Then trailing slashes are trimmed; an
+    empty or root path reads ``/``.
  4b. Percent-encoded UNRESERVED characters (RFC 3986 §2.3: ALPHA /
     DIGIT / ``-._~``) decode via a fixed 66-entry table (either hex
     case), applied to the whole matched URL BEFORE decomposition —
@@ -71,6 +81,24 @@ PCT_DECODE_TABLE: tuple[tuple[str, str], ...] = tuple(
     (_pct_pattern(ch), ch) for ch in _UNRESERVED
 )
 
+# --- RFC 3986 §5.2.4 dot-segment removal (bounded, lookahead-free) ---
+# A non-dot segment: starts with a non-dot char, or is ".x…"/"..x…",
+# or is EMPTY ("//../" pops the empty segment, like the RFC's stack).
+_SEG = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+|)"
+
+# (pattern, spark_replacement, duckdb_replacement) applied in order,
+# once per iteration. Capture (/|$) keeps the separator when mid-path
+# and collapses cleanly at path end.
+DOT_SEGMENT_RULES: tuple[tuple[str, str, str], ...] = (
+    (r"^/\.\.?(/|$)", "$1", r"\1"),  # /./ or /../ at root
+    (r"/\.(/|$)", "$1", r"\1"),  # collapse /./ (and trailing /.)
+    (rf"/{_SEG}/\.\.(/|$)", "$1", r"\1"),  # pop seg/../
+)
+
+# Each iteration resolves one nesting level; deeper nests pass their
+# residual dot segments through verbatim (module docstring step 4).
+DOT_SEGMENT_ITERATIONS = 8
+
 
 def canonical_url_column(col: Column | str) -> Column:
     """The contract as one codegen expression."""
@@ -94,7 +122,11 @@ def canonical_url_column(col: Column | str) -> Column:
         .otherwise(host)
     )
 
-    trimmed = F.regexp_replace(raw_path, "/+$", "")
+    dotless = raw_path
+    for _ in range(DOT_SEGMENT_ITERATIONS):
+        for pat, rep, _duck in DOT_SEGMENT_RULES:
+            dotless = F.regexp_replace(dotless, pat, rep)
+    trimmed = F.regexp_replace(dotless, "/+$", "")
     path = F.when(F.length(trimmed) == 0, F.lit("/")).otherwise(trimmed)
 
     params = F.filter(
@@ -138,7 +170,12 @@ def canonical_url_duckdb_expr(col: str) -> str:
         f"WHEN 'https' THEN regexp_replace({bare_host}, ':443$', '') "
         f"ELSE {bare_host} END"
     )
-    trimmed = f"regexp_replace(regexp_extract({col}, '{pat}', 3), '/+$', '')"
+    dotless = f"regexp_extract({col}, '{pat}', 3)"
+    for _ in range(DOT_SEGMENT_ITERATIONS):
+        for p, _spark, r in DOT_SEGMENT_RULES:
+            p_sql = p.replace("'", "''")
+            dotless = f"regexp_replace({dotless}, '{p_sql}', '{r}', 'g')"
+    trimmed = f"regexp_replace({dotless}, '/+$', '')"
     path = f"CASE WHEN length({trimmed}) = 0 THEN '/' ELSE {trimmed} END"
     params = (
         f"list_sort(list_filter(string_split("

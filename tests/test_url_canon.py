@@ -30,6 +30,21 @@ CASES = [
     ("http://example.com/Tr%61in/%44ata?x=%7Ea", "http://example.com/Train/Data?x=~a"),
     ("http://example.com/%2Fkeep?y=%2f", "http://example.com/%2Fkeep?y=%2f"),  # reserved %2F stays
     ("%41 not a url", "%41 not a url"),  # passthrough returns the ORIGINAL
+    # dot-segment removal, RFC 3986 §5.2.4 (r16) — one per rule shape
+    ("https://example.com/a/./b", "https://example.com/a/b"),
+    ("https://example.com/a/x/../b", "https://example.com/a/b"),
+    ("https://example.com/./a", "https://example.com/a"),
+    ("https://example.com/../a", "https://example.com/a"),  # ../ at root drops
+    ("https://example.com/a/b/c/../../d", "https://example.com/a/d"),
+    ("https://example.com/a/..", "https://example.com/"),
+    ("https://example.com/a/.", "https://example.com/a"),  # = RFC /a/ after trim
+    ("https://example.com/..", "https://example.com/"),
+    ("https://example.com/a//../b", "https://example.com/a/b"),  # empty seg pops
+    ("https://example.com/a/.../b", "https://example.com/a/.../b"),  # ... is a segment
+    ("https://example.com/..a/b", "https://example.com/..a/b"),  # ..a is a segment
+    ("https://example.com/a/%2E%2E/b", "https://example.com/b"),  # decode, THEN remove
+    ("https://example.com/" + "x/" * 6 + "../" * 6 + "end",
+     "https://example.com/end"),  # depth 6 < the documented cap
 ]
 
 

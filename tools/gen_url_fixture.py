@@ -87,6 +87,23 @@ def doc(doc_id: int) -> tuple[str, str]:
             mpath = mpath.replace(first, enc, 1)
     if path != "/" and (doc_id + v) % 3 == 0:
         mpath += "/" * (1 + doc_id % 2)
+    if (doc_id + v) % 9 in (4, 5):
+        # dot-segment mess (r16): every spelling provably removes to
+        # the canonical path under RFC 3986 §5.2.4 — leading ./ and
+        # ../-at-root, single and nested pops, a trailing pop, and an
+        # empty-segment pop ("//..": the empty segment pops like any
+        # other). Shapes mirror tests/test_url_canon.py's pinned cases.
+        m = doc_id % 5
+        if mpath == "/":
+            mpath = ["/..", "/.", "/x/..", "/x/y/../..", "/./."][m]
+        else:
+            mpath = [
+                "/." + mpath,
+                "/x/.." + mpath,
+                "/x/y/../.." + mpath,
+                mpath + "/zz/..",  # appended pop cancels itself
+                "//.." + mpath,
+            ][m]
     mparams = list(params)
     for k in range((doc_id + v) % 3):
         mparams.append(TRACKING[(doc_id + k) % len(TRACKING)])
