@@ -1,0 +1,197 @@
+"""Char-trigram language identification — Cavnar–Trenkle rank
+profiles (VERDICT r15 task 7).
+
+Script-ID (``text_unicode_script_id``) separates alphabets; this
+operator separates languages WITHIN a script, the n-gram method of
+Cavnar & Trenkle 1994 ("N-Gram-Based Text Categorization"), chosen
+over a trained softmax precisely because it is ALL-INTEGER and
+therefore bit-deterministic and fully re-derivable by the DuckDB
+oracle — the same reason the quality model uses the fast sigmoid:
+
+1. **Trigram domain**: lowercase, every ``[^a-z]+`` run folds to one
+   space, the text is space-padded, and all char trigrams are taken
+   (word-boundary trigrams like ``" th"``/``"he "`` included — they
+   carry most of the signal). DOCUMENTED BOUNDARY: the domain is
+   ASCII ``a-z``; accented letters fold to spaces (the fixture pins
+   this), and non-Latin scripts produce no trigrams at all — use
+   script-ID upstream to route scripts, this classifier within
+   Latin.
+2. **Profiles**: per language, trigrams ranked by (count DESC,
+   trigram ASC) — a TOTAL order, so ``row_number`` is deterministic
+   in both engines — truncated at PROFILE_K. Training docs are the
+   split ``(doc_id // 6) % 4 != 3`` (held-out quarter never builds
+   profiles; the accuracy-floor pytest scores it).
+3. **Scoring**: each doc's own top-PROFILE_K trigram ranking joins
+   every language profile; distance = sum over the doc's trigrams of
+   ``|doc_rank - profile_rank|``, with PROFILE_K charged for a
+   trigram absent from the profile (the classic out-of-place
+   measure). Prediction = argmin distance, ties broken by language
+   code ascending (total order again).
+
+Everything is counts, ranks, and integer sums — no floats anywhere,
+so Spark and DuckDB agree exactly and the driver gate hash-matches
+the full (doc, true, predicted, distance) output.
+
+Scale: trigram explode is a flat projection; one exchange for the
+per-(doc, trigram) count, one for the per-language profile (which is
+metadata-sized — L×PROFILE_K rows — and broadcast back), one for the
+per-doc distance aggregation. Profiles for a 100 TB corpus would be
+trained once on a sample and persisted as a sidecar artifact; here
+train+score run in one plan so the oracle can replay both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PROFILE_K = 300
+TRAIN_SPLIT_SQL = "(doc_id // 6) % 4 <> 3"  # DuckDB: // is int div
+
+
+def _train_filter(df: DataFrame) -> DataFrame:
+    return df.filter((F.floor(F.col("doc_id") / 6) % 4) != 3)
+
+
+def doc_trigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang, g): every char trigram of the folded, padded
+    text — flat codegen projection + explode, no shuffle."""
+    folded = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]+", " "),
+        F.lit(" "),
+    )
+    idx = F.when(
+        F.length(folded) >= 3, F.sequence(F.lit(1), F.length(folded) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.filter(
+        F.transform(idx, lambda i: F.substring(folded, i, F.lit(3))),
+        # all-space trigram = text with no [a-z] letters at all (runs
+        # collapse, so it can only arise from fully-folded text) —
+        # excluded so non-Latin input yields NO trigrams, not noise
+        lambda g: g != "   ",
+    )
+    return docs.select(
+        "doc_id", "lang", F.explode(grams).alias("g")
+    )
+
+
+def language_profiles(grams: DataFrame) -> DataFrame:
+    """(lang, g, r): per-language top-PROFILE_K trigram ranks from the
+    TRAINING split — metadata-sized output (L × PROFILE_K rows)."""
+    counts = _train_filter(grams).groupBy("lang", "g").count()
+    w = Window.partitionBy("lang").orderBy(
+        F.col("count").desc(), F.col("g").asc()
+    )
+    return (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= PROFILE_K)
+        .select("lang", "g", "r")
+    )
+
+
+def doc_rankings(grams: DataFrame) -> DataFrame:
+    """(doc_id, lang, g, dr): each doc's own top-PROFILE_K ranking
+    (lang carried through as the true label)."""
+    counts = grams.groupBy("doc_id", "lang", "g").count()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("count").desc(), F.col("g").asc()
+    )
+    return (
+        counts.withColumn("dr", F.row_number().over(w))
+        .filter(F.col("dr") <= PROFILE_K)
+        .select("doc_id", "lang", "g", "dr")
+    )
+
+
+def classify(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, pred_lang, dist): out-of-place distance argmin.
+
+    The doc ranking cross-joins the (metadata-sized, broadcast)
+    language list, left-joins the profile, and aggregates integer
+    distances; argmin via a total-order row_number."""
+    grams = doc_trigrams(docs)
+    profiles = language_profiles(grams)
+    ranks = doc_rankings(grams)
+    langs = profiles.select("lang").distinct().withColumnRenamed("lang", "cand")
+
+    per_lang = (
+        ranks.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(profiles).withColumnRenamed("lang", "cand")
+            .withColumnRenamed("r", "pr"),
+            ["cand", "g"],
+            "left",
+        )
+        .groupBy("doc_id", "lang", "cand")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.abs(F.col("dr") - F.col("pr")), F.lit(PROFILE_K)
+                )
+            )
+            .cast("bigint")
+            .alias("dist")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("dist").asc(), F.col("cand").asc()
+    )
+    return (
+        per_lang.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("cand").alias("pred_lang"),
+            "dist",
+        )
+    )
+
+
+def lang_trigram_duckdb_sql(scoped_cte: str) -> str:
+    """The SAME pipeline in DuckDB SQL over a CTE named ``ldocs``
+    (doc_id, lang, text) — the oracle's full re-derivation of
+    train + score."""
+    k = PROFILE_K
+    return f"""
+WITH {scoped_cte},
+folded AS (
+    SELECT doc_id, lang,
+           ' ' || regexp_replace(lower(text), '[^a-z]+', ' ', 'g') || ' ' AS t
+    FROM ldocs
+),
+grams AS (
+    SELECT doc_id, lang, g FROM (
+        SELECT doc_id, lang, substr(t, CAST(i AS INT), 3) AS g
+        FROM folded, unnest(range(1, length(t) - 1)) AS u(i)
+    ) WHERE g <> '   '
+),
+profile AS (
+    SELECT lang, g, r FROM (
+        SELECT lang, g,
+               row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g ASC) AS r
+        FROM grams WHERE {TRAIN_SPLIT_SQL} GROUP BY lang, g
+    ) WHERE r <= {k}
+),
+ranks AS (
+    SELECT doc_id, lang, g, dr FROM (
+        SELECT doc_id, lang, g,
+               row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS dr
+        FROM grams GROUP BY doc_id, lang, g
+    ) WHERE dr <= {k}
+),
+per_lang AS (
+    SELECT r.doc_id, r.lang, c.cand,
+           SUM(CASE WHEN p.r IS NULL THEN {k} ELSE abs(r.dr - p.r) END)::BIGINT AS dist
+    FROM ranks r
+    CROSS JOIN (SELECT DISTINCT lang AS cand FROM profile) c
+    LEFT JOIN profile p ON p.lang = c.cand AND p.g = r.g
+    GROUP BY r.doc_id, r.lang, c.cand
+)
+SELECT doc_id, lang, cand AS pred_lang, dist
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, cand ASC) AS rn
+    FROM per_lang
+) WHERE rn = 1
+"""

@@ -1093,3 +1093,58 @@ def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("df"))
     )
+
+
+LANGID_FIXTURE_PARQUET = "/root/repo/refdata/langid_fixture.parquet"
+
+# DuckDB CTE mirroring the Spark-side scoping below.
+LDOCS_CTE = f"""ldocs AS (
+    SELECT doc_id, lang, text
+    FROM read_parquet('{LANGID_FIXTURE_PARQUET}')
+    WHERE doc_id % 2000 IN (SELECT doc_id % 2000 FROM documents)
+)"""
+
+
+def _lang_trigram_oracle() -> str:
+    from ..operators.lang_trigram import lang_trigram_duckdb_sql
+
+    return lang_trigram_duckdb_sql(LDOCS_CTE)
+
+
+@register(
+    "text_lang_trigram_id",
+    oracle=_lang_trigram_oracle(),
+    doc="Char-trigram language ID (r16, VERDICT r15 task 7): "
+    "Cavnar-Trenkle rank profiles separate languages WITHIN the "
+    "Latin script, where text_unicode_script_id (alphabet "
+    "separation) is blind — en/fr/de/es/it/pt over the committed "
+    "labeled fixture (tools/gen_langid_fixture.py; lang is "
+    "composition knowledge, pools deliberately share spellings). "
+    "Profiles build from the (doc_id//6)%4<>3 split; every doc is "
+    "scored by the integer out-of-place distance; prediction = "
+    "argmin with total-order ties. ALL-INTEGER by design (counts, "
+    "row_number ranks, abs-diff sums — no floats, no "
+    "transcendentals), so the DuckDB oracle re-derives the ENTIRE "
+    "train+score pipeline and the hash match proves both engines "
+    "agree on every prediction AND distance. Documented boundary: "
+    "trigram domain is [a-z] (accents fold to spaces, pinned by "
+    "fixture); non-Latin scripts route via script-ID upstream. "
+    "Held-out accuracy floor pinned in tests/test_lang_trigram.py. "
+    "Plan: flat trigram explode, one (doc,g) exchange, metadata-"
+    "sized profiles broadcast back, one distance exchange.",
+    tags=("text", "lang-id", "trigram", "llm-pipeline"),
+)
+def text_lang_trigram_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lang_trigram import classify
+    from ..sources.catalog import read_parquet
+
+    fixture = read_parquet(spark, LANGID_FIXTURE_PARQUET)
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 2000).alias("fid"))
+        .distinct()
+    )
+    docs = fixture.join(
+        F.broadcast(ids), fixture["doc_id"] % 2000 == ids["fid"]
+    ).select("doc_id", "lang", "text")
+    return classify(docs)

@@ -59,6 +59,7 @@ RAW_PATH_ORACLES = {
     # generator composed)
     "ingest_warc_records",
     "ingest_warc_html_text",
+    "text_lang_trigram_id",  # r16: committed labeled lang fixture
 }
 
 
