@@ -491,3 +491,61 @@ def streaming_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = US.url_frontier_stream(US.read_url_stream(spark), ids)
     return _drain_append(stream, "live_urlfront", spark)
+
+
+from .warc_ingest import WRECS_CTE as _WRECS_CTE
+
+
+@register(
+    "streaming_warc_ingest",
+    oracle=f"""
+WITH {_WRECS_CTE}
+SELECT doc_id, src_file, rec_ord, warc_type, record_id, warc_date,
+       target_uri, content_type, http_status::INT AS http_status,
+       http_content_type, payload_text, n_bytes::BIGINT AS n_bytes
+FROM wrecs
+""",
+    doc="LIVE WARC landing-zone ingest (r16): the `warc` source's "
+    "streaming flavor treats the crawl directory as an ordered log "
+    "with (file, record-ordinal) offsets — each trigger STREAMS the "
+    "next batch_records records through the same from-spec parser as "
+    "the batch entry (chunked/gzip/close-framed envelope decoding "
+    "included), and readBetweenOffsets re-parses any committed range "
+    "exactly (deterministic framing -> exact replay, restart-safe). "
+    "Drained availableNow over the committed fixture with the same "
+    "doc-scoped projection as ingest_warc_records, the row set equals "
+    "the batch parse, so the live run shares the batch entry's "
+    "composition-derived sidecar oracle. Scoping is a stream-static "
+    "broadcast semi-join re-read per micro-batch. sources/warc.py.",
+    tags=("streaming", "live", "ingest", "warc", "llm-pipeline"),
+)
+def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+    from ..sources.warc import register as register_warc
+    from .warc_ingest import WARC_FIXTURE_DIR
+
+    register_warc(spark)
+    recs = (
+        spark.readStream.format("warc")
+        .option("path", WARC_FIXTURE_DIR)
+        .load()
+        .withColumn(
+            "doc_id",
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("bigint"),
+        )
+        .filter(F.col("doc_id").isNotNull())
+    )
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 2000).alias("fid"))
+        .distinct()
+    )
+    scoped = recs.join(F.broadcast(ids), recs["doc_id"] % 2000 == ids["fid"])
+    out = scoped.select(
+        "doc_id", "src_file", "rec_ord", "warc_type", "record_id",
+        "warc_date", "target_uri", "content_type", "http_status",
+        "http_content_type",
+        F.decode("payload", "UTF-8").alias("payload_text"),
+        "n_bytes",
+    )
+    return _drain_append(out, "live_warc", spark)

@@ -35,7 +35,12 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from .warc_format import hget, iter_warc_records, parse_http
 
@@ -113,6 +118,46 @@ class WarcReader(DataSourceReader):
         yield from _rows_for_file(partition.path)
 
 
+class WarcStreamReader(DataSourceStreamReader):
+    """Streaming flavor: a crawl landing zone is an ordered log of
+    WARC files, so the offset is an index into the sorted listing and
+    each micro-batch's work is a set of WHOLE FILES — read in parallel
+    on executors (one InputPartition per file, the batch reader's
+    partitioning), each task streaming its file with O(record)
+    memory. ``maxFilesPerTrigger`` bounds a trigger's file count; the
+    listing is re-taken per ``latestOffset`` call, so files that land
+    later are picked up by later triggers. Restart-safe: offsets name
+    file positions in the deterministic sorted order, and a committed
+    range replays by re-parsing exactly those files."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("warc source requires option 'path'")
+        self.path = path
+        self.max_files = int(options.get("maxFilesPerTrigger", "0"))  # 0 = all
+
+    def initialOffset(self) -> dict:
+        return {"file": 0}
+
+    def latestOffset(self) -> dict:
+        n = len(resolve_warc_paths(self.path))
+        return {"file": n}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        paths = resolve_warc_paths(self.path)
+        lo, hi = start["file"], min(end["file"], len(paths))
+        if self.max_files:
+            hi = min(hi, lo + self.max_files)
+        return [WarcFilePartition(p) for p in paths[lo:hi]]
+
+    def read(self, partition: WarcFilePartition):
+        yield from _rows_for_file(partition.path)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean: the landing zone owns the files
+
+
 class WarcDataSource(DataSource):
     """``spark.read.format("warc").load(path_or_glob)``"""
 
@@ -125,6 +170,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return WarcReader(self.options)
+
+    def streamReader(self, schema) -> WarcStreamReader:
+        return WarcStreamReader(self.options)
 
 
 def register(spark) -> None:
