@@ -102,6 +102,43 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #      inverts — the slots not held by rules 1/2/4 go OLDEST-driver-
 #      evidence-first (per CORRECTNESS_r*.json), displacing the
 #      members with the longest consecutive green streaks.
+# Round-16 window: rule 2 rotates IN the five never-driver-evidenced
+# new/changed entries: ingest_warc_records + ingest_warc_html_text
+# (NEW — WARC container ingestion, the crawl chain's front end),
+# streaming_warc_ingest (NEW — the live landing-zone drain),
+# text_lang_trigram_id (NEW — char-trigram language ID), and
+# streaming_url_frontier (URL contract gained §5.2.4 dot-segment
+# removal this round; never driver-gated). text_html_extract,
+# text_unicode_nfc (widened to the full table + Hangul) and
+# dedup_url_canonical (dot segments) hold their slots under the same
+# rule. Rule 5 rotates IN the stalest entries fleet-wide — ALL
+# remaining r03 driver evidence (q18_large_orders, q11_top_spenders,
+# q7_nation_trade_matrix, q22_idle_rich_customers,
+# orders_trailing_7d_spend, q14_promo_revenue_ratio,
+# q19_brand_size_disjunction, segment_event_value_salted,
+# q16_part_supplier_variety — the r04 cohort becomes the stalest for
+# r17). OUT, longest-green-first with every family keeping a rep:
+# streaming_neardup_lsh + streaming_cdc_apply (9 each; streaming
+# stays repped by the flagship RocksDB drain + ivfpq + band + the two
+# incoming drains), nation_set_ops (6; set ops repped by
+# customer_priority_multiset), streaming_multimodal_features (5;
+# multimodal repped by resize_oriented/audio/video),
+# quantity_size_range_join + orders_status_pivot (5 each; joins
+# repped by outer + as-of, relational rich), active_customer_spend
+# (4), late_shipment_priority + event_value_quantiles +
+# event_type_distinct_users + customer_running_spend (3 each;
+# aggs/windows repped by histogram/cube/percent_rank, sketch twin
+# event_type_distinct_users_approx stays), text_unicode_tokens +
+# text_unicode_script_id + dedup_unicode_jaccard (2 each; unicode
+# repped by bpe/nfc/line_repetition, dedup by clusters/promote/
+# url_canonical) — fourteen OUT, fourteen IN, window stays 50.
+# Kept despite streaks: streaming_inverted_index (9, flagship drain +
+# RocksDB engagement witness), trade_graph_pagerank (8, only graph),
+# multimodal_video_frames (6, only video), text_sentences_udtf (5,
+# only UDTF), similarity_ann_ivf (5, only ANN), multimodal_audio_
+# loudness (5, only audio), event_type_distinct_users_approx (5,
+# only sketch), asof_purchase_last_click (5, the distinctive join).
+#
 # Round-15 window: rule 2 rotates IN text_html_extract (NEW — HTML
 # extraction contract over the committed fixture) and
 # text_unicode_nfc (NEW — NFC composition vs utf8proc/unicodedata);
@@ -178,68 +215,61 @@ GATE_PRIORITY: tuple[str, ...] = (
     "doc_stats",
     "inverted_index_chunked",
     "documents_provenance",
-    # rule 2 — promotion lifecycle: the compacted entry holds (r15
-    # try/finally DROP discipline in _compact_build_dir)
-    "dedup_corpus_promote_compacted",
-    # UTF-8 contract family (r14) — BPE holds under rule 2 (gained
-    # its DuckDB merge-loop-replay oracle in r15)
-    "text_unicode_tokens",
-    "dedup_unicode_jaccard",
-    "text_unicode_script_id",
-    "text_unicode_bpe",
-    # rule 2 — NEW r15: HTML extraction, NFC normalization, line-level
-    # Gopher repetition, URL canonical dedup (the late-session pair
-    # displaces text_unicode_quality and dedup_ngram_jaccard — both
-    # r14-green, their families still repped: unicode by
-    # tokens/jaccard/script/bpe/nfc, dedup by unicode_jaccard +
-    # incoming clusters + url_canonical)
+    # rule 2 — NEW r16: the WARC crawl-ingest front end + char-trigram
+    # language ID (never driver-evidenced)
+    "ingest_warc_records",
+    "ingest_warc_html_text",
+    "text_lang_trigram_id",
+    # rule 2 — r16 semantically changed: NFC widened to the full
+    # generated table + algorithmic Hangul; URL contract gained
+    # dot-segment removal; HTML collapse class enumerated
     "text_html_extract",
     "text_unicode_nfc",
     "text_line_repetition",
     "dedup_url_canonical",
+    # rule 2 holdovers: promotion lifecycle + BPE merge-loop oracle
+    "dedup_corpus_promote_compacted",
+    "text_unicode_bpe",
     # image rep (rule 3): the all-8-EXIF-orientations resize path
     "multimodal_image_resize_oriented",
-    # rule 5 — r14's stale block (fresh r14 evidence, streak 1)
-    "search_positional_index",
-    "curation_train_val_split",
-    "embedding_l2_norms_arrow",
-    "active_customer_spend",
-    "customer_running_spend",
-    "nation_customer_supplier_outer",
-    "orders_status_priority_cube",
-    "quantity_size_range_join",
-    # rule 5 — NEW r15: the stalest entries fleet-wide (all r03
-    # driver evidence): histogram, multiset agg, dedup connected
-    # components, exact distinct-count, exact quantiles, filtered
-    # priority agg, window percent_rank
+    # rule 5 — NEW r16: the stalest entries fleet-wide (ALL remaining
+    # r03 driver evidence; the r04 cohort is next)
+    "q18_large_orders",
+    "q11_top_spenders",
+    "q7_nation_trade_matrix",
+    "q22_idle_rich_customers",
+    "orders_trailing_7d_spend",
+    "q14_promo_revenue_ratio",
+    "q19_brand_size_disjunction",
+    "segment_event_value_salted",
+    "q16_part_supplier_variety",
+    # rule 5 — r15's stale block (fresh r15 evidence, kept reps)
     "customer_order_histogram",
     "customer_priority_multiset",
     "dedup_clusters",
-    "event_type_distinct_users",
-    "event_value_quantiles",
-    "late_shipment_priority",
     "orders_price_percent_rank",
     # holdovers (family reps; streaks noted in the window comment)
+    "search_positional_index",
+    "curation_train_val_split",
+    "embedding_l2_norms_arrow",
+    "nation_customer_supplier_outer",
+    "orders_status_priority_cube",
     "multimodal_audio_loudness",
     "event_type_distinct_users_approx",
     "similarity_ann_ivf",
     "text_sentences_udtf",
     "asof_purchase_last_click",
-    "nation_set_ops",
-    "orders_status_pivot",
     # graph rep (rule 3)
     "trade_graph_pagerank",
     # multimodal video rep
     "multimodal_video_frames",
     # live streaming drains — oracle/twin-backed, last on purpose
-    # (rule 2: streaming_band_index re-earns after the r14 drain
-    # refactor that added crash-restart recovery)
+    # (rule 2: the two incoming drains close the window)
     "streaming_inverted_index",
-    "streaming_cdc_apply",
-    "streaming_neardup_lsh",
-    "streaming_multimodal_features",
     "streaming_ivfpq_index",
     "streaming_band_index",
+    "streaming_url_frontier",
+    "streaming_warc_ingest",
 )
 
 

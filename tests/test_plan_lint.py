@@ -16,6 +16,10 @@ from parallel_map_reduce_spark.registry import all_queries
 CARTESIAN_OK = {
     # spine build: hours x event_types, both metadata-sized
     "events_hourly_dense": "dense-grid spine; both sides tiny",
+    # each doc's trigram ranking scores against ALL candidate
+    # languages: the cross side is the 6-row broadcast language list
+    # (metadata-sized spine, the allowed pattern)
+    "text_lang_trigram_id": "doc ranks x 6-row broadcast language spine",
     "events_hourly_interpolated": "dense-grid spine; both sides tiny",
     # brute-force baselines / blocked pair generation over broadcast sides:
     # BroadcastNestedLoopJoin is the intended physical form
