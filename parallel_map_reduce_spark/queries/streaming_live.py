@@ -531,7 +531,7 @@ def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
         .withColumn(
             "doc_id",
-            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("bigint"),
+            F.regexp_extract("target_uri", r"/doc/(\d+)(?:[?#].*)?$", 1).cast("bigint"),
         )
         .filter(F.col("doc_id").isNotNull())
     )

@@ -53,7 +53,7 @@ def scoped_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     fall out of scope exactly as the oracle's ``doc_id IS NOT NULL``."""
     recs = read_warc(spark, WARC_FIXTURE_DIR).withColumn(
         "doc_id",
-        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("bigint"),
+        F.regexp_extract("target_uri", r"/doc/(\d+)(?:[?#].*)?$", 1).cast("bigint"),
     )
     ids = (
         load_table(spark, sf_dir, "documents")
@@ -151,4 +151,76 @@ def ingest_warc_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = html_text_column(F.decode("payload", "UTF-8")).alias("text")
     return recs.select("doc_id", text).select(
         "doc_id", "text", F.length("text").cast("bigint").alias("n_chars")
+    )
+
+
+@register(
+    "crawl_pipeline_e2e",
+    oracle=f"""
+WITH {WRECS_CTE},
+pages AS (
+    SELECT doc_id, canonical_uri, payload_text FROM wrecs
+    WHERE warc_type = 'response' AND http_status = 200
+      AND http_content_type LIKE 'text/html%'
+      AND n_bytes > 0
+),
+x AS (
+    SELECT doc_id, canonical_uri AS canonical_url,
+           {html_extract_duckdb_expr('payload_text')} AS text
+    FROM pages
+),
+toks AS (
+    SELECT doc_id, canonical_url, length(text)::BIGINT AS n_chars,
+           list_filter(string_split_regex(lower(text), '[^\\p{{L}}]+'),
+                       t -> length(t) > 0) AS ts
+    FROM x
+)
+SELECT doc_id, canonical_url, n_chars,
+       len(ts)::BIGINT AS n_tokens,
+       len(list_distinct(ts))::BIGINT AS n_unique_tokens
+FROM toks
+""",
+    doc="The crawl chain END-TO-END in one plan (r16): WARC parse -> "
+    "HTTP envelope decode (chunked/gzip/close-framed) -> URL "
+    "canonicalization of the MESSY captured target URI (scheme/host "
+    "case, www., :443, tracking params, fragments — operators/"
+    "url_canon.py, dot segments included) -> HTML boilerplate strip "
+    "(operators/html_extract.py) -> unicode tokenize counts. The "
+    "oracle's canonical_url is the GENERATOR'S COMPOSED canonical "
+    "(never computed by any canonicalizer — composition knowledge), "
+    "so the hash match proves the Spark canon contract recovers "
+    "exactly what was messied, while the text/token columns prove "
+    "the parse+extract+tokenize chain cross-engine. This is the "
+    "pipeline a crawl corpus actually runs before dedup, as ONE "
+    "query. Plan: file-partition scan -> broadcast semi-join -> pure "
+    "codegen projection; ZERO shuffles of record data at any scale.",
+    tags=("ingest", "warc", "url", "html", "tokenize", "e2e",
+          "llm-pipeline"),
+)
+def crawl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tokenize import UNICODE_SPLIT_REGEX
+    from ..operators.url_canon import canonical_url_column
+
+    recs = scoped_warc_records(spark, sf_dir).filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+        & (F.col("n_bytes") > 0)
+    )
+    text = html_text_column(F.decode("payload", "UTF-8")).alias("text")
+    staged = recs.select(
+        "doc_id",
+        canonical_url_column("target_uri").alias("canonical_url"),
+        text,
+    )
+    toks = F.filter(
+        F.split(F.lower("text"), UNICODE_SPLIT_REGEX),
+        lambda t: F.length(t) > 0,
+    )
+    return staged.select(
+        "doc_id",
+        "canonical_url",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
     )

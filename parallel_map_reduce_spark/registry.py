@@ -102,9 +102,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #      inverts — the slots not held by rules 1/2/4 go OLDEST-driver-
 #      evidence-first (per CORRECTNESS_r*.json), displacing the
 #      members with the longest consecutive green streaks.
-# Round-16 window: rule 2 rotates IN the five never-driver-evidenced
+# Round-16 window: rule 2 rotates IN the six never-driver-evidenced
 # new/changed entries: ingest_warc_records + ingest_warc_html_text
 # (NEW — WARC container ingestion, the crawl chain's front end),
+# crawl_pipeline_e2e (NEW — the whole crawl chain as ONE zero-shuffle
+# plan, canonical URL proven against composition),
 # streaming_warc_ingest (NEW — the live landing-zone drain),
 # text_lang_trigram_id (NEW — char-trigram language ID), and
 # streaming_url_frontier (URL contract gained §5.2.4 dot-segment
@@ -126,12 +128,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # quantity_size_range_join + orders_status_pivot (5 each; joins
 # repped by outer + as-of, relational rich), active_customer_spend
 # (4), late_shipment_priority + event_value_quantiles +
-# event_type_distinct_users + customer_running_spend (3 each;
-# aggs/windows repped by histogram/cube/percent_rank, sketch twin
+# event_type_distinct_users + customer_running_spend (3 each) +
+# orders_price_percent_rank (2; aggs/windows repped by histogram/
+# cube/the incoming trailing-7d frame query, sketch twin
 # event_type_distinct_users_approx stays), text_unicode_tokens +
 # text_unicode_script_id + dedup_unicode_jaccard (2 each; unicode
 # repped by bpe/nfc/line_repetition, dedup by clusters/promote/
-# url_canonical) — fourteen OUT, fourteen IN, window stays 50.
+# url_canonical) — fifteen OUT, fifteen IN, window stays 50.
 # Kept despite streaks: streaming_inverted_index (9, flagship drain +
 # RocksDB engagement witness), trade_graph_pagerank (8, only graph),
 # multimodal_video_frames (6, only video), text_sentences_udtf (5,
@@ -219,6 +222,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # language ID (never driver-evidenced)
     "ingest_warc_records",
     "ingest_warc_html_text",
+    "crawl_pipeline_e2e",
     "text_lang_trigram_id",
     # rule 2 — r16 semantically changed: NFC widened to the full
     # generated table + algorithmic Hangul; URL contract gained
@@ -247,7 +251,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "customer_order_histogram",
     "customer_priority_multiset",
     "dedup_clusters",
-    "orders_price_percent_rank",
     # holdovers (family reps; streaks noted in the window comment)
     "search_positional_index",
     "curation_train_val_split",

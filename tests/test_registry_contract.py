@@ -61,6 +61,7 @@ RAW_PATH_ORACLES = {
     "ingest_warc_html_text",
     "text_lang_trigram_id",  # r16: committed labeled lang fixture
     "streaming_warc_ingest",  # r16: shares the WARC sidecar oracle
+    "crawl_pipeline_e2e",  # r16: composed-canonical column of the WARC sidecar
 }
 
 

@@ -75,7 +75,28 @@ WORDS = [
 
 
 def _uri(doc_id: int) -> str:
-    return f"https://crawl-{doc_id % 3}.example.com/doc/{doc_id}"
+    """The MESSY spelling captured in the WARC (r16: crawl URIs carry
+    real-world noise — scheme/host case, www., default ports, tracking
+    params, fragments); ``_canonical_uri`` is what the URL-canon
+    contract must recover. Both are composition knowledge."""
+    host = f"crawl-{doc_id % 3}.example.com"
+    scheme = "HTTPS" if doc_id % 11 == 3 else "https"
+    if doc_id % 7 == 2:
+        host = "WWW." + host.upper()
+    if doc_id % 13 == 5:
+        host += ":443"
+    q = ""
+    if doc_id % 17 == 6:
+        q = "?v=2"  # real param: survives canonicalization
+    elif doc_id % 5 == 1:
+        q = "?utm_source=feed"  # tracking: dropped
+    frag = "#top" if doc_id % 9 == 4 else ""
+    return f"{scheme}://{host}/doc/{doc_id}{q}{frag}"
+
+
+def _canonical_uri(doc_id: int) -> str:
+    q = "?v=2" if doc_id % 17 == 6 else ""
+    return f"https://crawl-{doc_id % 3}.example.com/doc/{doc_id}{q}"
 
 
 def _date(doc_id: int) -> str:
@@ -339,6 +360,7 @@ def main() -> int:
                 "record_id": _rid(kind, doc_id if doc_id is not None else file_idx),
                 "warc_date": _date(doc_id) if doc_id is not None else "2024-01-01T00:00:00Z",
                 "target_uri": _uri(doc_id) if doc_id is not None else None,
+                "canonical_uri": _canonical_uri(doc_id) if doc_id is not None else None,
                 "content_type": ctype,
                 "http_status": status,
                 "http_content_type": http_ct,
@@ -371,6 +393,9 @@ def main() -> int:
             "record_id": pa.array([r["record_id"] for r in rows], pa.string()),
             "warc_date": pa.array([r["warc_date"] for r in rows], pa.string()),
             "target_uri": pa.array([r["target_uri"] for r in rows], pa.string()),
+            "canonical_uri": pa.array(
+                [r["canonical_uri"] for r in rows], pa.string()
+            ),
             "content_type": pa.array([r["content_type"] for r in rows], pa.string()),
             "http_status": pa.array([r["http_status"] for r in rows], pa.int32()),
             "http_content_type": pa.array(
