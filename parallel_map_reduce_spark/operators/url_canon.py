@@ -101,7 +101,14 @@ DOT_SEGMENT_ITERATIONS = 8
 
 
 def canonical_url_column(col: Column | str) -> Column:
-    """The contract as one codegen expression."""
+    """The contract as one codegen expression.
+
+    Evaluation-cost guards (Spark side only — identity-preserving, so
+    the cross-engine contract is untouched): codegen CaseWhen
+    evaluates branches lazily, so gating the 66-pass unreserved
+    decode on ``contains('%')`` and the dot-segment iteration on
+    ``contains('/.')`` means the overwhelmingly common clean URL pays
+    two substring scans instead of ~90 regex passes."""
     raw = F.col(col) if isinstance(col, str) else col
     # Decode %-encoded unreserved chars BEFORE decomposition (they are
     # never structural); the verbatim passthrough below still returns
@@ -109,6 +116,7 @@ def canonical_url_column(col: Column | str) -> Column:
     url = raw
     for pat, ch in PCT_DECODE_TABLE:
         url = F.regexp_replace(url, pat, ch)
+    url = F.when(raw.contains("%"), url).otherwise(raw)
     scheme = F.lower(F.regexp_extract(url, URL_PATTERN, 1))
     auth = F.regexp_extract(url, URL_PATTERN, 2)
     raw_path = F.regexp_extract(url, URL_PATTERN, 3)
@@ -126,6 +134,10 @@ def canonical_url_column(col: Column | str) -> Column:
     for _ in range(DOT_SEGMENT_ITERATIONS):
         for pat, rep, _duck in DOT_SEGMENT_RULES:
             dotless = F.regexp_replace(dotless, pat, rep)
+    # every dot-segment form ("/./", "/../", trailing "/."/"/..",
+    # "//..") contains the substring "/." — a path without it is a
+    # fixed point of every rule, so the gate is identity-preserving
+    dotless = F.when(raw_path.contains("/."), dotless).otherwise(raw_path)
     trimmed = F.regexp_replace(dotless, "/+$", "")
     path = F.when(F.length(trimmed) == 0, F.lit("/")).otherwise(trimmed)
 
