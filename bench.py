@@ -1535,6 +1535,69 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"bench: mm_decode_curve ERROR: {e}", file=sys.stderr)
 
+    # WARC ingest throughput (r16): the crawl chain's front end is a
+    # Python-side parser behind the Arrow boundary — the one ingest hop
+    # that does NOT ride JVM codegen, so its throughput is measured,
+    # not assumed. Stage N copies of the committed fixture (one file =
+    # one task, the Common Crawl unit), parse + envelope-decode every
+    # record, report wall + MB/s over the staged wire bytes.
+    warc_curve: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_WARC_NOTCH", "1") != "0" and not sys.argv[1:]:
+        try:
+            import shutil as _sh
+            import tempfile
+
+            from parallel_map_reduce_spark.sources.warc import read_warc
+
+            spark = _revive(spark, cpus)
+            src_dir = "/root/repo/refdata/warc"
+            srcs = [
+                os.path.join(src_dir, n)
+                for n in sorted(os.listdir(src_dir))
+                if n.endswith((".warc", ".warc.gz"))
+            ]
+            for factor in _int_list_env("SPARK_GRAFT_WARC_FACTORS", "4,32"):
+                stage = os.path.join(
+                    tempfile.gettempdir(), f"warc_bench_x{factor}"
+                )
+                _sh.rmtree(stage, ignore_errors=True)
+                os.makedirs(stage)
+                staged_bytes = 0
+                for rep in range(factor):
+                    for s in srcs:
+                        base = os.path.basename(s)
+                        dst = os.path.join(stage, f"r{rep:04d}-{base}")
+                        try:
+                            os.link(s, dst)
+                        except OSError:
+                            _sh.copyfile(s, dst)
+                        staged_bytes += os.path.getsize(s)
+                n_files = factor * len(srcs)
+                secs, nd = _probe_gated_notch(
+                    spark,
+                    lambda: read_warc(spark, stage).select(
+                        "warc_type", "http_status", "n_bytes"
+                    ),
+                    f"warc_ingest x{factor}",
+                )
+                mb = staged_bytes / 1e6
+                warc_curve[f"x{factor}"] = {
+                    "secs": round(secs, 3),
+                    "files": n_files,
+                    "mb": round(mb, 1),
+                    "mb_per_s": round(mb / secs, 1),
+                }
+                curve_detail[f"warc_ingest_x{factor}"] = nd
+                print(
+                    f"bench: warc_ingest x{factor} {secs:.2f}s "
+                    f"{mb / secs:.1f} MB/s over {n_files} files "
+                    f"(quiet={nd['quiet']})",
+                    file=sys.stderr,
+                )
+                _sh.rmtree(stage, ignore_errors=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: warc_ingest ERROR: {e}", file=sys.stderr)
+
     probes["after_curves"] = round(_contention_probe(), 3)
     probes["after_curves_par"] = round(_contention_probe_parallel(), 3)
     spark = _revive(spark, cpus)  # reassign: do not orphan a revived JVM
@@ -1599,6 +1662,7 @@ def main() -> int:
         "exact_dedup_scale_curve": dedup_curve,
         "chunked_index_scale_curve": chunked_curve,
         "multimodal_decode_scale_curve": mm_curve,
+        "warc_ingest_curve": warc_curve,
         "incremental_lsh_scale_curve": incr_lsh_curve,
         "corpus_promote_notch": promote_notch,
         # Per-notch probe windows (VERDICT r10 task 8): every committed
