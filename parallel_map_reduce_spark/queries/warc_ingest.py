@@ -71,7 +71,8 @@ def scoped_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {WRECS_CTE}
 SELECT doc_id, src_file, rec_ord, warc_type, record_id, warc_date,
        target_uri, content_type, http_status::INT AS http_status,
-       http_content_type, payload_text, n_bytes::BIGINT AS n_bytes
+       http_content_type, payload_text, n_bytes::BIGINT AS n_bytes,
+       block_digest_ok, payload_digest_ok
 FROM wrecs
 """,
     doc="WARC container ingestion (r16, VERDICT r15 task 1 — the "
@@ -109,6 +110,8 @@ def ingest_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "http_content_type",
         F.decode("payload", "UTF-8").alias("payload_text"),
         "n_bytes",
+        "block_digest_ok",
+        "payload_digest_ok",
     )
 
 

@@ -42,13 +42,13 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from .warc_format import hget, iter_warc_records, parse_http
+from .warc_format import hget, iter_warc_records, parse_http, verify_digest
 
 WARC_SCHEMA = (
     "src_file string, rec_ord bigint, warc_type string, record_id string, "
     "warc_date string, target_uri string, content_type string, "
     "http_status int, http_content_type string, payload binary, "
-    "n_bytes bigint"
+    "n_bytes bigint, block_digest_ok boolean, payload_digest_ok boolean"
 )
 
 
@@ -84,11 +84,22 @@ def _rows_for_file(path: str):
             status = None
             http_ct = None
             payload = rec.block
+            digest_scope = rec.block  # payload digest scope (non-http)
             if (rec.content_type or "").lower().startswith("application/http"):
                 msg = parse_http(rec.block, f"{base}: record {ord_}")
                 status = msg.status
                 http_ct = hget(msg.headers, "Content-Type")
                 payload = msg.payload
+                digest_scope = msg.entity  # §5.9: pre-content-decoding
+            # Integrity verification (r16): sha1 block/payload digests
+            # checked when present; non-sha1 algorithms surface as
+            # unverified (NULL), mismatches as False — advisory, never
+            # a parse failure (a bad digest is data corruption to
+            # report downstream, not malformed framing).
+            block_ok = verify_digest(hget(rec.headers, "WARC-Block-Digest"), rec.block)
+            payload_ok = verify_digest(
+                hget(rec.headers, "WARC-Payload-Digest"), digest_scope
+            )
             yield (
                 base,
                 ord_,
@@ -101,6 +112,8 @@ def _rows_for_file(path: str):
                 http_ct,
                 payload,
                 len(payload),
+                block_ok,
+                payload_ok,
             )
 
 

@@ -125,7 +125,31 @@ class HttpMessage:
     status: int | None  # responses
     method: str | None  # requests
     headers: list[tuple[str, str]]
-    payload: bytes
+    payload: bytes  # transfer-decoded AND content-decoded
+    entity: bytes = b""  # transfer-decoded, still content-ENCODED —
+    # the WARC spec's "payload" for digest purposes (§5.9: the digest
+    # covers the entity as captured, before content decoding)
+
+
+def b32_sha1(data: bytes) -> str:
+    """``sha1:BASE32`` labelled digest (WARC §5.8/§5.9 convention,
+    RFC 4648 uppercase base32 — the Common Crawl form)."""
+    import base64
+    import hashlib
+
+    return "sha1:" + base64.b32encode(hashlib.sha1(data).digest()).decode()
+
+
+def verify_digest(header_value: str | None, data: bytes) -> bool | None:
+    """True/False when the header carries a sha1 digest we can check;
+    None when absent or a non-sha1 algorithm (surfaced unverified, not
+    failed — the spec allows arbitrary labelled algorithms)."""
+    if header_value is None:
+        return None
+    v = header_value.strip()
+    if not v.lower().startswith("sha1:"):
+        return None
+    return b32_sha1(data).lower() == v.lower()
 
 
 def dechunk(data: bytes, where: str) -> bytes:
@@ -201,6 +225,7 @@ def parse_http(block: bytes, where: str) -> HttpMessage:
                 )
         body = rest  # declared length verified, or close-delimited
 
+    entity = body  # transfer-decoded, content-encoded (digest scope)
     ce = hget(headers, "Content-Encoding")
     if ce is not None:
         coding = ce.strip().lower()
@@ -215,7 +240,10 @@ def parse_http(block: bytes, where: str) -> HttpMessage:
             raise WarcFormatError(
                 f"{where}: unsupported Content-Encoding {coding!r}"
             )
-    return HttpMessage(status=status, method=method, headers=headers, payload=body)
+    return HttpMessage(
+        status=status, method=method, headers=headers, payload=body,
+        entity=entity,
+    )
 
 
 def iter_warc_records(raw: BinaryIO, src: str = "<stream>") -> Iterator[WarcRecord]:

@@ -187,6 +187,50 @@ def test_bad_gzip_payload_rejected():
         parse_http(block, "t")
 
 
+def test_digest_verification_tri_state():
+    """sha1 digests verify True/False; non-sha1 labels surface as
+    unverified (None); absent headers are None — advisory integrity,
+    never a framing failure."""
+    from parallel_map_reduce_spark.sources.warc_format import (
+        b32_sha1,
+        verify_digest,
+    )
+
+    data = b"payload bytes"
+    good = b32_sha1(data)
+    assert good.startswith("sha1:") and good.isupper() is False  # label lower
+    assert verify_digest(good, data) is True
+    assert verify_digest(good.lower(), data) is True  # case-insensitive
+    assert verify_digest(b32_sha1(data + b"x"), data) is False
+    assert verify_digest("md5:abcd", data) is None
+    assert verify_digest(None, data) is None
+
+
+def test_digest_columns_from_fixture(spark):
+    """The planted wrong digest (doc_id%97==9) reads False, the
+    non-sha1 label (doc_id%89==11) reads NULL, well-formed ones True
+    — straight from the committed bytes through the source."""
+    from parallel_map_reduce_spark.sources.warc import read_warc
+
+    rows = (
+        read_warc(spark, "/root/repo/refdata/warc")
+        .filter("warc_type = 'response'")
+        .selectExpr(
+            "cast(regexp_extract(target_uri, '/doc/([0-9]+)', 1) AS BIGINT) AS d",
+            "block_digest_ok", "payload_digest_ok",
+        )
+        .collect()
+    )
+    by_d = {r.d: r for r in rows}
+    assert by_d[9].block_digest_ok is False  # planted wrong
+    assert by_d[11].block_digest_ok is None  # non-sha1 label
+    assert by_d[0].block_digest_ok is True
+    assert by_d[0].payload_digest_ok is True
+    assert by_d[2].payload_digest_ok is None  # %4==2: no payload digest
+    n_false = sum(1 for r in rows if r.block_digest_ok is False)
+    assert n_false == sum(1 for r in rows if r.d % 97 == 9 and r.d % 3 != 1)
+
+
 def test_oversized_header_line_rejected():
     data = b"WARC/1.0\r\nX: " + b"a" * 70000 + b"\r\n\r\n\r\n\r\n"
     with pytest.raises(WarcFormatError, match="exceeds"):
@@ -223,12 +267,17 @@ def test_spark_source_matches_sidecar_all_records(spark):
     from parallel_map_reduce_spark.sources.catalog import read_parquet
     from parallel_map_reduce_spark.sources.warc import read_warc
 
+    digest_cols = [
+        "coalesce(cast(block_digest_ok AS INT), -1) AS bd",
+        "coalesce(cast(payload_digest_ok AS INT), -1) AS pd",
+    ]
     got = read_warc(spark, "/root/repo/refdata/warc").selectExpr(
         "src_file", "rec_ord", "warc_type", "record_id", "warc_date",
         "coalesce(target_uri, '<null>') AS target_uri", "content_type",
         "coalesce(http_status, -1) AS http_status",
         "coalesce(http_content_type, '<null>') AS http_content_type",
         "decode(payload, 'UTF-8') AS payload_text", "n_bytes",
+        *digest_cols,
     )
     exp = read_parquet(
         spark, "/root/repo/refdata/warc_expected.parquet"
@@ -238,6 +287,7 @@ def test_spark_source_matches_sidecar_all_records(spark):
         "coalesce(http_status, -1) AS http_status",
         "coalesce(http_content_type, '<null>') AS http_content_type",
         "payload_text", "n_bytes",
+        *digest_cols,
     )
     assert got.count() == 3023
     assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()

@@ -127,6 +127,39 @@ def warc_record(version: str, header_lines: list[str], block: bytes) -> bytes:
     return head.encode("utf-8") + block + b"\r\n\r\n"
 
 
+def _b32_sha1(data: bytes) -> str:
+    import base64
+
+    return "sha1:" + base64.b32encode(hashlib.sha1(data).digest()).decode()
+
+
+def _digest_lines(doc_id: int, block: bytes, entity: bytes | None) -> tuple[list[str], bool | None, bool | None]:
+    """Digest headers for one record + the expected verification
+    outcomes (composition knowledge): block digests on doc_id%3!=1,
+    payload digests (entity scope: transfer-decoded, content-encoded)
+    on doc_id%4!=2 when an entity exists; doc_id%97==9 plants a WRONG
+    block digest (well-formed, wrong value) -> expected False; and
+    doc_id%89==11 carries a non-sha1 label -> expected NULL
+    (unverified by contract).""" 
+    lines: list[str] = []
+    block_ok: bool | None = None
+    payload_ok: bool | None = None
+    if doc_id % 3 != 1:
+        if doc_id % 97 == 9:
+            lines.append(f"WARC-Block-Digest: {_b32_sha1(block + b'x')}")
+            block_ok = False
+        elif doc_id % 89 == 11:
+            lines.append("WARC-Block-Digest: md5:00000000000000000000000000000000")
+            block_ok = None
+        else:
+            lines.append(f"WARC-Block-Digest: {_b32_sha1(block)}")
+            block_ok = True
+    if entity is not None and doc_id % 4 != 2:
+        lines.append(f"WARC-Payload-Digest: {_b32_sha1(entity)}")
+        payload_ok = True
+    return lines, block_ok, payload_ok
+
+
 def _cl_name(doc_id: int) -> str:
     return ["Content-Length", "content-length", "CONTENT-LENGTH"][doc_id % 3]
 
@@ -224,11 +257,14 @@ HTML_CT = "text/html; charset=UTF-8"
 
 
 def _mk_request(doc_id: int) -> tuple[bytes, tuple]:
+    block = http_request(doc_id)
+    dlines, bok, pok = _digest_lines(doc_id, block, b"")
     rec = warc_record(
-        _version(doc_id), _wh(doc_id, "request", "request", REQ_CT),
-        http_request(doc_id),
+        _version(doc_id),
+        _wh(doc_id, "request", "request", REQ_CT) + dlines,
+        block,
     )
-    return rec, ("request", "request", REQ_CT, None, None, "", 0)
+    return rec, ("request", "request", REQ_CT, None, None, "", 0, bok, pok)
 
 
 def _mk_response(
@@ -236,16 +272,20 @@ def _mk_response(
     wire: bytes | None = None, extra: list[str] | None = None,
     http_ct: str | None = HTML_CT,
 ) -> tuple[bytes, tuple]:
+    entity = wire if wire is not None else body
     block = http_response(
-        doc_id, wire if wire is not None else body, status=status,
+        doc_id, entity, status=status,
         reason=reason, ctype=http_ct, extra=extra, framing=framing,
     )
+    dlines, bok, pok = _digest_lines(doc_id, block, entity)
     rec = warc_record(
-        _version(doc_id), _wh(doc_id, "response", "response", RESP_CT), block
+        _version(doc_id),
+        _wh(doc_id, "response", "response", RESP_CT) + dlines,
+        block,
     )
     return rec, (
         "response", "response", RESP_CT, status, http_ct,
-        body.decode("utf-8"), len(body),
+        body.decode("utf-8"), len(body), bok, pok,
     )
 
 
@@ -285,7 +325,7 @@ def capture(doc_id: int) -> list[tuple[bytes, tuple]]:
         )
         out.append(
             (rec, ("metadata", "metadata", "application/warc-fields", None,
-                   None, meta.decode("utf-8"), len(meta)))
+                   None, meta.decode("utf-8"), len(meta), None, None))
         )
     elif t == 4:
         nf = f"<html><body><p>404 not here: doc {doc_id}</p></body></html>"
@@ -302,14 +342,16 @@ def capture(doc_id: int) -> list[tuple[bytes, tuple]]:
         )
     elif t == 6:
         txt = _sentence(doc_id).encode("utf-8")
+        dlines, bok, _ = _digest_lines(doc_id, txt, None)
         rec = warc_record(
             _version(doc_id),
-            _wh(doc_id, "resource", "resource", "text/plain; charset=UTF-8"),
+            _wh(doc_id, "resource", "resource", "text/plain; charset=UTF-8")
+            + dlines,
             txt,
         )
         out.append(
             (rec, ("resource", "resource", "text/plain; charset=UTF-8",
-                   None, None, txt.decode("utf-8"), len(txt)))
+                   None, None, txt.decode("utf-8"), len(txt), bok, None))
         )
     else:  # t == 7: close-delimited response (+ occasional revisit)
         out.append(_mk_response(doc_id, body, framing="close"))
@@ -320,7 +362,8 @@ def capture(doc_id: int) -> list[tuple[bytes, tuple]]:
                 blk,
             )
             out.append(
-                (rec, ("revisit", "revisit", RESP_CT, 200, "text/html", "", 0))
+                (rec, ("revisit", "revisit", RESP_CT, 200, "text/html", "",
+                       0, None, None))
             )
     return out
 
@@ -338,7 +381,7 @@ def warcinfo(file_idx: int) -> tuple[bytes, tuple]:
     ]
     rec = warc_record("WARC/1.0", lines, block)
     return rec, ("warcinfo", "warcinfo", "application/warc-fields", None,
-                 None, block.decode("utf-8"), len(block))
+                 None, block.decode("utf-8"), len(block), None, None)
 
 
 def main() -> int:
@@ -349,7 +392,7 @@ def main() -> int:
     rows: list[dict] = []
 
     def emit(file_idx: int, doc_id: int | None, rec: bytes, exp: tuple):
-        wtype, kind, ctype, status, http_ct, ptext, nbytes = exp
+        wtype, kind, ctype, status, http_ct, ptext, nbytes, bok, pok = exp
         files[file_idx] += _gz(rec) if file_idx == 0 else rec
         rows.append(
             {
@@ -366,6 +409,8 @@ def main() -> int:
                 "http_content_type": http_ct,
                 "payload_text": ptext,
                 "n_bytes": nbytes,
+                "block_digest_ok": bok,
+                "payload_digest_ok": pok,
             }
         )
         ords[file_idx] += 1
@@ -403,6 +448,12 @@ def main() -> int:
             ),
             "payload_text": pa.array([r["payload_text"] for r in rows], pa.string()),
             "n_bytes": pa.array([r["n_bytes"] for r in rows], pa.int64()),
+            "block_digest_ok": pa.array(
+                [r["block_digest_ok"] for r in rows], pa.bool_()
+            ),
+            "payload_digest_ok": pa.array(
+                [r["payload_digest_ok"] for r in rows], pa.bool_()
+            ),
         }
     )
     pq.write_table(table, OUT_PARQUET, compression="zstd")
