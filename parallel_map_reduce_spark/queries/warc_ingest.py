@@ -227,3 +227,71 @@ def crawl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
     )
+
+
+@register(
+    "crawl_wet_roundtrip",
+    oracle=f"""
+WITH {WRECS_CTE},
+pages AS (
+    SELECT doc_id, payload_text FROM wrecs
+    WHERE warc_type = 'response' AND http_status = 200
+      AND http_content_type LIKE 'text/html%'
+      AND n_bytes > 0
+),
+x AS (
+    SELECT doc_id, {html_extract_duckdb_expr('payload_text')} AS text
+    FROM pages
+)
+SELECT doc_id, text, length(text)::BIGINT AS n_chars,
+       TRUE AS block_digest_ok
+FROM x
+""",
+    doc="WET round-trip (late r16 — the container loop's other half): "
+    "extracted text is WRITTEN as Common-Crawl-style WET files (WARC "
+    "conversion records, per-record gzip members, sha1 block digests "
+    "— sinks/warc_sink.py composes from the same spec the parser "
+    "enforces) and RE-READ through the strict `warc` source. The "
+    "oracle is the extraction chain over the composition sidecar, "
+    "plus block_digest_ok pinned TRUE — the hash match proves writer "
+    "bytes are spec-valid, framing round-trips losslessly, and every "
+    "re-read digest verifies. Eager by nature (the write is an "
+    "artifact build, enumerated in EAGER_BUILD_OK); staging reuses "
+    "the per-(pid, sf) cleared-directory discipline. Scale: "
+    "executor-side per-partition streaming writes, O(record) memory.",
+    tags=("ingest", "warc", "wet", "sink", "roundtrip", "llm-pipeline"),
+)
+def crawl_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.warc_sink import write_warc_conversions
+    from ..sources.warc import read_warc
+    from ..streaming.dedup_stream import _fresh_result_dir
+
+    pages = scoped_warc_records(spark, sf_dir).filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+        & (F.col("n_bytes") > 0)
+    )
+    wet_in = pages.select(
+        F.col("target_uri").alias("uri"),
+        F.col("warc_date").alias("date"),
+        html_text_column(F.decode("payload", "UTF-8")).alias("text"),
+    )
+    out_dir = _fresh_result_dir("wet_roundtrip", sf_dir)
+    write_warc_conversions(wet_in, out_dir)
+    reread = read_warc(spark, out_dir).filter(
+        F.col("warc_type") == "conversion"
+    )
+    return reread.select(
+        F.regexp_extract(
+            "target_uri", r"/doc/(\d+)(?:[?#].*)?$", 1
+        ).cast("bigint").alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("text"),
+        "n_bytes",
+        "block_digest_ok",
+    ).select(
+        "doc_id",
+        "text",
+        F.length("text").cast("bigint").alias("n_chars"),
+        "block_digest_ok",
+    )

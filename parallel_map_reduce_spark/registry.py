@@ -223,6 +223,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ingest_warc_records",
     "ingest_warc_html_text",
     "crawl_pipeline_e2e",
+    "crawl_wet_roundtrip",
     "text_lang_trigram_id",
     # rule 2 — r16 semantically changed: NFC widened to the full
     # generated table + algorithmic Hangul; URL contract gained
@@ -248,7 +249,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "segment_event_value_salted",
     "q16_part_supplier_variety",
     # rule 5 — r15's stale block (fresh r15 evidence, kept reps)
-    "customer_order_histogram",
     "customer_priority_multiset",
     "dedup_clusters",
     # holdovers (family reps; streaks noted in the window comment)

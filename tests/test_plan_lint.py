@@ -130,6 +130,9 @@ SKIP_PREFIX = "streaming_"  # live drains execute on build; covered elsewhere
 # Spark jobs at construction (the r11 "eager build()" finding).
 EAGER_BUILD_OK = {
     "trade_graph_pagerank": "pagerank superstep loop (eager checkpoint per round)",
+    "crawl_wet_roundtrip": "WET artifact build: writes the conversion "
+    "WARC files the re-read half then parses (cold-cache artifact "
+    "build, the enumerated eager class)",
     "trade_graph_communities_lpa": "label-propagation superstep loop",
     "neardup_communities_lpa": "label-propagation superstep loop",
     "dedup_clusters": "connected-components min-label loop",

@@ -62,6 +62,7 @@ RAW_PATH_ORACLES = {
     "text_lang_trigram_id",  # r16: committed labeled lang fixture
     "streaming_warc_ingest",  # r16: shares the WARC sidecar oracle
     "crawl_pipeline_e2e",  # r16: composed-canonical column of the WARC sidecar
+    "crawl_wet_roundtrip",  # r16: WET write+re-read vs the sidecar chain
 }
 
 

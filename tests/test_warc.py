@@ -332,3 +332,46 @@ def test_stream_drains_all_records_and_replays(spark):
     assert len(parts) == 2
     n = sum(1 for p in parts for _ in r.read(p))
     assert n == 3023
+
+
+def test_wet_writer_bytes_are_deterministic_and_reparse(tmp_path, spark):
+    """Writer output is byte-stable for a fixed partitioning, and the
+    strict parser re-reads it with every digest verifying."""
+    from parallel_map_reduce_spark.sinks.warc_sink import (
+        write_warc_conversions,
+    )
+    from parallel_map_reduce_spark.sources.warc import read_warc
+
+    df = spark.createDataFrame(
+        [
+            ("https://e.com/doc/1", "2024-01-01T00:00:00Z", "hello wet"),
+            ("https://e.com/doc/2", "2024-01-01T00:01:37Z", "café ü 语"),
+        ],
+        "uri string, date string, text string",
+    ).repartition(1)
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_warc_conversions(df, d1)
+    write_warc_conversions(df, d2)
+    (f1,) = [p for p in sorted((tmp_path / "a").iterdir())]
+    (f2,) = [p for p in sorted((tmp_path / "b").iterdir())]
+    assert f1.read_bytes() == f2.read_bytes()
+
+    rows = read_warc(spark, d1).collect()
+    assert [r.warc_type for r in rows] == ["warcinfo", "conversion", "conversion"]
+    conv = [r for r in rows if r.warc_type == "conversion"]
+    assert {bytes(r.payload).decode() for r in conv} == {"hello wet", "café ü 语"}
+    assert all(r.block_digest_ok is True for r in rows)
+
+
+def test_wet_empty_partition_writes_no_file(tmp_path, spark):
+    from parallel_map_reduce_spark.sinks.warc_sink import (
+        write_warc_conversions,
+    )
+
+    df = spark.createDataFrame(
+        [("u", "d", "t")], "uri string, date string, text string"
+    ).repartition(8)
+    out = str(tmp_path / "c")
+    write_warc_conversions(df, out)
+    files = list((tmp_path / "c").iterdir())
+    assert len(files) == 1  # 7 empty partitions -> no empty files
