@@ -506,18 +506,22 @@ SELECT doc_id, src_file, rec_ord, warc_type, record_id, warc_date,
        block_digest_ok, payload_digest_ok
 FROM wrecs
 """,
-    doc="LIVE WARC landing-zone ingest (r16): the `warc` source's "
-    "streaming flavor treats the crawl directory as an ordered log "
-    "with (file, record-ordinal) offsets — each trigger STREAMS the "
-    "next batch_records records through the same from-spec parser as "
-    "the batch entry (chunked/gzip/close-framed envelope decoding "
-    "included), and readBetweenOffsets re-parses any committed range "
-    "exactly (deterministic framing -> exact replay, restart-safe). "
-    "Drained availableNow over the committed fixture with the same "
-    "doc-scoped projection as ingest_warc_records, the row set equals "
-    "the batch parse, so the live run shares the batch entry's "
-    "composition-derived sidecar oracle. Scoping is a stream-static "
-    "broadcast semi-join re-read per micro-batch. sources/warc.py.",
+    doc="LIVE WARC landing-zone ingest (r16; offsets reworked r17 per "
+    "the advisor): the `warc` source's streaming flavor treats the "
+    "crawl directory as an ordered log whose offsets NAME FILES (the "
+    "sorted path of the last file covered) — each trigger plans the "
+    "next capped batch of WHOLE files (maxFilesPerTrigger enforced "
+    "in latestOffset so the committed offset is the capped one, "
+    "never skipping files), partitions() replays a committed (start, "
+    "end] range as exactly the files sorting inside it, and each "
+    "file streams through the same from-spec parser as the batch "
+    "entry (chunked/gzip/deflate/close-framed envelope decoding "
+    "included). Drained availableNow over the committed fixture with "
+    "the same doc-scoped projection as ingest_warc_records, the row "
+    "set equals the batch parse, so the live run shares the batch "
+    "entry's composition-derived sidecar oracle. Scoping is a "
+    "stream-static broadcast semi-join re-read per micro-batch. "
+    "sources/warc.py.",
     tags=("streaming", "live", "ingest", "warc", "llm-pipeline"),
 )
 def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,10 +52,12 @@ WARC_SCHEMA = (
 )
 
 
-def resolve_warc_paths(path: str) -> list[str]:
+def resolve_warc_paths(path: str, allow_empty: bool = False) -> list[str]:
     """Driver-side metadata step: a file, a directory (``*.warc`` /
     ``*.warc.gz`` inside, sorted), or a glob. Deterministic order so
-    downstream rec_ord-keyed results are stable under re-planning."""
+    downstream rec_ord-keyed results are stable under re-planning.
+    ``allow_empty`` is the streaming flavor: a landing zone with no
+    files yet is an idle stream, not an error (advisor r16)."""
     if os.path.isdir(path):
         out = sorted(
             os.path.join(path, n)
@@ -65,8 +67,8 @@ def resolve_warc_paths(path: str) -> list[str]:
     elif any(c in path for c in "*?["):
         out = sorted(_glob.glob(path))
     else:
-        out = [path]
-    if not out:
+        out = [path] if os.path.exists(path) or not allow_empty else []
+    if not out and not allow_empty:
         raise ValueError(f"warc source: no WARC files under {path!r}")
     return out
 
@@ -133,15 +135,30 @@ class WarcReader(DataSourceReader):
 
 class WarcStreamReader(DataSourceStreamReader):
     """Streaming flavor: a crawl landing zone is an ordered log of
-    WARC files, so the offset is an index into the sorted listing and
-    each micro-batch's work is a set of WHOLE FILES — read in parallel
-    on executors (one InputPartition per file, the batch reader's
-    partitioning), each task streaming its file with O(record)
-    memory. ``maxFilesPerTrigger`` bounds a trigger's file count; the
-    listing is re-taken per ``latestOffset`` call, so files that land
-    later are picked up by later triggers. Restart-safe: offsets name
-    file positions in the deterministic sorted order, and a committed
-    range replays by re-parsing exactly those files."""
+    WARC files; each micro-batch's work is a set of WHOLE FILES — read
+    in parallel on executors (one InputPartition per file, the batch
+    reader's partitioning), each task streaming its file with
+    O(record) memory.
+
+    OFFSETS NAME FILES (advisor r16): an offset is the sorted path of
+    the last file covered (``""`` = none), so a committed range
+    ``(start, end]`` replays as exactly the files whose paths sort
+    inside it — exact replay even when files later land with
+    EARLIER-sorting names. Such late, earlier-sorting arrivals are
+    SKIPPED by contract (documented boundary): a landing zone must
+    deliver new files with names sorting after already-committed ones
+    (the crawl convention of timestamp-prefixed names).
+
+    ``maxFilesPerTrigger`` is enforced in ``latestOffset`` — the
+    offset the engine commits is the CAPPED one, so capping can never
+    skip files (the r16 advisor's data-loss finding). After a
+    checkpoint restart the reader does not learn the committed point
+    until the first ``partitions`` call, so the first planned batch
+    after a restart is uncapped rather than risk returning an offset
+    BEHIND the committed one (an offset regression would make the
+    engine replay committed files — duplicates); the cap is a
+    throughput knob, never a correctness contract. An empty landing
+    zone idles at the current offset instead of raising."""
 
     def __init__(self, options: dict):
         path = options.get("path")
@@ -149,20 +166,48 @@ class WarcStreamReader(DataSourceStreamReader):
             raise ValueError("warc source requires option 'path'")
         self.path = path
         self.max_files = int(options.get("maxFilesPerTrigger", "0"))  # 0 = all
+        # Highest offset name this reader instance knows (initial
+        # offset, a latestOffset it returned, or a partitions() range
+        # end); None = restarted, committed point not yet observed.
+        self._last: str | None = None
 
     def initialOffset(self) -> dict:
-        return {"file": 0}
+        self._last = ""
+        return {"name": ""}
 
     def latestOffset(self) -> dict:
-        n = len(resolve_warc_paths(self.path))
-        return {"file": n}
+        paths = resolve_warc_paths(self.path, allow_empty=True)
+        if self._last is None:
+            # Restarted reader: the committed point is unknown until
+            # partitions() reveals it. The only safe offsets are >= the
+            # committed one, so report the full listing end (this one
+            # batch is uncapped). An empty listing leaves NO safe
+            # offset to name — refuse loudly rather than regress the
+            # checkpoint and replay committed files as duplicates.
+            if not paths:
+                raise ValueError(
+                    "warc stream: restarted from a checkpoint against an "
+                    f"empty landing zone {self.path!r} — cannot name a "
+                    "safe offset; restore the files or start fresh"
+                )
+            name = paths[-1]
+        else:
+            pending = [p for p in paths if p > self._last]
+            if self.max_files:
+                pending = pending[: self.max_files]
+            name = pending[-1] if pending else self._last
+        self._last = max(self._last or "", name)
+        return {"name": name}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        paths = resolve_warc_paths(self.path)
-        lo, hi = start["file"], min(end["file"], len(paths))
-        if self.max_files:
-            hi = min(hi, lo + self.max_files)
-        return [WarcFilePartition(p) for p in paths[lo:hi]]
+        lo, hi = start["name"], end["name"]
+        # Learn the committed point (restart path) and never move the
+        # reader's own watermark backwards.
+        self._last = max(self._last or "", lo, hi)
+        if hi <= lo:
+            return []
+        paths = resolve_warc_paths(self.path, allow_empty=True)
+        return [WarcFilePartition(p) for p in paths if lo < p <= hi]
 
     def read(self, partition: WarcFilePartition):
         yield from _rows_for_file(partition.path)

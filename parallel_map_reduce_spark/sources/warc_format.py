@@ -26,9 +26,11 @@ CONTRACT (the parts of the spec this parser implements, strictly):
   coding, in spec order: ``Transfer-Encoding: chunked`` de-chunking
   first (RFC 9112 §7.1 — hex sizes, optional chunk extensions,
   optional trailer fields), then ``Content-Encoding`` gzip/x-gzip
-  decompression. A plain ``Content-Length`` body must match its
-  declared length exactly; a body with neither framing header is
-  close-delimited (the rest of the block).
+  or deflate decompression (deflate per the de-facto web contract:
+  zlib-wrapped RFC 1950 first, raw RFC 1951 fallback — r17). A plain
+  ``Content-Length`` body must match its declared length exactly; a
+  body with neither framing header is close-delimited (the rest of
+  the block).
 
 LOUD BOUNDARIES (documented, not silent): any malformed framing —
 bad version line, missing/non-numeric Content-Length, truncated
@@ -36,7 +38,8 @@ block, missing record terminator, bare-LF line endings, colon-less
 header lines, bad chunk sizes, trailing bytes after the last chunk,
 HTTP Content-Length/body mismatch, truncated gzip members — raises
 ``WarcFormatError`` naming the file and record. ``Content-Encoding``
-values other than gzip/x-gzip/identity (deflate, br, zstd) are
+values other than gzip/x-gzip/deflate/identity (br, zstd) and
+``Transfer-Encoding`` codings other than chunked/identity are
 REJECTED loudly as out of contract, the same policy as the MP3/AAC
 fence in multimodal/codec.py.
 
@@ -212,7 +215,23 @@ def parse_http(block: bytes, where: str) -> HttpMessage:
     rest = f.read()
 
     te = hget(headers, "Transfer-Encoding")
-    if te is not None and te.split(",")[-1].strip().lower() == "chunked":
+    if te is not None:
+        # The fence policy applies to TRANSFER codings too (advisor
+        # r16): de-chunk when the final coding is chunked, then any
+        # remaining non-identity coding (TE: gzip, deflate, ...) is
+        # out of contract — surfacing still-transfer-coded bytes as
+        # the payload would be silently raw.
+        codings = [t.strip().lower() for t in te.split(",") if t.strip()]
+        chunked = bool(codings) and codings[-1] == "chunked"
+        leftover = codings[:-1] if chunked else codings
+        bad = [c for c in leftover if c != "identity"]
+        if bad:
+            raise WarcFormatError(
+                f"{where}: unsupported Transfer-Encoding {te!r}"
+            )
+    else:
+        chunked = False
+    if chunked:
         body = dechunk(rest, where)
     else:
         cl = hget(headers, "Content-Length")
@@ -234,8 +253,25 @@ def parse_http(block: bytes, where: str) -> HttpMessage:
                 body = gzip.decompress(body)
             except (OSError, EOFError) as e:
                 raise WarcFormatError(f"{where}: bad gzip payload: {e}") from None
+        elif coding == "deflate":
+            # RFC 9110 names the zlib-wrapped format (RFC 1950), but
+            # real servers historically sent RAW deflate (RFC 1951)
+            # under the same label — the standard client behavior is
+            # to try zlib framing first, then raw (VERDICT r16 task
+            # 2). Both failing = corrupt, rejected loudly.
+            import zlib
+
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                try:
+                    body = zlib.decompress(body, -15)  # raw RFC 1951
+                except zlib.error as e:
+                    raise WarcFormatError(
+                        f"{where}: bad deflate payload: {e}"
+                    ) from None
         elif coding != "identity":
-            # deflate/br/zstd: out of contract, rejected LOUDLY (the
+            # br/zstd: out of contract, rejected LOUDLY (the
             # multimodal/codec.py fence policy) — never silently raw
             raise WarcFormatError(
                 f"{where}: unsupported Content-Encoding {coding!r}"

@@ -181,6 +181,48 @@ def test_unsupported_content_encoding_rejected_loudly():
         parse_http(block, "t")
 
 
+def test_unsupported_transfer_encoding_rejected_loudly():
+    """TE codings other than chunked/identity would surface
+    still-transfer-coded bytes as the payload — fenced (advisor r16)."""
+    for te in ("gzip", "gzip, chunked", "chunked, gzip", "compress"):
+        block = (
+            f"HTTP/1.1 200 OK\r\nTransfer-Encoding: {te}\r\n\r\n".encode()
+            + b"3\r\nabc\r\n0\r\n\r\n"
+        )
+        with pytest.raises(WarcFormatError, match="unsupported Transfer-Encoding"):
+            parse_http(block, "t")
+    # identity alone (and with chunked final) stays in contract
+    ok = parse_http(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: identity, chunked\r\n\r\n"
+        b"3\r\nabc\r\n0\r\n\r\n",
+        "t",
+    )
+    assert ok.payload == b"abc"
+
+
+def test_http_deflate_content_encoding_both_variants():
+    """Content-Encoding: deflate decodes zlib-wrapped (RFC 1950) and
+    raw (RFC 1951 — the historical server bug the web standardized
+    around) payloads; corrupt deflate is rejected loudly (r17)."""
+    import zlib
+
+    inner = b"deflated body text"
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    raw = co.compress(inner) + co.flush()
+    for wire in (zlib.compress(inner), raw):  # zlib-wrapped, raw
+        block = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+            + f"Content-Length: {len(wire)}\r\n\r\n".encode()
+            + wire
+        )
+        msg = parse_http(block, "t")
+        assert msg.payload == inner
+        assert msg.entity == wire  # digest scope: content-encoded bytes
+    bad = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\nContent-Length: 3\r\n\r\nxyz"
+    with pytest.raises(WarcFormatError, match="bad deflate payload"):
+        parse_http(bad, "t")
+
+
 def test_bad_gzip_payload_rejected():
     block = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\nContent-Length: 3\r\n\r\nxyz"
     with pytest.raises(WarcFormatError, match="bad gzip payload"):
@@ -325,13 +367,113 @@ def test_stream_drains_all_records_and_replays(spark):
     )
     q.awaitTermination()
     assert spark.table("warc_stream_t").count() == 3023
-    # replay determinism at the reader level
+    # replay determinism at the reader level: offsets NAME files, and
+    # a committed (start, end] range replays as exactly the files
+    # sorting inside it (advisor r16)
     r = WarcStreamReader({"path": "/root/repo/refdata/warc"})
-    assert r.latestOffset() == {"file": 2}
-    parts = r.partitions({"file": 0}, {"file": 2})
+    assert r.initialOffset() == {"name": ""}
+    last = r.latestOffset()
+    assert last["name"].endswith("fixture-001.warc")
+    parts = r.partitions({"name": ""}, last)
     assert len(parts) == 2
     n = sum(1 for p in parts for _ in r.read(p))
     assert n == 3023
+
+
+def test_stream_max_files_cap_never_skips(spark):
+    """maxFilesPerTrigger caps the offset latestOffset RETURNS (the
+    advisor r16 high: capping in partitions() alone skips the files
+    beyond the cap forever). Reader-level: two capped triggers cover
+    both files; query-level: availableNow with the cap drains ALL
+    records across multiple micro-batches."""
+    from parallel_map_reduce_spark.sources.warc import (
+        WarcStreamReader,
+        register,
+    )
+
+    r = WarcStreamReader(
+        {"path": "/root/repo/refdata/warc", "maxFilesPerTrigger": "1"}
+    )
+    start = r.initialOffset()
+    o1 = r.latestOffset()
+    assert o1["name"].endswith("fixture-000.warc.gz")  # capped at 1 file
+    assert len(r.partitions(start, o1)) == 1
+    o2 = r.latestOffset()
+    assert o2["name"].endswith("fixture-001.warc")
+    assert len(r.partitions(o1, o2)) == 1
+    assert r.latestOffset() == o2  # caught up: offset holds -> idle
+
+    register(spark)
+    df = (
+        spark.readStream.format("warc")
+        .option("path", "/root/repo/refdata/warc")
+        .option("maxFilesPerTrigger", "1")
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("warc_stream_cap_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("warc_stream_cap_t").count() == 3023
+
+
+def test_stream_empty_landing_zone_idles(tmp_path, spark):
+    """A stream started before the first file lands idles at the
+    initial offset instead of crashing (advisor r16 medium); once a
+    file lands, the next trigger picks it up."""
+    from parallel_map_reduce_spark.sources.warc import WarcStreamReader
+
+    zone = tmp_path / "zone"
+    zone.mkdir()
+    r = WarcStreamReader({"path": str(zone)})
+    start = r.initialOffset()
+    assert r.latestOffset() == start  # empty: idle, no batch
+    (zone / "f-000.warc").write_bytes(rec_bytes(b"late arrival"))
+    nxt = r.latestOffset()
+    assert nxt["name"].endswith("f-000.warc")
+    parts = r.partitions(start, nxt)
+    rows = [row for p in parts for row in r.read(p)]
+    assert len(rows) == 1 and bytes(rows[0][9]) == b"late arrival"
+
+
+def test_stream_restart_never_regresses_offset():
+    """A freshly-constructed reader (checkpoint restart) must never
+    return an offset behind the committed one: with files present it
+    reports the full listing end (uncapped first batch, documented);
+    against an EMPTY zone it refuses loudly rather than regress the
+    checkpoint into replaying committed files."""
+    import pytest as _pytest
+
+    from parallel_map_reduce_spark.sources.warc import WarcStreamReader
+
+    r = WarcStreamReader(
+        {"path": "/root/repo/refdata/warc", "maxFilesPerTrigger": "1"}
+    )
+    # no initialOffset() call: simulates restart-from-checkpoint
+    o = r.latestOffset()
+    assert o["name"].endswith("fixture-001.warc")  # full end, uncapped
+
+    r2 = WarcStreamReader({"path": "/root/repo/refdata/warc"})
+    # partitions() first (engine re-plans the last batch): reader
+    # learns the committed point from the range end
+    committed = {"name": "/root/repo/refdata/warc/fixture-000.warc.gz"}
+    parts = r2.partitions(committed, committed)
+    assert parts == []  # equal-offset range: nothing to replay
+    assert r2.latestOffset()["name"].endswith("fixture-001.warc")
+
+
+def test_stream_empty_zone_restart_refuses(tmp_path):
+    from parallel_map_reduce_spark.sources.warc import WarcStreamReader
+
+    zone = tmp_path / "zone2"
+    zone.mkdir()
+    r = WarcStreamReader({"path": str(zone)})
+    with pytest.raises(ValueError, match="cannot name a safe offset"):
+        r.latestOffset()
 
 
 def test_wet_writer_bytes_are_deterministic_and_reparse(tmp_path, spark):
