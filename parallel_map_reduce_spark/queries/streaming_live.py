@@ -502,8 +502,8 @@ from .warc_ingest import WRECS_CTE as _WRECS_CTE
 WITH {_WRECS_CTE}
 SELECT doc_id, src_file, rec_ord, warc_type, record_id, warc_date,
        target_uri, content_type, http_status::INT AS http_status,
-       http_content_type, payload_text, n_bytes::BIGINT AS n_bytes,
-       block_digest_ok, payload_digest_ok
+       http_content_type, charset, payload_text,
+       n_bytes::BIGINT AS n_bytes, block_digest_ok, payload_digest_ok
 FROM wrecs
 """,
     doc="LIVE WARC landing-zone ingest (r16; offsets reworked r17 per "
@@ -550,7 +550,8 @@ def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "src_file", "rec_ord", "warc_type", "record_id",
         "warc_date", "target_uri", "content_type", "http_status",
         "http_content_type",
-        F.decode("payload", "UTF-8").alias("payload_text"),
+        "charset",
+        "payload_text",
         "n_bytes",
         "block_digest_ok",
         "payload_digest_ok",

@@ -22,12 +22,20 @@ Scale note: like the manifest source, rows cross the Arrow boundary
 once at ingest; a 100 TB corpus lands in parquet right after this
 hop (sources.catalog) and every downstream operator reads columnar.
 
+Text payloads additionally surface a charset-aware decode (r17):
+``charset`` is the WHATWG-resolved encoding (BOM > Content-Type
+``charset=`` param > bounded HTML ``<meta>`` prescan > strict utf-8
+default) and ``payload_text`` the strict decode under it; binary
+media types surface NULLs, out-of-contract or wrong-declared
+charsets raise loudly (warc_format.decode_payload).
+
 Schema::
 
     src_file string, rec_ord bigint, warc_type string,
     record_id string, warc_date string, target_uri string,
     content_type string, http_status int, http_content_type string,
-    payload binary, n_bytes bigint
+    payload binary, n_bytes bigint, block_digest_ok boolean,
+    payload_digest_ok boolean, charset string, payload_text string
 """
 
 from __future__ import annotations
@@ -42,13 +50,20 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from .warc_format import hget, iter_warc_records, parse_http, verify_digest
+from .warc_format import (
+    decode_payload,
+    hget,
+    iter_warc_records,
+    parse_http,
+    verify_digest,
+)
 
 WARC_SCHEMA = (
     "src_file string, rec_ord bigint, warc_type string, record_id string, "
     "warc_date string, target_uri string, content_type string, "
     "http_status int, http_content_type string, payload binary, "
-    "n_bytes bigint, block_digest_ok boolean, payload_digest_ok boolean"
+    "n_bytes bigint, block_digest_ok boolean, payload_digest_ok boolean, "
+    "charset string, payload_text string"
 )
 
 
@@ -87,12 +102,14 @@ def _rows_for_file(path: str):
             http_ct = None
             payload = rec.block
             digest_scope = rec.block  # payload digest scope (non-http)
+            pay_ct = rec.content_type  # the payload's own media type
             if (rec.content_type or "").lower().startswith("application/http"):
                 msg = parse_http(rec.block, f"{base}: record {ord_}")
                 status = msg.status
                 http_ct = hget(msg.headers, "Content-Type")
                 payload = msg.payload
                 digest_scope = msg.entity  # §5.9: pre-content-decoding
+                pay_ct = http_ct
             # Integrity verification (r16): sha1 block/payload digests
             # checked when present; non-sha1 algorithms surface as
             # unverified (NULL), mismatches as False — advisory, never
@@ -102,6 +119,12 @@ def _rows_for_file(path: str):
             payload_ok = verify_digest(
                 hget(rec.headers, "WARC-Payload-Digest"), digest_scope
             )
+            # Charset-aware text decode (r17): WHATWG precedence over
+            # the payload's OWN media type (the HTTP Content-Type for
+            # enveloped records, the WARC Content-Type otherwise);
+            # binary media types surface NULLs, wrong/unknown charsets
+            # raise loudly (warc_format.decode_payload contract).
+            charset, text = decode_payload(payload, pay_ct, f"{base}: record {ord_}")
             yield (
                 base,
                 ord_,
@@ -116,6 +139,8 @@ def _rows_for_file(path: str):
                 len(payload),
                 block_ok,
                 payload_ok,
+                charset,
+                text,
             )
 
 

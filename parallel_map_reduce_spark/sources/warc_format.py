@@ -155,6 +155,151 @@ def verify_digest(header_value: str | None, data: bytes) -> bool | None:
     return b32_sha1(data).lower() == v.lower()
 
 
+# ---------------------------------------------------------------- charsets
+#
+# Charset-aware payload decode (r17, VERDICT r16 task 1): the real web
+# is heavily non-UTF-8, so the text hops must resolve each page's
+# encoding with the WHATWG precedence — BOM, then the Content-Type
+# ``charset=`` parameter, then a bounded ``<meta>`` prescan for HTML —
+# and decode STRICTLY. Labels follow a WHATWG-subset alias table
+# (notably: the web's ``iso-8859-1``/``us-ascii`` labels MEAN
+# windows-1252, ``gb2312`` means gbk, ``shift_jis`` means the cp932
+# superset, ``euc-kr`` means cp949 — browsers standardized on the
+# supersets decades ago and crawled bytes follow them). Two loud
+# fences, per the codec policy: an out-of-contract label raises, and
+# bytes that do not decode under the resolved charset raise (a WRONG
+# declaration is data corruption to surface, never to paper over —
+# which is also why the no-declaration default is strict utf-8, not
+# WHATWG's mojibake-prone windows-1252 fallback: undeclared non-UTF-8
+# fails loudly instead of decoding silently wrong).
+
+# WHATWG-subset label -> canonical name (the value the `charset`
+# column surfaces).
+CHARSET_LABELS: dict[str, str] = {
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "us-ascii": "windows-1252", "ascii": "windows-1252",
+    "iso-8859-1": "windows-1252", "iso8859-1": "windows-1252",
+    "latin1": "windows-1252", "latin-1": "windows-1252", "l1": "windows-1252",
+    "cp1252": "windows-1252", "windows-1252": "windows-1252", "x-cp1252": "windows-1252",
+    **{f"windows-125{i}": f"windows-125{i}" for i in range(9)},
+    **{f"cp125{i}": f"windows-125{i}" for i in range(9)},
+    "iso-8859-2": "iso-8859-2", "iso8859-2": "iso-8859-2", "latin2": "iso-8859-2",
+    "iso-8859-15": "iso-8859-15", "iso8859-15": "iso-8859-15", "latin9": "iso-8859-15",
+    "iso-8859-9": "windows-1254",  # WHATWG: the turkish label means cp1254
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis", "sjis": "shift_jis",
+    "x-sjis": "shift_jis", "ms_kanji": "shift_jis", "windows-31j": "shift_jis",
+    "euc-jp": "euc-jp", "x-euc-jp": "euc-jp",
+    "gbk": "gbk", "gb2312": "gbk", "x-gbk": "gbk", "chinese": "gbk",
+    "csgb2312": "gbk", "gb_2312-80": "gbk",
+    "big5": "big5", "big5-hkscs": "big5", "x-x-big5": "big5",
+    "euc-kr": "euc-kr", "korean": "euc-kr", "ks_c_5601-1987": "euc-kr",
+    "koi8-r": "koi8-r", "koi8": "koi8-r", "koi8_r": "koi8-r",
+    "koi8-u": "koi8-u", "koi8-ru": "koi8-u",
+    "utf-16": "utf-16le", "utf-16le": "utf-16le", "utf-16be": "utf-16be",
+}
+
+# canonical name -> Python codec implementing the WHATWG decoder
+# (cp932 IS the web's shift_jis; cp949 IS the web's euc-kr).
+CHARSET_CODECS: dict[str, str] = {
+    "utf-8": "utf-8",
+    **{f"windows-125{i}": f"cp125{i}" for i in range(9)},
+    "iso-8859-2": "iso8859-2", "iso-8859-15": "iso8859-15",
+    "shift_jis": "cp932", "euc-jp": "euc_jp", "gbk": "gbk", "big5": "big5",
+    "euc-kr": "cp949", "koi8-r": "koi8_r", "koi8-u": "koi8_u",
+    "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+# Content types treated as opaque binary: no text decode, charset and
+# payload_text surface NULL.
+_BINARY_CT_PREFIXES = (
+    "image/", "audio/", "video/", "font/", "application/octet-stream",
+    "application/pdf", "application/zip", "application/gzip",
+)
+
+_META_PRESCAN = 1024  # the WHATWG sniffer's bounded HTML prescan
+
+
+def charset_param(content_type: str | None) -> str | None:
+    """The raw ``charset=`` parameter value from a media type, if any
+    (quotes stripped, case preserved for the error message)."""
+    if not content_type:
+        return None
+    for part in content_type.split(";")[1:]:
+        if "=" in part:
+            k, v = part.split("=", 1)
+            if k.strip().lower() == "charset":
+                return v.strip().strip("\"'") or None
+    return None
+
+
+def _canonical_charset(label: str, where: str) -> str:
+    canon = CHARSET_LABELS.get(label.strip().lower())
+    if canon is None:
+        raise WarcFormatError(f"{where}: unsupported charset {label!r}")
+    return canon
+
+
+def _meta_charset(head: bytes) -> str | None:
+    """Bounded prescan of the first bytes of an HTML payload for
+    ``<meta charset=...>`` / ``<meta http-equiv=... content="...;
+    charset=..."`` (the WHATWG sniff, simplified to one pattern: any
+    ``charset=`` attribute or parameter inside a ``<meta`` tag)."""
+    import re
+
+    m = re.search(
+        rb"<meta[^>]{0,256}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9._\-]+)",
+        head[:_META_PRESCAN],
+        re.IGNORECASE,
+    )
+    return m.group(1).decode("ascii", "replace") if m else None
+
+
+def sniff_charset(payload: bytes, content_type: str | None, where: str) -> str:
+    """Canonical charset for a text payload — WHATWG precedence:
+    BOM > Content-Type ``charset=`` param > HTML ``<meta>`` prescan >
+    strict utf-8 default. Unknown labels raise (loud fence)."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if payload[:2] == b"\xff\xfe":
+        return "utf-16le"
+    if payload[:2] == b"\xfe\xff":
+        return "utf-16be"
+    declared = charset_param(content_type)
+    if declared is not None:
+        return _canonical_charset(declared, where)
+    if content_type and "html" in content_type.split(";")[0].lower():
+        meta = _meta_charset(payload)
+        if meta is not None:
+            return _canonical_charset(meta, where)
+    return "utf-8"
+
+
+def decode_payload(
+    payload: bytes, content_type: str | None, where: str
+) -> tuple[str | None, str | None]:
+    """``(canonical_charset, decoded_text)`` for a record payload:
+    binary media types surface ``(None, None)``; text payloads decode
+    STRICTLY under the sniffed charset, raising ``WarcFormatError`` on
+    wrong-declared bytes (never silently mojibake)."""
+    ct_base = (content_type or "").split(";")[0].strip().lower()
+    if ct_base.startswith(_BINARY_CT_PREFIXES):
+        return None, None
+    canon = sniff_charset(payload, content_type, where)
+    data = payload
+    if canon == "utf-8" and data[:3] == b"\xef\xbb\xbf":
+        data = data[3:]  # the BOM is a signature, not content
+    elif canon == "utf-16le" and data[:2] == b"\xff\xfe":
+        data = data[2:]
+    elif canon == "utf-16be" and data[:2] == b"\xfe\xff":
+        data = data[2:]
+    try:
+        return canon, data.decode(CHARSET_CODECS[canon])
+    except UnicodeDecodeError as e:
+        raise WarcFormatError(
+            f"{where}: payload does not decode as {canon}: {e}"
+        ) from None
+
+
 def dechunk(data: bytes, where: str) -> bytes:
     """Undo chunked transfer coding (RFC 9112 §7.1): hex chunk sizes
     with optional ``;ext`` extensions, each chunk CRLF-terminated,

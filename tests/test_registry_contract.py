@@ -63,6 +63,7 @@ RAW_PATH_ORACLES = {
     "streaming_warc_ingest",  # r16: shares the WARC sidecar oracle
     "crawl_pipeline_e2e",  # r16: composed-canonical column of the WARC sidecar
     "crawl_wet_roundtrip",  # r16: WET write+re-read vs the sidecar chain
+    "ingest_warc_charsets",  # r17: charset column of the WARC sidecar
 }
 
 

@@ -229,6 +229,99 @@ def test_bad_gzip_payload_rejected():
         parse_http(block, "t")
 
 
+class TestCharsetDecode:
+    """decode_payload: WHATWG precedence (BOM > param > meta > strict
+    utf-8), alias resolution, and the two loud fences (r17)."""
+
+    def _dp(self, payload, ct):
+        from parallel_map_reduce_spark.sources.warc_format import (
+            decode_payload,
+        )
+
+        return decode_payload(payload, ct, "t")
+
+    def test_declared_param_and_aliases(self):
+        assert self._dp("café".encode("cp1252"),
+                        "text/html; charset=ISO-8859-1") == ("windows-1252", "café")
+        assert self._dp("žluť".encode("cp1250"),
+                        'text/html; charset="windows-1250"') == ("windows-1250", "žluť")
+        assert self._dp("中文".encode("gbk"),
+                        "text/html; charset=GB2312") == ("gbk", "中文")
+        assert self._dp("日本".encode("cp932"),
+                        "text/plain; charset=Shift_JIS") == ("shift_jis", "日本")
+
+    def test_meta_prescan_html_only(self):
+        html = '<html><head><meta charset="koi8-r"></head><body>мир</body></html>'
+        got = self._dp(html.encode("koi8_r"), "text/html")
+        assert got == ("koi8-r", html)
+        # http-equiv form
+        h2 = ('<html><head><meta http-equiv="Content-Type" '
+              'content="text/html; charset=euc-jp"></head><body>世界</body></html>')
+        assert self._dp(h2.encode("euc_jp"), "text/html") == ("euc-jp", h2)
+        # meta is NOT consulted for non-html types: defaults to utf-8
+        assert self._dp(b"<meta charset=koi8-r> plain", "text/plain")[0] == "utf-8"
+
+    def test_bom_beats_declaration_and_is_stripped(self):
+        text = "ελληνικά"
+        assert self._dp(b"\xff\xfe" + text.encode("utf-16-le"),
+                        "text/html; charset=koi8-r") == ("utf-16le", text)
+        assert self._dp(b"\xfe\xff" + text.encode("utf-16-be"),
+                        "text/html") == ("utf-16be", text)
+        assert self._dp(b"\xef\xbb\xbf" + "ök".encode(),
+                        "text/html; charset=windows-1250") == ("utf-8", "ök")
+
+    def test_default_utf8_strict(self):
+        assert self._dp("日本語".encode(), "text/html") == ("utf-8", "日本語")
+        with pytest.raises(WarcFormatError, match="does not decode as utf-8"):
+            self._dp("café".encode("cp1252"), "text/html")  # undeclared non-utf8
+
+    def test_wrong_declared_charset_rejected(self):
+        with pytest.raises(WarcFormatError, match="does not decode as shift_jis"):
+            self._dp(b"\x81", "text/html; charset=shift_jis")  # truncated lead byte
+        with pytest.raises(WarcFormatError, match="does not decode as utf-16le"):
+            self._dp(b"\xff\xfeabc", "text/html")  # odd byte count after BOM
+
+    def test_unsupported_charset_rejected(self):
+        with pytest.raises(WarcFormatError, match="unsupported charset 'ebcdic"):
+            self._dp(b"x", "text/html; charset=ebcdic-cp-us")
+        with pytest.raises(WarcFormatError, match="unsupported charset"):
+            self._dp(b'<meta charset="hz-gb-2312">x', "text/html")
+
+    def test_binary_media_types_surface_nulls(self):
+        assert self._dp(b"\x89PNG\r\n", "image/png") == (None, None)
+        assert self._dp(b"\x00\x01", "application/octet-stream") == (None, None)
+
+    def test_empty_payload_decodes_empty(self):
+        assert self._dp(b"", "text/html; charset=shift_jis") == ("shift_jis", "")
+        assert self._dp(b"", None) == ("utf-8", "")
+
+
+def test_fixture_charset_pages_roundtrip(spark):
+    """Every non-UTF-8 charset sub-case in the committed fixture
+    decodes back to the COMPOSED unicode string through the source."""
+    from parallel_map_reduce_spark.sources.catalog import read_parquet
+    from parallel_map_reduce_spark.sources.warc import read_warc
+
+    got = (
+        read_warc(spark, "/root/repo/refdata/warc")
+        .filter("charset <> 'utf-8'")
+        .selectExpr("src_file", "rec_ord", "charset", "payload_text")
+    )
+    exp = (
+        read_parquet(spark, "/root/repo/refdata/warc_expected.parquet")
+        .filter("charset <> 'utf-8'")
+        .selectExpr("src_file", "rec_ord", "charset", "payload_text")
+    )
+    n = got.count()
+    assert n == exp.count() and n >= 150  # 8 non-utf8 sub-cases x ~22
+    assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+    kinds = {r.charset for r in got.select("charset").distinct().collect()}
+    assert kinds == {
+        "windows-1252", "windows-1250", "shift_jis", "euc-jp", "gbk",
+        "koi8-r", "utf-16le", "utf-16be",
+    }
+
+
 def test_digest_verification_tri_state():
     """sha1 digests verify True/False; non-sha1 labels surface as
     unverified (None); absent headers are None — advisory integrity,
@@ -300,7 +393,7 @@ def test_fixture_regenerates_identically(tmp_path):
         assert fh.read() == bytes(files[0])
     with open(f"{G.OUT_DIR}/fixture-001.warc", "rb") as fh:
         assert fh.read() == bytes(files[1])
-    assert pq.read_table(G.OUT_PARQUET).num_rows == 3023
+    assert pq.read_table(G.OUT_PARQUET).num_rows == 2807
 
 
 def test_spark_source_matches_sidecar_all_records(spark):
@@ -318,7 +411,7 @@ def test_spark_source_matches_sidecar_all_records(spark):
         "coalesce(target_uri, '<null>') AS target_uri", "content_type",
         "coalesce(http_status, -1) AS http_status",
         "coalesce(http_content_type, '<null>') AS http_content_type",
-        "decode(payload, 'UTF-8') AS payload_text", "n_bytes",
+        "charset", "payload_text", "n_bytes",
         *digest_cols,
     )
     exp = read_parquet(
@@ -328,10 +421,10 @@ def test_spark_source_matches_sidecar_all_records(spark):
         "coalesce(target_uri, '<null>') AS target_uri", "content_type",
         "coalesce(http_status, -1) AS http_status",
         "coalesce(http_content_type, '<null>') AS http_content_type",
-        "payload_text", "n_bytes",
+        "charset", "payload_text", "n_bytes",
         *digest_cols,
     )
-    assert got.count() == 3023
+    assert got.count() == 2807
     assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
 
 
@@ -366,7 +459,7 @@ def test_stream_drains_all_records_and_replays(spark):
         .start()
     )
     q.awaitTermination()
-    assert spark.table("warc_stream_t").count() == 3023
+    assert spark.table("warc_stream_t").count() == 2807
     # replay determinism at the reader level: offsets NAME files, and
     # a committed (start, end] range replays as exactly the files
     # sorting inside it (advisor r16)
@@ -377,7 +470,7 @@ def test_stream_drains_all_records_and_replays(spark):
     parts = r.partitions({"name": ""}, last)
     assert len(parts) == 2
     n = sum(1 for p in parts for _ in r.read(p))
-    assert n == 3023
+    assert n == 2807
 
 
 def test_stream_max_files_cap_never_skips(spark):
@@ -418,7 +511,7 @@ def test_stream_max_files_cap_never_skips(spark):
         .start()
     )
     q.awaitTermination()
-    assert spark.table("warc_stream_cap_t").count() == 3023
+    assert spark.table("warc_stream_cap_t").count() == 2807
 
 
 def test_stream_empty_landing_zone_idles(tmp_path, spark):

@@ -25,17 +25,25 @@ uncompressed layout):
   fixture-000.warc.gz  even doc_ids, one gzip member per record
   fixture-001.warc     odd doc_ids, plain concatenation
 
-Each doc_id 0..1999 cycles through 8 capture templates: identity
+Each doc_id 0..1999 cycles through 10 capture templates: identity
 Content-Length response (+request), chunked transfer coding (with
 chunk extensions and trailers), Content-Encoding gzip, chunked OVER
 gzip (+a metadata record), 404, 301-with-Location (empty body),
-a bare resource record (no HTTP envelope), and a close-delimited
+a bare resource record (no HTTP envelope), a close-delimited
 response (neither Content-Length nor Transfer-Encoding) with an
-occasional revisit record. Header-name case, HTTP version, reason
-phrases, WARC version (1.0/1.1), and WARC-1.0 folded headers vary on
-deterministic sub-cycles. Response bodies REUSE the HTML fixture's
-piece compositions (tools/gen_html_fixture.doc) so the extraction
-chain downstream has real work to do.
+occasional revisit record, a NON-UTF-8 charset page (r17: nine
+sub-cases cycling windows-1252-declared-as-iso-8859-1, windows-1250,
+shift_jis-via-meta, euc-jp, gbk-via-http-equiv-gb2312, koi8-r,
+BOM'd utf-16le/be with no declaration, and BOM'd utf-8 — the
+expected payload_text is the COMPOSED unicode string, so the hash
+match proves the WHATWG sniff + strict decode), and a
+Content-Encoding deflate response (r17: zlib-wrapped and raw RFC
+1951 alternating, one sub-case chunked OVER deflate). Header-name
+case, HTTP version, reason phrases, WARC version (1.0/1.1), and
+WARC-1.0 folded headers vary on deterministic sub-cycles. Response
+bodies REUSE the HTML fixture's piece compositions
+(tools/gen_html_fixture.doc) so the extraction chain downstream has
+real work to do.
 
 Deterministic by construction (no RNG, no time; gzip members written
 with mtime=0).
@@ -264,13 +272,15 @@ def _mk_request(doc_id: int) -> tuple[bytes, tuple]:
         _wh(doc_id, "request", "request", REQ_CT) + dlines,
         block,
     )
-    return rec, ("request", "request", REQ_CT, None, None, "", 0, bok, pok)
+    return rec, ("request", "request", REQ_CT, None, None, "", 0, bok, pok,
+                 "utf-8")
 
 
 def _mk_response(
     doc_id: int, body: bytes, *, status=200, reason="OK", framing="cl",
     wire: bytes | None = None, extra: list[str] | None = None,
-    http_ct: str | None = HTML_CT,
+    http_ct: str | None = HTML_CT, text: str | None = None,
+    charset: str = "utf-8",
 ) -> tuple[bytes, tuple]:
     entity = wire if wire is not None else body
     block = http_response(
@@ -285,12 +295,72 @@ def _mk_response(
     )
     return rec, (
         "response", "response", RESP_CT, status, http_ct,
-        body.decode("utf-8"), len(body), bok, pok,
+        text if text is not None else body.decode("utf-8"),
+        len(body), bok, pok, charset,
     )
 
 
+# Charset sub-cases (r17): (canonical, python codec, http Content-Type,
+# meta tag in <head>, BOM prefix, native-script body text). Labels
+# exercise the WHATWG alias table (iso-8859-1 MEANS windows-1252,
+# gb2312 MEANS gbk); BOM cases carry no declaration at all; the utf-8
+# BOM case checks BOM-stripping beats the meta tag it agrees with.
+# Body text is LOWERCASE-ONLY in every script so the downstream
+# tokenize chain's lower() is identity cross-engine (the pinned
+# casefold-divergence domain is avoided by construction).
+CHARSET_CASES: list[tuple[str, str, str, str, bytes, str]] = [
+    ("windows-1252", "cp1252", "text/html; charset=ISO-8859-1", "", b"",
+     "café déjà vu — fenêtre à côté, œuvre añeja"),
+    ("windows-1250", "cp1250", "text/html; charset=windows-1250", "", b"",
+     "žluťoučký kůň úpěl ďábelské ódy"),
+    ("shift_jis", "cp932", "text/html",
+     '<meta charset="Shift_JIS"/>', b"",
+     "日本語のページです 東京 渋谷 てすと"),
+    ("euc-jp", "euc_jp", "text/html; charset=EUC-JP", "", b"",
+     "こんにちは 世界 さようなら 漢字"),
+    ("gbk", "gbk", "text/html",
+     '<meta http-equiv="content-type" content="text/html; charset=gb2312"/>',
+     b"", "中文 网页 内容 测试 数据"),
+    ("koi8-r", "koi8_r", "text/html; charset=KOI8-R", "", b"",
+     "привет мир тестовая страница данных"),
+    ("utf-16le", "utf-16-le", "text/html", "", b"\xff\xfe",
+     "ελληνικά κείμενο σελίδα δοκιμή"),
+    ("utf-16be", "utf-16-be", "text/html", "", b"\xfe\xff",
+     "кириллица юникод проверка текста"),
+    ("utf-8", "utf-8", "text/html", "<meta charset=utf-8>", b"\xef\xbb\xbf",
+     "bom page ünïcode ök señal"),
+]
+
+
+def charset_page(doc_id: int) -> tuple[bytes, tuple]:
+    """A 200 text/html response whose body is NON-UTF-8 (or BOM'd):
+    the expected payload_text is the COMPOSED unicode string — the
+    parser must sniff (BOM > param > meta) and strict-decode to
+    recover it. n_bytes counts the ENCODED payload including any BOM
+    (the BOM is part of the payload bytes; the decode strips it)."""
+    canon, codec, ct, meta, bom, native = CHARSET_CASES[(doc_id // 10) % 9]
+    html = (
+        f"<html><head><title>doc {doc_id}</title>{meta}</head>"
+        f"<body><p>{native}</p>"
+        f"<p>{_sentence(doc_id)} doc {doc_id}</p></body></html>"
+    )
+    payload = bom + html.encode(codec)
+    return _mk_response(
+        doc_id, payload, http_ct=ct, text=html, charset=canon,
+    )
+
+
+def _deflate(data: bytes, raw: bool) -> bytes:
+    import zlib
+
+    if raw:
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        return co.compress(data) + co.flush()
+    return zlib.compress(data, 9)
+
+
 def capture(doc_id: int) -> list[tuple[bytes, tuple]]:
-    t = doc_id % 8
+    t = doc_id % 10
     html, _exp = html_doc(doc_id)
     body = html.encode("utf-8")
     out: list[tuple[bytes, tuple]] = []
@@ -325,7 +395,8 @@ def capture(doc_id: int) -> list[tuple[bytes, tuple]]:
         )
         out.append(
             (rec, ("metadata", "metadata", "application/warc-fields", None,
-                   None, meta.decode("utf-8"), len(meta), None, None))
+                   None, meta.decode("utf-8"), len(meta), None, None,
+                   "utf-8"))
         )
     elif t == 4:
         nf = f"<html><body><p>404 not here: doc {doc_id}</p></body></html>"
@@ -351,9 +422,10 @@ def capture(doc_id: int) -> list[tuple[bytes, tuple]]:
         )
         out.append(
             (rec, ("resource", "resource", "text/plain; charset=UTF-8",
-                   None, None, txt.decode("utf-8"), len(txt), bok, None))
+                   None, None, txt.decode("utf-8"), len(txt), bok, None,
+                   "utf-8"))
         )
-    else:  # t == 7: close-delimited response (+ occasional revisit)
+    elif t == 7:  # close-delimited response (+ occasional revisit)
         out.append(_mk_response(doc_id, body, framing="close"))
         if doc_id % 96 == 7:
             blk = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
@@ -363,8 +435,21 @@ def capture(doc_id: int) -> list[tuple[bytes, tuple]]:
             )
             out.append(
                 (rec, ("revisit", "revisit", RESP_CT, 200, "text/html", "",
-                       0, None, None))
+                       0, None, None, "utf-8"))
             )
+    elif t == 8:  # non-UTF-8 / BOM charset page (r17)
+        out.append(charset_page(doc_id))
+    else:  # t == 9: Content-Encoding deflate (r17) — zlib-wrapped on
+        # %20==9, raw RFC 1951 on %20==19; every third one chunked
+        # OVER deflate (transfer decode then content decode, in order)
+        wire = _deflate(body, raw=doc_id % 20 == 19)
+        framing = "chunked" if doc_id % 30 == 9 else "cl"
+        out.append(
+            _mk_response(
+                doc_id, body, wire=wire, framing=framing,
+                extra=["Content-Encoding: deflate"],
+            )
+        )
     return out
 
 
@@ -381,7 +466,8 @@ def warcinfo(file_idx: int) -> tuple[bytes, tuple]:
     ]
     rec = warc_record("WARC/1.0", lines, block)
     return rec, ("warcinfo", "warcinfo", "application/warc-fields", None,
-                 None, block.decode("utf-8"), len(block), None, None)
+                 None, block.decode("utf-8"), len(block), None, None,
+                 "utf-8")
 
 
 def main() -> int:
@@ -392,7 +478,8 @@ def main() -> int:
     rows: list[dict] = []
 
     def emit(file_idx: int, doc_id: int | None, rec: bytes, exp: tuple):
-        wtype, kind, ctype, status, http_ct, ptext, nbytes, bok, pok = exp
+        (wtype, kind, ctype, status, http_ct, ptext, nbytes, bok, pok,
+         cs) = exp
         files[file_idx] += _gz(rec) if file_idx == 0 else rec
         rows.append(
             {
@@ -411,6 +498,7 @@ def main() -> int:
                 "n_bytes": nbytes,
                 "block_digest_ok": bok,
                 "payload_digest_ok": pok,
+                "charset": cs,
             }
         )
         ords[file_idx] += 1
@@ -454,6 +542,7 @@ def main() -> int:
             "payload_digest_ok": pa.array(
                 [r["payload_digest_ok"] for r in rows], pa.bool_()
             ),
+            "charset": pa.array([r["charset"] for r in rows], pa.string()),
         }
     )
     pq.write_table(table, OUT_PARQUET, compression="zstd")
