@@ -1116,8 +1116,8 @@ def _lang_trigram_oracle() -> str:
     oracle=_lang_trigram_oracle(),
     doc="Char-trigram language ID (r16, VERDICT r15 task 7): "
     "Cavnar-Trenkle rank profiles separate languages WITHIN the "
-    "Latin script, where text_unicode_script_id (alphabet "
-    "separation) is blind — en/fr/de/es/it/pt over the committed "
+    "same script, where text_unicode_script_id (alphabet "
+    "separation) is blind — nine languages over the committed "
     "labeled fixture (tools/gen_langid_fixture.py; lang is "
     "composition knowledge, pools deliberately share spellings). "
     "Profiles build from the (doc_id//6)%4<>3 split; every doc is "
@@ -1126,9 +1126,12 @@ def _lang_trigram_oracle() -> str:
     "row_number ranks, abs-diff sums — no floats, no "
     "transcendentals), so the DuckDB oracle re-derives the ENTIRE "
     "train+score pipeline and the hash match proves both engines "
-    "agree on every prediction AND distance. Documented boundary: "
-    "trigram domain is [a-z] (accents fold to spaces, pinned by "
-    "fixture); non-Latin scripts route via script-ID upstream. "
+    "agree on every prediction AND distance. Domain WIDENED r17 "
+    "(VERDICT r16 task 3) to lowercase BMP letters: accents "
+    "contribute trigrams and the fixture adds the Cyrillic "
+    "same-script pair ru/uk plus Greek el (nine languages); astral "
+    "letters fold (substring UTF-16/codepoint skew, measured) and "
+    "fixtures avoid the pinned casefold-divergence set. "
     "Held-out accuracy floor pinned in tests/test_lang_trigram.py. "
     "Plan: flat trigram explode, one (doc,g) exchange, metadata-"
     "sized profiles broadcast back, one distance exchange.",
@@ -1148,3 +1151,76 @@ def text_lang_trigram_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(ids), fixture["doc_id"] % 2000 == ids["fid"]
     ).select("doc_id", "lang", "text")
     return classify(docs)
+
+
+def _lang_profiles_artifact(spark: SparkSession) -> str:
+    """Train-ONCE language-profile artifact (r17, VERDICT r16 task 4):
+    the Cavnar-Trenkle rank profiles over the FULL fixture's training
+    split, persisted as parquet — sf-independent (training is a
+    corpus-level act, like the BM25 index build), keyed on the fixture
+    file's mtime+size so regeneration invalidates. L x PROFILE_K rows
+    (~2,700) — metadata-sized by construction."""
+    import os as _os
+
+    from ..operators.lang_trigram import doc_trigrams, language_profiles
+    from ..sources.artifact_cache import ensure_artifact, source_key
+    from ..sources.catalog import read_parquet
+
+    key = source_key(
+        "langid_profiles_v1", "/root/repo/refdata", "langid_fixture.parquet"
+    )
+
+    def build(tmp: str) -> None:
+        fixture = read_parquet(spark, LANGID_FIXTURE_PARQUET)
+        language_profiles(doc_trigrams(fixture)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(tmp, "profiles"))
+
+    return _os.path.join(
+        ensure_artifact("spark_graft_langid_profiles", key, build), "profiles"
+    )
+
+
+def _lang_served_oracle() -> str:
+    from ..operators.lang_trigram import lang_trigram_served_duckdb_sql
+
+    return lang_trigram_served_duckdb_sql(LDOCS_CTE, LANGID_FIXTURE_PARQUET)
+
+
+@register(
+    "text_lang_id_served",
+    oracle=_lang_served_oracle(),
+    doc="Language ID SERVED from the persisted profile artifact (r17, "
+    "VERDICT r16 task 4) — the production shape the train+score "
+    "entry's docstring promises for 100 TB, proven the way "
+    "search_bm25_served proves BM25: profiles are trained ONCE over "
+    "the full fixture's training split into a parquet sidecar "
+    "(_lang_profiles_artifact, atomic-publish cache keyed on fixture "
+    "mtime), and scoring never re-trains. The oracle re-derives the "
+    "artifact's rows from the same training split (all-integer, "
+    "total-order ranks -> bit-identical) and replays the scoring over "
+    "the scoped docs, so the hash match proves artifact content AND "
+    "serving path. Plan contract (tests/test_lang_trigram.py): ONE "
+    "shuffle of doc data — explode repartitioned by doc_id once, "
+    "every downstream clustering (counts, per-doc ranks, distance "
+    "sums, argmin) satisfied from that partitioning; profiles join "
+    "as broadcasts. The 9-exchange train+score entry stays as the "
+    "parity twin.",
+    tags=("text", "lang-id", "trigram", "serving", "artifact",
+          "llm-pipeline"),
+)
+def text_lang_id_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lang_trigram import classify_served
+    from ..sources.catalog import read_parquet
+
+    profiles = read_parquet(spark, _lang_profiles_artifact(spark))
+    fixture = read_parquet(spark, LANGID_FIXTURE_PARQUET)
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 2000).alias("fid"))
+        .distinct()
+    )
+    docs = fixture.join(
+        F.broadcast(ids), fixture["doc_id"] % 2000 == ids["fid"]
+    ).select("doc_id", "lang", "text")
+    return classify_served(docs, profiles)

@@ -19,7 +19,9 @@ CARTESIAN_OK = {
     # each doc's trigram ranking scores against ALL candidate
     # languages: the cross side is the 6-row broadcast language list
     # (metadata-sized spine, the allowed pattern)
-    "text_lang_trigram_id": "doc ranks x 6-row broadcast language spine",
+    "text_lang_trigram_id": "doc ranks x 9-row broadcast language spine",
+    "text_lang_id_served": "doc ranks x 9-row broadcast language spine "
+    "(from the persisted profile artifact)",
     "events_hourly_interpolated": "dense-grid spine; both sides tiny",
     # brute-force baselines / blocked pair generation over broadcast sides:
     # BroadcastNestedLoopJoin is the intended physical form
@@ -153,6 +155,9 @@ EAGER_BUILD_OK = {
     "(global_cumsum prefix decomposition)",
     "similarity_two_stage_ivf_topk": "k-row centroid collect for probe "
     "selection (memoized per index artifact)",
+    "text_lang_id_served": "cold-cache artifact build: trains the "
+    "language-profile parquet sidecar once per fixture version "
+    "(the enumerated eager class)",
 }
 
 

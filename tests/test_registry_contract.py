@@ -64,6 +64,7 @@ RAW_PATH_ORACLES = {
     "crawl_pipeline_e2e",  # r16: composed-canonical column of the WARC sidecar
     "crawl_wet_roundtrip",  # r16: WET write+re-read vs the sidecar chain
     "ingest_warc_charsets",  # r17: charset column of the WARC sidecar
+    "text_lang_id_served",  # r17: oracle re-derives the profile artifact
 }
 
 

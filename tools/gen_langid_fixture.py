@@ -2,13 +2,23 @@
 (refdata/langid_fixture.parquet) — VERDICT r15 task 7.
 
 Script-ID (text_unicode_script_id) separates ALPHABETS but cannot
-tell English from French; the char-trigram classifier
-(operators/lang_trigram.py) separates languages WITHIN the Latin
-script. This fixture is its labeled corpus: 2000 docs across six
-Latin-script languages (en fr de es it pt), each doc composed
-deterministically from that language's common-word pool — function
-words carry the bulk of a language's trigram signature, which is
-exactly what the Cavnar–Trenkle profile method keys on.
+tell English from French — or Russian from Ukrainian; the
+char-trigram classifier (operators/lang_trigram.py) separates
+languages WITHIN a script. This fixture is its labeled corpus: 2000
+docs across nine languages (r17, VERDICT r16 task 3: six
+Latin-script — en fr de es it pt — plus the Cyrillic same-script
+pair ru/uk and Greek el), each doc composed deterministically from
+that language's common-word pool — function words carry the bulk of
+a language's trigram signature, which is exactly what the
+Cavnar–Trenkle profile method keys on. Accented letters are IN
+DOMAIN since r17 (the fold class is lowercase BMP letters), so the
+French/German/Czech-style diacritics below contribute trigrams.
+
+Every pool is LOWERCASE-ONLY and checked against the pinned
+casefold-divergence set (refdata/casefold_divergence.parquet): the
+contract lower()s text, and that set is exactly where the three
+engines disagree — the generator asserts no pool character is in
+it (operators/lang_trigram.py boundary (b)).
 
 ``lang`` is composition knowledge (the generator KNOWS which pool it
 sampled), never an algorithm output — the oracle re-derives the
@@ -17,9 +27,8 @@ docs ((doc_id // 6) % 4 == 3, never used for profile building)
 against this column.
 
 Pools deliberately SHARE spellings across languages ("la" fr/es/it,
-"de" fr/es/pt, "a"/"no"/"se") so the task is not trivially separable;
-accented characters appear and are folded to spaces by the contract's
-[a-z]-only trigram domain (documented boundary).
+"de" fr/es/pt, "a"/"no"/"se"; ru/uk share Cyrillic spellings of
+common particles) so the task is not trivially separable.
 
 One row per doc_id 0..1999: doc_id BIGINT, lang VARCHAR, text
 VARCHAR. Deterministic by construction (no RNG, no time).
@@ -78,8 +87,33 @@ POOLS: dict[str, list[str]] = {
         "pela até isso ela entre depois sem mesmo aos seus quem nas "
         "me esse eles você essa num"
     ).split(),
+    "ru": (
+        "и в не на что это как его она они мы вы был быть этот так "
+        "уже или если чтобы когда только все есть может быть очень "
+        "теперь после здесь между собой жизнь время человек мир"
+    ).split(),
+    "uk": (
+        "і в не на що це як його вона вони ми ви був бути цей так "
+        "вже або якщо щоб коли тільки всі є може дуже тепер після "
+        "тут між собою життя час людина україна мова"
+    ).split(),
+    "el": (
+        "και το να του την με για από τον στο δεν είναι που θα μια "
+        "τους αυτό ήταν όπως μετά πριν κάθε χωρίς μέσα πάνω κάτω "
+        "τώρα εδώ εκεί ζωή χρόνος άνθρωπος κόσμος"
+    ).split(),
 }
 LANGS = sorted(POOLS)
+
+
+def _assert_pools_avoid_divergence() -> None:
+    """Boundary (b) of the trigram contract: no pool character may be
+    in the pinned three-engine casefold-divergence set."""
+    div_path = os.path.join(os.path.dirname(OUT), "casefold_divergence.parquet")
+    div = set("".join(pq.read_table(div_path).column("ch").to_pylist()))
+    for lang, pool in POOLS.items():
+        bad = div & set("".join(pool))
+        assert not bad, f"{lang} pool hits casefold-divergence chars {bad!r}"
 
 
 def doc(doc_id: int) -> tuple[str, str]:
@@ -97,6 +131,7 @@ def doc(doc_id: int) -> tuple[str, str]:
 
 
 def main() -> int:
+    _assert_pools_avoid_divergence()
     ids, langs, texts = [], [], []
     for d in range(N_DOCS):
         lg, t = doc(d)
