@@ -344,3 +344,90 @@ def ingest_warc_charsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.length("payload_text").cast("bigint").alias("n_chars"),
     )
+
+
+@register(
+    "crawl_wet_to_index",
+    oracle=f"""
+WITH {WRECS_CTE},
+pages AS (
+    SELECT doc_id, payload_text FROM wrecs
+    WHERE warc_type = 'response' AND http_status = 200
+      AND http_content_type LIKE 'text/html%'
+      AND n_bytes > 0
+),
+x AS (
+    SELECT doc_id, {html_extract_duckdb_expr('payload_text')} AS text
+    FROM pages
+),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(text, '[ \t\n]+')) AS tok
+    FROM x
+),
+w_raw AS (
+    SELECT DISTINCT lower(regexp_replace(tok, '[^A-Za-z]', '', 'g')) AS word,
+           doc_id
+    FROM tok
+),
+words AS (SELECT word, doc_id FROM w_raw WHERE length(word) > 0)
+SELECT word, count(*)::BIGINT AS df,
+       array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings,
+       substr(word, 1, 1) AS letter
+FROM words
+GROUP BY word
+""",
+    doc="The container loop composed with the reference-parity pipeline "
+    "(r17, VERDICT r16 task 6): WARC pages -> HTML extraction -> WET "
+    "conversion files WRITTEN and strictly RE-READ "
+    "(sinks/warc_sink.py, the crawl_wet_roundtrip halves) -> LANDED "
+    "as a documents-shaped parquet table through the catalog "
+    "(sources/catalog.py read_parquet — the corpus model every "
+    "downstream operator reads) -> the FLAGSHIP inverted index "
+    "(operators/inverted_index.py, the reference's own map+reduce "
+    "contract) built over the landed text. The oracle re-derives the "
+    "whole chain from the composition sidecar: extraction CTE -> the "
+    "reference tokenize contract -> postings — so the hash match "
+    "proves WET write, strict re-parse, catalog landing, and the "
+    "reference-parity index all compose losslessly. Eager by nature "
+    "(two artifact builds: the WET files and the landed parquet — "
+    "the enumerated cold-cache class). Scale: executor-side "
+    "streaming WET writes, columnar landing, then the flagship's "
+    "single-exchange index plan.",
+    tags=("ingest", "warc", "wet", "index", "e2e", "llm-pipeline"),
+)
+def crawl_wet_to_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.inverted_index import inverted_index as build_index
+    from ..sinks.warc_sink import write_warc_conversions
+    from ..sources.catalog import read_parquet
+    from ..streaming.dedup_stream import _fresh_result_dir
+
+    pages = scoped_warc_records(spark, sf_dir).filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+        & (F.col("n_bytes") > 0)
+    )
+    wet_in = pages.select(
+        F.col("target_uri").alias("uri"),
+        F.col("warc_date").alias("date"),
+        html_text_column(F.col("payload_text")).alias("text"),
+    )
+    wet_dir = _fresh_result_dir("wet_to_index", sf_dir)
+    write_warc_conversions(wet_in, wet_dir)
+    conv = read_warc(spark, wet_dir).filter(F.col("warc_type") == "conversion")
+    docs = conv.select(
+        F.regexp_extract(
+            "target_uri", r"/doc/(\d+)(?:[?#].*)?$", 1
+        ).cast("bigint").alias("doc_id"),
+        F.col("payload_text").alias("text"),
+    )
+    landed_dir = _fresh_result_dir("wet_landed", sf_dir)
+    docs.write.mode("overwrite").parquet(landed_dir)
+    landed = read_parquet(spark, landed_dir)
+    idx = build_index(landed)
+    return idx.select(
+        "word",
+        F.col("df").cast("bigint").alias("df"),
+        F.array_join("postings", " ").alias("postings"),
+        "letter",
+    )

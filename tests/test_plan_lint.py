@@ -155,6 +155,9 @@ EAGER_BUILD_OK = {
     "(global_cumsum prefix decomposition)",
     "similarity_two_stage_ivf_topk": "k-row centroid collect for probe "
     "selection (memoized per index artifact)",
+    "crawl_wet_to_index": "WET artifact build + catalog landing: writes "
+    "the conversion WARC files, re-reads them, lands the parquet table "
+    "the index then reads (cold-cache artifact class)",
     "text_lang_id_served": "cold-cache artifact build: trains the "
     "language-profile parquet sidecar once per fixture version "
     "(the enumerated eager class)",

@@ -65,6 +65,7 @@ RAW_PATH_ORACLES = {
     "crawl_wet_roundtrip",  # r16: WET write+re-read vs the sidecar chain
     "ingest_warc_charsets",  # r17: charset column of the WARC sidecar
     "text_lang_id_served",  # r17: oracle re-derives the profile artifact
+    "crawl_wet_to_index",  # r17: WET chain landed + indexed vs the sidecar
 }
 
 
