@@ -102,6 +102,48 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #      inverts — the slots not held by rules 1/2/4 go OLDEST-driver-
 #      evidence-first (per CORRECTNESS_r*.json), displacing the
 #      members with the longest consecutive green streaks.
+# Round-17 window: rule 2 rotates IN the three NEW entries —
+# ingest_warc_charsets (charset-aware payload decode over the nine
+# non-UTF-8 fixture sub-cases), text_lang_id_served (language ID from
+# the persisted profile artifact, one-shuffle serving plan), and
+# crawl_wet_to_index (WET loop landed through the catalog and indexed
+# by the flagship) — while the five r17 semantically-changed entries
+# hold their slots: ingest_warc_records / ingest_warc_html_text /
+# crawl_pipeline_e2e / crawl_wet_roundtrip (the whole chain now
+# decodes per-charset and accepts deflate; fixture regenerated to the
+# 10-template cycle) and text_lang_trigram_id (trigram domain widened
+# to lowercase BMP letters, nine-language fixture);
+# streaming_warc_ingest holds its tail slot (offsets reworked to file
+# names, cap moved into latestOffset). Rule 5 rotates IN the stalest
+# evidence fleet-wide — the r04 cohort SURVEY's note predicted:
+# q17_small_quantity_revenue, decontaminate_benchmark_overlap,
+# dedup_passage_duplicates, customer_pii_masked,
+# neardup_triangle_census, similarity_two_stage_topk,
+# part_name_fuzzy_pairs_lsh (none driver-gated since r4-r6).
+# OUT, longest-green-first with every family keeping a rep:
+# similarity_ann_ivf (6; ANN/similarity now repped by the incoming
+# oracle-backed similarity_two_stage_topk + the ivfpq drain),
+# asof_purchase_last_click (6; joins repped by the relational block),
+# multimodal_image_resize_oriented (3; multimodal repped by
+# audio_loudness + video_frames), dedup_corpus_promote_compacted (3;
+# dedup repped by url_canonical + the incoming passage/decontaminate/
+# neardup block), embedding_l2_norms_arrow (3; Arrow surfaces repped
+# by text_sentences_udtf), nation_customer_supplier_outer (3),
+# dedup_clusters (2), text_unicode_bpe (2; unicode repped by nfc +
+# line_repetition + the lang entries), text_html_extract (2; the
+# extraction contract is exercised INSIDE four gated WARC entries),
+# streaming_band_index (3; streaming stays repped by the flagship
+# RocksDB drain + ivfpq + url-frontier + warc drains) — ten OUT, ten
+# IN, window stays 50. Kept despite streaks:
+# streaming_inverted_index (10, flagship drain + RocksDB engagement
+# witness), trade_graph_pagerank (9, only graph),
+# multimodal_video_frames (7, only video), text_sentences_udtf (6,
+# only UDTF), multimodal_audio_loudness (6, only audio),
+# event_type_distinct_users_approx (6, only sketch),
+# orders_status_priority_cube (3, only grouping-sets),
+# search_positional_index (3, only search),
+# curation_train_val_split (3, only curation).
+#
 # Round-16 window: rule 2 rotates IN the six never-driver-evidenced
 # new/changed entries: ingest_warc_records + ingest_warc_html_text
 # (NEW — WARC container ingestion, the crawl chain's front end),
@@ -218,27 +260,32 @@ GATE_PRIORITY: tuple[str, ...] = (
     "doc_stats",
     "inverted_index_chunked",
     "documents_provenance",
-    # rule 2 — NEW r16: the WARC crawl-ingest front end + char-trigram
-    # language ID (never driver-evidenced)
+    # rule 2 — NEW r17: charset decode, served lang-ID, WET->index
+    "ingest_warc_charsets",
+    "text_lang_id_served",
+    "crawl_wet_to_index",
+    # rule 2 — r17 semantically changed: the crawl chain decodes per
+    # charset (+deflate, 10-template fixture); lang domain widened
     "ingest_warc_records",
     "ingest_warc_html_text",
     "crawl_pipeline_e2e",
     "crawl_wet_roundtrip",
     "text_lang_trigram_id",
-    # rule 2 — r16 semantically changed: NFC widened to the full
-    # generated table + algorithmic Hangul; URL contract gained
-    # dot-segment removal; HTML collapse class enumerated
-    "text_html_extract",
+    # rule 2 holdovers (r16 changes, second green)
     "text_unicode_nfc",
     "text_line_repetition",
     "dedup_url_canonical",
-    # rule 2 holdovers: promotion lifecycle + BPE merge-loop oracle
-    "dedup_corpus_promote_compacted",
-    "text_unicode_bpe",
-    # image rep (rule 3): the all-8-EXIF-orientations resize path
-    "multimodal_image_resize_oriented",
-    # rule 5 — NEW r16: the stalest entries fleet-wide (ALL remaining
-    # r03 driver evidence; the r04 cohort is next)
+    # rule 5 — NEW r17: the stalest evidence fleet-wide (the r04
+    # cohort; none driver-gated since r4-r6)
+    "q17_small_quantity_revenue",
+    "decontaminate_benchmark_overlap",
+    "dedup_passage_duplicates",
+    "customer_pii_masked",
+    "neardup_triangle_census",
+    "similarity_two_stage_topk",
+    "part_name_fuzzy_pairs_lsh",
+    # rule 5 — r16's stale block (fresh r16 evidence, kept as the
+    # relational/window/agg family reps)
     "q18_large_orders",
     "q11_top_spenders",
     "q7_nation_trade_matrix",
@@ -248,29 +295,21 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q19_brand_size_disjunction",
     "segment_event_value_salted",
     "q16_part_supplier_variety",
-    # rule 5 — r15's stale block (fresh r15 evidence, kept reps)
-    "customer_priority_multiset",
-    "dedup_clusters",
     # holdovers (family reps; streaks noted in the window comment)
+    "customer_priority_multiset",
     "search_positional_index",
     "curation_train_val_split",
-    "embedding_l2_norms_arrow",
-    "nation_customer_supplier_outer",
     "orders_status_priority_cube",
     "multimodal_audio_loudness",
     "event_type_distinct_users_approx",
-    "similarity_ann_ivf",
     "text_sentences_udtf",
-    "asof_purchase_last_click",
     # graph rep (rule 3)
     "trade_graph_pagerank",
     # multimodal video rep
     "multimodal_video_frames",
     # live streaming drains — oracle/twin-backed, last on purpose
-    # (rule 2: the two incoming drains close the window)
     "streaming_inverted_index",
     "streaming_ivfpq_index",
-    "streaming_band_index",
     "streaming_url_frontier",
     "streaming_warc_ingest",
 )
