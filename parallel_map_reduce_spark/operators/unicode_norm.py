@@ -1,59 +1,84 @@
-"""Unicode NFC composition for the normalization contract (VERDICT r14
-task 3; domain widened to the FULL generated table in r16 per VERDICT
-r15 task 2): Spark 4.1 exposes no unicode-normalize builtin (probed:
-``normalize``/``nfc`` unresolved; ICU surfaces only through collations,
-which give equivalence-at-compare, not a transform), so the Spark side
-implements composition as pure codegen expressions — zero Python at
-runtime:
+"""Unicode NFC normalization for the text contract — the FULL UAX #15
+algorithm (r17; VERDICT r16 "What's missing" #4 closed): canonical
+decomposition, canonical ordering, and canonical composition with the
+blocking rule, including DISCONTIGUOUS composition (``e + U+0320 +
+U+0301`` composes the starter with the LATER acute) and out-of-order
+mark input (``a + U+0301 + U+0320`` reorders before composing).
+
+Spark 4.1 exposes no unicode-normalize builtin (probed: ``normalize``
+/``nfc`` unresolved; ICU surfaces only through collations, which give
+equivalence-at-compare, not a transform), so the Spark side is pure
+expressions — zero Python at runtime:
 
 1. **Cluster split**: ``split(text, CLUSTER_SPLIT_REGEX)`` breaks the
    string before every character that is neither a combining mark nor
    a Hangul V/T jamo, so each piece is one starter plus its combining
-   sequence (or one L jamo plus V/T).
-2. **Hangul LV/LVT composition is ALGORITHMIC** (UAX #15 / Unicode
-   ch. 3.12 arithmetic): syllable = AC00 + (L-1100)*588 +
-   (V-1161)*28 + (T-11A7). Spark's ``chr`` is mod-256 so the computed
-   code point is materialized by INDEXING into an 11172-char literal
-   of the contiguous syllable block (``substring(HANGUL_SYLLABLES,
-   idx+1, 1)``) — the arithmetic stays in whole-stage codegen. Both
-   full jamo clusters (L V [T]) and partially-composed LV-syllable +
-   trailing T compose, the two forms NFC defines.
-3. **Everything else**: the piece's longest prefix (4, 3, then 2
-   chars — canonical decompositions are at most 4 code points) is
-   looked up in a FLAT literal map of ALL canonical compositions
-   Unicode defines (``map_from_arrays`` over two array literals —
-   deliberately flat: a chained per-entry ``replace`` expression
-   overflows Catalyst's conversion stack past ~300 entries, measured,
-   while array literals are data). A hit composes the prefix and
-   keeps the remaining marks; a miss passes the piece through
-   verbatim — visible, never silently dropped.
+   sequence. Normalization never crosses a cluster boundary (a ccc=0
+   char blocks everything across it), so per-cluster work composes to
+   whole-string NFC.
+2. **Fast paths** (the overwhelming majority of real text):
+   single-char clusters pass through unless the char is one of the
+   1,120 code points with ``NFC(c) != c`` (singletons such as U+212B
+   ANGSTROM and composition-exclusion chars such as U+0958, pinned as
+   a regex char class); a cluster that IS an exact canonical-NFD key
+   composes by one flat-map probe; Hangul L V [T] and LV+T clusters
+   compose arithmetically (syllable = AC00 + (L-1100)*588 +
+   (V-1161)*28 + (T-11A7); Spark's ``chr`` is mod-256, so the code
+   point is materialized by INDEXING into an 11172-char literal of
+   the contiguous syllable block).
+3. **General path** (everything else — decomposed-with-extras,
+   misordered, discontiguous, singleton-bearing clusters):
+   a. per-code-point split (low surrogates excluded from boundaries —
+      Spark's split otherwise offers match positions BETWEEN the
+      UTF-16 halves of a supplementary char, measured);
+   b. full canonical decomposition: a flat literal map of all 2,060
+      non-Hangul code points whose NFD differs (values are FULL
+      expansions, so one probe suffices) + algorithmic Hangul
+      syllable -> jamo;
+   c. canonical ordering: each char keyed by (starter-run id,
+      combining class, original index) and ``array_sort``-ed — a
+      stable sort of each ccc>0 run that never crosses a ccc=0
+      barrier (run id = count of ccc=0 chars at or before the
+      position);
+   d. composition: an ``aggregate`` fold with state (out, starter,
+      pending, last-ccc). A mark composes with the current starter
+      via the canonical PAIR table iff ``last_ccc < ccc(mark)`` (the
+      UAX #15 blocking rule; last_ccc tracks the highest ccc appended
+      without composing, 0 when nothing is pending). A ccc=0 char
+      composes as a starter pair (Indic two-part vowels, Hangul L+V /
+      LV+T arithmetic) iff nothing is pending, else it flushes and
+      becomes the new starter.
 
-The table is GENERATED from ``unicodedata`` over the full code space:
-every character whose canonical decomposition round-trips
-(``NFC(NFD(ch)) == ch``) except the Hangul block (algorithmic above).
-That is 941 entries covering Latin-1/Extended (all Vietnamese stacked
-diacritics), Greek + Greek Extended (polytonic), Cyrillic, Hebrew,
-Arabic, Indic two-part vowels, kana voicing marks, and the
-supplementary-plane letters — singletons and composition exclusions
-(which NFC leaves decomposed) are excluded by the round-trip rule.
+All three literal tables are GENERATED from ``unicodedata`` over the
+full code space: the NFD map (every cp whose canonical decomposition
+differs, singletons included), the pair table (every one-level
+canonical decomposition that round-trips under NFC — composition
+exclusions drop out by the round-trip rule), and the ccc table (every
+cp with combining class > 0; all are category Mn/Mc, verified, so the
+cluster regex keeps every reorderable mark in-cluster).
 
-DOCUMENTED DOMAIN (what remains outside, by contract): input clusters
-must be canonically ordered with contiguously-composing marks — i.e.
-any exact NFD form (plus trailing non-composing marks after a
-composed prefix). DISCONTIGUOUS composition (a non-composing mark
-ordered before a composing one, e.g. e + U+0320 + U+0301, where real
-NFC composes the starter with the LATER mark) passes through
-verbatim; jamo runs beyond L V [T] likewise. The fixture generator's
-Python twin (``nfc_compose_py``) enforces the domain at generation
-time: every emitted text is asserted to normalize identically under
-this algorithm, real ``unicodedata`` NFC, and (in parity) DuckDB's
-utf8proc ``nfc_normalize`` — the three-implementation agreement
-proof.
+ORACLE-VERSION BOUNDARY (pinned by sweep, enforced by tests): DuckDB's
+utf8proc build is older than Python 3.11's Unicode 14.0 tables. A
+full sweep of all 536,266 differing-ccc mark pairs plus all
+decomposable code points (r17) pins the ENTIRE disagreement set: 50
+marks utf8proc has no combining class for (it treats them as ccc=0,
+so reordering around them differs) and U+11938 (Dives Akuru two-part
+vowel O, missing composition data). Those 51 code points are excluded
+from every table — inputs containing them pass through that code
+point inert (visible, never silently dropped) — so every remaining
+behavior carries the three-implementation agreement proof
+(this module's twin, Python ``unicodedata``, DuckDB
+``nfc_normalize``).
 
-Scale: per-row projection, no shuffle. Already-NFC text takes the
-single-char-cluster fast path (a length check); only decomposed
-clusters pay map lookups (linear scan of the 941-entry literal map,
-up to 3 probes — documented cost, bounded by cluster count).
+Scale: per-row projection, no shuffle, no Python at runtime. Plain
+text takes the single-char fast path (one regex-class probe); exact
+NFD pairs/triples take one flat-map probe; only irregular clusters
+pay the decompose/reorder/fold path (bounded by cluster length, which
+is tiny in real text).
+
+Reference parity note: the reference engine (src/tema1.cpp) has no
+normalization at all — this operator exists for the LLM-pipeline
+text contract, not §2.1 parity.
 """
 
 from __future__ import annotations
@@ -67,16 +92,20 @@ from pyspark.sql import functions as F
 _S_BASE, _L_BASE, _V_BASE, _T_BASE = 0xAC00, 0x1100, 0x1161, 0x11A7
 _L_COUNT, _V_COUNT, _T_COUNT = 19, 21, 28
 _S_COUNT = _L_COUNT * _V_COUNT * _T_COUNT  # 11172
+_S_LAST = _S_BASE + _S_COUNT - 1  # 0xD7A3
 
-# The contiguous precomposed syllable block, used as a chr() table
-# (substring indexing) because Spark's chr is mod-256.
+# Contiguous literal blocks used as chr() tables (substring indexing)
+# because Spark's chr is mod-256.
 HANGUL_SYLLABLES = "".join(chr(_S_BASE + i) for i in range(_S_COUNT))
+_JAMO_L = "".join(chr(_L_BASE + i) for i in range(_L_COUNT))
+_JAMO_V = "".join(chr(_V_BASE + i) for i in range(_V_COUNT))
+_JAMO_T = "".join(chr(_T_BASE + 1 + i) for i in range(_T_COUNT - 1))
 
 _RE_LVT = "^[ᄀ-ᄒ][ᅡ-ᅵ][ᆨ-ᇂ]?$"
 _RE_LV_T = "^[가-힣][ᆨ-ᇂ]$"
 
 # Cluster boundary: before any char that is neither a combining mark
-# (Mn AND Mc — Indic two-part vowel components are spacing Mc marks)
+# (Mn AND Mc — every ccc>0 char is one of the two, verified at import)
 # nor a V/T jamo (so a starter travels with its combining sequence,
 # and L jamo travel with their V/T). The low-surrogate range is also
 # excluded from boundaries: Spark's split offers match positions
@@ -85,42 +114,128 @@ _RE_LV_T = "^[가-힣][ᆨ-ᇂ]$"
 # sides to '?'), while \p{Mn} itself matches per code point.
 CLUSTER_SPLIT_REGEX = r"(?=[^\p{Mn}\p{Mc}\x{1161}-\x{11FF}\x{DC00}-\x{DFFF}])"
 
+# Per-code-point split (general path): a boundary before every char
+# except low surrogates.
+_PER_CP_SPLIT = r"(?=[^\x{DC00}-\x{DFFF}])"
 
-# Oracle-version boundary (pinned by tests): Python's unicodedata here
-# is Unicode 14.0 while DuckDB's utf8proc build predates Dives Akuru's
-# composition data — U+11938 is the ONE code point the two reference
-# implementations disagree on (enumerated by sweep, r16). It is
-# excluded from the table so every remaining entry carries the full
-# three-implementation agreement proof; inputs containing its NFD
-# sequence pass through verbatim (visible, documented).
-ORACLE_VERSION_EXCLUSIONS = frozenset({0x11938})
+# Probe gates (general path): flat-map lookups are linear scans, so
+# each is fenced behind an O(1) regex-class test — only decomposable
+# chars pay the NFD probe, only marks pay the ccc probe.
+_MARK_RE = r"[\p{Mn}\p{Mc}]"
 
 
-def _full_compose_table() -> tuple[tuple[str, str], ...]:
-    """(NFD sequence -> precomposed) for every character whose
-    canonical decomposition round-trips under NFC, Hangul excluded
-    (algorithmic). Longest-first for deterministic ordering."""
-    entries = []
+# --- Oracle-version boundary (generated by sweep, pinned) ------------
+# The 50 combining marks DuckDB's utf8proc build predates (it reports
+# ccc=0 for them, so canonical REORDERING around them diverges from
+# Unicode 14.0) — found by sweeping all 536,266 differing-ccc mark
+# pairs through both engines (r17; tests re-sweep a witness per mark).
+ORACLE_CCC_EXCLUSIONS = frozenset({
+    0x0898, 0x0899, 0x089A, 0x089B, 0x089C, 0x089D, 0x089E, 0x089F,
+    0x08CA, 0x08CB, 0x08CC, 0x08CD, 0x08CE, 0x08CF, 0x08D0, 0x08D1,
+    0x08D2, 0x0C3C, 0x1715, 0x1ABF, 0x1AC0, 0x1AC1, 0x1AC2, 0x1AC3,
+    0x1AC4, 0x1AC5, 0x1AC6, 0x1AC7, 0x1AC8, 0x1AC9, 0x1ACA, 0x1ACB,
+    0x1ACC, 0x1ACD, 0x1ACE, 0x1DFA, 0xA82C, 0x10EAB, 0x10EAC, 0x10F82,
+    0x10F83, 0x10F84, 0x10F85, 0x11070, 0x1193D, 0x1193E, 0x11943,
+    0x16FF0, 0x16FF1, 0x1E2AE,
+})
+# U+11938 (Dives Akuru vowel O): utf8proc lacks its COMPOSITION data —
+# the one decomposable code point the engines disagree on (r16 sweep,
+# re-confirmed by the r17 full-domain sweep).
+ORACLE_COMPOSITION_EXCLUSIONS = frozenset({0x11938})
+ORACLE_VERSION_EXCLUSIONS = (
+    ORACLE_CCC_EXCLUSIONS | ORACLE_COMPOSITION_EXCLUSIONS
+)
+
+
+def _generate_tables():
+    """Generate the three literal tables from unicodedata (full code
+    space, Hangul algorithmic, oracle-version exclusions out)."""
+    nfd, pair, ccc = [], [], []
     for cp in range(0x110000):
-        if _S_BASE <= cp <= 0xD7A3 or cp in ORACLE_VERSION_EXCLUSIONS:
+        if _S_BASE <= cp <= _S_LAST or cp in ORACLE_VERSION_EXCLUSIONS:
             continue
         ch = chr(cp)
-        dec = unicodedata.normalize("NFD", ch)
-        if dec != ch and unicodedata.normalize("NFC", dec) == ch:
-            entries.append((dec, ch))
-    entries.sort(key=lambda p: (-len(p[0]), p[0]))
-    return tuple(entries)
+        c = unicodedata.combining(ch)
+        if c:
+            ccc.append((ch, c))
+        d = unicodedata.normalize("NFD", ch)
+        if d != ch:
+            # Decompositions never surface an excluded code point (the
+            # excluded marks are post-utf8proc additions with no
+            # composites) — asserted so a Unicode upgrade can't
+            # silently leak one through the oracle boundary.
+            assert not ({ord(x) for x in d} & ORACLE_VERSION_EXCLUSIONS)
+            nfd.append((ch, d))
+        one = unicodedata.decomposition(ch)
+        if one and not one.startswith("<"):
+            parts = one.split()
+            if len(parts) == 2:
+                a, b = chr(int(parts[0], 16)), chr(int(parts[1], 16))
+                if unicodedata.normalize("NFC", a + b) == ch:
+                    pair.append((a + b, ch))
+    return tuple(nfd), tuple(pair), tuple(ccc)
 
 
-NFC_COMPOSE_TABLE: tuple[tuple[str, str], ...] = _full_compose_table()
+NFD_TABLE, PAIR_TABLE, CCC_TABLE = _generate_tables()
 
-# Canonical decompositions are 2..4 code points (asserted so the
-# prefix probes below stay exhaustive if Unicode data ever changes).
+# Every reorderable mark is Mn or Mc — the cluster regex's boundary
+# class is exactly right. Guarded at import so a Unicode upgrade that
+# adds a ccc>0 char in another category fails loudly.
+assert all(
+    unicodedata.category(ch) in ("Mn", "Mc") for ch, _ in CCC_TABLE
+)
+
+# Full-NFD -> composed (the r16 table, kept as the exact-NFD fast
+# probe and the coverage/domain statement): every character whose
+# canonical decomposition round-trips under NFC.
+NFC_COMPOSE_TABLE: tuple[tuple[str, str], ...] = tuple(
+    sorted(
+        ((d, ch) for ch, d in NFD_TABLE
+         if unicodedata.normalize("NFC", d) == ch),
+        key=lambda p: (-len(p[0]), p[0]),
+    )
+)
 _MAX_KEY = max(len(d) for d, _ in NFC_COMPOSE_TABLE)
 assert _MAX_KEY == 4 and min(len(d) for d, _ in NFC_COMPOSE_TABLE) == 2
 
 # Kept for fixture/doc reporting: the composable characters.
 NFC_DOMAIN = "".join(pre for _, pre in NFC_COMPOSE_TABLE)
+
+def _char_class(cps) -> str:
+    """A Java-regex char class over a code-point set, range-compressed
+    (the classes here are a few hundred ranges — compiled to bitmap
+    tests, O(1) per probe)."""
+    parts, run = [], []
+    for cp in sorted(cps):
+        if run and cp == run[-1] + 1:
+            run.append(cp)
+        else:
+            if run:
+                parts.append(run)
+            run = [cp]
+    if run:
+        parts.append(run)
+    out = []
+    for r in parts:
+        if len(r) == 1:
+            out.append(r"\x{%04X}" % r[0])
+        else:
+            out.append(r"\x{%04X}-\x{%04X}" % (r[0], r[-1]))
+    return "[" + "".join(out) + "]"
+
+
+# Single chars that are NOT NFC-normal (singletons like U+212B/U+2126,
+# composition exclusions like U+0958 which NFC leaves DECOMPOSED) — a
+# regex char class gating the single-char fast path.
+SINGLE_CHANGED = frozenset(
+    ord(ch) for ch, _ in NFD_TABLE
+    if unicodedata.normalize("NFC", ch) != ch
+)
+_SINGLE_CHANGED_RE = _char_class(SINGLE_CHANGED)
+
+# Chars with a canonical decomposition (the NFD map's key set) — gates
+# the general path's per-char NFD probe.
+_DECOMPOSABLE_RE = _char_class(ord(ch) for ch, _ in NFD_TABLE)
 
 _BIG = 2**31 - 1
 
@@ -133,62 +248,278 @@ def _cp(p: Column, i: int) -> Column:
     return F.ascii(F.substring(p, F.lit(i), F.lit(1)))
 
 
-def _compose_piece(p: Column, table_map: Column) -> Column:
+def _char_nfd(c: Column, nfd_map: Column) -> Column:
+    """Full canonical decomposition of ONE code point: algorithmic for
+    Hangul syllables, one flat-map probe otherwise (values are full
+    NFD expansions — no recursion needed). The probe is fenced behind
+    the decomposable char class (an O(1) bitmap test vs a linear map
+    scan)."""
+    cp = F.ascii(c)
+    si = cp - F.lit(_S_BASE)
+    li = F.floor(si / F.lit(_V_COUNT * _T_COUNT)).cast("int")
+    vi = F.floor((si % F.lit(_V_COUNT * _T_COUNT)) / F.lit(_T_COUNT)).cast(
+        "int"
+    )
+    ti = (si % F.lit(_T_COUNT)).cast("int")
+    jamo = F.concat(
+        F.substring(F.lit(_JAMO_L), li + F.lit(1), F.lit(1)),
+        F.substring(F.lit(_JAMO_V), vi + F.lit(1), F.lit(1)),
+        F.when(
+            ti > F.lit(0), F.substring(F.lit(_JAMO_T), ti, F.lit(1))
+        ).otherwise(F.lit("")),
+    )
+    return (
+        F.when((cp >= F.lit(_S_BASE)) & (cp <= F.lit(_S_LAST)), jamo)
+        .when(
+            c.rlike(_DECOMPOSABLE_RE),
+            F.coalesce(F.try_element_at(nfd_map, c), c),
+        )
+        .otherwise(c)
+    )
+
+
+def _merge_step(acc: Column, s: Column, pair_map: Column) -> Column:
+    """One fold step of canonical composition (module doc, step 3d)."""
+    ch, c = s["ch"], s["c"]
+    st, pend, lc = acc["st"], acc["pend"], acc["lc"]
+    st_cp, ch_cp = F.ascii(st), F.ascii(ch)
+    pair_comp = F.try_element_at(pair_map, F.concat(st, ch))
+    # Starter-pair candidate: Hangul L+V / LV+T arithmetically, the
+    # canonical pair table otherwise (Indic two-part vowels).
+    starter_comp = (
+        F.when(
+            (st_cp >= F.lit(_L_BASE))
+            & (st_cp < F.lit(_L_BASE + _L_COUNT))
+            & (ch_cp >= F.lit(_V_BASE))
+            & (ch_cp < F.lit(_V_BASE + _V_COUNT)),
+            _hangul_syllable(
+                (st_cp - F.lit(_L_BASE)) * F.lit(_V_COUNT * _T_COUNT)
+                + (ch_cp - F.lit(_V_BASE)) * F.lit(_T_COUNT)
+            ),
+        )
+        .when(
+            (st_cp >= F.lit(_S_BASE))
+            & (st_cp <= F.lit(_S_LAST))
+            & ((st_cp - F.lit(_S_BASE)) % F.lit(_T_COUNT) == F.lit(0))
+            & (ch_cp > F.lit(_T_BASE))
+            & (ch_cp < F.lit(_T_BASE + _T_COUNT)),
+            _hangul_syllable(
+                (st_cp - F.lit(_S_BASE)) + (ch_cp - F.lit(_T_BASE))
+            ),
+        )
+        .otherwise(pair_comp)
+    )
+    return F.when(
+        c == F.lit(0),
+        F.when(
+            (st != F.lit(""))
+            & (pend == F.lit(""))
+            & starter_comp.isNotNull(),
+            F.struct(
+                acc["out"].alias("out"),
+                starter_comp.alias("st"),
+                F.lit("").alias("pend"),
+                F.lit(0).alias("lc"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(acc["out"], st, pend).alias("out"),
+                ch.alias("st"),
+                F.lit("").alias("pend"),
+                F.lit(0).alias("lc"),
+            )
+        ),
+    ).otherwise(
+        # Mark: composes iff not blocked (last appended ccc < this
+        # ccc; lc is 0 when nothing is pending) and a pair exists.
+        F.when(
+            (st != F.lit("")) & (lc < c) & pair_comp.isNotNull(),
+            F.struct(
+                acc["out"].alias("out"),
+                pair_comp.alias("st"),
+                pend.alias("pend"),
+                lc.alias("lc"),
+            ),
+        ).otherwise(
+            F.struct(
+                acc["out"].alias("out"),
+                st.alias("st"),
+                F.concat(pend, ch).alias("pend"),
+                c.alias("lc"),
+            )
+        )
+    )
+
+
+def _general_nfc(p: Column, nfd_map: Column, pair_map: Column,
+                 ccc_map: Column) -> Column:
+    """The full decompose -> reorder -> compose path for one cluster
+    (module doc, step 3). Cluster lengths are tiny, so the O(n^2)
+    starter-run prefix count is bounded."""
+    chars = F.filter(
+        F.split(p, _PER_CP_SPLIT), lambda x: F.length(x) > F.lit(0)
+    )
+    dec_str = F.array_join(
+        F.transform(chars, lambda c: _char_nfd(c, nfd_map)), ""
+    )
+    dec = F.filter(
+        F.split(dec_str, _PER_CP_SPLIT), lambda x: F.length(x) > F.lit(0)
+    )
+    ann = F.transform(
+        dec,
+        lambda c: F.struct(
+            F.when(
+                c.rlike(_MARK_RE),
+                F.coalesce(F.try_element_at(ccc_map, c), F.lit(0)),
+            )
+            .otherwise(F.lit(0))
+            .alias("c"),
+            c.alias("ch"),
+        ),
+    )
+    # Canonical order: stable sort keyed by (starter-run id, ccc,
+    # original index) — ccc=0 chars are barriers, marks within a run
+    # sort by ccc with input order preserved on ties. Built in ONE
+    # fold pass (running starter count + running index).
+    empty_keyed = F.array().cast(
+        "array<struct<r:int,c:int,i:int,ch:string>>"
+    )
+    keyed = F.aggregate(
+        ann,
+        F.struct(
+            F.lit(0).alias("run"),
+            F.lit(0).alias("i"),
+            empty_keyed.alias("arr"),
+        ),
+        lambda acc, s: F.struct(
+            (acc["run"] + F.when(s["c"] == F.lit(0), F.lit(1)).otherwise(
+                F.lit(0)
+            )).alias("run"),
+            (acc["i"] + F.lit(1)).alias("i"),
+            F.array_append(
+                acc["arr"],
+                F.struct(
+                    (acc["run"] + F.when(
+                        s["c"] == F.lit(0), F.lit(1)
+                    ).otherwise(F.lit(0))).alias("r"),
+                    s["c"].alias("c"),
+                    (acc["i"] + F.lit(1)).alias("i"),
+                    s["ch"].alias("ch"),
+                ),
+            ).alias("arr"),
+        ),
+        lambda acc: acc["arr"],
+    )
+    init = F.struct(
+        F.lit("").alias("out"),
+        F.lit("").alias("st"),
+        F.lit("").alias("pend"),
+        F.lit(0).alias("lc"),
+    )
+    return F.aggregate(
+        F.array_sort(keyed),
+        init,
+        lambda acc, s: _merge_step(acc, s, pair_map),
+        lambda acc: F.concat(acc["out"], acc["st"], acc["pend"]),
+    )
+
+
+def _compose_piece(p: Column, nfd_map: Column, pair_map: Column,
+                   ccc_map: Column, table_map: Column) -> Column:
     """One cluster through the composition contract (module doc)."""
+    exact = F.try_element_at(table_map, p)
     lvt_idx = (
         (_cp(p, 1) - F.lit(_L_BASE)) * F.lit(_V_COUNT * _T_COUNT)
         + (_cp(p, 2) - F.lit(_V_BASE)) * F.lit(_T_COUNT)
-        + F.when(F.length(p) == 3, _cp(p, 3) - F.lit(_T_BASE)).otherwise(F.lit(0))
+        + F.when(F.length(p) == 3, _cp(p, 3) - F.lit(_T_BASE)).otherwise(
+            F.lit(0)
+        )
     )
     lv_t_idx = (_cp(p, 1) - F.lit(_S_BASE)) + (_cp(p, 2) - F.lit(_T_BASE))
-
-    def probe(at: int, k: int) -> Column:
-        """Compose k chars starting at 1-based position `at`, keeping
-        the untouched head and the trailing remainder. at=1 covers
-        exact NFD prefixes; at=2 covers a base letter followed by a
-        mark-initial key (Indic two-part vowels, whose components are
-        marks with ccc=0 — real NFC composes those as starter pairs)."""
-        lead = F.substring(p, F.lit(1), F.lit(at - 1)) if at > 1 else F.lit("")
-        return F.concat(
-            lead,
-            F.try_element_at(table_map, F.substring(p, F.lit(at), F.lit(k))),
-            F.substring(p, F.lit(at + k), F.lit(_BIG)),
-        )
-
     return (
-        F.when(F.length(p) < 2, p)  # fast path: already-composed text
+        F.when(
+            (F.length(p) < 2) & ~p.rlike(_SINGLE_CHANGED_RE), p
+        )  # fast path: NFC-normal single chars (almost all real text)
+        .when(exact.isNotNull(), exact)  # exact canonical-NFD cluster
         .when(p.rlike(_RE_LVT), _hangul_syllable(lvt_idx))
         .when(
             p.rlike(_RE_LV_T)
             & ((_cp(p, 1) - F.lit(_S_BASE)) % F.lit(_T_COUNT) == F.lit(0)),
             _hangul_syllable(lv_t_idx),
         )
-        .otherwise(
-            F.coalesce(
-                probe(1, 4), probe(1, 3), probe(1, 2),
-                probe(2, 3), probe(2, 2),
-                p,
-            )
+        .otherwise(_general_nfc(p, nfd_map, pair_map, ccc_map))
+    )
+
+
+def _sql_str(s: str) -> str:
+    """A Spark-SQL string literal (backslash escapes on, the parser
+    default)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _lit_map(keys, vals) -> Column:
+    """A literal map Column built JVM-side in ONE py4j call. ``F.lit``
+    on a Python list round-trips the gateway PER ELEMENT (measured:
+    the four tables here cost ~7s of socket chatter per query built
+    that way); one ``F.expr`` ships the whole table as SQL text and
+    parses it JVM-side in milliseconds. Arity is flat — the ~300-deep
+    expression ceiling is about nesting, not child count."""
+    ks = ",".join(_sql_str(k) for k in keys)
+    vs = ",".join(
+        _sql_str(v) if isinstance(v, str) else str(v) for v in vals
+    )
+    return F.expr(f"map_from_arrays(array({ks}),array({vs}))")
+
+
+_MAP_CACHE: dict[str, Column] = {}
+
+
+def _literal_maps() -> tuple[Column, Column, Column, Column]:
+    """The four table maps, built once per process (unresolved
+    expressions are session-independent)."""
+    if not _MAP_CACHE:
+        _MAP_CACHE["nfd"] = _lit_map(
+            (ch for ch, _ in NFD_TABLE), (d for _, d in NFD_TABLE)
         )
+        _MAP_CACHE["pair"] = _lit_map(
+            (k for k, _ in PAIR_TABLE), (v for _, v in PAIR_TABLE)
+        )
+        _MAP_CACHE["ccc"] = _lit_map(
+            (ch for ch, _ in CCC_TABLE), (c for _, c in CCC_TABLE)
+        )
+        _MAP_CACHE["table"] = _lit_map(
+            (d for d, _ in NFC_COMPOSE_TABLE),
+            (p for _, p in NFC_COMPOSE_TABLE),
+        )
+    return (
+        _MAP_CACHE["nfd"],
+        _MAP_CACHE["pair"],
+        _MAP_CACHE["ccc"],
+        _MAP_CACHE["table"],
     )
 
 
 def nfc_compose_column(col: Column | str) -> Column:
-    """NFC composition as one flat codegen expression: cluster split ->
+    """NFC normalization as one flat expression tree: cluster split ->
     per-cluster compose -> rejoin. No Python at runtime, no shuffle."""
     text = F.col(col) if isinstance(col, str) else col
-    table_map = F.map_from_arrays(
-        F.lit([d for d, _ in NFC_COMPOSE_TABLE]),
-        F.lit([p for _, p in NFC_COMPOSE_TABLE]),
-    )
+    nfd_map, pair_map, ccc_map, table_map = _literal_maps()
     pieces = F.split(text, CLUSTER_SPLIT_REGEX)
     return F.array_join(
-        F.transform(pieces, lambda p: _compose_piece(p, table_map)), ""
+        F.transform(
+            pieces,
+            lambda p: _compose_piece(p, nfd_map, pair_map, ccc_map,
+                                     table_map),
+        ),
+        "",
     )
 
 
 # --- Python twin (generator-side domain check + tests) ---------------
 
+_NFD_DICT = dict(NFD_TABLE)
+_PAIR_DICT = dict(PAIR_TABLE)
+_CCC_DICT = {ch: c for ch, c in CCC_TABLE}
 _TABLE_DICT = {d: p for d, p in NFC_COMPOSE_TABLE}
 
 
@@ -208,44 +539,74 @@ def _py_clusters(s: str) -> list[str]:
     return out
 
 
+def _py_hangul_pair(st: str, ch: str) -> str | None:
+    a, b = ord(st), ord(ch)
+    if _L_BASE <= a < _L_BASE + _L_COUNT and _V_BASE <= b < _V_BASE + _V_COUNT:
+        return HANGUL_SYLLABLES[
+            (a - _L_BASE) * _V_COUNT * _T_COUNT + (b - _V_BASE) * _T_COUNT
+        ]
+    if (
+        _S_BASE <= a <= _S_LAST
+        and (a - _S_BASE) % _T_COUNT == 0
+        and _T_BASE < b < _T_BASE + _T_COUNT
+    ):
+        return HANGUL_SYLLABLES[(a - _S_BASE) + (b - _T_BASE)]
+    return None
+
+
+def _py_compose_cluster(p: str) -> str:
+    if len(p) < 2 and (not p or ord(p) not in SINGLE_CHANGED):
+        return p
+    exact = _TABLE_DICT.get(p)
+    if exact is not None:
+        return exact
+    # decompose
+    dec: list[str] = []
+    for ch in p:
+        cp = ord(ch)
+        if _S_BASE <= cp <= _S_LAST:
+            si = cp - _S_BASE
+            dec.append(chr(_L_BASE + si // (_V_COUNT * _T_COUNT)))
+            dec.append(chr(_V_BASE + (si % (_V_COUNT * _T_COUNT)) // _T_COUNT))
+            if si % _T_COUNT:
+                dec.append(chr(_T_BASE + si % _T_COUNT))
+        else:
+            dec.extend(_NFD_DICT.get(ch, ch))
+    # canonical order (stable, ccc=0 barriers)
+    keyed = []
+    run = 0
+    for i, ch in enumerate(dec):
+        c = _CCC_DICT.get(ch, 0)
+        if c == 0:
+            run += 1
+        keyed.append((run, c, i, ch))
+    keyed.sort()
+    # compose with blocking
+    out, st, pend, lc = "", "", "", 0
+    for _, c, _, ch in keyed:
+        if c == 0:
+            comp = None
+            if st and not pend:
+                comp = _py_hangul_pair(st, ch) or _PAIR_DICT.get(st + ch)
+            if comp is not None:
+                st = comp
+            else:
+                out += st + pend
+                st, pend, lc = ch, "", 0
+        else:
+            comp = _PAIR_DICT.get(st + ch) if (st and lc < c) else None
+            if comp is not None:
+                st = comp
+            else:
+                pend += ch
+                lc = c
+    return out + st + pend
+
+
 def nfc_compose_py(s: str) -> str:
     """Exact Python mirror of nfc_compose_column — the generator's
     domain check and the differential-test twin."""
-    out: list[str] = []
-    for p in _py_clusters(s):
-        if len(p) < 2:
-            out.append(p)
-            continue
-        cps = [ord(c) for c in p]
-        if (
-            len(p) in (2, 3)
-            and 0x1100 <= cps[0] <= 0x1112
-            and 0x1161 <= cps[1] <= 0x1175
-            and (len(p) == 2 or 0x11A8 <= cps[2] <= 0x11C2)
-        ):
-            idx = (
-                (cps[0] - _L_BASE) * _V_COUNT * _T_COUNT
-                + (cps[1] - _V_BASE) * _T_COUNT
-                + (cps[2] - _T_BASE if len(p) == 3 else 0)
-            )
-            out.append(HANGUL_SYLLABLES[idx])
-            continue
-        if (
-            len(p) == 2
-            and _S_BASE <= cps[0] <= 0xD7A3
-            and 0x11A8 <= cps[1] <= 0x11C2
-            and (cps[0] - _S_BASE) % _T_COUNT == 0
-        ):
-            out.append(HANGUL_SYLLABLES[(cps[0] - _S_BASE) + (cps[1] - _T_BASE)])
-            continue
-        for at, k in ((0, 4), (0, 3), (0, 2), (1, 3), (1, 2)):
-            pre = _TABLE_DICT.get(p[at : at + k])
-            if pre is not None:
-                out.append(p[:at] + pre + p[at + k :])
-                break
-        else:
-            out.append(p)
-    return "".join(out)
+    return "".join(_py_compose_cluster(p) for p in _py_clusters(s))
 
 
 # Self-check: round-trip through real NFC agrees for every entry.

@@ -84,15 +84,33 @@ def test_widened_table_coverage():
             expected += 1
     assert len(NFC_COMPOSE_TABLE) == expected
     assert len(NFC_COMPOSE_TABLE) >= 900  # Vietnamese/Greek-Ext/Indic in
-    # and the one exclusion really is a divergence, not a stale pin
+    # and every exclusion really is a live divergence, not a stale pin
     import duckdb as D
 
+    from parallel_map_reduce_spark.operators.unicode_norm import (
+        ORACLE_CCC_EXCLUSIONS,
+        ORACLE_COMPOSITION_EXCLUSIONS,
+    )
+
     con = D.connect()
-    for cp in ORACLE_VERSION_EXCLUSIONS:
+    for cp in ORACLE_COMPOSITION_EXCLUSIONS:
+        # utf8proc can't recompose the NFD form (missing pair data)
         dec = U.normalize("NFD", chr(cp))
         assert con.execute(
             "SELECT nfc_normalize(?)", [dec]
         ).fetchone()[0] != chr(cp), "exclusion no longer needed"
+    for cp in ORACLE_CCC_EXCLUSIONS:
+        # utf8proc reports ccc=0 for these post-release marks, so it
+        # won't reorder them; witness = base + mark + ccc=1 tilde
+        # overlay, which Unicode 14.0 sorts mark-last and utf8proc
+        # leaves in place.
+        assert U.combining(chr(cp)) > 1, hex(cp)
+        s = "a" + chr(cp) + "̴"
+        assert con.execute(
+            "SELECT nfc_normalize(?)", [s]
+        ).fetchone()[0] != U.normalize("NFC", s), (
+            "ccc exclusion no longer needed: " + hex(cp)
+        )
 
 
 def test_python_twin_matches_real_nfc_everywhere():

@@ -14,20 +14,26 @@ VARCHAR where exp_nfc = unicodedata.normalize('NFC', text) — an
 expectation from Python's unicodedata, INDEPENDENT of both engines
 under test (Spark's fixed composition table, DuckDB's utf8proc).
 
-Domain discipline (r16, widened table): every emitted text is asserted
-at generation time to normalize identically under the operator's
-Python twin (``nfc_compose_py`` — the exact mirror of the Spark
-codegen expression) and real ``unicodedata`` NFC; DuckDB's utf8proc
-``nfc_normalize`` is the third implementation, checked in parity. The
-word pool now covers the full generated table's breadth: Vietnamese
-stacked diacritics (Latin Extended Additional), polytonic Greek
-(Greek Extended), Hangul (full-jamo NFD AND partially-composed
+Domain discipline (r16 widened table; r17 full UAX #15): every
+emitted text is asserted at generation time to normalize identically
+under the operator's Python twin (``nfc_compose_py`` — the exact
+mirror of the Spark expression) and real ``unicodedata`` NFC;
+DuckDB's utf8proc ``nfc_normalize`` is the third implementation,
+checked in parity. The word pool covers the full table's breadth:
+Vietnamese stacked diacritics (Latin Extended Additional), polytonic
+Greek (Greek Extended), Hangul (full-jamo NFD AND partially-composed
 LV-syllable + T-jamo forms — both algorithmic composition paths),
 Indic two-part vowels (Bengali/Tamil, whose decompositions start with
 spacing marks), a supplementary-plane letter (surrogate-safe split),
-and the original Latin/Greek/Cyrillic set. Discontiguous-mark
-sequences remain OUT of the documented domain and are never emitted.
-Deterministic by construction (no RNG, no time).
+singletons (U+212B ANGSTROM, U+2126 OHM) and a composition-exclusion
+char (U+0958, which NFC leaves DECOMPOSED), and the original
+Latin/Greek/Cyrillic set. Since r17 the operator implements the FULL
+UAX #15 algorithm, so two previously-out-of-domain variant shapes are
+now emitted: DISCONTIGUOUS composition (a ccc=220 U+0320 inserted
+between base and mark — the starter composes with the LATER mark) and
+MISORDERED marks (the first multi-mark sequence reversed, forcing
+canonical reordering before composition). Deterministic by
+construction (no RNG, no time).
 
 Usage: python tools/gen_nfc_fixture.py
 """
@@ -72,6 +78,9 @@ WORDS = [
     "কোথায়", "கோவில்", "கௌரவம்",
     # supplementary-plane letter (U+1109A, surrogate-safe split)
     "ab\U0001109Acd",
+    # r17 — singletons (NFC maps the char itself) + composition
+    # exclusion (NFC leaves it decomposed)
+    "10Å", "Ωhm", "क़ख़ग़lam",
 ]
 SEPS = [" ", ", ", " — ", " 7 ", "。", " 🚀 ", "\t"]
 
@@ -95,6 +104,45 @@ def _hangul_lv_t(word: str) -> str:
     return "".join(out)
 
 
+def _discontiguous(word: str) -> str:
+    """Insert U+0320 (ccc 220) between the first composable base and
+    its marks — real NFC composes the starter with the LATER mark
+    across it (or with a lower-ccc mark first), exercising the r17
+    blocking-rule fold; falls back to NFD when nothing composes."""
+    out, done = [], False
+    for ch in unicodedata.normalize("NFC", word):
+        d = unicodedata.normalize("NFD", ch)
+        if not done and len(d) > 1:
+            out.append(d[0] + "̠" + d[1:])
+            done = True
+        else:
+            out.append(ch)
+    return "".join(out) if done else unicodedata.normalize("NFD", word)
+
+
+def _misordered(word: str) -> str:
+    """Reverse the first run of >=2 combining marks in the NFD form,
+    forcing canonical REORDERING before composition (r17); falls back
+    to NFD for words without a multi-mark sequence."""
+    nfd = unicodedata.normalize("NFD", word)
+    out, i, done = [], 0, False
+    while i < len(nfd):
+        j = i
+        while j < len(nfd) and unicodedata.combining(nfd[j]):
+            j += 1
+        if j > i:  # a run of combining marks
+            run = nfd[i:j]
+            if not done and len(run) >= 2:
+                run = run[::-1]
+                done = True
+            out.append(run)
+            i = j
+        else:
+            out.append(nfd[i])
+            i += 1
+    return "".join(out)
+
+
 def variant(word: str, mode: int) -> str:
     if mode == 3:
         # Hangul partial (LV + T); falls through to NFD for words
@@ -107,6 +155,10 @@ def variant(word: str, mode: int) -> str:
         return unicodedata.normalize("NFC", word)
     if mode == 1:
         return unicodedata.normalize("NFD", word)
+    if mode == 4:
+        return _discontiguous(word)
+    if mode == 5:
+        return _misordered(word)
     # mixed: decompose only the first composable character
     out, done = [], False
     for ch in unicodedata.normalize("NFC", word):
@@ -124,7 +176,7 @@ def doc(doc_id: int) -> tuple[str, str]:
     parts: list[str] = []
     for i in range(n):
         w = WORDS[(doc_id * 13 + i * 5) % len(WORDS)]
-        parts.append(variant(w, (doc_id + i) % 4))
+        parts.append(variant(w, (doc_id + i) % 6))
         if i < n - 1:
             parts.append(SEPS[(doc_id + i) % len(SEPS)])
     text = "".join(parts)
