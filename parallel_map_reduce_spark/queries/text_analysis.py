@@ -1054,27 +1054,27 @@ toks AS (
 SELECT token, COUNT(*)::BIGINT AS n, COUNT(DISTINCT doc_id)::BIGINT AS df
 FROM toks WHERE length(token) > 0 GROUP BY token
 """,
-    doc="NFC normalization contract (r15, VERDICT r14 task 3): "
+    doc="NFC normalization contract (r15; FULL UAX #15 since r17): "
     "normalize-then-tokenize over the committed combining-marks "
-    "fixture (tools/gen_nfc_fixture.py — every doc mixes precomposed, "
-    "fully-NFD and first-char-decomposed spellings of the same "
-    "words), so canonically equivalent variants MERGE into one token "
-    "row. Spark 4.1 has no normalize builtin; the Spark side (r16, "
-    "FULL generated table) is operators/unicode_norm.py: cluster "
-    "split -> per-cluster compose against a flat literal map of ALL "
-    "941 round-tripping canonical compositions + ALGORITHMIC Hangul "
-    "LV/LVT arithmetic (substring-indexed syllable block), all "
-    "codegen. The oracle uses DuckDB's REAL nfc_normalize (utf8proc) "
-    "and the fixture's exp_nfc comes from Python unicodedata — three "
-    "independent implementations whose agreement the hash match "
-    "proves (the fixture now spans Vietnamese stacked diacritics, "
-    "polytonic Greek, Hangul NFD + LV+T partials, Indic two-part "
-    "vowels, a supplementary-plane letter). Documented boundaries: "
-    "discontiguous-mark composition passes through verbatim; U+11938 "
-    "is the pinned oracle-version exclusion. No lowercasing here: "
-    "this entry isolates composition, so the tokenize contract's "
-    "remaining documented exclusion is case-folding only. One "
-    "shuffle (the groupBy); normalization runs at scan speed.",
+    "fixture (tools/gen_nfc_fixture.py — every doc cycles the same "
+    "words through precomposed / fully-NFD / first-char-decomposed / "
+    "Hangul-LV+T / DISCONTIGUOUS / MISORDERED spellings), so "
+    "canonically equivalent variants MERGE into one token row. Spark "
+    "4.1 has no normalize builtin; the Spark side is "
+    "operators/unicode_norm.py — the complete algorithm as pure "
+    "expressions: cluster split -> canonical decomposition (generated "
+    "2,060-entry map + algorithmic Hangul) -> canonical ordering "
+    "(stable ccc sort, starter barriers) -> composition with the "
+    "blocking rule, with fast paths for NFC-normal chars, exact-NFD "
+    "clusters and Hangul arithmetic. The oracle uses DuckDB's REAL "
+    "nfc_normalize (utf8proc) and the fixture's exp_nfc comes from "
+    "Python unicodedata — three independent implementations whose "
+    "agreement the hash match proves. Boundary: the 51 pinned "
+    "utf8proc-version divergences (50 ccc-skew marks + U+11938) are "
+    "excluded from the tables and pass through inert. No lowercasing "
+    "here: this entry isolates composition, so the tokenize "
+    "contract's remaining documented exclusion is case-folding only. "
+    "One shuffle (the groupBy); normalization runs at scan speed.",
     tags=("text", "unicode", "nfc", "llm-pipeline"),
 )
 def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:

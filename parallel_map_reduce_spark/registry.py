@@ -260,10 +260,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "doc_stats",
     "inverted_index_chunked",
     "documents_provenance",
-    # rule 2 — NEW r17: charset decode, served lang-ID, WET->index
+    # rule 2 — NEW r17: charset decode, served lang-ID, WET->index,
+    # robots exclusion (RFC 9309, composed-verdict fixture)
     "ingest_warc_charsets",
     "text_lang_id_served",
     "crawl_wet_to_index",
+    "crawl_robots_filter",
     # rule 2 — r17 semantically changed: the crawl chain decodes per
     # charset (+deflate, 10-template fixture); lang domain widened
     "ingest_warc_records",
@@ -285,8 +287,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "similarity_two_stage_topk",
     "part_name_fuzzy_pairs_lsh",
     # rule 5 — r16's stale block (fresh r16 evidence, kept as the
-    # relational/window/agg family reps)
-    "q18_large_orders",
+    # relational/window/agg family reps; q18_large_orders rotated out
+    # mid-r17 to make room for crawl_robots_filter — the relational
+    # family keeps eight in-window reps)
     "q11_top_spenders",
     "q7_nation_trade_matrix",
     "q22_idle_rich_customers",

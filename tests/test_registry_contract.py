@@ -66,6 +66,7 @@ RAW_PATH_ORACLES = {
     "ingest_warc_charsets",  # r17: charset column of the WARC sidecar
     "text_lang_id_served",  # r17: oracle re-derives the profile artifact
     "crawl_wet_to_index",  # r17: WET chain landed + indexed vs the sidecar
+    "crawl_robots_filter",  # r17: committed robots fixture (composed verdicts)
 }
 
 
