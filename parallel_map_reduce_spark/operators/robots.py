@@ -79,22 +79,30 @@ def parse_robots_rules(
         F.regexp_extract("line", _VALUE_RE, 1).alias("val"),
     ).filter(F.col("dir").isin("user-agent", "allow", "disallow"))
 
+    from ..registry import pin
+
     w = Window.partitionBy("host").orderBy("line_no")
-    grouped = parsed.withColumn(
-        "gid",
-        F.sum(
-            F.when(
-                (F.col("dir") == "user-agent")
-                & (
-                    F.coalesce(F.lag("dir").over(w), F.lit(""))
-                    != "user-agent"
-                ),
-                1,
-            ).otherwise(0)
-        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    # pin(): grouped feeds the rules rows AND the agents aggregation
+    # (which itself feeds the group flags and the host flag) — without
+    # it each reference re-expands the scan -> parse -> double-window
+    # subplan (plan audit showed the parse tree expanded three times).
+    grouped = pin(
+        parsed.withColumn(
+            "gid",
+            F.sum(
+                F.when(
+                    (F.col("dir") == "user-agent")
+                    & (
+                        F.coalesce(F.lag("dir").over(w), F.lit(""))
+                        != "user-agent"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
     )
 
-    agents = (
+    agents = pin(
         grouped.filter(F.col("dir") == "user-agent")
         .groupBy("host", "gid")
         .agg(
@@ -207,6 +215,46 @@ def robots_verdicts(
         F.coalesce(F.max("hit")["is_allow"], F.lit(True)).alias("allowed"),
         F.max("hit")["pattern"].alias("matched_rule"),
         F.max("hit")["spec"].alias("rule_len"),
+    )
+
+
+_RULES_ARRAY = "array<struct<spec:int,is_allow:boolean,pattern:string>>"
+
+
+def robots_rules_by_host(rules: DataFrame) -> DataFrame:
+    """``host -> array<(spec, is_allow, pattern)>`` — the SERVING
+    shape: one row per host (bytes-bounded by the protocol's 500 KiB
+    file cap), so verdicts become a stateless per-row fold."""
+    return rules.groupBy("host").agg(
+        F.collect_list(F.struct("spec", "is_allow", "pattern")).alias(
+            "rules"
+        )
+    )
+
+
+def robots_verdicts_folded(
+    urls: DataFrame, rules_by_host: DataFrame, path_col: str = "path"
+) -> DataFrame:
+    """Per-URL verdict as ONE host-keyed join + a per-row array fold —
+    no row fan-out, no winner shuffle, no state: filter the host's
+    rule array by the wildcard matcher, ``array_max`` picks the
+    (octets, Allow-wins, pattern) winner in-row. The same columns as
+    ``robots_verdicts`` (which stays as the fan-out+aggregate twin,
+    differentially tested equal); this shape is also the streaming
+    one — a stream-static join plus a stateless projection, so the
+    politeness filter adds ZERO streaming state."""
+    path = F.col(path_col)
+    hit = F.array_max(
+        F.filter(
+            F.coalesce(F.col("rules"), F.array().cast(_RULES_ARRAY)),
+            lambda r: robots_pattern_match(path, r["pattern"]),
+        )
+    )
+    return urls.join(rules_by_host, "host", "left").select(
+        *urls.columns,
+        F.coalesce(hit["is_allow"], F.lit(True)).alias("allowed"),
+        hit["pattern"].alias("matched_rule"),
+        hit["spec"].alias("rule_len"),
     )
 
 

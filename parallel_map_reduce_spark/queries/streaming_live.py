@@ -557,3 +557,49 @@ def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload_digest_ok",
     )
     return _drain_append(out, "live_warc", spark)
+
+
+from .warc_ingest import ROBOTS_ORACLE as _ROBOTS_ORACLE
+
+
+@register(
+    "streaming_robots_filter",
+    oracle=_ROBOTS_ORACLE,
+    doc="LIVE robots.txt politeness filter (r17): frontier URLs "
+    "arrive as a stream and each micro-batch runs the SAME folded "
+    "verdict as the batch crawl_robots_filter — a stream-static "
+    "host-keyed join against the per-host rule arrays "
+    "(parse_robots_rules + robots_rules_by_host on the static side, "
+    "re-read per micro-batch = how a production crawler picks up "
+    "robots refreshes) followed by a stateless in-row array_max over "
+    "the matcher-filtered rules. ZERO streaming state, zero "
+    "stream-side shuffles, append mode with no watermark — the "
+    "politeness step costs nothing to stream. Drained availableNow "
+    "over the committed fixture the verdict set equals the batch "
+    "entry's, so the live run shares its composition-backed DuckDB "
+    "re-derivation oracle. streaming/robots_stream.py.",
+    tags=("streaming", "live", "crawl", "robots", "llm-pipeline"),
+)
+def streaming_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robots import parse_robots_rules, robots_rules_by_host
+    from ..sources.catalog import load_table, read_parquet
+    from ..streaming import robots_stream as RS
+    from .warc_ingest import ROBOTS_AGENT, ROBOTS_FIXTURE_PARQUET
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 2000).alias("fid"))
+        .distinct()
+    )
+    bodies = (
+        read_parquet(spark, ROBOTS_FIXTURE_PARQUET)
+        .select("host", "robots_txt")
+        .distinct()
+    )
+    rules_by_host = robots_rules_by_host(
+        parse_robots_rules(bodies, ROBOTS_AGENT)
+    )
+    stream = RS.robots_filter_stream(
+        RS.read_robots_url_stream(spark), rules_by_host, ids
+    )
+    return _drain_append(stream, "live_robots", spark)

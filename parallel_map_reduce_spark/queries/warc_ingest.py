@@ -460,9 +460,9 @@ def scoped_robots_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "host", "robots_txt", "path")
 
 
-@register(
-    "crawl_robots_filter",
-    oracle=f"""
+# Shared by crawl_robots_filter and the live streaming_robots_filter
+# drain (same verdict contract, same re-derivation).
+ROBOTS_ORACLE = f"""
 WITH {RDOCS_CTE},
 bodies AS (SELECT DISTINCT host, robots_txt FROM rdocs),
 lines AS (
@@ -541,7 +541,12 @@ SELECT doc_id, host, path,
        max(hit).pattern AS matched_rule,
        max(hit).spec AS rule_len
 FROM hits GROUP BY doc_id, host, path
-""",
+"""
+
+
+@register(
+    "crawl_robots_filter",
+    oracle=ROBOTS_ORACLE,
     doc="RFC 9309 robots.txt exclusion (r17, north-star crawl chain "
     "— the politeness step between the URL frontier and the fetch): "
     "parse each host's robots.txt into groups (consecutive "
@@ -556,7 +561,12 @@ FROM hits GROUP BY doc_id, host, path
     "operators/robots.py: line posexplode + ONE host window for "
     "group assembly, a host-keyed rules join, and a codegen "
     "aggregate-fold wildcard matcher — no per-row regex compile, no "
-    "Python at runtime; the winner is one max(struct) aggregation. "
+    "Python at runtime. Verdicts use the FOLDED serving shape: rules "
+    "pre-grouped into one array per host (robots_rules_by_host), the "
+    "URL join is 1:1 host-keyed, and the winner is an in-row "
+    "array_max over the matcher-filtered rules — no row fan-out, no "
+    "winner shuffle (the fan-out+aggregate robots_verdicts stays as "
+    "the differentially-tested twin). "
     "The committed fixture (tools/gen_robots_fixture.py) composes "
     "2,000 verdicts whose outcome AND winning rule are construction "
     "knowledge across 20 spec-surface templates; the operator's "
@@ -567,17 +577,23 @@ FROM hits GROUP BY doc_id, host, path
     "hash match is cross-engine agreement on parse, group "
     "selection, wildcard match and precedence. Plan: rules are "
     "host-keyed (the robots fan-out per URL is the host's rule "
-    "count — bytes-bounded by the protocol's 500 KiB cap), the "
-    "verdict join and winner agg shuffle on host/url keys only — "
+    "count — bytes-bounded by the protocol's 500 KiB cap), and the "
+    "only verdict-side exchange is the host-keyed rules join — "
     "exactly the co-location a per-host politeness layer needs at "
     "100 TB.",
     tags=("crawl", "robots", "warc", "llm-pipeline"),
 )
 def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.robots import parse_robots_rules, robots_verdicts
+    from ..operators.robots import (
+        parse_robots_rules,
+        robots_rules_by_host,
+        robots_verdicts_folded,
+    )
 
     docs = scoped_robots_docs(spark, sf_dir)
     rules = parse_robots_rules(
         docs.select("host", "robots_txt").distinct(), ROBOTS_AGENT
     )
-    return robots_verdicts(docs.select("doc_id", "host", "path"), rules)
+    return robots_verdicts_folded(
+        docs.select("doc_id", "host", "path"), robots_rules_by_host(rules)
+    )

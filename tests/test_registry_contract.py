@@ -67,6 +67,7 @@ RAW_PATH_ORACLES = {
     "text_lang_id_served",  # r17: oracle re-derives the profile artifact
     "crawl_wet_to_index",  # r17: WET chain landed + indexed vs the sidecar
     "crawl_robots_filter",  # r17: committed robots fixture (composed verdicts)
+    "streaming_robots_filter",  # r17: shares the robots verdict oracle
 }
 
 

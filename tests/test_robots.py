@@ -137,6 +137,50 @@ def test_twin_spec_cases(body, path, exp):
     assert robots_allowed_py(body, AGENT, path) == exp
 
 
+def test_folded_equals_fanout(spark):
+    """The folded serving shape (per-host rule array + in-row
+    array_max) == the fan-out+aggregate shape on every fixture row —
+    the two winner mechanisms are differential twins."""
+    from parallel_map_reduce_spark.operators.robots import (
+        robots_rules_by_host,
+        robots_verdicts_folded,
+    )
+    from parallel_map_reduce_spark.queries.warc_ingest import (
+        ROBOTS_FIXTURE_PARQUET,
+    )
+    from parallel_map_reduce_spark.sources.catalog import read_parquet
+
+    fx = read_parquet(spark, ROBOTS_FIXTURE_PARQUET)
+    rules = parse_robots_rules(
+        fx.select("host", "robots_txt").distinct(), AGENT
+    )
+    urls = fx.select("doc_id", "host", "path")
+    fanout = robots_verdicts(urls, rules)
+    folded = robots_verdicts_folded(urls, robots_rules_by_host(rules))
+    a = {r.doc_id: (r.allowed, r.matched_rule, r.rule_len)
+         for r in fanout.collect()}
+    b = {r.doc_id: (r.allowed, r.matched_rule, r.rule_len)
+         for r in folded.collect()}
+    assert a == b
+
+
+def test_streaming_drain_equals_batch(spark, sf_dir):
+    """The availableNow drain of the live politeness filter returns
+    exactly the batch entry's verdict set."""
+    from parallel_map_reduce_spark.queries.streaming_live import (
+        streaming_robots_filter,
+    )
+    from parallel_map_reduce_spark.queries.warc_ingest import (
+        crawl_robots_filter,
+    )
+
+    key = lambda r: (r.doc_id, r.host, r.path, r.allowed,
+                     r.matched_rule, r.rule_len)
+    live = sorted(map(key, streaming_robots_filter(spark, sf_dir).collect()))
+    batch = sorted(map(key, crawl_robots_filter(spark, sf_dir).collect()))
+    assert live == batch and len(live) > 0
+
+
 def test_fixture_regenerates_identically():
     import pyarrow.parquet as pq
 
