@@ -597,3 +597,144 @@ def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_verdicts_folded(
         docs.select("doc_id", "host", "path"), robots_rules_by_host(rules)
     )
+
+
+SITEMAP_FIXTURE_PARQUET = "/root/repo/refdata/sitemap_fixture.parquet"
+SITEMAP_EXPECTED_PARQUET = "/root/repo/refdata/sitemap_expected.parquet"
+
+# DuckDB CTE mirroring the host-block scoping below: the sitemap host
+# universe is the robots fixture's h{t}-{kb}.example grid, keyed by
+# its slot-0 robots doc_id = 60*kb + t (0..1999 by construction).
+SMEXP_CTE = f"""smexp AS (
+    SELECT * FROM read_parquet('{SITEMAP_EXPECTED_PARQUET}')
+    WHERE (60 * kb + t) % 2000 IN (SELECT doc_id % 2000 FROM documents)
+)"""
+
+_HOST_T = r"^h(\d+)-\d+\.example$"
+_HOST_KB = r"^h\d+-(\d+)\.example$"
+
+
+def scoped_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the fixture sitemap XML, resolve one sitemapindex level,
+    and scope hosts to the sf's documents: t and kb are RE-DERIVED
+    from the host name (so the naming contract is itself under test)
+    and the slot-0 robots doc_id 60*kb + t keys the broadcast
+    semi-join — the shared fixture discipline at host granularity."""
+    from ..operators.sitemap import (
+        parse_sitemap_entries,
+        resolve_sitemap_index,
+    )
+    from ..sources.catalog import read_parquet
+
+    sitemaps = read_parquet(spark, SITEMAP_FIXTURE_PARQUET)
+    resolved = resolve_sitemap_index(parse_sitemap_entries(sitemaps))
+    keyed = resolved.withColumn(
+        "hkey",
+        F.lit(60) * F.regexp_extract("host", _HOST_KB, 1).cast("bigint")
+        + F.regexp_extract("host", _HOST_T, 1).cast("bigint"),
+    )
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 2000).alias("fid"))
+        .distinct()
+    )
+    return keyed.join(
+        F.broadcast(ids), keyed["hkey"] % 2000 == ids["fid"]
+    ).drop("fid", "hkey")
+
+
+@register(
+    "crawl_sitemap_urls",
+    oracle=f"""
+WITH {SMEXP_CTE}
+SELECT host, sitemap_url, via_index, loc, lastmod,
+       lastmod_epoch_us, changefreq, priority
+FROM smexp
+""",
+    doc="Sitemap ingestion (r17 — the discovery half of the crawl "
+    "front door; robots.txt names the sitemaps, the sitemaps seed "
+    "the frontier): from-spec sitemaps.org XML parse as pure codegen "
+    "(operators/sitemap.py) — regexp record split over <url>/"
+    "<sitemap> blocks, per-field extraction with the five XML "
+    "predefined entities unescaped (&amp; last, so &amp;lt; yields "
+    "literal &lt;), whitespace-anywhere tolerance, attributes "
+    "ignored; ONE host-keyed join flattens a sitemapindex level "
+    "(via_index records which index named the child); W3C lastmod "
+    "strings parse to UTC epochs via try_to_timestamp (date-only, "
+    "Z, and numeric-offset shapes — out-of-shape yields NULL beside "
+    "the visible string, never a silent coercion). CDATA/comments/"
+    "numeric refs/gzip are the documented fence. The committed "
+    "fixture (tools/gen_sitemap_fixture.py) composes 952 files over "
+    "the ROBOTS fixture's 680-host grid (every 5th host an index "
+    "splitting two children; pretty/compact, entity and absence "
+    "cycles); the sidecar records what was COMPOSED — including the "
+    "epoch each lastmod string was built from — so the hash match "
+    "proves parse, resolution, unescape and datetime handling "
+    "end-to-end. Plan: parquet scan -> codegen parse -> one "
+    "broadcast scope join + one host-keyed index join; no Python at "
+    "runtime.",
+    tags=("crawl", "sitemap", "ingest", "llm-pipeline"),
+)
+def crawl_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urls = scoped_sitemap_urls(spark, sf_dir)
+    return urls.select(
+        "host",
+        "sitemap_url",
+        "via_index",
+        "loc",
+        "lastmod",
+        F.unix_micros("lastmod_ts").alias("lastmod_epoch_us"),
+        "changefreq",
+        "priority",
+    )
+
+
+@register(
+    "crawl_sitemap_frontier",
+    oracle=f"""
+WITH {SMEXP_CTE}
+SELECT host, loc, path, lastmod_epoch_us,
+       exp_allowed AS allowed, exp_rule AS matched_rule,
+       exp_rule_len AS rule_len
+FROM smexp
+""",
+    doc="Sitemap -> robots discovery frontier (r17 — the crawl "
+    "chain's seeding step END-TO-END): parse every sitemap, resolve "
+    "indexes, extract each URL's path, and run it through the RFC "
+    "9309 folded verdict (operators/robots.py) against the robots "
+    "fixture's host rules — the exact decision a polite crawler "
+    "makes before seeding its frontier, with lastmod carried along "
+    "as the recrawl-priority signal. The sitemap and robots "
+    "fixtures share one composed host grid, and the sidecar's "
+    "verdict columns are construction knowledge from the robots "
+    "templates (the /sitemap-extra/ decoration path matches NO "
+    "template's rules by design), so the hash match proves XML "
+    "parse + index resolution + path extraction + group selection + "
+    "wildcard match + precedence agree with what was built — two "
+    "fixtures, one truth. Plan: codegen parse -> host-keyed rules "
+    "join -> in-row array_max; zero Python, no winner shuffle.",
+    tags=("crawl", "sitemap", "robots", "llm-pipeline"),
+)
+def crawl_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robots import (
+        parse_robots_rules,
+        robots_rules_by_host,
+        robots_verdicts_folded,
+    )
+    from ..sources.catalog import read_parquet
+
+    urls = scoped_sitemap_urls(spark, sf_dir).select(
+        "host",
+        "loc",
+        F.regexp_extract("loc", r"^https://[^/]+(/.*)$", 1).alias("path"),
+        F.unix_micros("lastmod_ts").alias("lastmod_epoch_us"),
+    )
+    bodies = (
+        read_parquet(spark, ROBOTS_FIXTURE_PARQUET)
+        .select("host", "robots_txt")
+        .distinct()
+    )
+    rules = robots_rules_by_host(
+        parse_robots_rules(bodies, ROBOTS_AGENT)
+    )
+    return robots_verdicts_folded(urls, rules)

@@ -266,6 +266,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_lang_id_served",
     "crawl_wet_to_index",
     "crawl_robots_filter",
+    "crawl_sitemap_urls",
+    "crawl_sitemap_frontier",
     # rule 2 — r17 semantically changed: the crawl chain decodes per
     # charset (+deflate, 10-template fixture); lang domain widened
     "ingest_warc_records",
@@ -287,10 +289,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "similarity_two_stage_topk",
     "part_name_fuzzy_pairs_lsh",
     # rule 5 — r16's stale block (fresh r16 evidence, kept as the
-    # relational/window/agg family reps; q18_large_orders rotated out
-    # mid-r17 to make room for crawl_robots_filter — the relational
-    # family keeps eight in-window reps)
-    "q11_top_spenders",
+    # relational/window/agg family reps; q18_large_orders and
+    # q11_top_spenders rotated out mid-r17 for crawl_robots_filter +
+    # crawl_sitemap_urls — the relational family keeps seven
+    # in-window reps)
     "q7_nation_trade_matrix",
     "q22_idle_rich_customers",
     "orders_trailing_7d_spend",
@@ -303,7 +305,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "search_positional_index",
     "curation_train_val_split",
     "orders_status_priority_cube",
-    "multimodal_audio_loudness",
+    # multimodal_audio_loudness rotated out mid-r17 for
+    # crawl_sitemap_frontier; multimodal stays repped by
+    # multimodal_video_frames
     "event_type_distinct_users_approx",
     "text_sentences_udtf",
     # graph rep (rule 3)

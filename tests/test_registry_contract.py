@@ -68,6 +68,8 @@ RAW_PATH_ORACLES = {
     "crawl_wet_to_index",  # r17: WET chain landed + indexed vs the sidecar
     "crawl_robots_filter",  # r17: committed robots fixture (composed verdicts)
     "streaming_robots_filter",  # r17: shares the robots verdict oracle
+    "crawl_sitemap_urls",  # r17: committed sitemap sidecar (composed)
+    "crawl_sitemap_frontier",  # r17: same sidecar, robots verdict columns
 }
 
 
