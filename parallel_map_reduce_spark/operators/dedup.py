@@ -84,12 +84,12 @@ def ordered_words(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "word", (F.col("pos") + 1).alias("seq"))
 
 
-def _shingles_of_words(wa: DataFrame, k: int) -> DataFrame:
-    """(doc_id, shingle) from a (doc_id, words ARRAY<STRING>) frame:
-    slice windows via ``transform(sequence(...))``, per-row
-    ``array_distinct`` (shingle distinctness is per-document, so no
-    global shuffle is needed), then a single explode. A projection —
-    no Exchange before the downstream hash."""
+def _shingle_array_col(k: int) -> F.Column:
+    """ARRAY<STRING> of the per-document DISTINCT k-token shingles,
+    from a ``words ARRAY<STRING>`` column: slice windows via
+    ``transform(sequence(...))``, per-row ``array_distinct`` (shingle
+    distinctness is per-document, so no global shuffle is needed).
+    Pure projection expression."""
     n_sh = F.size("words") - F.lit(k - 1)
     shingles = F.when(
         n_sh >= 1,
@@ -98,8 +98,43 @@ def _shingles_of_words(wa: DataFrame, k: int) -> DataFrame:
             lambda i: F.array_join(F.slice("words", i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(shingles)
+
+
+def _shingles_of_words(wa: DataFrame, k: int) -> DataFrame:
+    """(doc_id, shingle) from a (doc_id, words ARRAY<STRING>) frame:
+    the distinct-shingle array (``_shingle_array_col``) through a
+    single explode. A projection — no Exchange before the downstream
+    hash."""
     return wa.select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+        "doc_id", F.explode(_shingle_array_col(k)).alias("shingle")
+    )
+
+
+def _sized_shingles_of_words(wa: DataFrame, k: int) -> DataFrame:
+    """(doc_id, shingle, n) where n = the document's DISTINCT-shingle
+    count — the per-doc set size carried ON the exploded rows so no
+    separate sizes aggregation (a SECOND full scan + tokenize of the
+    corpus) is ever needed (r17 opt, guide §2.3: shuffle a few bytes
+    of metadata instead of re-deriving them with another pass).
+
+    The shingle array is lambda-BOUND (``transform(array(expr), a ->
+    ...)``) so ``size(a)`` and the exploded elements come from ONE
+    evaluation per input row. Referencing the raw expression from both
+    ``size(...)`` and ``explode(...)`` instead lets CollapseProject
+    push the whole tokenize+shingle pipeline into the post-Generate
+    projection, re-evaluating it once per EXPLODED row — measured 13x
+    slower at sf0.1 (16.9 s vs 1.26 s)."""
+    gen = F.transform(
+        F.array(_shingle_array_col(k)),
+        lambda a: F.transform(
+            a, lambda s: F.struct(s.alias("shingle"), F.size(a).alias("n"))
+        ),
+    )[0]
+    return wa.select("doc_id", F.explode(gen).alias("sn")).select(
+        "doc_id",
+        F.col("sn.shingle").alias("shingle"),
+        F.col("sn.n").alias("n"),
     )
 
 
@@ -125,6 +160,22 @@ def unicode_doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
         lambda w: F.length(w) > 0,
     )
     return _shingles_of_words(docs.select("doc_id", words.alias("words")), k)
+
+
+def unicode_doc_sized_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle, n) over UNICODE tokens — the sized form of
+    ``unicode_doc_shingles`` (see ``_sized_shingles_of_words``), so the
+    capped jaccard path needs no separate sizes pass for UTF-8 corpora
+    either."""
+    from .tokenize import UNICODE_SPLIT_REGEX
+
+    words = F.filter(
+        F.split(F.lower(F.col("text")), UNICODE_SPLIT_REGEX),
+        lambda w: F.length(w) > 0,
+    )
+    return _sized_shingles_of_words(
+        docs.select("doc_id", words.alias("words")), k
+    )
 
 
 # ---- exact dedup ----
@@ -333,6 +384,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     df_cap: int | None = JACCARD_SHINGLE_DF_CAP,
     shingles: DataFrame | None = None,
+    sized_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): Jaccard over 3-token shingle sets via
     inverted-index self-join (only pairs sharing ≥1 surviving shingle are
@@ -353,21 +405,66 @@ def ngram_jaccard_pairs(
 
     ``shingles`` overrides the default ASCII shingle source (e.g.
     unicode_doc_shingles for UTF-8 corpora) — the pair machinery is
-    script-agnostic.
+    script-agnostic. ``sized_shingles`` is the (doc_id, shingle, n)
+    form (``_sized_shingles_of_words``) for the capped path.
     """
-    sh = shingles if shingles is not None else doc_shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # Posting-list formulation: ONE shuffle on shingle builds the posting
-    # list; the df cap filters it in place (no separate df group-by, no
-    # anti-join); co-occurring pairs come from a per-row array
-    # self-product (explode), bounded by cap² per shingle — skew is
-    # bounded by construction, not just mitigated.
-    if df_cap is not None:
+    # Capped path (r17 opt): the per-doc set size n rides the exploded
+    # shingle rows (guide §2.3 — a few metadata bytes through the one
+    # existing shuffle), so the old separate sizes aggregation — a
+    # SECOND full scan + tokenize of the corpus — and the two size
+    # joins at the tail disappear. Plan: 4 Exchanges + 2 joins → 2
+    # Exchanges + 0 joins; values identical (n is the same distinct
+    # count either way, jaccard arithmetic unchanged).
+    if df_cap is not None and shingles is None:
+        sh = (
+            sized_shingles
+            if sized_shingles is not None
+            else _sized_shingles_of_words(clean_words_array(docs), SHINGLE_K)
+        )
         # repartition-first: complete-mode aggregate after the exchange —
         # map-side partial collect_list has zero combine benefit on
         # distinct (shingle, doc_id) pairs and buffers each task's whole
         # input as JVM object arrays (the 1024x OOM shape found when the
         # bench started materializing honestly; see build_postings).
+        postings = (
+            sh.repartition("shingle")
+            .groupBy("shingle")
+            .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        )
+        postings = postings.filter(F.size("ds") <= df_cap)
+        pair_arr = F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("doc_a"),
+                        x["n"].alias("na"),
+                        y["doc_id"].alias("doc_b"),
+                        y["n"].alias("nb"),
+                    ),
+                ),
+            )
+        )
+        inter = (
+            postings.select(F.explode(pair_arr).alias("p"))
+            .select("p.doc_a", "p.na", "p.doc_b", "p.nb")
+            # na/nb are functionally dependent on doc_a/doc_b — extra
+            # group keys, same groups, and the sizes arrive for free.
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count("*").alias("inter"))
+        )
+        jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        return inter.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
+    sh = shingles if shingles is not None else doc_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    if df_cap is not None:
+        # Capped with a row-form ``shingles`` override: posting-list
+        # formulation with the separate sizes aggregate (the override
+        # has no per-row size; callers pin the override so the two
+        # references share one computation).
         postings = (
             sh.repartition("shingle")
             .groupBy("shingle")

@@ -40,6 +40,22 @@ def _graph_nodes(edges: DataFrame) -> DataFrame:
     )
 
 
+def symmetric_nodes(edges: DataFrame) -> DataFrame:
+    """Node set of a SYMMETRIZED edge list, materialized (node-sized).
+
+    On a symmetrized list every node appears as src, so distinct(src)
+    equals distinct(src ∪ dst) — half the scan and one union arm less
+    than ``_graph_nodes`` (guide §2.4: don't compute what a constraint
+    already gives you). Callers on the ``symmetric=True`` paths share
+    this frame for both the loop init and any node-count scaling, so
+    the node set is computed exactly once per query."""
+    return (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def _pagerank_loop(
     out_edges: DataFrame,
     nodes: DataFrame,
@@ -111,6 +127,7 @@ def pagerank_prepared(
     iters: int = PR_ITERS,
     ckpt_every: int = PR_CKPT_EVERY,
     symmetric: bool = False,
+    nodes: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank served from a PRE-MATERIALIZED static (src, dst, deg)
     table — the 100 TB serving shape: the caller writes the edge table
@@ -120,8 +137,15 @@ def pagerank_prepared(
     move only node-sized rank vectors, never edges. The degree join is
     paid at write time, not per run. Same fixed-iteration semantics as
     ``pagerank`` (values equal to double-sum round-off; pinned in
-    tests/test_graph.py)."""
-    nodes = _graph_nodes(out_edges)
+    tests/test_graph.py).
+
+    ``nodes`` lets a caller that already materialized the node set (for
+    count-based output scaling, say) pass it in instead of paying a
+    second derivation; by default ``symmetric=True`` derives it via the
+    cheaper distinct-src form (``symmetric_nodes`` — identical set on a
+    symmetrized list, half the scan of ``_graph_nodes``)."""
+    if nodes is None:
+        nodes = symmetric_nodes(out_edges) if symmetric else _graph_nodes(out_edges)
     return _pagerank_loop(out_edges, nodes, iters, ckpt_every, symmetric=symmetric)
 
 
@@ -290,5 +314,9 @@ def label_propagation_prepared(
     writes the (symmetrized) edge list once, hash-bucketed on src, and
     each round's edges⋈labels join satisfies its edge-side
     distribution from the bucket layout; only label-sized frames move.
-    Same fixed-round semantics as ``label_propagation``."""
-    return _lpa_loop(edges, _graph_nodes(edges), iters, symmetric=symmetric)
+    Same fixed-round semantics as ``label_propagation``. On
+    ``symmetric=True`` the node set derives via the cheaper
+    distinct-src form (``symmetric_nodes`` — identical set on a
+    symmetrized list)."""
+    nodes = symmetric_nodes(edges) if symmetric else _graph_nodes(edges)
+    return _lpa_loop(edges, nodes, iters, symmetric=symmetric)

@@ -993,15 +993,15 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_JACCARD_THRESHOLD}
 )
 def dedup_unicode_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     udocs = scoped_unicode_docs(spark, sf_dir)
-    # pin(): the shingle frame feeds sizes AND postings — without it
-    # each reference re-expands the scope-join + shingle subplan
-    # (plan audit showed 7 Exchanges vs the ASCII sibling's 4)
-    from ..registry import pin
-
+    # r17 opt: the sized shingle form carries each doc's set size on
+    # the exploded rows, so the shingle subplan has exactly ONE
+    # consumer — the old pin() (which existed because sizes AND
+    # postings both read it) and the two size joins are gone with the
+    # sizes aggregation itself (5 Exchanges + pin → 2 Exchanges).
     return D.ngram_jaccard_pairs(
         udocs,
         threshold=_JACCARD_THRESHOLD,
-        shingles=pin(D.unicode_doc_shingles(udocs)),
+        sized_shingles=D.unicode_doc_sized_shingles(udocs),
     )
 
 

@@ -119,11 +119,15 @@ FROM pr{G.PR_ITERS} p CROSS JOIN nn
 )
 def trade_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_edges = _bucketed_trade_edges(spark, sf_dir)
-    ranks = G.pagerank_prepared(out_edges, symmetric=True)
-    # Node count for the output scaling: every node of the symmetrized
-    # graph appears as src, so this is a node-sized distinct over the
-    # bucketed table — NOT a full pipeline execution.
-    n = out_edges.select("src").distinct().count()
+    # ONE node-set derivation for both the loop init and the output
+    # scaling (r17 opt, guide §2.4): the checkpointed distinct-src
+    # frame is shared, where previously the build ran distinct(src∪dst)
+    # + checkpoint for the loop AND a second distinct(src) + count for
+    # the scaling — two edge-table distinct jobs collapsed into one
+    # (~0.65 s of the 3.3 s warm wall at sf0.1/local[32]).
+    nodes = G.symmetric_nodes(out_edges)
+    n = nodes.count()
+    ranks = G.pagerank_prepared(out_edges, symmetric=True, nodes=nodes)
     return ranks.select(
         "node", F.round(F.col("rank") * n, 6).alias("rank_scaled")
     )
