@@ -370,12 +370,15 @@ SELECT query_id, vec_id, cos, rank FROM (
 ) WHERE rank <= {_K}
 """,
     doc="Two-stage retrieval: stage 1 scores every candidate against the "
-    "int8-quantized store (4x less IO at 100 TB; broadcast queries, no "
-    "corpus shuffle) keeping a k*overfetch shortlist; stage 2 fetches "
-    "full-precision vectors only for the shortlist and re-ranks by "
-    "exact cosine. Deterministic end-to-end (integer code dots exact "
-    "in doubles, vec_id tie-breaks), so the oracle replays both stages "
-    "in SQL. operators/similarity.py:two_stage_topk.",
+    "int8-quantized store (4x less IO at 100 TB; the query-code batch "
+    "is bounded driver metadata captured into an Arrow GEMM kernel — "
+    "one int64 matrix multiply per store partition, no corpus shuffle, "
+    "no pair-row materialization) keeping a k*overfetch shortlist; "
+    "stage 2 fetches full-precision vectors only for the shortlist and "
+    "re-ranks by exact cosine. Deterministic end-to-end (integer code "
+    "dots are order-independent in doubles, vec_id tie-breaks), so the "
+    "oracle replays both stages in SQL. "
+    "operators/similarity.py:two_stage_topk.",
     tags=("similarity", "ann", "topk", "compression"),
 )
 def similarity_two_stage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

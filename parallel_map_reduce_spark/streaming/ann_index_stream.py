@@ -59,7 +59,11 @@ def run_ivfpq_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(store, ignore_errors=True)
 
     staging = _staging_dir(sf_dir, table="embeddings")
-    schema = spark.read.parquet(staging).schema
+    # memoized schema probe (catalog.read_parquet): zero-job on warm
+    # rebuilds of the same source version
+    from ..sources.catalog import read_parquet
+
+    schema = read_parquet(spark, staging).schema
     stream = spark.readStream.schema(schema).parquet(staging)
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:

@@ -52,7 +52,11 @@ def read_orders_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ensure_session_confs(spark)
     staging = _staging_dir(sf_dir, table="orders")
-    probed = spark.read.parquet(staging).schema
+    # memoized schema probe (catalog.read_parquet): zero-job on warm
+    # rebuilds of the same source version
+    from ..sources.catalog import read_parquet
+
+    probed = read_parquet(spark, staging).schema
     return spark.readStream.schema(probed).parquet(staging)
 
 

@@ -90,8 +90,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Probe the files with a batch read so the declared stream schema
     # matches THIS Spark version's parquet-nanos behavior (see
     # EVENTS_RAW_SCHEMA note) — a mismatched declared type silently
-    # reinterprets the column instead of erroring.
-    probed = spark.read.parquet(staging).schema
+    # reinterprets the column instead of erroring. Through the
+    # catalog's schema memo (r17 opt): only the first build of a given
+    # source version pays the footer-inference job (~0.1 s per drain
+    # build otherwise), and a restaged source still re-infers.
+    from ..sources.catalog import read_parquet
+
+    probed = read_parquet(spark, staging).schema
     # No maxFilesPerTrigger: an availableNow drain of a static staging dir
     # should process everything in ONE micro-batch — per-file micro-batching
     # here only multiplies trigger overhead (and would make the complete-mode

@@ -155,6 +155,8 @@ EAGER_BUILD_OK = {
     "(global_cumsum prefix decomposition)",
     "similarity_two_stage_ivf_topk": "k-row centroid collect for probe "
     "selection (memoized per index artifact)",
+    "similarity_two_stage_topk": "bounded query-batch collect "
+    "(|corpus|/50 rows) captured into the Arrow GEMM coarse stage",
     "crawl_wet_to_index": "WET artifact build + catalog landing: writes "
     "the conversion WARC files, re-reads them, lands the parquet table "
     "the index then reads (cold-cache artifact class)",
