@@ -66,22 +66,36 @@ def _train_filter(df: DataFrame) -> DataFrame:
 
 def doc_trigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, lang, g): every char trigram of the folded, padded
-    text — flat codegen projection + explode, no shuffle."""
+    text — flat projection + explode, no shuffle.
+
+    The folded text is lambda-BOUND (``transform(array(folded), t ->
+    ...)``) so the lower+regexp_replace fold runs ONCE per document
+    (r17 opt). The previous form referenced the ``folded`` expression
+    from inside the per-element transform lambda, and higher-order
+    functions re-evaluate their lambda body's non-lambda subtrees per
+    ELEMENT — an O(len²) regex fold per document, measured 5.4 s vs
+    0.68 s for this projection alone at sf0.1/local[32], identical
+    output."""
     folded = F.concat(
         F.lit(" "),
         F.regexp_replace(F.lower(F.col(text_col)), FOLD_REGEX, " "),
         F.lit(" "),
     )
-    idx = F.when(
-        F.length(folded) >= 3, F.sequence(F.lit(1), F.length(folded) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.filter(
-        F.transform(idx, lambda i: F.substring(folded, i, F.lit(3))),
-        # all-space trigram = text with no letters at all (runs
-        # collapse, so it can only arise from fully-folded text) —
-        # excluded so letterless input yields NO trigrams, not noise
-        lambda g: g != "   ",
-    )
+    grams = F.transform(
+        F.array(folded),
+        lambda t: F.filter(
+            F.transform(
+                F.when(
+                    F.length(t) >= 3, F.sequence(F.lit(1), F.length(t) - 2)
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.substring(t, i, F.lit(3)),
+            ),
+            # all-space trigram = text with no letters at all (runs
+            # collapse, so it can only arise from fully-folded text) —
+            # excluded so letterless input yields NO trigrams, not noise
+            lambda g: g != "   ",
+        ),
+    )[0]
     return docs.select(
         "doc_id", "lang", F.explode(grams).alias("g")
     )
