@@ -881,6 +881,63 @@ def two_stage_ivf_topk_indexed(
 SEMDEDUP_THRESHOLD = 0.95
 
 
+def _semdedup_pairs_kernel(threshold: float):
+    """Arrow-batch kernel factory for SemDeDup's within-cluster pair
+    generation: buffer the task's (vec_id, embedding, nrm,
+    centroid_id) rows (clusters are co-located by the upstream
+    centroid_id repartition and partition-sized by design), then per
+    cluster compute all pairwise cosines with numpy elementwise ops
+    accumulated one dimension at a time — the same left-to-right
+    order as the ``dot`` expression fold, so emitted pairs are
+    bit-identical to the self-join form. Rows are processed in
+    1024-row blocks so the cos matrix stays bounded at block ×
+    cluster size."""
+
+    def pairs_fn(it):
+        import numpy as np
+        import pyarrow as pa
+
+        by_cid: dict[int, list] = {}
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            cids = batch.column("centroid_id").to_numpy()
+            ids = batch.column("vec_id").to_numpy()
+            nrms = batch.column("nrm").to_numpy()
+            embs = np.stack(
+                batch.column("embedding").to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            for cid in np.unique(cids):
+                sel = cids == cid
+                by_cid.setdefault(int(cid), []).append(
+                    (ids[sel], embs[sel], nrms[sel])
+                )
+        for cid, chunks in by_cid.items():
+            ids = np.concatenate([c[0] for c in chunks]).astype(np.int64)
+            x = np.vstack([c[1] for c in chunks])
+            nrm = np.concatenate([c[2] for c in chunks])
+            n, dim = x.shape
+            if n < 2:
+                continue
+            for lo in range(0, n, 1024):
+                hi = min(lo + 1024, n)
+                acc = np.zeros((hi - lo, n))
+                for i in range(dim):  # sequential: matches the fold
+                    acc = acc + x[lo:hi, i : i + 1] * x[:, i]
+                cos = acc / (nrm[lo:hi, None] * nrm[None, :])
+                ai, bi = np.nonzero(
+                    (cos >= threshold) & (ids[lo:hi, None] < ids[None, :])
+                )
+                if ai.size == 0:
+                    continue
+                yield pa.record_batch(
+                    [pa.array(ids[lo + ai]), pa.array(ids[bi])],
+                    names=["doc_a", "doc_b"],
+                )
+
+    return pairs_fn
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = SEMDEDUP_THRESHOLD,
@@ -913,23 +970,15 @@ def semantic_dedup(
     assigned = _assign_to_centroids(e, cents).select(
         "vec_id", "embedding", "nrm", "centroid_id"
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.centroid_id") == F.col("b.centroid_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn(
-            "cos",
-            dot(F.col("a.embedding"), F.col("b.embedding"))
-            / (F.col("a.nrm") * F.col("b.nrm")),
-        )
-        .filter(F.col("cos") >= threshold)
-        .select(
-            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
-        )
+    # Within-cluster pairing as ONE Arrow hop (r17 opt, guide §4.2):
+    # the self-join form materialized O(n_c²) pair rows and paid an
+    # interpreted 64-dim cosine fold per pair. Each cluster's rows are
+    # co-located by the centroid_id repartition, and the kernel
+    # accumulates the pair dots one dimension at a time (left to
+    # right) so every cosine is bit-identical to the dot/l2_norm
+    # expression fold — within-cluster recall contracts unchanged.
+    pairs = assigned.repartition("centroid_id").mapInArrow(
+        _semdedup_pairs_kernel(threshold), "doc_a bigint, doc_b bigint"
     )
     comps = connected_components(pairs)
     return (
