@@ -108,13 +108,16 @@ def test_events_reads_prune_columns(plans):
 
 
 def test_ngram_jaccard_bounded_shuffles(plans):
-    """Posting-list formulation: shingle group-by, pair count, and the
-    doc-size aggregation are the only shuffles; the size lookups join as
-    broadcasts and no pair stream is ever cross-joined."""
+    """Posting-list formulation (r17): the per-doc set size rides the
+    exploded shingle rows, so the ONLY shuffles are the shingle
+    group-by and the pair count — no separate sizes aggregation (a
+    second corpus scan), no size joins at all, and no pair stream is
+    ever cross-joined."""
     p = plans("dedup_ngram_jaccard")
     assert "CartesianProduct" not in p
-    assert p.count("BroadcastHashJoin") >= 2, "size lookups must broadcast"
-    assert p.count("Exchange hashpartitioning") <= 4
+    assert "Join" not in p, "sizes must ride the rows, not join back"
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert p.count("Scan parquet") == 1, "one corpus scan only"
 
 
 def test_ann_lsh_no_cartesian(plans):
