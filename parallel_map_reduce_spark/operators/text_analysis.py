@@ -508,8 +508,14 @@ def lm_perplexity_scores(docs: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("cw"))
     )
     voc = unic.agg(F.count("*").cast("bigint").alias("v"))
-    grams = staged.select(
-        "doc_id", F.explode(_ngrams(F.col("words"), 2)).alias("bigram")
+    # Pinned (r17 opt): the bigram-instance frame feeds the corpus
+    # bigram table AND the scored join — without the pin each
+    # reference re-ran the tokenize+ngram explode over the corpus
+    # (a second full scan at 100 TB; locally ~ −5%).
+    grams = pin(
+        staged.select(
+            "doc_id", F.explode(_ngrams(F.col("words"), 2)).alias("bigram")
+        )
     )
     bic = grams.groupBy("bigram").agg(F.count("*").cast("bigint").alias("c"))
     w1 = F.split("bigram", " ")[0]
