@@ -194,21 +194,111 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 # ---- MinHash + LSH ----
 
 
+def _minhash_rows_fn():
+    """Arrow-batch kernel factory for ``_minhash_wide``: per document,
+    tokenize → distinct 3-token shingles → md5-derived 32-bit shingle
+    hash → the 16 affine mins, all inside one Python hop (guide §4.2 —
+    hand whole batches to native code instead of five JVM stages and a
+    doc_id exchange). Exactness, piece by piece:
+
+    - tokenize: Spark splits on ``[ \\t\\n]+`` THEN strips
+      ``[^A-Za-z]`` per token and lowercases. Stripping
+      ``[^A-Za-z \\t\\n]`` from the whole text first is equivalent
+      (removal never touches a separator, so token boundaries are
+      unchanged), and lowercasing AFTER the strip only ever sees ASCII
+      — replicating Spark's strip-then-lower order exactly (lowering
+      first would let Unicode case-folding mint ASCII letters, e.g.
+      İ → i̇, that the engine's order deletes).
+    - shingle hash: ``int(md5(utf8)[:8], 16)`` == conv(substring(
+      md5, 1, 8), 16, 10) — integer-exact; memoized per task (shingles
+      repeat across documents; the JVM expression re-hashes every row).
+    - mins: seeds < 10^6 and hv < 2^32, so a*hv+b < 2^52 — exact in
+      int64, no overflow, both operands positive so ``%`` agrees
+      between numpy and the JVM.
+    - docs whose cleaned text yields no shingle (< k words or NULL)
+      produce NO output row, matching the groupBy-over-zero-rows
+      absence of the aggregate form.
+
+    numpy/pyarrow/re imports live in the closure so executors resolve
+    them at first call; the md5 memo is per task (guide §4.5)."""
+    k = SHINGLE_K
+    seeds_a = [a for a, _ in MINHASH_SEEDS]
+    seeds_b = [b for _, b in MINHASH_SEEDS]
+    prime = MINHASH_PRIME
+
+    def rows_fn(it):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        strip_re = re.compile(r"[^A-Za-z \t\n]")
+        split_re = re.compile(r"[ \t\n]+")
+        a_col = np.array(seeds_a, dtype=np.int64)[:, None]
+        b_col = np.array(seeds_b, dtype=np.int64)[:, None]
+        memo: dict[str, int] = {}
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_ids: list[int] = []
+            out_mins: list[np.ndarray] = []
+            for doc_id, text in zip(doc_ids, texts):
+                if not text:
+                    continue
+                words = [
+                    w
+                    for w in split_re.split(strip_re.sub("", text).lower())
+                    if w
+                ]
+                if len(words) < k:
+                    continue
+                shingles = {
+                    " ".join(words[i : i + k])
+                    for i in range(len(words) - k + 1)
+                }
+                hv = np.empty(len(shingles), dtype=np.int64)
+                for i, s in enumerate(shingles):
+                    h = memo.get(s)
+                    if h is None:
+                        h = int(
+                            hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16
+                        )
+                        memo[s] = h
+                    hv[i] = h
+                out_ids.append(doc_id)
+                out_mins.append(((a_col * hv[None, :] + b_col) % prime).min(axis=1))
+            if not out_ids:
+                continue
+            mins = np.stack(out_mins)
+            yield pa.record_batch(
+                [pa.array(np.asarray(out_ids, dtype=np.int64))]
+                + [pa.array(mins[:, j]) for j in range(len(seeds_a))],
+                names=["doc_id"] + [f"m{j}" for j in range(len(seeds_a))],
+            )
+
+    return rows_fn
+
+
 def _minhash_wide(docs: DataFrame) -> DataFrame:
     """(doc_id, m0..m{N-1}): the full minhash signature as ONE wide row
-    per document, computed as N_HASHES PARALLEL AGGREGATES in a single
-    doc_id groupBy — each shingle row flows through the hash aggregate
-    once carrying 16 running mins, instead of being exploded 16× into
-    (doc, j) keyed rows (r12: the explode was pure row churn; same
-    math, same one exchange, ~16× fewer rows through the hot stage)."""
-    sh = doc_shingles(docs).withColumn("hv", md5_i32("shingle"))
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(a) * F.col("hv") + F.lit(b)) % F.lit(MINHASH_PRIME)
-            ).alias(f"m{j}")
-            for j, (a, b) in enumerate(MINHASH_SEEDS)
-        ]
+    per document. r18 opt (guide §4.2 + §2.4): one Arrow hop computes
+    tokenize → distinct shingles → shingle md5 → 16 affine mins per
+    document, replacing the explode(shingles) → JVM md5 → 16-parallel-
+    aggregate → doc_id Exchange pipeline (r12's shape). Values are
+    bit-identical by construction (integer-exact md5/affine math,
+    token semantics replicated strip-then-lower — see
+    ``_minhash_rows_fn``), and the doc_id exchange is GONE: signatures
+    are a per-document function, so they now derive at scan speed with
+    zero shuffles (at 100 TB this removes a corpus-wide shuffle from
+    every minhash consumer). Only (doc_id, text) crosses the Python
+    boundary."""
+    return docs.select("doc_id", "text").mapInArrow(
+        _minhash_rows_fn(),
+        "doc_id bigint, "
+        + ", ".join(f"m{j} bigint" for j in range(len(MINHASH_SEEDS))),
     )
 
 

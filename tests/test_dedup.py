@@ -10,6 +10,7 @@ the rework exists for — no Exchange where none is needed.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from parallel_map_reduce_spark.operators import dedup as D
 from parallel_map_reduce_spark.operators.text_analysis import fingerprints
@@ -44,9 +45,34 @@ def test_doc_shingles_plan_has_no_exchange(spark, docs):
     assert "Exchange" not in _plan(D.doc_shingles(docs))
 
 
-def test_minhash_single_exchange(spark, docs):
-    """The only shuffle in minhash signatures is the (doc_id, j) group-by."""
-    assert _plan(D.minhash_signatures(docs)).count("Exchange hashpartitioning") == 1
+def test_minhash_zero_exchange(spark, docs):
+    """Minhash signatures are a per-document function computed in one
+    Arrow hop (r18 opt): zero shuffles, and only (doc_id, text) may
+    cross the Python boundary."""
+    plan = _plan(D.minhash_signatures(docs))
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan
+
+
+def test_minhash_kernel_matches_aggregate_form(spark, docs):
+    """The Arrow kernel is bit-identical to the r12 explode+aggregate
+    formulation it replaced (tokenize/md5/affine-min replica)."""
+    from parallel_map_reduce_spark.functions.hashing import md5_i32
+
+    sh = D.doc_shingles(docs).withColumn("hv", md5_i32("shingle"))
+    agg_form = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("hv") + F.lit(b)) % F.lit(D.MINHASH_PRIME)
+            ).alias(f"m{j}")
+            for j, (a, b) in enumerate(D.MINHASH_SEEDS)
+        ]
+    )
+    kernel_form = D._minhash_wide(docs)
+    assert agg_form.schema == kernel_form.schema
+    assert kernel_form.exceptAll(agg_form).count() == 0
+    assert agg_form.exceptAll(kernel_form).count() == 0
+    assert kernel_form.count() > 0
 
 
 def test_jaccard_cap_is_lossless_at_test_scale(spark, docs):

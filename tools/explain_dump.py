@@ -1,8 +1,8 @@
 """Dump ``.explain("formatted")`` for named registry queries to files.
 
 Optimization-round evidence capture (guide §1): writes
-``plans/r17/<query>_<tag>.txt`` for each named query so plan-shape
-claims in OPTIMIZATION_r17.md are diffable artifacts, not prose.
+``plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt`` (default r18) for each named query so plan-shape
+claims in OPTIMIZATION_<round>.md are diffable artifacts, not prose.
 
 Usage: python tools/explain_dump.py <tag> [sf_dir] <query> [query ...]
     tag     "before" / "after" (file suffix)
@@ -26,7 +26,7 @@ def main() -> int:
     if rest and os.path.isdir(rest[0]):
         sf_dir, rest = rest[0], rest[1:]
     names = rest
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r17")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r18"))
     os.makedirs(out_dir, exist_ok=True)
 
     from pyspark.sql import SparkSession
