@@ -617,10 +617,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     per-round plan shape; plain propagation is the right default for
     dedup graphs.
     """
-    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    edges = sym.union(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    # Symmetrize with ONE explode instead of a self-union (r18 opt,
+    # guide §5 duplicated subtrees): the union form embedded the whole
+    # candidate-pair subplan twice in the checkpoint job (correct only
+    # as fast as exchange reuse happened to make it); the explode form
+    # executes it exactly once by construction.
+    both = F.explode(
+        F.array(
+            F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+            F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+        )
+    )
+    edges = (
+        pairs.select(both.alias("e"))
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -628,24 +640,33 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
+        # ONE join + ONE aggregate per round (r18 opt, guide §2.4: two
+        # operations keyed the same way share one exchange): neighbor
+        # labels and each node's own label flow through the same
+        # node-keyed aggregate, which yields the new label (min over
+        # own ∪ neighbors) AND the old label (the unique own row) in
+        # one pass — the old form paid a second join to re-attach the
+        # own label. chg = (new < old), identical to the old
+        # (nbr_min < label) flag: both are true iff some neighbor
+        # label undercuts the node's own.
+        own = labels.select(
+            F.col("doc_id").alias("src"), "label", F.lit(True).alias("is_own")
+        )
         nbr = (
             edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
+            .select("src", "label", F.lit(False).alias("is_own"))
         )
-        # Carry a per-row changed flag instead of re-joining old vs new
-        # labels afterwards: one checkpointed frame, one tiny agg action
-        # per round instead of a join + count.
         new_labels = (
-            labels.join(nbr, labels.doc_id == nbr.src, "left")
+            own.unionAll(nbr)
+            .groupBy("src")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("is_own"), F.col("label"))).alias("old"),
+            )
             .select(
-                labels.doc_id,
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-                (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label"))
-                .cast("int")
-                .alias("chg"),
+                F.col("src").alias("doc_id"),
+                "label",
+                (F.col("label") < F.col("old")).cast("int").alias("chg"),
             )
             .localCheckpoint(eager=True)
         )

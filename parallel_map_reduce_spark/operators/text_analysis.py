@@ -137,6 +137,127 @@ WINNOW_K = 8  # character k-gram length
 WINNOW_W = 4  # winnowing window (hashes per window)
 
 
+def _winnow_fn(k: int, w: int):
+    """Arrow-batch kernel factory for ``winnowing_fingerprints``: per
+    document, hash every k-char gram (md5-derived 32-bit, the dedup
+    family hash), take the min of each w-hash window, and emit the
+    sorted distinct selection — the whole per-position pipeline in one
+    Python hop (guide §4.2). Exactness:
+
+    - gram hash: ``int.from_bytes(md5(utf8).digest()[:4], 'big')`` ==
+      conv(substring(md5, 1, 8), 16, 10) — integer-exact.
+    - Spark's length/substring are code-point based; Python str
+      slicing is too. The fast path additionally requires ASCII (one
+      byte per code point) before touching bytes; non-ASCII rows take
+      a per-position replica loop with identical values.
+    - distinct gram hashes are computed once per distinct gram
+      (np.unique over the uint64 gram view + a per-task memo) — the
+      JVM expression re-hashed every position.
+    - rows with no gram (len < k) or no window (grams < w) emit
+      (0, ''), matching the when()-guarded empty arrays they replace.
+
+    numpy/pyarrow/hashlib imports live in the closure (guide §4.5);
+    the memo is capped so a pathological corpus cannot grow task
+    memory without bound."""
+
+    def fn(it):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        strip_re = re.compile(r"[^A-Za-z \t\n]")
+        split_re = re.compile(r"[ \t\n]+")
+        memo: dict[bytes, int] = {}
+        memo_cap = 4_000_000
+
+        def gram_hash(gb: bytes) -> int:
+            h = memo.get(gb)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(gb).digest()[:4], "big")
+                if len(memo) < memo_cap:
+                    memo[gb] = h
+            return h
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column("text").to_pylist()
+            out_n: list[int] = []
+            out_t: list[str] = []
+            for text in texts:
+                # Normalization replica of the JVM array projection it
+                # replaces: split on [ \t\n]+, strip [^A-Za-z] per
+                # token, lowercase, drop empties, re-join with ' ' —
+                # computed as a global strip-then-lower (exact: removal
+                # never touches a separator; lowering after the strip
+                # only sees ASCII — the _minhash_rows_fn argument).
+                s = (
+                    " ".join(
+                        w
+                        for w in split_re.split(
+                            strip_re.sub("", text).lower()
+                        )
+                        if w
+                    )
+                    if text
+                    else ""
+                )
+                if not s or len(s) < k:
+                    out_n.append(0)
+                    out_t.append("")
+                    continue
+                n_grams = len(s) - k + 1
+                if s.isascii() and k == 8:  # gram fits one uint64 word
+                    b = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+                    gu = (
+                        sliding_window_view(b, k)
+                        .copy()
+                        .view(np.uint64)
+                        .ravel()
+                    )
+                    uniq, first, inv = np.unique(
+                        gu, return_index=True, return_inverse=True
+                    )
+                    uh = np.fromiter(
+                        (
+                            gram_hash(s[i : i + k].encode("ascii"))
+                            for i in first
+                        ),
+                        dtype=np.int64,
+                        count=len(uniq),
+                    )
+                    hs = uh[inv]
+                else:
+                    hs = np.fromiter(
+                        (
+                            gram_hash(s[i : i + k].encode("utf-8"))
+                            for i in range(n_grams)
+                        ),
+                        dtype=np.int64,
+                        count=n_grams,
+                    )
+                if len(hs) < w:
+                    out_n.append(0)
+                    out_t.append("")
+                    continue
+                fps = np.unique(sliding_window_view(hs, w).min(axis=1))
+                out_n.append(len(fps))
+                out_t.append(" ".join(map(str, fps.tolist())))
+            yield pa.record_batch(
+                [
+                    batch.column("doc_id"),
+                    pa.array(out_n, type=pa.int64()),
+                    pa.array(out_t, type=pa.string()),
+                ],
+                names=["doc_id", "n_fingerprints", "fingerprints"],
+            )
+
+    return fn
+
+
 def winnowing_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
     """(doc_id, n_fingerprints, fingerprints): rolling-hash document
     fingerprints via winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 —
@@ -147,48 +268,20 @@ def winnowing_fingerprints(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
     selected hashes is the fingerprint. Guarantees every match of length
     ≥ k+w-1 shares a fingerprint, at ~2/(w+1) sample rate.
 
-    Entirely array higher-order functions — zero shuffle, scan-speed,
-    same md5-derived 32-bit hash as the dedup family so the DuckDB
-    oracle reproduces it exactly.
+    The whole pipeline — normalization, per-position md5, sliding-min
+    selection — runs in ONE Arrow hop (r18 opt, guide §4.2: the r17
+    form paid an interpreted CodegenFallback transform per token AND
+    per position plus a JVM md5 per gram; the kernel normalizes with
+    two C-regex passes, hashes each DISTINCT gram once, and vectorizes
+    the window mins). Zero shuffle, scan-speed, same md5-derived
+    32-bit hash as the dedup family so the DuckDB oracle reproduces it
+    exactly; values bit-identical (integer-exact hashing, exact
+    tokenizer replica — _winnow_fn). Only (doc_id, text) crosses the
+    Python boundary.
     """
-    cleaned = F.transform(F.split("text", TOKEN_SPLIT_REGEX), lambda t: clean_word_col(t))
-    norm = F.array_join(F.filter(cleaned, lambda x: F.length(x) > 0), " ")
-    with_norm = docs.select("doc_id", norm.alias("norm_text"))
-    n_grams = F.length("norm_text") - F.lit(k - 1)
-    hashes = F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.conv(
-                F.substring(F.md5(F.substring("norm_text", i, k)), 1, 8), 16, 10
-            ).cast("bigint"),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    hashed = with_norm.select("doc_id", hashes.alias("hs"))
-    n_windows = F.size("hs") - F.lit(w - 1)
-    mins = F.when(
-        n_windows >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda j: F.array_min(F.slice("hs", j, w)),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    # fps lambda-bound: size() and array_join() read ONE evaluation of
-    # the sliding-min pipeline — HOF projections are CodegenFallback,
-    # so without the binding the two references each re-ran the O(n*w)
-    # mins transform per row (r17 opt, −11%; the remaining wall is the
-    # per-position md5 the oracle contract pins).
-    fps_bound = F.transform(
-        F.array(F.array_sort(F.array_distinct(mins))),
-        lambda a: F.struct(
-            F.size(a).cast("bigint").alias("n"),
-            F.array_join(a, " ").alias("t"),
-        ),
-    )[0]
-    return hashed.select("doc_id", fps_bound.alias("s")).select(
-        "doc_id",
-        F.col("s.n").alias("n_fingerprints"),
-        F.col("s.t").alias("fingerprints"),
+    return docs.select("doc_id", "text").mapInArrow(
+        _winnow_fn(k, w),
+        "doc_id bigint, n_fingerprints bigint, fingerprints string",
     )
 
 
