@@ -764,8 +764,33 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for i in range(n_merges):
-        best = (
+    # r18 opt: one TakeOrdered action can certify SEVERAL sequential
+    # merges (guide §1.2 — fewer driver-round-trip jobs for the same
+    # algorithm). Fetch the top-K pair counts, accept the argmax, then
+    # keep accepting the NEXT rows in (freq DESC, l ASC, r ASC) order
+    # while the driver can PROVE each would still be the argmax after
+    # the earlier accepted merges:
+    #  (1) symbol-disjointness: the candidate's symbols appear in no
+    #      accepted merge's {a, b, ab}. Merging (a,b)→ab only destroys
+    #      pairs touching a or b and only creates pairs touching ab,
+    #      so a disjoint pair's count is INVARIANT under the batch —
+    #      the candidate's collected count and rank among untouched
+    #      pairs are still exact.
+    #  (2) created-pair dominance: any adjacency that exists after the
+    #      accepted prefix but not before traces back (injectively) to
+    #      a pre-batch occurrence of some pair (·, a_i) or (b_i, ·),
+    #      so every created pair's count is ≤ U = max(count of any
+    #      top-K row with r ∈ {a_i} or l ∈ {b_i}, K-th row's count as
+    #      the floor for unseen pairs). Require candidate count > U
+    #      STRICTLY (a tie could lose on the lexical key to an unknown
+    #      created pair).
+    # The first uncertifiable row ends the batch; the next action
+    # re-counts from the merged table, so training visits exactly the
+    # reference merge sequence (pinned in tests/test_bpe.py).
+    topk = 48
+    since_ckpt = 0
+    while len(merges) < n_merges:
+        rows = (
             wf.select(
                 "freq",
                 F.explode(
@@ -778,15 +803,39 @@ def bpe_train(
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-            .first()
+            .take(topk)
         )
-        if best is None or best.c < 2:
+        if not rows or rows[0].c < 2:
             break  # nothing left worth merging
-        a, b, ab = best.l, best.r, best.l + best.r
-        merges.append((i + 1, a, b, ab, int(best.c)))
-        wf = wf.select("freq", _merge_pair_expr("syms", a, b, ab).alias("syms"))
-        if (i + 1) % BPE_CKPT_EVERY == 0:
-            wf = wf.localCheckpoint(eager=True)
+        floor = rows[-1].c if len(rows) == topk else 0
+        a_set: set[str] = set()
+        b_set: set[str] = set()
+        used: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for r in rows:
+            if len(merges) + len(accepted) >= n_merges or r.c < 2:
+                break
+            if accepted:
+                if r.l in used or r.r in used:
+                    break
+                bound = floor
+                for other in rows:
+                    if other.r in a_set or other.l in b_set:
+                        bound = max(bound, other.c)
+                if not r.c > bound:
+                    break
+            accepted.append((r.l, r.r, int(r.c)))
+            a_set.add(r.l)
+            b_set.add(r.r)
+            used.update((r.l, r.r, r.l + r.r))
+        for a, b, c in accepted:
+            ab = a + b
+            merges.append((len(merges) + 1, a, b, ab, c))
+            wf = wf.select("freq", _merge_pair_expr("syms", a, b, ab).alias("syms"))
+            since_ckpt += 1
+            if since_ckpt >= BPE_CKPT_EVERY:
+                wf = wf.localCheckpoint(eager=True)
+                since_ckpt = 0
     return spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, merged STRING, pair_freq BIGINT"
     )
