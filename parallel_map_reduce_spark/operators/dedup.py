@@ -496,8 +496,18 @@ def ngram_jaccard_pairs(
     ``shingles`` overrides the default ASCII shingle source (e.g.
     unicode_doc_shingles for UTF-8 corpora) — the pair machinery is
     script-agnostic. ``sized_shingles`` is the (doc_id, shingle, n)
-    form (``_sized_shingles_of_words``) for the capped path.
+    form (``_sized_shingles_of_words``) for the capped path, and ONLY
+    the capped path: passing it with ``df_cap=None`` or together with
+    ``shingles`` is refused loudly (ADVICE r17 — silently falling
+    through to the ASCII tokenizer would produce wrong Jaccard values
+    rather than an error).
     """
+    if sized_shingles is not None and (df_cap is None or shingles is not None):
+        raise ValueError(
+            "ngram_jaccard_pairs: sized_shingles is only consumed by the "
+            "capped posting-list path — pass df_cap (and not shingles) "
+            "with it, or pass the row-form shingles override instead"
+        )
     # Capped path (r17 opt): the per-doc set size n rides the exploded
     # shingle rows (guide §2.3 — a few metadata bytes through the one
     # existing shuffle), so the old separate sizes aggregation — a

@@ -33,6 +33,42 @@ N_PLANES = 12
 ANN_BANDS = 3
 ANN_PLANES_PER_BAND = N_PLANES // ANN_BANDS  # 4 bits → 16 buckets per band
 
+# Serving-path query batches are DRIVER METADATA by contract: the
+# two-stage entries collect the query rows to score them against the
+# code store / centroid table. That is only sound while |Q| is
+# bounded; this cap refuses a query batch that has silently grown to
+# corpus scale instead of OOM-ing the driver (VERDICT r17 task 2 — the
+# collect_bounded discipline the twins use, applied to the serving
+# paths). Generous vs the registered batches (|corpus|/50 = 100 rows
+# at sf0.1) and far below driver-memory trouble at dim=64.
+QUERY_BATCH_CAP = 100_000
+# Above this many query rows the GEMM kernel's query matrix ships to
+# executors as a TorrentBroadcast instead of riding every task
+# closure (one transfer per executor, not one per task).
+GEMM_BROADCAST_MIN_Q = 1_024
+# A single label/cluster block is buffered in ONE task by the Arrow
+# pair kernels (that is the point: per-block O(n²) stays local). This
+# cap turns a pathologically hot block into a loud error instead of a
+# silent executor OOM (VERDICT r17 task 6; at dim=64 float64 the cap
+# is ~100 MB of block matrix per task — re-partition the hot key or
+# raise n_centroids past it, as the SemDeDup paper does).
+PAIR_BLOCK_ROW_CAP = 200_000
+
+
+def _collect_query_batch(df: DataFrame, what: str) -> list:
+    """Collect a serving-path query batch, refusing above
+    QUERY_BATCH_CAP rows. One job: fetch cap+1 and treat a full fetch
+    as overflow — no separate count pass."""
+    rows = df.limit(QUERY_BATCH_CAP + 1).collect()
+    if len(rows) > QUERY_BATCH_CAP:
+        raise ValueError(
+            f"{what}: query batch exceeds QUERY_BATCH_CAP="
+            f"{QUERY_BATCH_CAP} rows — serving-path query batches are "
+            "bounded driver metadata; chunk the batch or serve from the "
+            "indexed store instead"
+        )
+    return rows
+
 
 def plane_components(dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, d) derives
@@ -443,7 +479,13 @@ def _label_pairs_cos_kernel(threshold: float):
     accumulated one dimension at a time — the ``dot`` expression
     fold's left-to-right order — so the EMITTED cos doubles are
     bit-identical to the self-join form (this entry's cos is part of
-    the oracle-hashed output). 1024-row blocks bound the cos matrix."""
+    the oracle-hashed output). 1024-row blocks bound the cos matrix;
+    a block past PAIR_BLOCK_ROW_CAP rows fails loudly instead of
+    OOM-ing the task (r18 guard); NULL labels are skipped, matching
+    the SQL null-equality semantics of the a.label == b.label join
+    this kernel replaced (ADVICE r17)."""
+
+    cap = PAIR_BLOCK_ROW_CAP
 
     def pairs_fn(it):
         import numpy as np
@@ -460,15 +502,24 @@ def _label_pairs_cos_kernel(threshold: float):
                 batch.column("embedding").to_numpy(zero_copy_only=False)
             ).astype(np.float64)
             for lab in set(labels):
+                if lab is None:
+                    continue  # SQL equality never matches NULL labels
                 sel = np.array([x == lab for x in labels])
                 by_label.setdefault(lab, []).append(
                     (ids[sel], embs[sel], nrms[sel])
                 )
-        for _lab, chunks in by_label.items():
+        for lab, chunks in by_label.items():
             ids = np.concatenate([c[0] for c in chunks]).astype(np.int64)
             x = np.vstack([c[1] for c in chunks])
             nrm = np.concatenate([c[2] for c in chunks])
             n, dim = x.shape
+            if n > cap:
+                raise ValueError(
+                    f"label_blocked_neardup: label {lab!r} has {n} rows "
+                    f"(> PAIR_BLOCK_ROW_CAP={cap}) — a "
+                    "block this hot must be split (finer blocking key) "
+                    "rather than buffered in one task"
+                )
             if n < 2:
                 continue
             for lo in range(0, n, 1024):
@@ -558,7 +609,7 @@ def quantize_embeddings_int8(emb: DataFrame) -> DataFrame:
     )
 
 
-def _gemm_shortlist_fn(q_ids, q_mat, q_scales, m):
+def _gemm_shortlist_fn(q_payload, m):
     """Arrow-batch kernel factory for the two-stage coarse pass: score
     every candidate row in the batch against the captured query-code
     matrix with ONE int64 GEMM and emit each query's per-batch top-m
@@ -566,6 +617,9 @@ def _gemm_shortlist_fn(q_ids, q_mat, q_scales, m):
     result order-independent (exact), so this is bit-identical to the
     per-pair fold it replaces; per-batch top-m is a superset of every
     query's global top-m, which the downstream window finalizes.
+    ``q_payload`` is either the (q_ids, q_mat, q_scales) tuple riding
+    the closure (small batches) or a Broadcast of it (one transfer per
+    executor when |Q| ≥ GEMM_BROADCAST_MIN_Q — VERDICT r17 task 2).
     numpy/pyarrow imports live in the closure so executors resolve
     them at first call (guide §4.5: heavy init once per task)."""
 
@@ -573,6 +627,8 @@ def _gemm_shortlist_fn(q_ids, q_mat, q_scales, m):
         import numpy as np
         import pyarrow as pa
 
+        payload = q_payload.value if hasattr(q_payload, "value") else q_payload
+        q_ids, q_mat, q_scales = payload
         for batch in it:
             if batch.num_rows == 0:
                 continue
@@ -650,12 +706,14 @@ def two_stage_topk(
     sf0.1/local[32]: 2.62 s -> 1.57 s warm, rows identical. The query
     batch is collected at build (|corpus|/50 rows of driver metadata —
     the bounded-collect class EAGER_BUILD_OK enumerates for the IVF
-    probe selection)."""
+    probe selection), REFUSED loudly past QUERY_BATCH_CAP, and shipped
+    as a broadcast instead of a task-closure capture once |Q| ≥
+    GEMM_BROADCAST_MIN_Q (r18, VERDICT r17 task 2)."""
     import numpy as np
 
     codes, scale = _int8_code_exprs()
     qz = emb.select("vec_id", codes.alias("codes"), scale.alias("scale"))
-    qrows = qz.filter(query_filter).collect()
+    qrows = _collect_query_batch(qz.filter(query_filter), "two_stage_topk")
     if not qrows:
         return emb.sparkSession.createDataFrame(
             [], "query_id bigint, vec_id bigint, cos double, rank int"
@@ -663,8 +721,11 @@ def two_stage_topk(
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["codes"] for r in qrows], dtype=np.int64)
     q_scales = np.array([r["scale"] for r in qrows], dtype=np.float64)
+    payload = (q_ids, q_mat, q_scales)
+    if len(qrows) >= GEMM_BROADCAST_MIN_Q:
+        payload = emb.sparkSession.sparkContext.broadcast(payload)
     m = k * overfetch
-    score = _gemm_shortlist_fn(q_ids, q_mat, q_scales, m)
+    score = _gemm_shortlist_fn(payload, m)
     cand = qz.mapInArrow(score, "query_id long, vec_id long, approx double")
     w1 = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("vec_id"))
     shortlist = (
@@ -873,7 +934,10 @@ def two_stage_ivf_topk_indexed(
     # in-plan re-expansion (~0.68 s of the 2.28 s warm wall at sf0.1).
     import math
 
-    qrows = emb.filter(query_filter).select("vec_id", "embedding").collect()
+    qrows = _collect_query_batch(
+        emb.filter(query_filter).select("vec_id", "embedding"),
+        "two_stage_ivf_topk_indexed probe selection",
+    )
     crows = [
         (int(c.centroid_id), [float(v) for v in c.c_emb], float(c.c_nrm))
         for c in cents.collect()
@@ -882,8 +946,17 @@ def two_stage_ivf_topk_indexed(
     for r in qrows:
         qe = [float(v) for v in r["embedding"]]
         qn = math.sqrt(_seq_dot(qe, qe))
+        # Zero-norm guard (ADVICE r17): the replaced Spark expression
+        # degraded to NaN/Inf cosines and completed; Python would raise
+        # ZeroDivisionError and sorted() has no NaN order. Score such
+        # rows -inf (never probed / probes the lowest centroid ids
+        # deterministically) instead of crashing the build.
         scored = sorted(
-            (-(_seq_dot(qe, ce) / (qn * cn)), cid) for cid, ce, cn in crows
+            (
+                -(_seq_dot(qe, ce) / (qn * cn)) if qn * cn != 0 else math.inf,
+                cid,
+            )
+            for cid, ce, cn in crows
         )[:nprobe]
         probe_pairs.extend((r["vec_id"], cid) for _, cid in scored)
     probes = spark.createDataFrame(
@@ -945,7 +1018,12 @@ def _semdedup_pairs_kernel(threshold: float):
     order as the ``dot`` expression fold, so emitted pairs are
     bit-identical to the self-join form. Rows are processed in
     1024-row blocks so the cos matrix stays bounded at block ×
-    cluster size."""
+    cluster size; a cluster past PAIR_BLOCK_ROW_CAP rows fails loudly
+    instead of OOM-ing the task (r18 guard — at scale, raise
+    n_centroids so clusters stay partition-sized, the paper's own
+    remedy)."""
+
+    cap = PAIR_BLOCK_ROW_CAP
 
     def pairs_fn(it):
         import numpy as np
@@ -971,6 +1049,12 @@ def _semdedup_pairs_kernel(threshold: float):
             x = np.vstack([c[1] for c in chunks])
             nrm = np.concatenate([c[2] for c in chunks])
             n, dim = x.shape
+            if n > cap:
+                raise ValueError(
+                    f"semantic_dedup: cluster {cid} has {n} rows "
+                    f"(> PAIR_BLOCK_ROW_CAP={cap}) — "
+                    "raise n_centroids so clusters stay partition-sized"
+                )
             if n < 2:
                 continue
             for lo in range(0, n, 1024):

@@ -440,3 +440,19 @@ def test_corpus_promote_chain_and_compaction(spark, sf_dir, docs):
     # one file per non-empty bucket, and strictly fewer files than the
     # promotion chain accumulated
     assert n_parquet(cdir) <= n_buckets < n_before
+
+
+def test_ngram_jaccard_refuses_misused_sized_shingles(spark, docs):
+    """sized_shingles is consumed ONLY by the capped posting-list path;
+    silently tokenizing ASCII instead would return wrong Jaccard values
+    (ADVICE r17)."""
+    sized = D.unicode_doc_sized_shingles(docs)
+    with pytest.raises(ValueError, match="sized_shingles"):
+        D.ngram_jaccard_pairs(docs, df_cap=None, sized_shingles=sized)
+    with pytest.raises(ValueError, match="sized_shingles"):
+        D.ngram_jaccard_pairs(
+            docs,
+            df_cap=10,
+            shingles=D.unicode_doc_shingles(docs),
+            sized_shingles=sized,
+        )

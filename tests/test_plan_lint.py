@@ -154,9 +154,12 @@ EAGER_BUILD_OK = {
     "text_vocab_growth": "k-row range-bucket boundary collect "
     "(global_cumsum prefix decomposition)",
     "similarity_two_stage_ivf_topk": "k-row centroid collect for probe "
-    "selection (memoized per index artifact)",
+    "selection (memoized per index artifact); query-batch collects are "
+    "capped at QUERY_BATCH_CAP with a loud refusal past it (r18)",
     "similarity_two_stage_topk": "bounded query-batch collect "
-    "(|corpus|/50 rows) captured into the Arrow GEMM coarse stage",
+    "(|corpus|/50 rows, capped at QUERY_BATCH_CAP with a loud refusal "
+    "past it; broadcast past GEMM_BROADCAST_MIN_Q) captured into the "
+    "Arrow GEMM coarse stage",
     "crawl_wet_to_index": "WET artifact build + catalog landing: writes "
     "the conversion WARC files, re-reads them, lands the parquet table "
     "the index then reads (cold-cache artifact class)",

@@ -635,3 +635,64 @@ def test_ivfpq_hot_centroid_stays_pruned_and_parallel(spark, tmp_path):
     # in the serving plan — the only joins broadcast the query side.
     assert "Exchange hashpartitioning(centroid_id" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_query_batch_cap_refuses_corpus_scale_batch(spark, emb, monkeypatch):
+    """Serving-path query collects must fail LOUDLY past QUERY_BATCH_CAP
+    (VERDICT r17 task 2) instead of OOM-ing the driver."""
+    monkeypatch.setattr(S, "QUERY_BATCH_CAP", 10)
+    with pytest.raises(ValueError, match="QUERY_BATCH_CAP"):
+        S.two_stage_topk(emb, F.lit(True), k=3)
+
+
+def test_query_batch_cap_refuses_indexed_probe_batch(spark, emb, tmp_path, monkeypatch):
+    monkeypatch.setattr(S, "QUERY_BATCH_CAP", 10)
+    path = str(tmp_path / "ivf_cap")
+    S.write_ivf_index(emb, path)
+    with pytest.raises(ValueError, match="QUERY_BATCH_CAP"):
+        S.two_stage_ivf_topk_indexed(emb, path, F.lit(True), k=3)
+
+
+def test_gemm_query_broadcast_path_is_bit_identical(spark, emb):
+    """Forcing the broadcast payload path (|Q| >= GEMM_BROADCAST_MIN_Q)
+    must produce exactly the closure-path rows."""
+    qf = F.col("vec_id") % 50 == 0
+    base = {tuple(r) for r in S.two_stage_topk(emb, qf, k=5).collect()}
+    import unittest.mock as mock
+
+    with mock.patch.object(S, "GEMM_BROADCAST_MIN_Q", 1):
+        bcast = {tuple(r) for r in S.two_stage_topk(emb, qf, k=5).collect()}
+    assert base == bcast and len(base) > 0
+
+
+def test_pair_kernel_block_cap_trips_on_hot_label(spark, monkeypatch):
+    """A pathologically hot label must raise the PAIR_BLOCK_ROW_CAP
+    guard loudly instead of silently concentrating O(n^2) work/memory
+    in one task (VERDICT r17 task 6)."""
+    monkeypatch.setattr(S, "PAIR_BLOCK_ROW_CAP", 8)
+    rows = [(i, "hot", [float(i % 3), 1.0]) for i in range(20)]
+    hot = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    with pytest.raises(Exception, match="PAIR_BLOCK_ROW_CAP"):
+        S.label_blocked_neardup(hot, threshold=0.0).collect()
+
+
+def test_semdedup_kernel_block_cap_trips_on_hot_cluster(spark, monkeypatch):
+    monkeypatch.setattr(S, "PAIR_BLOCK_ROW_CAP", 8)
+    rows = [(i, [1.0 + (i % 5) * 1e-6, 1.0]) for i in range(24)]
+    emb_hot = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.raises(Exception, match="PAIR_BLOCK_ROW_CAP"):
+        S.semantic_dedup(emb_hot, threshold=0.0, n_centroids=1).collect()
+
+
+def test_label_kernel_skips_null_labels(spark):
+    """NULL-labeled rows never pair (SQL null-equality semantics of the
+    join the kernel replaced — ADVICE r17)."""
+    rows = [
+        (1, None, [1.0, 0.0]),
+        (2, None, [1.0, 0.0]),
+        (3, "a", [0.0, 1.0]),
+        (4, "a", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = S.label_blocked_neardup(df, threshold=0.5).collect()
+    assert {(r.vec_a, r.vec_b) for r in out} == {(3, 4)}
