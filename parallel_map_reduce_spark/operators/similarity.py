@@ -281,20 +281,96 @@ IVF_TRAIN_ITERS = 2  # Lloyd iterations over the seed centroids
 
 
 def _centroid_df(spark, cents: dict[int, list[float]]) -> DataFrame:
-    rows = [(cid, vec) for cid, vec in sorted(cents.items())]
-    return spark.createDataFrame(
+    """k-row centroid frame. The driver-side values ALSO ride the
+    returned frame (``_pmrs_local_cents``, cid-ascending, with the
+    ``math.sqrt(_seq_dot)`` replica of l2_norm — bit-identical to the
+    c_nrm column) so ``_assign_to_centroids`` can take its zero-shuffle
+    Arrow path without ever re-collecting what the driver already
+    holds. Centroids are driver metadata BY DEFINITION (the Lloyd loop
+    materializes them between iterations), so this adds no job and no
+    new memory class."""
+    import math
+
+    rows = [(cid, [float(x) for x in vec]) for cid, vec in sorted(cents.items())]
+    df = spark.createDataFrame(
         rows, "centroid_id INT, c_emb ARRAY<DOUBLE>"
     ).withColumn("c_nrm", l2_norm("c_emb"))
+    df._pmrs_local_cents = [
+        (cid, vec, math.sqrt(_seq_dot(vec, vec))) for cid, vec in rows
+    ]
+    return df
+
+
+def _assign_fn(cent_rows):
+    """Arrow-batch kernel factory for ``_assign_to_centroids``: nearest
+    centroid by cosine, numpy accumulation one dimension at a time (the
+    ``dot`` fold's left-to-right order — bit-identical doubles), argmax
+    over cid-ascending columns (np.argmax takes the FIRST max, which is
+    exactly max_by's (c_cos, -centroid_id) tie-break; a NaN column from
+    a zero-norm row/centroid is 'greatest' under both orders and both
+    resolve to the lowest such cid). Embedding/nrm columns pass through
+    the batch untouched."""
+
+    def assign(it):
+        import numpy as np
+        import pyarrow as pa
+
+        cids = np.array([c[0] for c in cent_rows], dtype=np.int32)
+        cmat = np.array([c[1] for c in cent_rows], dtype=np.float64)
+        cnrm = np.array([c[2] for c in cent_rows], dtype=np.float64)
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            embs = np.stack(
+                batch.column("embedding").to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            nrm = batch.column("nrm").to_numpy()
+            n, dim = embs.shape
+            acc = np.zeros((n, len(cids)))
+            for i in range(dim):  # sequential: matches the fold
+                acc = acc + embs[:, i : i + 1] * cmat[:, i]
+            cos = acc / (nrm[:, None] * cnrm[None, :])
+            best = np.argmax(cos, axis=1)
+            yield pa.record_batch(
+                [
+                    batch.column("vec_id"),
+                    batch.column("embedding"),
+                    batch.column("nrm"),
+                    pa.array(cids[best]),
+                ],
+                names=["vec_id", "embedding", "nrm", "centroid_id"],
+            )
+
+    return assign
 
 
 def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, embedding, nrm, centroid_id): nearest centroid by cosine.
 
-    Broadcast cross-join over k centroid rows + per-vector max_by — one
+    When the centroid values ride the frame (every ``_centroid_df``
+    product — the Lloyd loop, the pretrained-sidecar memo, SemDeDup),
+    assignment is ONE Arrow hop per partition: zero shuffle, no k-fold
+    interpreted cosine per vector (r18 opt, guide §4.2 — the crossJoin
+    form exploded every vector into k rows, paid k CodegenFallback
+    dot folds, and re-collapsed them through a vec_id Exchange that
+    moved the full embedding arrays). Values bit-identical — see
+    ``_assign_fn``.
+
+    Fallback (a centroid frame NOT built by ``_centroid_df``):
+    broadcast cross-join over k centroid rows + per-vector max_by — one
     pass over the corpus, no shuffle of the big side. Ties break to the
-    lowest centroid_id so assignment is a deterministic function of the
-    inputs.
+    lowest centroid_id in both forms.
     """
+    local = getattr(cents, "_pmrs_local_cents", None)
+    if local is not None:
+        # embedding/nrm pass through the batch untouched, so the output
+        # schema carries THEIR actual types (the store is float32).
+        in_types = dict(e.dtypes)
+        return e.select("vec_id", "embedding", "nrm").mapInArrow(
+            _assign_fn(local),
+            f"vec_id bigint, embedding {in_types['embedding']}, "
+            f"nrm {in_types['nrm']}, centroid_id int",
+        )
     scored = e.crossJoin(F.broadcast(cents)).withColumn(
         "c_cos", dot("embedding", "c_emb") / (F.col("nrm") * F.col("c_nrm"))
     )

@@ -696,3 +696,30 @@ def test_label_kernel_skips_null_labels(spark):
     df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
     out = S.label_blocked_neardup(df, threshold=0.5).collect()
     assert {(r.vec_a, r.vec_b) for r in out} == {(3, 4)}
+
+
+def test_assign_kernel_matches_crossjoin_form(spark, emb):
+    """The Arrow assignment path is bit-identical to the crossJoin +
+    max_by form it replaced (order-matched accumulation, first-max
+    argmax == (c_cos, -cid) tie-break)."""
+    from pyspark.sql import functions as FF
+
+    from parallel_map_reduce_spark.functions.vector import dot, l2_norm
+
+    cents = S.train_ivf_centroids(emb, k=8, iters=1)
+    e = emb.select("vec_id", "embedding").withColumn("nrm", l2_norm("embedding"))
+    kernel = S._assign_to_centroids(e, cents)
+    scored = e.crossJoin(FF.broadcast(cents)).withColumn(
+        "c_cos", dot("embedding", "c_emb") / (FF.col("nrm") * FF.col("c_nrm"))
+    )
+    legacy = scored.groupBy("vec_id").agg(
+        FF.first("embedding").alias("embedding"),
+        FF.first("nrm").alias("nrm"),
+        FF.max_by(
+            "centroid_id",
+            FF.struct(FF.col("c_cos"), (-FF.col("centroid_id")).alias("t")),
+        ).alias("centroid_id"),
+    )
+    k_rows = {r.vec_id: (tuple(r.embedding), r.nrm, r.centroid_id) for r in kernel.collect()}
+    l_rows = {r.vec_id: (tuple(r.embedding), r.nrm, r.centroid_id) for r in legacy.collect()}
+    assert k_rows == l_rows and len(k_rows) > 0
