@@ -707,6 +707,78 @@ def chunk_documents(
 BPE_END = "</w>"  # end-of-word marker symbol
 BPE_N_MERGES = 24
 BPE_CKPT_EVERY = 6  # checkpoint the vocab-sized symbol table every K merges
+# Driver-local training threshold (r18 opt, guide §3.1's broadcast-
+# threshold discipline applied to an iterative loop): once the
+# (word, freq, syms) table is MATERIALIZED, a bounded take tells us
+# whether the whole vocabulary is driver-metadata-sized; below the cap
+# the merge loop runs as the textbook single-machine algorithm in ONE
+# job instead of one TakeOrdered job per merge batch — the per-round
+# argmax chain at small vocab is pure scheduler latency (measured
+# 5.4 s of 16 tiny actions over a 31-row table at sf0.1). Past the cap
+# (a 100 TB corpus vocabulary) the distributed per-round loop below is
+# the only shape that works, and the bounded take cost one job. The
+# cap bounds BOTH memory (64k rows of short strings, the
+# QUERY_BATCH_CAP class) and driver CPU (merges x rows x word length).
+BPE_LOCAL_VOCAB_CAP = 65536
+
+
+def bpe_vocab_syms(docs: DataFrame, words: DataFrame | None = None) -> DataFrame:
+    """(word, freq, syms): the corpus word-frequency table with initial
+    BPE character symbols, localCheckpoint-ed (vocab-sized). The ONE
+    corpus pass BPE training needs; callers that both train and segment
+    share this frame so the corpus is scanned once, not once per phase."""
+    return (
+        (words if words is not None else _words(docs))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select("word", "freq", _char_syms("word").alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _apply_merge_local(syms: list[str], a: str, b: str, ab: str) -> list[str]:
+    """Driver-side replica of ``_merge_pair_expr``'s greedy
+    left-to-right non-overlapping fold: append each symbol unless it
+    closes the pair with the output's last element."""
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = ab
+        else:
+            out.append(s)
+    return out
+
+
+def _bpe_train_local(
+    vocab: list[tuple[int, list[str]]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The textbook Sennrich merge loop over a driver-local
+    (freq, syms) vocabulary — the exact algorithm the distributed
+    per-round loop implements (same pair counting by summed word freq,
+    same (count DESC, left ASC, right ASC) argmax — Python tuple order
+    on str equals Spark's UTF8 binary order for valid code points —
+    same ``c >= 2`` stop, same greedy fold application), so the merge
+    sequence is identical by construction; tests/test_bpe.py pins both
+    paths against an independent reference."""
+    words = [(int(freq), list(syms)) for freq, syms in vocab]
+    merges: list[tuple[int, str, str, str, int]] = []
+    while len(merges) < n_merges:
+        counts: dict[tuple[str, str], int] = {}
+        for freq, syms in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        ab = a + b
+        merges.append((len(merges) + 1, a, b, ab, c))
+        words = [
+            (freq, _apply_merge_local(syms, a, b, ab)) for freq, syms in words
+        ]
+    return merges
 
 
 def _char_syms(word_col: str) -> F.Column:
@@ -737,6 +809,8 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = BPE_N_MERGES,
     words: DataFrame | None = None,
+    vocab: DataFrame | None = None,
+    local_cap: int | None = None,
 ) -> DataFrame:
     """(rank, left, right, merged, pair_freq): the first ``n_merges``
     BPE merges learned from the corpus, in order.
@@ -754,15 +828,25 @@ def bpe_train(
     independent pure-Python reference implementation
     (tests/test_bpe.py). ``words`` overrides the default ASCII
     (doc_id, word) stream — e.g. unicode tokens for the r14 UTF-8
-    contract; the merge loop itself is alphabet-agnostic."""
+    contract; the merge loop itself is alphabet-agnostic. ``vocab``
+    lets a caller that also segments pass the shared
+    ``bpe_vocab_syms`` frame (one corpus pass for both phases);
+    ``local_cap`` overrides BPE_LOCAL_VOCAB_CAP (tests force the
+    distributed path with 0)."""
     spark = docs.sparkSession
-    wf = (
-        (words if words is not None else _words(docs))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-        .select("freq", _char_syms("word").alias("syms"))
-        .localCheckpoint(eager=True)
-    )
+    wf0 = vocab if vocab is not None else bpe_vocab_syms(docs, words)
+    cap = BPE_LOCAL_VOCAB_CAP if local_cap is None else local_cap
+    mschema = "rank INT, left STRING, right STRING, merged STRING, pair_freq BIGINT"
+    # Scale-adaptive path pick (see BPE_LOCAL_VOCAB_CAP): ONE bounded
+    # take against the already-materialized vocab decides; a full
+    # fetch (cap exceeded) falls through to the distributed loop.
+    head = wf0.select("freq", "syms").limit(cap + 1).collect() if cap > 0 else []
+    if cap > 0 and len(head) <= cap:
+        return spark.createDataFrame(
+            _bpe_train_local([(r.freq, r.syms) for r in head], n_merges),
+            mschema,
+        )
+    wf = wf0.select("freq", "syms")
     merges: list[tuple[int, str, str, str, int]] = []
     # r18 opt: one TakeOrdered action can certify SEVERAL sequential
     # merges (guide §1.2 — fewer driver-round-trip jobs for the same
@@ -836,15 +920,14 @@ def bpe_train(
             if since_ckpt >= BPE_CKPT_EVERY:
                 wf = wf.localCheckpoint(eager=True)
                 since_ckpt = 0
-    return spark.createDataFrame(
-        merges, "rank INT, left STRING, right STRING, merged STRING, pair_freq BIGINT"
-    )
+    return spark.createDataFrame(merges, mschema)
 
 
 def bpe_segment(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     words: DataFrame | None = None,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """(word, n_subwords, subwords): BPE segmentation of the corpus
     VOCABULARY under an ordered merge list — applied per DISTINCT
@@ -853,13 +936,18 @@ def bpe_segment(
     per-token output) is then a broadcast of this vocab table. Merges
     apply in rank order, each as the same fold ``bpe_train`` uses, so
     train→segment round-trips: a word whose pairs were all merged
-    segments to one symbol."""
-    vocab = (
-        (words if words is not None else _words(docs))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
-    syms = _char_syms("word")
+    segments to one symbol. ``vocab`` reuses a ``bpe_vocab_syms``
+    frame (its syms column IS ``_char_syms(word)``), skipping the
+    second corpus scan when the caller already trained on one."""
+    if vocab is not None:
+        syms = F.col("syms")
+    else:
+        vocab = (
+            (words if words is not None else _words(docs))
+            .groupBy("word")
+            .agg(F.count("*").alias("freq"))
+        )
+        syms = _char_syms("word")
     for a, b in merges:
         # Rebinding through a Column (not a DataFrame per round) keeps
         # this a single projection: n_merges nested folds, one stage,

@@ -511,11 +511,17 @@ def documents_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bpe_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # ONE corpus pass: train and segment share the checkpointed
+    # (word, freq, syms) vocab frame (r18 opt — each phase built its
+    # own word-frequency aggregation before, a second full scan).
+    vocab = T.bpe_vocab_syms(docs)
     merges = [
         (r.left, r.right)
-        for r in T.bpe_train(docs, n_merges=T.BPE_N_MERGES).orderBy("rank").collect()
+        for r in T.bpe_train(docs, n_merges=T.BPE_N_MERGES, vocab=vocab)
+        .orderBy("rank")
+        .collect()
     ]
-    return T.bpe_segment(docs, merges)
+    return T.bpe_segment(docs, merges, vocab=vocab)
 
 
 @register(
@@ -994,13 +1000,16 @@ def text_unicode_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     udocs = scoped_unicode_docs(spark, sf_dir)
     words = unicode_tokenize(udocs).withColumnRenamed("token", "word")
+    # Shared vocab frame: one tokenize pass for train + segment
+    # (r18 opt, same shape as text_bpe_vocabulary).
+    vocab = T.bpe_vocab_syms(udocs, words=words)
     merges = [
         (r.left, r.right)
-        for r in T.bpe_train(udocs, n_merges=T.BPE_N_MERGES, words=words)
+        for r in T.bpe_train(udocs, n_merges=T.BPE_N_MERGES, vocab=vocab)
         .orderBy("rank")
         .collect()
     ]
-    return T.bpe_segment(udocs, merges, words=words)
+    return T.bpe_segment(udocs, merges, vocab=vocab)
 
 
 from ._html import HDOCS_CTE, scoped_html_docs

@@ -137,3 +137,32 @@ def test_unicode_bpe_matches_pure_python_replica(spark, sf_dir):
     got = {tuple(r) for r in text_unicode_bpe(spark, sf_dir).collect()}
     ref = {tuple(r) for r in unicode_bpe_python_replica(spark, sf_dir).collect()}
     assert got == ref and len(got) > 0
+
+
+def test_bpe_train_distributed_path_matches_reference_exactly(spark, docs_df):
+    """local_cap=0 forces the per-round distributed loop (the 100 TB
+    shape); its merge sequence must equal the reference — and therefore
+    the driver-local path the adaptive cap picks for small vocabs."""
+    n = 12
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_freq)
+        for r in bpe_train(docs_df, n_merges=n, local_cap=0)
+        .orderBy("rank")
+        .collect()
+    ]
+    exp, _ = _ref_bpe(_ref_word_freqs(DOCS), n)
+    assert got == exp and len(got) == n
+
+
+def test_bpe_shared_vocab_segment_equals_selfbuilt(spark, docs_df):
+    """bpe_segment(vocab=...) over the shared bpe_vocab_syms frame must
+    return exactly the rows of the self-built form."""
+    from parallel_map_reduce_spark.operators.text_analysis import bpe_vocab_syms
+
+    n = 12
+    vocab = bpe_vocab_syms(docs_df)
+    merges_rows = bpe_train(docs_df, n_merges=n, vocab=vocab).orderBy("rank").collect()
+    merges = [(r.left, r.right) for r in merges_rows]
+    a = {tuple(r) for r in bpe_segment(docs_df, merges, vocab=vocab).collect()}
+    b = {tuple(r) for r in bpe_segment(docs_df, merges).collect()}
+    assert a == b and len(a) > 0

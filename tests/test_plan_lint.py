@@ -143,8 +143,11 @@ EAGER_BUILD_OK = {
     "embedding_semantic_dedup": "k-means Lloyd iterations (SemDeDup)",
     "embedding_pca_whitened": "driver-side eigendecomposition of the "
     "k x k covariance (collected scalar matrix)",
-    "text_bpe_vocabulary": "BPE merge loop (one argmax action per merge)",
-    "text_unicode_bpe": "BPE merge loop over unicode tokens (same shape)",
+    "text_bpe_vocabulary": "BPE training: vocab checkpoint + bounded "
+    "take (driver-local merge loop under BPE_LOCAL_VOCAB_CAP, "
+    "per-round argmax actions past it — r18)",
+    "text_unicode_bpe": "BPE training over unicode tokens (same "
+    "adaptive shape)",
     "part_name_fuzzy_pairs": "cardinality guard: counts the value domain "
     "to REFUSE the |V|^2 join above max_values",
     "orders_value_deciles": "k-row range-bucket boundary collect "
