@@ -608,7 +608,54 @@ def ngram_jaccard_pairs(
 # ---- duplicate-cluster resolution (connected components) ----
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+# Driver-local CC threshold (r18 opt, the BPE_LOCAL_VOCAB_CAP
+# discipline): the fixpoint loop's wall at small pair graphs is pure
+# scheduler latency — 2 setup jobs + 2 jobs per round over a
+# few-thousand-row label table (measured 2.3–2.5 s of ~10 tiny actions
+# at sf0.1). Once the symmetrized edge list is MATERIALIZED, a bounded
+# take tells us whether it is driver-metadata-sized; below the cap a
+# union-find computes the components in ONE job. cluster_id = the
+# component's min doc_id is a pure graph property, so ANY correct CC
+# algorithm returns identical rows — no sequence replication needed
+# (unlike BPE). Past the cap (100 TB pair graphs) the propagation loop
+# runs unchanged. 2^19 edges × 2 longs bounds driver memory in the
+# QUERY_BATCH_CAP class.
+CC_LOCAL_EDGE_CAP = 524288
+
+
+def _cc_local(edge_rows) -> list[tuple]:
+    """Union-find over driver-local (src, dst) rows; returns
+    (doc_id, min_component_id) for every endpoint."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for src, dst in edge_rows:
+        if src not in parent:
+            parent[src] = src
+        if dst not in parent:
+            parent[dst] = dst
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict = {}
+    for node in parent:
+        r = find(node)
+        m = roots.get(r)
+        if m is None or node < m:
+            roots[r] = node
+    return [(node, roots[find(node)]) for node in parent]
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 15, local_cap: int | None = None
+) -> DataFrame:
     """(doc_id, cluster_id) for every node in ``pairs``: connected
     components by iterative min-label propagation; cluster_id = the
     smallest doc_id in the component (the canonical "keeper" a dedup
@@ -643,6 +690,26 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         .select("e.src", "e.dst")
         .localCheckpoint(eager=True)
     )
+    # Scale-adaptive path pick (see CC_LOCAL_EDGE_CAP): one bounded
+    # take against the already-materialized edges decides; a full
+    # fetch (cap exceeded) falls through to the propagation loop.
+    # The symmetrized list is 2x the pair count, so fetch 2*cap+1.
+    cap = CC_LOCAL_EDGE_CAP if local_cap is None else local_cap
+    if cap > 0:
+        head = edges.limit(2 * cap + 1).collect()
+        if len(head) <= 2 * cap:
+            from pyspark.sql.types import StructField, StructType
+
+            src_type = edges.schema["src"].dataType
+            return pairs.sparkSession.createDataFrame(
+                _cc_local((r.src, r.dst) for r in head),
+                StructType(
+                    [
+                        StructField("doc_id", src_type),
+                        StructField("cluster_id", src_type),
+                    ]
+                ),
+            )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

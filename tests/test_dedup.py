@@ -107,12 +107,49 @@ def test_connected_components_chain_and_islands(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         "doc_a BIGINT, doc_b BIGINT",
     )
-    got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
-    assert got == {
+    expected = {
         (1, 1), (2, 1), (3, 1), (4, 1),
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()}
+    assert got == expected
+    # Both adaptive paths must agree: the driver-local union-find
+    # (default at this size) and the distributed propagation loop
+    # (forced with local_cap=0 — the 100 TB shape).
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, local_cap=0).collect()
+    }
+    assert dist == expected
+
+
+def test_connected_components_local_equals_distributed_random(spark):
+    """Path equality on a generated graph big enough to have long
+    chains, cycles, and singleton-free islands: the union-find path and
+    the propagation loop must return identical rows (cluster_id is a
+    pure graph property — min node id per component)."""
+    import random
+
+    from parallel_map_reduce_spark.operators.dedup import connected_components
+
+    rng = random.Random(18)
+    edges = [
+        (rng.randrange(400), rng.randrange(400)) for _ in range(350)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a BIGINT, doc_b BIGINT")
+    local = {
+        (r.doc_id, r.cluster_id) for r in connected_components(pairs).collect()
+    }
+    # max_iter must cover the graph diameter for the propagation loop
+    # to reach the fixpoint (production callers' graphs are shallow
+    # dedup clusters; this generated one has long chains).
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs, max_iter=400, local_cap=0).collect()
+    }
+    assert local == dist and len(local) > 100
 
 
 def test_fuzzy_value_pairs_guards_high_cardinality(spark):
