@@ -344,6 +344,57 @@ def _assign_fn(cent_rows):
     return assign
 
 
+def _train_partials_fn(cent_rows):
+    """Arrow-batch kernel factory for the Lloyd update: nearest-centroid
+    scoring identical to ``_assign_fn`` (same per-dimension sequential
+    accumulation, same first-max argmax/NaN tie behavior), then
+    per-cluster partial sums and counts accumulated with ``np.add.at``
+    (unbuffered: applies additions sequentially in row order — the
+    order an avg partial sum visits the partition). Emits one
+    (centroid_id, pos, s, c) row per non-empty cluster x dimension per
+    task — k x dim metadata rows instead of n x dim exploded rows."""
+
+    def partials(it):
+        import numpy as np
+        import pyarrow as pa
+
+        cids = np.array([c[0] for c in cent_rows], dtype=np.int32)
+        cmat = np.array([c[1] for c in cent_rows], dtype=np.float64)
+        cnrm = np.array([c[2] for c in cent_rows], dtype=np.float64)
+        k, dim = cmat.shape
+        sums = np.zeros((k, dim))
+        cnts = np.zeros(k, dtype=np.int64)
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            embs = np.stack(
+                batch.column("embedding").to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            nrm = batch.column("nrm").to_numpy()
+            n, _ = embs.shape
+            acc = np.zeros((n, k))
+            for i in range(dim):  # sequential: matches the fold
+                acc = acc + embs[:, i : i + 1] * cmat[:, i]
+            cos = acc / (nrm[:, None] * cnrm[None, :])
+            best = np.argmax(cos, axis=1)
+            np.add.at(sums, best, embs)
+            np.add.at(cnts, best, 1)
+        nz = np.nonzero(cnts)[0]
+        if nz.size == 0:
+            return
+        yield pa.record_batch(
+            [
+                pa.array(np.repeat(cids[nz], dim)),
+                pa.array(np.tile(np.arange(dim, dtype=np.int32), nz.size)),
+                pa.array(sums[nz].ravel()),
+                pa.array(np.repeat(cnts[nz], dim)),
+            ],
+            names=["centroid_id", "pos", "s", "c"],
+        )
+
+    return partials
+
+
 def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, embedding, nrm, centroid_id): nearest centroid by cosine.
 
@@ -407,17 +458,26 @@ def train_ivf_centroids(
     seed = e.orderBy("vec_id").limit(k).collect()
     cents = {i: [float(x) for x in r.embedding] for i, r in enumerate(seed)}
     for _ in range(iters):
-        assigned = _assign_to_centroids(e, _centroid_df(spark, cents))
-        # One shuffle per iteration: the per-(centroid, dim) means are
-        # k x dim rows of metadata, so the array re-assembly happens on
-        # the driver instead of a second groupBy stage (same values —
-        # identical avg + 6-dp rounding — one less exchange per round).
+        # Assign + per-cluster partial sums FUSED in one Arrow hop
+        # (r18 opt, guide §2.3/§4.2): the unfused form shipped the full
+        # embedding arrays back across the Python boundary and exploded
+        # them into n x dim (centroid_id, pos, val) rows per iteration
+        # just to aggregate them again; the kernel emits k x dim partial
+        # (sum, count) rows per task instead. Per-partition accumulation
+        # is np.add.at — sequential in row order, the same order avg's
+        # per-partition partial sum visits; the division and HALF_UP
+        # 6-dp round stay in Spark expressions, so the means class is
+        # unchanged (cross-partition merge order was never deterministic
+        # — the 6-dp round is the documented absorber on both forms).
+        local = _centroid_df(spark, cents)._pmrs_local_cents
         means = (
-            assigned.select(
-                "centroid_id", F.posexplode("embedding").alias("pos", "val")
+            e.select("embedding", "nrm")
+            .mapInArrow(
+                _train_partials_fn(local),
+                "centroid_id int, pos int, s double, c bigint",
             )
             .groupBy("centroid_id", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .agg(F.round(F.sum("s") / F.sum("c"), 6).alias("m"))
             .collect()
         )
         by_c: dict[int, dict[int, float]] = {}

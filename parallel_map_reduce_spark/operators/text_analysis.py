@@ -556,7 +556,12 @@ def vocab_growth(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias("n_new"))
     )
-    base = (
+    # Pinned (per-doc rows, r18 opt, guide §5): global_cumsum references
+    # its input THREE times (the percentile-boundary job, the per-bucket
+    # sums job, and the final windowed output) — unpinned, each
+    # reference re-ran both corpus aggregations and the join, i.e. six
+    # corpus scans per materialize instead of two.
+    base = pin(
         per_doc_tokens.join(new_words, "doc_id", "left")
         .select(
             "doc_id",
