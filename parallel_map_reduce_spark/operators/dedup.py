@@ -361,7 +361,12 @@ def minhash_lsh_candidates(docs: DataFrame) -> DataFrame:
     byte-identical docs sharing every band signature) and pins that the
     band join completes with the exact closed-form pair count AND
     SortMergeJoin(skew=true) in the executed plan."""
-    bands = lsh_band_signatures(docs)
+    # Pinned (|docs| x N_BANDS small rows, r18 opt, guide §5): the
+    # self-join references the band table twice, and each reference
+    # re-ran the WHOLE minhash kernel — two corpus scans + two
+    # signature computations per materialize (the executed plan showed
+    # two MapInArrow nodes). One pinned computation feeds both sides.
+    bands = pin(lsh_band_signatures(docs))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
