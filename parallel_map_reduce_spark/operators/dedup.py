@@ -1291,6 +1291,73 @@ SUBSTR_MIN_OCC = 2  # a window is "repeated" if it occurs >= this many
 # times across the corpus (cross-doc boilerplate AND within-doc loops)
 
 
+def _gram_rows_fn(L: int):
+    """Arrow-batch kernel factory for ``repeated_substring_spans``'s
+    positional L-token gram hashes: per document, tokenize (the exact
+    strip-then-lower replica ``_minhash_rows_fn`` documents) and emit
+    one (doc_id, pos, md5-hex) row per window start. Each DISTINCT
+    gram string is hashed once per task (boilerplate grams repeat
+    across documents — the JVM expression re-hashed every position);
+    hv is the same full md5 hex the DuckDB oracle computes, so
+    collision behavior is engine-identical. Rows with fewer than L
+    tokens emit nothing, matching the n_gram >= 1 filter."""
+
+    def rows_fn(it):
+        import hashlib
+        import re
+
+        import pyarrow as pa
+
+        strip_re = re.compile(r"[^A-Za-z \t\n]")
+        split_re = re.compile(r"[ \t\n]+")
+        memo: dict[str, str] = {}
+        memo_cap = 4_000_000
+
+        def gram_hash(g: str) -> str:
+            h = memo.get(g)
+            if h is None:
+                h = hashlib.md5(g.encode("utf-8")).hexdigest()
+                if len(memo) < memo_cap:
+                    memo[g] = h
+            return h
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_d: list[int] = []
+            out_p: list[int] = []
+            out_h: list[str] = []
+            for doc_id, text in zip(ids, texts):
+                if not text:
+                    continue
+                words = [
+                    w
+                    for w in split_re.split(strip_re.sub("", text).lower())
+                    if w
+                ]
+                n_gram = len(words) - L + 1
+                if n_gram < 1:
+                    continue
+                for i in range(n_gram):
+                    out_d.append(doc_id)
+                    out_p.append(i + 1)
+                    out_h.append(gram_hash(" ".join(words[i : i + L])))
+            if not out_d:
+                continue
+            yield pa.record_batch(
+                [
+                    pa.array(out_d, type=pa.int64()),
+                    pa.array(out_p, type=pa.int32()),
+                    pa.array(out_h, type=pa.string()),
+                ],
+                names=["doc_id", "pos", "hv"],
+            )
+
+    return rows_fn
+
+
 def repeated_substring_spans(
     docs: DataFrame, L: int = SUBSTR_L, min_occ: int = SUBSTR_MIN_OCC
 ) -> DataFrame:
@@ -1328,25 +1395,16 @@ def repeated_substring_spans(
     contract)."""
     from pyspark.sql import Window
 
-    wa = clean_words_array(docs)
-    n_gram = F.size("words") - F.lit(L - 1)
-    # all window hashes are computed INSIDE one per-document transform,
-    # so the exploded rows carry only (pos, hash) — exploding positions
-    # first and slicing per row would copy the full words array into
-    # every one of its n_gram output rows (O(tokens * doc_len) row
-    # materialization instead of O(tokens * L) compute)
-    grams = (
-        wa.filter(n_gram >= 1)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), n_gram),
-                    lambda i: F.md5(F.array_join(F.slice("words", i, L), " ")),
-                )
-            ).alias("pos0", "hv"),
-        )
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "hv")
+    # Positional gram hashes in ONE Arrow hop (r18 opt, guide §4.2 —
+    # the winnowing-kernel pattern): the JVM transform paid an
+    # interpreted O(L) slice + array_join + md5 per position
+    # (CodegenFallback), re-hashing repeated boilerplate grams at
+    # every occurrence; the kernel tokenizes with two C-regex passes
+    # (the exact strip-then-lower replica) and hashes each DISTINCT
+    # gram once per task. Only (doc_id, text) crosses the boundary,
+    # and the exploded rows still carry only (pos, hash).
+    grams = docs.select("doc_id", "text").mapInArrow(
+        _gram_rows_fn(L), "doc_id bigint, pos int, hv string"
     )
     hits = (
         grams.withColumn("n_occ", F.count("*").over(Window.partitionBy("hv")))
