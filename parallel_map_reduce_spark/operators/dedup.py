@@ -138,6 +138,67 @@ def _sized_shingles_of_words(wa: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _sized_shingle_rows_fn(k: int):
+    """Arrow-batch kernel factory producing the ASCII
+    ``_sized_shingles_of_words`` rows — (doc_id, shingle, n) where n =
+    the document's DISTINCT-shingle count — in one Python hop
+    (r18 opt, guide §4.2): the JVM form paid an interpreted O(k)
+    slice + array_join per position plus array_distinct per document
+    (CodegenFallback HOFs). Tokenization is the exact strip-then-lower
+    replica ``_minhash_rows_fn`` documents; shingle strings are
+    byte-identical (' '-joined cleaned tokens), and row ORDER is
+    irrelevant downstream (posting lists sort, aggregates are
+    order-free). Docs with < k tokens emit nothing, matching the
+    empty-array explode."""
+
+    def rows_fn(it):
+        import re
+
+        import pyarrow as pa
+
+        strip_re = re.compile(r"[^A-Za-z \t\n]")
+        split_re = re.compile(r"[ \t\n]+")
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out_d: list[int] = []
+            out_s: list[str] = []
+            out_n: list[int] = []
+            for doc_id, text in zip(ids, texts):
+                if not text:
+                    continue
+                words = [
+                    w
+                    for w in split_re.split(strip_re.sub("", text).lower())
+                    if w
+                ]
+                n_sh = len(words) - k + 1
+                if n_sh < 1:
+                    continue
+                distinct = set(
+                    " ".join(words[i : i + k]) for i in range(n_sh)
+                )
+                n = len(distinct)
+                for s in distinct:
+                    out_d.append(doc_id)
+                    out_s.append(s)
+                    out_n.append(n)
+            if not out_d:
+                continue
+            yield pa.record_batch(
+                [
+                    pa.array(out_d, type=pa.int64()),
+                    pa.array(out_s, type=pa.string()),
+                    pa.array(out_n, type=pa.int32()),
+                ],
+                names=["doc_id", "shingle", "n"],
+            )
+
+    return rows_fn
+
+
 def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, shingle) DISTINCT k-token shingles (space-joined),
     ASCII contract tokens (clean_words_array). Array-native — see
@@ -521,10 +582,18 @@ def ngram_jaccard_pairs(
     # Exchanges + 0 joins; values identical (n is the same distinct
     # count either way, jaccard arithmetic unchanged).
     if df_cap is not None and shingles is None:
+        # Default ASCII source: the Arrow kernel (one Python hop at
+        # scan speed — see _sized_shingle_rows_fn) instead of the
+        # interpreted HOF pipeline; ~35% of the query's warm wall was
+        # the shingle projection. Explicit sized_shingles overrides
+        # (the unicode tokenizer) keep their JVM form.
         sh = (
             sized_shingles
             if sized_shingles is not None
-            else _sized_shingles_of_words(clean_words_array(docs), SHINGLE_K)
+            else docs.select("doc_id", "text").mapInArrow(
+                _sized_shingle_rows_fn(SHINGLE_K),
+                "doc_id bigint, shingle string, n int",
+            )
         )
         # repartition-first: complete-mode aggregate after the exchange —
         # map-side partial collect_list has zero combine benefit on
