@@ -172,9 +172,9 @@ def main() -> int:
     # pagerank at 512x joins ~600M edge rows five times — hours on one
     # box; the VERDICT's "max feasible" clause applies.
     max_factor = {
-        "minhash_lsh_pairs": 512,
-        "ngram_jaccard": 512,
-        "two_stage_topk": 512,
+        "minhash_lsh_pairs": int(os.environ.get("SPARK_GRAFT_MH_MAX", "512")),
+        "ngram_jaccard": int(os.environ.get("SPARK_GRAFT_NJ_MAX", "64")),
+        "two_stage_topk": int(os.environ.get("SPARK_GRAFT_TS_MAX", "512")),
         "trade_graph_pagerank": int(os.environ.get("SPARK_GRAFT_PR_MAX", "64")),
     }
     out: dict[str, dict[str, float]] = {}
